@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreOracles, CoreQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete declared operator inventory (SURVEY.md §2.9);
+  * `oracleSql` carries the DuckDB-equivalent SQL the driver hash-compares
+  * against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q44: region⋈nation⋈customer⋈orders revenue rollup — exercises scan,
+    * broadcast + shuffle joins, partial agg, and sort in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q44(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"   -> CoreQueries.q01 _,
+    "q02_filter_pred"    -> CoreQueries.q02 _,
+    "q03_filter_in_like" -> CoreQueries.q03 _,
+    "q04_topk"           -> CoreQueries.q04 _,
+    "q05_sort_multi"     -> CoreQueries.q05 _,
+    "q06_distinct"       -> CoreQueries.q06 _,
+    "q07_union_all"      -> CoreQueries.q07 _,
+    "q08_union_distinct" -> CoreQueries.q08 _,
+    "q09_intersect"      -> CoreQueries.q09 _,
+    "q10_except"         -> CoreQueries.q10 _,
+    "q11_join_inner"     -> CoreQueries.q11 _,
+    "q12_join_broadcast" -> CoreQueries.q12 _,
+    "q13_join_left"      -> CoreQueries.q13 _,
+    "q14_join_full"      -> CoreQueries.q14 _,
+    "q15_join_semi"      -> CoreQueries.q15 _,
+    "q16_join_anti"      -> CoreQueries.q16 _,
+    "q17_join_theta"     -> CoreQueries.q17 _,
+    "q18_join_cross"     -> CoreQueries.q18 _,
+    "q19_agg_global"     -> CoreQueries.q19 _,
+    "q20_agg_group"      -> CoreQueries.q20 _,
+    "q21_agg_having"     -> CoreQueries.q21 _,
+    "q22_count_distinct" -> CoreQueries.q22 _,
+    "q23_rollup"         -> CoreQueries.q23 _,
+    "q24_cube"           -> CoreQueries.q24 _,
+    "q25_grouping_sets"  -> CoreQueries.q25 _,
+    "q26_window_rank"    -> CoreQueries.q26 _,
+    "q27_window_running" -> CoreQueries.q27 _,
+    "q28_window_lag"     -> CoreQueries.q28 _,
+    "q29_window_ntile"   -> CoreQueries.q29 _,
+    "q30_str_funcs"      -> CoreQueries.q30 _,
+    "q31_date_funcs"     -> CoreQueries.q31 _,
+    "q32_math_funcs"     -> CoreQueries.q32 _,
+    "q33_case_coalesce"  -> CoreQueries.q33 _,
+    "q34_cast"           -> CoreQueries.q34 _,
+    "q35_array_ops"      -> CoreQueries.q35 _,
+    "q36_explode"        -> CoreQueries.q36 _,
+    "q37_json"           -> CoreQueries.q37 _,
+    "q38_upsert_latest"  -> CoreQueries.q38 _,
+    "q39_topk_group"     -> CoreQueries.q39 _,
+    "q40_time_bucket"    -> CoreQueries.q40 _,
+    "q41_dedup_exact"    -> CoreQueries.q41 _,
+    "q42_text_topwords"  -> CoreQueries.q42 _,
+    "q43_similarity"     -> CoreQueries.q43 _,
+    "q44_multi_join_agg" -> CoreQueries.q44 _,
+    "q45_subquery_agg"   -> CoreQueries.q45 _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = CoreOracles.sql
 }
