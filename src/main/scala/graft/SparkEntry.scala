@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOracles, CoreQueries}
+import graft.queries.{CoreOracles, CoreQueries, PipelineOracles, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,10 +63,19 @@ object SparkEntry {
     "q42_text_topwords"  -> CoreQueries.q42 _,
     "q43_similarity"     -> CoreQueries.q43 _,
     "q44_multi_join_agg" -> CoreQueries.q44 _,
-    "q45_subquery_agg"   -> CoreQueries.q45 _
+    "q45_subquery_agg"   -> CoreQueries.q45 _,
+    "q46_minhash_lsh"    -> PipelineQueries.q46 _,
+    "q47_jaccard_pairs"  -> PipelineQueries.q47 _,
+    "q48_simhash"        -> PipelineQueries.q48 _,
+    "q49_embed_neardup"  -> PipelineQueries.q49 _,
+    "q50_lang_id"        -> PipelineQueries.q50 _,
+    "q51_text_quality"   -> PipelineQueries.q51 _,
+    "q52_token_count"    -> PipelineQueries.q52 _,
+    "q53_fingerprint"    -> PipelineQueries.q53 _,
+    "q54_ann_lsh"        -> PipelineQueries.q54 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreOracles.sql
+  def oracleSql: Map[String, String] = CoreOracles.sql ++ PipelineOracles.sql
 }

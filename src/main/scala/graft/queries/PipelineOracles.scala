@@ -1,0 +1,142 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the pipeline-extension queries q46–q54.
+  * Mirrors [[PipelineQueries]] exactly (portable md5-based hashes, double
+  * arithmetic over exact integer counts, rounded ordering keys). */
+object PipelineOracles {
+
+  /** Shared CTE: non-empty whitespace tokens. */
+  private def toksCte(pred: String) =
+    s"""t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents $pred)""".stripMargin
+
+  /** Shared CTE: distinct word 3-gram shingles (requires t). */
+  private val shCte =
+    """sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |  FROM t, unnest(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3)""".stripMargin
+
+  private val q46 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |SELECT doc_id, m0 || m1 AS band0, m2 || m3 AS band1,
+       |       m4 || m5 AS band2, m6 || m7 AS band3
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val q47 =
+    s"""WITH ${toksCte("WHERE doc_id < 60")},
+       |$shCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT a, b, round(inter / (ca.n + cb.n - inter), 4) AS jaccard
+       |FROM p JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+       |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+
+  private val q48 = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
+    val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+    val bitSums = (0 until 16)
+      .map(b => s"sum(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sig = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id, $hv AS hv FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  private val cosSql =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+  private def cos(a: String, b: String) =
+    cosSql.replace("%A", a).replace("%B", b)
+
+  private val q49 =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 100)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  round(${cos("x.v", "y.v")}, 4) AS sim
+       |FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin
+
+  private val q50 =
+    s"""WITH ${toksCte("")},
+       |f AS (SELECT t.doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS n_stop,
+       |  d.lang
+       |  FROM t JOIN documents d ON d.doc_id = t.doc_id)
+       |SELECT doc_id, n_tok, round(n_stop / n_tok, 4) AS stop_ratio, lang,
+       |  CASE WHEN round(n_stop / n_tok, 4) >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  private val q51 =
+    s"""WITH ${toksCte("")},
+       |f AS (SELECT t.doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(length(replace(trim(d.text), ' ', '')) AS BIGINT) AS n_char
+       |  FROM t JOIN documents d ON d.doc_id = t.doc_id),
+       |g AS (SELECT doc_id, n_tok, n_distinct, n_char,
+       |  round(n_distinct / n_tok, 4) AS ttr,
+       |  round(n_char / n_tok, 4) AS avg_wlen
+       |  FROM f)
+       |SELECT doc_id, n_tok, n_distinct, n_char, ttr, avg_wlen,
+       |  round(0.5 * ttr + 0.5 * least(avg_wlen / 10.0, 1.0), 6) AS quality
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  private val q52 =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(length(replace(trim(text), ' ', '')) AS BIGINT) AS n_char,
+      |  CAST(ceil(length(replace(trim(text), ' ', '')) / 4.0) AS BIGINT) AS bpe_est
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+
+  private val q53 =
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |$shCte
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(CASE WHEN substr(md5(s), 32, 1) = '0' THEN 1 END) AS BIGINT) AS n_sel,
+       |  min(CASE WHEN substr(md5(s), 32, 1) = '0' THEN md5(s) END) AS fp_min
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val q54 = {
+    val bucket = Seq(1, 17, 33, 49)
+      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  $bucket AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe, p.bucket AS bucket, c.vec_id AS cand,
+       |    round(${cos("p.v", "c.v")}, 4) AS sim
+       |  FROM e p JOIN e c ON p.bucket = c.bucket
+       |  WHERE p.vec_id < 5 AND c.vec_id >= 5),
+       |ranked AS (
+       |  SELECT probe, bucket, cand, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe ORDER BY sim DESC, cand) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT probe, bucket, cand, sim, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY probe, rank""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q46_minhash_lsh"    -> q46,
+    "q47_jaccard_pairs"  -> q47,
+    "q48_simhash"        -> q48,
+    "q49_embed_neardup"  -> q49,
+    "q50_lang_id"        -> q50,
+    "q51_text_quality"   -> q51,
+    "q52_token_count"    -> q52,
+    "q53_fingerprint"    -> q53,
+    "q54_ann_lsh"        -> q54
+  )
+}
