@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.4): the reference's framing
+  * is an unbounded lazily-pulled source processed in O(1) memory on a
+  * schedule, with late/duplicate data reconciled by upsert (reference
+  * `etls/reddit_etl.py:53-55`, `README.md:12-13`, `dags/reddit_dag.py:23`).
+  * Spark-native equivalents: incremental micro-batches + event-time
+  * windows + watermarks + stateful dedup.
+  *
+  * All builders take an already-streaming DataFrame (`readStream` or
+  * MemoryStream) with the events schema (`event_id, ts, user_id,
+  * event_type, value`) and return an unstarted streaming aggregation, so
+  * tests and production sinks choose their own trigger/output mode.
+  *
+  * Scale: event-time windows keyed by (window, event_type) shuffle on the
+  * group key; state store size is bounded by the watermark horizon —
+  * the knob that keeps 100 TB/day streams in bounded memory.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling window aggregate (the streaming face of q40).
+    * Watermark bounds state and drops rows later than `lateness`. */
+  def tumblingCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding window (overlapping buckets). */
+  def slidingCounts(events: DataFrame,
+                    window_ : String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"))
+
+  /** Session window: activity gaps close a session per user. */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"))
+
+  /** Stateful dedup within the watermark horizon — the streaming
+    * equivalent of the reference's idempotent upsert (`README.md:13`):
+    * replayed/duplicate event_ids are dropped while their state is live,
+    * and state is reclaimed once the watermark passes. */
+  def dedupWithinWatermark(events: DataFrame,
+                           lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+}

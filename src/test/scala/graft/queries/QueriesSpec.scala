@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Sanity invariants per query family on sf0.001 (full cross-engine
+  * correctness is the driver's DuckDB differential gate; these specs keep
+  * `sbt test` meaningful standalone) + the no-oracle C5 sketch bounds. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("entry flagship returns one revenue row per region") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("every declared query runs and respects its contract shape") {
+    val counts = SparkEntry.queries.keys.map(k => k -> run(k).count()).toMap
+    // queries over unfiltered base tables must be non-empty (q16 anti-join
+    // and q03's IN-list can legitimately be empty at the smallest sf)
+    val mustBeNonEmpty = counts.keys.filterNot(
+      Set("q16_join_anti", "q03_filter_in_like", "q17_join_theta"))
+    mustBeNonEmpty.foreach(k => assert(counts(k) > 0, s"$k returned 0 rows"))
+    assert(counts("q01_scan_project") == 5)
+    assert(counts("q04_topk") == 10)
+    assert(counts("q42_text_topwords") == 20)
+    assert(counts("q43_similarity") == 25) // 5 probes x top-5
+  }
+
+  test("every query has a DuckDB oracle") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("q38 latest-wins yields exactly one row per customer key") {
+    val df = run("q38_upsert_latest")
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q54 LSH pruning never beats the exhaustive scan over its own range") {
+    import graft.functions.Vectors
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    // true (unpruned) top-1 per probe over ALL candidates >= 5
+    val globalTop = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe"), col("v").as("vp"))
+      .crossJoin(e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand"), col("v").as("vc")))
+      .groupBy("probe")
+      .agg(max(round(Vectors.cosine(col("vp"), col("vc")), 4)).as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = run("q54_ann_lsh").filter(col("rank") === 1)
+      .select("probe", "sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach { case (p, s) =>
+      assert(s <= globalTop(p) + 1e-9,
+        s"LSH reported sim above the exhaustive optimum for probe $p")
+    }
+  }
+
+  test("q46 band keys collide for identical documents (LSH recall contract)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_minhash_probe")
+    // same pipeline as q46, inlined over the probe table
+    val sh = docs.select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))")).as("s"))
+      .distinct()
+    val bands = sh.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("s")))).as("m0"),
+        min(md5(concat(lit("1:"), col("s")))).as("m1"))
+      .select(col("doc_id"), concat(col("m0"), col("m1")).as("band"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bands(0L) == bands(1L), "identical docs must share band keys")
+    assert(bands(0L) != bands(2L), "unrelated docs must not collide")
+  }
+
+  test("C5 approx_count_distinct is within rsd bounds of exact") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.05))
+      .first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+}

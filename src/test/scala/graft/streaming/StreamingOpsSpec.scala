@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** §2.4 streaming suite over MemoryStream (no oracle — DuckDB can't replay
+  * streams): tumbling/sliding/session windows, watermark late-data drop,
+  * stateful dedup. Deterministic via processAllAvailable(). */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+                         mode: OutputMode = OutputMode.Append()) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("tumbling window counts + watermark drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = runToTable(StreamingOps.tumblingCounts(mem.toDF(), "1 hour", "1 hour"),
+      "tumbling_out")
+    // batch 1: two events in hour 10, one in hour 11
+    mem.addData(
+      Ev(1, t("10:05"), 1, "view", 1.0),
+      Ev(2, t("10:55"), 2, "view", 2.0),
+      Ev(3, t("11:10"), 1, "click", 3.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past hour 10 (wm = 14:00 - 1h)
+    mem.addData(Ev(4, t("14:00"), 3, "view", 4.0))
+    q.processAllAvailable()
+    // batch 3: a late event for hour 10 — behind the watermark, dropped
+    mem.addData(Ev(5, t("10:30"), 9, "view", 100.0))
+    q.processAllAvailable()
+    // close remaining windows
+    mem.addData(Ev(6, t("20:00"), 3, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling_out")
+      .select("ws", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 2L, 3.0)),
+      s"hour-10 view count wrong (late row must be dropped): $rows")
+    assert(rows.contains(("2024-01-01 11:00:00.0", "click", 1L, 3.0)))
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = runToTable(
+      StreamingOps.slidingCounts(mem.toDF(), "1 hour", "15 minutes", "1 hour"),
+      "sliding_out")
+    mem.addData(Ev(1, t("10:20"), 1, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2, t("15:00"), 1, "view", 1.0)) // advance watermark
+    q.processAllAvailable()
+    mem.addData(Ev(3, t("23:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val buckets = spark.table("sliding_out")
+      .filter("event_type = 'view' and ws < timestamp'2024-01-01 11:00:00'")
+      .collect().map(_.getTimestamp(0).toString).toSet
+    q.stop()
+    // 10:20 falls in 4 sliding buckets: 09:30, 09:45, 10:00, 10:15
+    assert(buckets == Set("2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+      "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0"))
+  }
+
+  test("session window closes after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = runToTable(
+      StreamingOps.sessionCounts(mem.toDF(), "30 minutes", "1 hour"),
+      "session_out")
+    // user 1: events at 10:00, 10:10 (one session), then 12:00 (new session)
+    mem.addData(
+      Ev(1, t("10:00"), 1, "view", 1.0),
+      Ev(2, t("10:10"), 1, "view", 1.0),
+      Ev(3, t("12:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("20:00"), 2, "view", 1.0)) // close everything
+    q.processAllAvailable()
+    val sessions = spark.table("session_out").filter("user_id = 1")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(sessions == Set(("2024-01-01 10:00:00.0", 2L),
+      ("2024-01-01 12:00:00.0", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = runToTable(
+      StreamingOps.dedupWithinWatermark(mem.toDF(), "1 hour"), "dedup_out")
+    mem.addData(
+      Ev(1, t("10:00"), 1, "view", 1.0),
+      Ev(1, t("10:00"), 1, "view", 1.0)) // same-batch duplicate
+    q.processAllAvailable()
+    mem.addData(Ev(1, t("10:01"), 1, "view", 1.0)) // replay in later batch
+    q.processAllAvailable()
+    mem.addData(Ev(2, t("10:30"), 2, "click", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").collect()
+      .map(_.getAs[Long]("event_id")).toSeq.sorted
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+}
