@@ -5,16 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Vector math over `array<double>` columns (C2 similarity surface).
   *
-  * Built on Spark's higher-order functions (`zip_with` + `aggregate`) —
-  * these stay inside whole-stage codegen, unlike a Scala UDF which would
-  * force per-row serialization. The fold is sequential left-to-right,
-  * which also makes the double summation order deterministic (needed for
-  * oracle parity and stable top-k cuts).
+  * The dot product is a custom codegen'd Catalyst [[ArrayDotProduct]]
+  * expression (a tight primitive loop in whole-stage codegen) rather than
+  * a Scala UDF (per-row serialization) or the `zip_with`+`aggregate`
+  * higher-order form (per-element lambda frames). Summation is a
+  * sequential left-to-right double fold, so results are deterministic and
+  * bit-identical to the DuckDB oracle's `list_dot_product`.
   */
 object Vectors {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Codegen'd sequential dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.toColumn(ArrayDotProduct(
+      org.apache.spark.sql.graftbridge.toExpression(a),
+      org.apache.spark.sql.graftbridge.toExpression(b)))
+
+  /** The pure higher-order-function formulation (kept as the portable
+    * fallback and for differential testing against [[ArrayDotProduct]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression converters —
+  * the supported way to expose a custom Catalyst [[Expression]] as a
+  * user-facing [[Column]] in Spark 4.x without going through the session
+  * function registry. */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
