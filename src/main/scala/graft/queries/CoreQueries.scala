@@ -248,7 +248,13 @@ object CoreQueries {
   }
 
   /** q29 ntile / percent_rank (custkey tiebreak keeps tile assignment
-    * deterministic under acctbal ties). */
+    * deterministic under acctbal ties).
+    *
+    * Scale note: an un-partitioned window funnels all rows through one
+    * task — inherent to exact global ranking and part of this query's
+    * contract. The scale path for approximate quantile banding is
+    * `approx_percentile`-bucketed two-phase ranking, which stays
+    * distributed. */
   def q29(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     customer(s, d).select(

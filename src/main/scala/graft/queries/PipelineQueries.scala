@@ -37,21 +37,26 @@ object PipelineQueries {
     docs.select(col("doc_id"),
       expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
 
-  /** Distinct word 3-gram shingles per document — the unit of all
-    * shingle-based dedup (MinHash/Jaccard/fingerprint). */
-  private def shingles(docs: DataFrame): DataFrame =
-    tokens(docs).filter(size(col("toks")) >= 3)
+  /** Word 3-gram shingles per document — the unit of all shingle-based
+    * dedup (MinHash/Jaccard/fingerprint). `dedup=true` gives set semantics
+    * (needed when counting intersections); min-based consumers (MinHash)
+    * skip the extra distinct shuffle since min(multiset) == min(set). */
+  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
+    val exploded = tokens(docs).filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(toks)-2),
           |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"""
           .stripMargin)).as("s"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
+  }
 
   /** q46 MinHash signatures + LSH band keys (8 salted md5 min-hashes,
     * 4 bands × 2 rows). Documents sharing any band key are near-dup
     * candidates; at scale dedup is a self-join on the band columns. */
   def q46(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(documents(s, d).filter(col("doc_id") < 100))
+    // dedup=false: min-hash is invariant to duplicate shingles, so the
+    // distinct() exchange would be a wasted shuffle.
+    val sh = shingles(documents(s, d).filter(col("doc_id") < 100), dedup = false)
     val mins = (0 until 8).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
     sh.groupBy(col("doc_id"))

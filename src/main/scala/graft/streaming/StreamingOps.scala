@@ -61,4 +61,44 @@ object StreamingOps {
                            lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming latest-wins upsert into a parquet table via foreachBatch —
+    * the full streaming face of the reference's Redshift MERGE
+    * (`README.md:13`, SURVEY §2.4 "foreachBatch for upsert-merge").
+    * Each micro-batch merges into the sink keyed on `keyCol`, newest
+    * `ts` wins; re-delivered batches are idempotent.
+    *
+    * Returns the started query; the caller owns its lifecycle. Sink
+    * rewrite is whole-table here — at scale the same foreachBatch body
+    * targets a format with MERGE support or partitions the rewrite by
+    * key range. */
+  def upsertStream(events: DataFrame, keyCol: String, sinkPath: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.toDF()
+        val existing =
+          try spark.read.parquet(sinkPath)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("ts").desc)
+        val merged = existing.unionByName(incoming)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // write-then-swap keeps the sink readable mid-merge
+        val tmp = sinkPath + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(sinkPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
 }

@@ -120,4 +120,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
     assert(ids == Seq(1L, 2L))
   }
+
+  test("foreachBatch upsert sink applies latest-wins merges per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.upsertStream(mem.toDF(), "event_id", sink, ckpt)
+    mem.addData(
+      Ev(1, t("10:00"), 1, "view", 1.0),
+      Ev(2, t("10:05"), 2, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: event 1 re-arrives with a newer ts and new value → replaces
+    mem.addData(Ev(1, t("11:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(table.size == 2)
+    assert(table(1L) == ("click", 9.0), "newest row must win")
+    assert(table(2L) == ("view", 2.0))
+  }
 }
