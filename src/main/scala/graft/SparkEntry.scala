@@ -72,7 +72,8 @@ object SparkEntry {
     "q51_text_quality"   -> PipelineQueries.q51 _,
     "q52_token_count"    -> PipelineQueries.q52 _,
     "q53_fingerprint"    -> PipelineQueries.q53 _,
-    "q54_ann_lsh"        -> PipelineQueries.q54 _
+    "q54_ann_lsh"        -> PipelineQueries.q54 _,
+    "q55_json_map"       -> PipelineQueries.q55 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

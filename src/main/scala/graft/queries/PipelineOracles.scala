@@ -137,6 +137,11 @@ object PipelineOracles {
     "q51_text_quality"   -> q51,
     "q52_token_count"    -> q52,
     "q53_fingerprint"    -> q53,
-    "q54_ann_lsh"        -> q54
+    "q54_ann_lsh"        -> q54,
+    "q55_json_map"       ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin
   )
 }

@@ -185,6 +185,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q55 JSON→map functions (§2.3 map/JSON family: `from_json`,
+    * `map_keys`, map element access): parse `events.props` into a typed
+    * map, list its keys, extract the value — all codegen'd expressions,
+    * no UDF JSON parsing. */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val mapType = org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")
+    events(s, d).select(
+        col("event_id"),
+        array_join(map_keys(
+          from_json(col("props"), mapType)), ",").as("keys"),
+        element_at(from_json(col("props"), mapType), "k").as("k_val"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   /** q54 LSH-bucketed approximate nearest neighbor: axis-aligned
     * sign-LSH (4 dims → 16 buckets) prunes the candidate set; top-3
     * cosine within the probe's bucket. The scale path vs q43's exhaustive

@@ -121,6 +121,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("file-source streaming ingests incrementally (§2.4 unbounded ingest)") {
+    // The reference's framing: an unbounded source consumed one page at a
+    // time (etls/reddit_etl.py:53-55). Spark-native: a file-source stream
+    // picks up files as they land.
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    // watermarks require TIMESTAMP (with local tz) — the oracle-parity NTZ
+    // loader output is cast back for the streaming path
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    batch.limit(100).write.mode("overwrite").parquet(dir + "/drop1")
+    // the stream watches a glob over landed files
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir + "/drop*/")
+    val q = StreamingOps.tumblingCounts(stream, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // land a second batch; the running query ingests it incrementally
+    batch.limit(300).write.mode("overwrite").parquet(dir + "/drop2")
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.map(_.numInputRows).sum == 400,
+      "stream must have consumed both file drops incrementally")
+  }
+
   test("foreachBatch upsert sink applies latest-wins merges per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
