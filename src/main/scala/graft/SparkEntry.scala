@@ -64,6 +64,8 @@ object SparkEntry {
     "q43_similarity"     -> CoreQueries.q43 _,
     "q44_multi_join_agg" -> CoreQueries.q44 _,
     "q45_subquery_agg"   -> CoreQueries.q45 _,
+    "q56_join_right"     -> CoreQueries.q56 _,
+    "q57_between_isnull" -> CoreQueries.q57 _,
     "q46_minhash_lsh"    -> PipelineQueries.q46 _,
     "q47_jaccard_pairs"  -> PipelineQueries.q47 _,
     "q48_simhash"        -> PipelineQueries.q48 _,

@@ -309,6 +309,17 @@ object CoreOracles {
     "q45_subquery_agg" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q56_join_right" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q57_between_isnull" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL AND c_acctbal BETWEEN 0 AND 5000
         |ORDER BY c_custkey""".stripMargin
   )
 }

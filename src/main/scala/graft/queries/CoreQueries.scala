@@ -441,6 +441,23 @@ object CoreQueries {
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy("r_name")
 
+  /** q56 right outer join (the mirror of q13 — declared explicitly so the
+    * full join matrix is demonstrated). */
+  def q56(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** q57 BETWEEN + IS NULL over join-produced nulls (the classic
+    * left-join anti pattern — Catalyst keeps the filter above the join,
+    * null-producing side pruned by the predicate). */
+  def q57(s: SparkSession, d: String): DataFrame =
+    customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull &&
+        col("c_acctbal").between(0, 5000))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and
     * broadcast, so the main scan stays a single filtered pass. */
   def q45(s: SparkSession, d: String): DataFrame = {
