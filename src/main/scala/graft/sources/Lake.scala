@@ -53,4 +53,23 @@ object Lake {
     * directory structure, not file contents. */
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed catalog table: pre-shuffle the data once at write time so
+    * every later equi-join/aggregation on `bucketCol` is exchange-free —
+    * the co-located-join layout for fact⋈fact joins that recur at 100 TB
+    * (a sort-merge join of two tables bucketed on the key needs zero
+    * shuffle; the exchange happens once, at ingest).
+    *
+    * Uses the session catalog (`saveAsTable` — bucketing metadata lives
+    * in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -45,4 +45,32 @@ class LakeSpec extends AnyFunSuite {
       .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-01").count()
     assert(q.count() == expected)
   }
+
+  test("bucketed tables join without any shuffle (co-located join)") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val customer = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    Lake.writeBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "bkt_orders", "o_custkey", 8)
+    Lake.writeBucketed(customer.select("c_custkey", "c_name"),
+      "bkt_customer", "c_custkey", 8)
+    // disable broadcast so the join strategy must rely on bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Lake.readTable(spark, "bkt_orders")
+        .join(Lake.readTable(spark, "bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free:\n$plan")
+      // and it still returns the right answer
+      val n = joined.count()
+      val expected = orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
 }
