@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+/** The canonical post row (SURVEY §1.1/§1.2): the typed face of the
+  * ingest path for callers who want compile-time field checks. */
+case class RedditPost(
+    id: String, title: String, score: Int, num_comments: Int,
+    author: String, created_utc: Option[java.sql.Timestamp], url: String,
+    over_18: Boolean, edited: Boolean, spoiler: Boolean, stickied: Boolean)
+
 /** The reference's entire ingest/transform surface (SURVEY.md §2.1–§2.2,
   * Tier A), re-expressed as declarative Column expressions so the whole
   * extract→cleanse→sink pipeline fuses into one whole-stage-codegen pass —
@@ -86,6 +93,18 @@ object RedditIngest {
         .otherwise(lit(false)).as("edited"),
       boolOrFalse("spoiler"),
       boolOrFalse("stickied"))
+  }
+
+  /** Typed view of a cleansed frame (SURVEY §2.6-2): `Dataset[RedditPost]`
+    * carries the schema in the type system — the property-test surface and
+    * the API for type-safe downstream `map`/`filter` logic. Encoders are
+    * Catalyst-native, so this stays columnar until a lambda forces
+    * deserialization. */
+  def toTyped(cleansed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[RedditPost] = {
+    val spark = cleansed.sparkSession
+    import spark.implicits._
+    cleansed.as[RedditPost]
   }
 
   /** A2 server-side top-k: `subreddit.top(limit)` ranked by score

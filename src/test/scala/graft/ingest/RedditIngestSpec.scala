@@ -102,6 +102,17 @@ class RedditIngestSpec extends AnyFunSuite {
       .sameElements(collected.sortBy(_.getAs[String]("id"))))
   }
 
+  test("typed Dataset[RedditPost] round-trips the cleansed schema") {
+    val cleansed = cleanseRows(Seq(Row(
+      "12345", "  Messy Title  ", "100", null, "some_user",
+      "1710000000", "http://x", null, null, "true", null)))
+    val typed = RedditIngest.toTyped(cleansed).collect().head
+    assert(typed == RedditPost("12345", "Messy Title", 100, 0, "some_user",
+      Some(java.sql.Timestamp.from(java.time.Instant.parse("2024-03-09T16:00:00Z"))),
+      "http://x", over_18 = false, edited = false, spoiler = true,
+      stickied = false))
+  }
+
   test("topK returns the k highest scores (server-side top-k, A2)") {
     val raw = (1 to 50).map(i =>
       Row(s"id$i", null, i.toString, null, null, null, null, null, null, null, null))
