@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.RedditIngest
+import graft.sources.Lake
+
+/** Capstone: the reference's whole production loop, end-to-end on its own
+  * golden data — daily CSV drops → cleanse → date-partitioned lake →
+  * latest-wins upsert view → ad-hoc SQL (reference `README.md:12-21`:
+  * extract/transform → S3 lake → Redshift upsert → Athena queries). */
+class PipelineEndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def res(name: String) =
+    getClass.getResource(s"/golden/$name").toString
+
+  test("daily drops -> lake -> upsert view -> ad-hoc query") {
+    // 1. ingest each daily drop (the Airflow task body, A8)
+    val days = Seq("20240308", "20240309", "20240311").map { d =>
+      RedditIngest.readGoldenCsv(spark, res(s"reddit_$d.csv"))
+        .withColumn("snapshot_ts",
+          to_timestamp(lit(d), "yyyyMMdd"))
+    }
+    val landed = days.reduce(_ unionByName _)
+
+    // 2. land in a date-partitioned lake (the S3 raw/ zone, A6)
+    val lakePath = java.nio.file.Files
+      .createTempDirectory("graft_e2e_lake").toString
+    Lake.writeDatePartitioned(landed, "snapshot_ts", lakePath)
+    val lake = Lake.readDatePartitioned(spark, lakePath)
+    assert(lake.select("p_date").distinct().count() == 3)
+
+    // 3. latest-wins upsert view (the Redshift MERGE, README.md:13)
+    val current = RedditIngest.latestWins(lake, Seq(col("p_date").desc))
+    assert(current.count() == current.select("id").distinct().count())
+    val row = current.filter(col("id") === "1b9ba5c").collect().head
+    assert(row.getAs[Int]("score") == 79) // 03-09 metrics won
+
+    // 4. ad-hoc SQL over the warehouse view (the Athena face, README.md:21)
+    current.createOrReplaceTempView("posts")
+    val top = spark.sql(
+      """SELECT author, CAST(count(*) AS BIGINT) AS posts,
+        |       max(score) AS best
+        |FROM posts WHERE NOT over_18
+        |GROUP BY author ORDER BY posts DESC, author LIMIT 3""".stripMargin)
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(1) >= 1)
+    spark.catalog.dropTempView("posts")
+  }
+}
