@@ -75,7 +75,8 @@ object SparkEntry {
     "q52_token_count"    -> PipelineQueries.q52 _,
     "q53_fingerprint"    -> PipelineQueries.q53 _,
     "q54_ann_lsh"        -> PipelineQueries.q54 _,
-    "q55_json_map"       -> PipelineQueries.q55 _
+    "q55_json_map"       -> PipelineQueries.q55 _,
+    "q58_dedup_corpus"   -> PipelineQueries.q58 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -128,7 +128,37 @@ object PipelineOracles {
        |WHERE rank <= 3 ORDER BY probe, rank""".stripMargin
   }
 
+  private val q58 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |dom AS (
+       |  SELECT DISTINCT b FROM shared
+       |  JOIN cnt ca ON ca.doc_id = a
+       |  JOIN cnt cb ON cb.doc_id = b
+       |  WHERE inter / (ca.n + cb.n - inter) >= 0.8)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < 100 AND doc_id NOT IN (SELECT b FROM dom)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q58_dedup_corpus"   -> q58,
     "q46_minhash_lsh"    -> q46,
     "q47_jaccard_pairs"  -> q47,
     "q48_simhash"        -> q48,

@@ -200,6 +200,18 @@ object PipelineQueries {
       .limit(200)
   }
 
+  /** q58 corpus-level near-dedup, end-to-end: the two-stage
+    * [[graft.operators.Dedup.minhashLsh]] operator (LSH candidates →
+    * Jaccard verification ≥0.8 → smallest-id survivor) over doc_id<100 —
+    * returns the surviving doc ids. The synthetic corpus contains
+    * generator-planted near-dups, so this exercises real removals. */
+  def q58(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.minhashLsh(
+        documents(s, d).filter(col("doc_id") < 100).select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** q54 LSH-bucketed approximate nearest neighbor: axis-aligned
     * sign-LSH (4 dims → 16 buckets) prunes the candidate set; top-3
     * cosine within the probe's bucket. The scale path vs q43's exhaustive
