@@ -8,16 +8,30 @@ import org.apache.spark.sql.SparkSession
   * A short untimed warm-up executes each query once at the smallest scale
   * factor so the timed pass measures query execution, not JVM/codegen/
   * classloader warm-up — the local[32] stand-in for a warmed executor
-  * fleet. Queries run in sorted key order for run-to-run comparability. */
+  * fleet. Queries run in sorted key order for run-to-run comparability.
+  *
+  * The timed action is a `noop`-format write, not `count()`: a count lets
+  * Catalyst drop the contract ORDER BY (EliminateSorts) and prune every
+  * unreferenced projection, so expression-heavy queries would time near
+  * zero. The noop sink consumes every row and column — full plan cost,
+  * no sink I/O.
+  *
+  * The JSON line goes to stdout (bare — build.sbt routes forked stdout
+  * through sbt unprefixed) AND to bench_result.json, so the driver can
+  * parse either. */
 object Bench {
+  /** Runs the full plan: every column is materialized and shipped to the
+    * noop sink, so sorts/projections survive optimization and get timed. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Sessions.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,20 +41,27 @@ object Bench {
     val warmSf =
       if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmSf).count()
+      try exec(SparkEntry.queries(n)(spark, warmSf))
       catch { case _: Throwable => () }
     }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt and braces: persist the same line where the driver (or a human)
+    // can read it even if stdout gets wrapped by the build tool.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

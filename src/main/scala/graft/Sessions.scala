@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-construction confs the library's loaders rely on, applied in
+  * one place so no loader mutates a live session (a global side effect
+  * flagged in round 1 — `Tables.events` used to set `nanosAsLong` per
+  * call). Builders (Verify, Bench, tests, user apps) call `configure`
+  * before `getOrCreate`.
+  */
+object Sessions {
+  /** Confs every graft session needs:
+    *  - UTC so timestamp math matches the naive-UTC oracle;
+    *  - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (events.ts)
+    *    read as raw longs for [[Tables.events]] to convert.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

@@ -22,15 +22,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and convert to a
-    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies, so
-    * oracle parity holds. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * reader rejects. The session must carry
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at construction —
+    * see [[Sessions.configure]]); the loader then converts the raw nanos
+    * to a microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies,
+    * so oracle parity holds. The loader itself is side-effect-free. */
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
