@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level deduplication API (builder mandate: the operators a
@@ -11,8 +12,21 @@ import org.apache.spark.sql.functions._
   * Scale design: no operator materializes an O(n²) pair set. Exact dedup
   * is one hash aggregation; MinHash-LSH generates candidate pairs via an
   * equi-join on band keys (only same-bucket docs ever meet); SimHash
-  * prunes through bucket prefixes. Dominated-doc removal is a left-anti
-  * join — one shuffle on the id.
+  * prunes through bucket prefixes or bit-bands. Dominated-doc removal is
+  * a left-anti join — one shuffle on the id.
+  *
+  * Hot buckets: a band bucket holding m boilerplate near-dups produces
+  * m² candidate pairs under a naive self-join — the classic LSH
+  * blow-up. Buckets larger than `maxBucketSize` switch to star linking:
+  * every member pairs with the bucket's minimum id only (m−1 pairs).
+  * For a true duplicate cluster that loses nothing — every member is
+  * verified against the eventual survivor; for a spurious hot bucket the
+  * verification stage rejects the linear (not quadratic) candidate set.
+  *
+  * No broadcast hints anywhere: per-document side tables (shingle
+  * counts, signatures) grow with the corpus, so a forced broadcast is an
+  * OOM at 100 TB. All joins are plain equi-joins — AQE broadcasts them
+  * only when runtime stats say they fit.
   */
 object Dedup {
 
@@ -26,12 +40,35 @@ object Dedup {
     corpus.join(keep, idCol)
   }
 
+  /** Candidate pairs (a < b) from bucket assignments `(__id, band, key)`,
+    * with the hot-bucket star-linking cap described in the object doc. */
+  private def candidatePairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val wB = Window.partitionBy(col("band"), col("key"))
+    val bk = buckets
+      .withColumn("__bn", count(lit(1)).over(wB))
+      .withColumn("__bmin", min(col("__id")).over(wB))
+    val small = bk.filter(col("__bn") <= maxBucketSize)
+    val candSmall = small.select(col("__id").as("a"), col("band"), col("key"))
+      .join(small.select(col("__id").as("b"),
+          col("band").as("band2"), col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // star link: bucket min is always the smaller id of the pair
+    val candBig = bk
+      .filter(col("__bn") > maxBucketSize && col("__id") =!= col("__bmin"))
+      .select(col("__bmin").as("a"), col("__id").as("b"))
+    candSmall.union(candBig).distinct()
+  }
+
   /** MinHash-LSH near-dedup, two-stage (the standard production shape):
     *
     *  1. **Candidates** — docs sharing any of `bands` LSH band keys (each
     *     the concat of `rowsPerBand` salted min-hashes over word 3-gram
     *     shingles). Generated per band bucket, so the corpus never
-    *     self-joins globally.
+    *     self-joins globally; buckets above `maxBucketSize` degrade to
+    *     star linking (see object doc) so a boilerplate cluster of m docs
+    *     yields O(m) candidates, not O(m²).
     *  2. **Verification** — true shingle-set Jaccard is computed for the
     *     candidate pairs only; a doc is dropped iff a smaller-id candidate
     *     partner has Jaccard ≥ `threshold`. LSH recall errs toward extra
@@ -40,7 +77,8 @@ object Dedup {
     * Docs with <3 tokens have no shingles and are always kept. */
   def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8,
-                 bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                 bands: Int = 4, rowsPerBand: Int = 2,
+                 maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val shAll = corpus.select(col(idCol).as("__id"),
         expr(s"filter(split(trim($textCol), ' '), x -> x != '')").as("toks"))
@@ -60,13 +98,10 @@ object Dedup {
     val buckets = sigs.select(col("__id"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // stage 1: candidate pairs from shared buckets (a < b)
-    val cand = buckets.toDF("a", "band", "key")
-      .join(buckets.toDF("b", "band2", "key2"),
-        col("band") === col("band2") && col("key") === col("key2") &&
-          col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    // stage 2: true Jaccard on candidates only
+    // stage 1: candidate pairs from shared buckets (a < b), hot-capped
+    val cand = candidatePairs(buckets, maxBucketSize)
+    // stage 2: true Jaccard on candidates only. The per-doc count table
+    // joins without hints — AQE broadcasts it iff it is actually small.
     val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
     val shared = cand
       .join(sh.toDF("a", "s"), "a")
@@ -74,20 +109,18 @@ object Dedup {
       .filter(col("s") === col("s2"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     val dominated = shared
-      .join(broadcast(cnt.toDF("a", "na")), "a")
-      .join(broadcast(cnt.toDF("b", "nb")), "b")
+      .join(cnt.toDF("a", "na"), "a")
+      .join(cnt.toDF("b", "nb"), "b")
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= threshold)
       .select(col("b").as("__id")).distinct()
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dedup: 16-bit signatures over distinct tokens; docs
-    * whose signatures collide exactly (Hamming 0 — the conservative
-    * bucket) dedup to the smallest id. Raising `prefixBits` below 16
-    * trades precision for recall by bucketing on a signature prefix. */
-  def simhash(corpus: DataFrame, idCol: String, textCol: String,
-              prefixBits: Int = 16): DataFrame = {
-    require(prefixBits >= 1 && prefixBits <= 16)
+  /** 16-bit SimHash signature per doc: `(__id, __sig)`. Hash = first 4
+    * nibbles of md5 (portable); bit b of the signature is the sign of the
+    * ±1 vote sum over the doc's distinct tokens. */
+  private def simhashSigs(corpus: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val tok = corpus.select(col(idCol).as("__id"),
         explode(expr(s"filter(split(trim($textCol), ' '), x -> x != '')")).as("tok"))
       .distinct()
@@ -96,38 +129,95 @@ object Dedup {
     val withHv = tok.withColumn("hv", expr(hv))
     val bitSums = (0 until 16).map(b =>
       sum(when(expr(s"(hv div ${1 << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sig = (16 - prefixBits until 16).map(b =>
+    val sig = (0 until 16).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = withHv.groupBy(col("__id"))
+    withHv.groupBy(col("__id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("__id"), sig.as("__sig"))
+  }
+
+  /** SimHash near-dedup: 16-bit signatures over distinct tokens; docs
+    * whose signatures collide exactly (Hamming 0 — the conservative
+    * bucket) dedup to the smallest id. Raising `prefixBits` below 16
+    * trades precision for recall by bucketing on a signature prefix.
+    * For true Hamming≤k search use [[simhashNear]]. */
+  def simhash(corpus: DataFrame, idCol: String, textCol: String,
+              prefixBits: Int = 16): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 16)
+    val mask = ((1L << prefixBits) - 1) << (16 - prefixBits)
+    val sigs = simhashSigs(corpus, idCol, textCol)
+      .select(col("__id"), col("__sig").bitwiseAND(lit(mask)).as("__sig"))
     val dominated = sigs
-      .withColumn("__min", min(col("__id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("__sig")))
+      .withColumn("__min", min(col("__id")).over(Window.partitionBy("__sig")))
       .filter(col("__id") > col("__min"))
       .select(col("__id"))
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
-  /** Embedding near-dedup: within sign-LSH buckets (the q54 structure),
-    * drop any vector whose cosine to a smaller-id same-bucket vector is
-    * ≥ `threshold`. Bucket dims spread probes across 2^dims.length
-    * buckets, so the pair join is per-bucket, never global. */
+  /** SimHash near-dup search at Hamming distance ≤ `k`: the 16-bit
+    * signature splits into `numBands` bit-bands (pigeonhole: two sigs
+    * within Hamming k of each other agree exactly on some band whenever
+    * k < numBands). Docs matching on any band become candidates — an
+    * equi-join on (band, band bits), hot-capped like MinHash — and are
+    * verified by exact Hamming distance (`bit_count(a XOR b) <= k`).
+    * Smallest id survives. */
+  def simhashNear(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int = 2, numBands: Int = 4,
+                  maxBucketSize: Int = 1000): DataFrame = {
+    require(numBands > k, "pigeonhole needs more bands than flipped bits")
+    require(16 % numBands == 0, "bands must tile the 16-bit signature")
+    val bandBits = 16 / numBands
+    val sigs = simhashSigs(corpus, idCol, textCol)
+    val bandCols = (0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("key")).as(s"b$b"))
+    val buckets = sigs.select(col("__id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"),
+        col("bk.key").cast("string").as("key"))
+    val cand = candidatePairs(buckets, maxBucketSize)
+    val dominated = cand
+      .join(sigs.toDF("a", "siga"), "a")
+      .join(sigs.toDF("b", "sigb"), Seq("b"))
+      .filter(bit_count(expr("siga ^ sigb")) <= k)
+      .select(col("b").as("__id")).distinct()
+    corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Embedding near-dedup: multi-band sign-LSH. Each band hashes the
+    * vector's signs on its own dimension set into a bucket; candidate
+    * pairs share a bucket in ANY band (union of bands, like MinHash
+    * banding) and are verified by exact cosine ≥ `threshold`. More bits
+    * per band → finer pruning (2^bits buckets per band); more bands →
+    * higher recall. The round-1 single-band/16-bucket default stopped
+    * pruning at corpus scale; the default here is 2 bands × 8 bits
+    * (256 buckets each). Hot buckets star-link via `maxBucketSize`. */
   def embeddingCosine(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double,
-                      bucketDims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
-    val bucket = concat(bucketDims.map(i =>
+                      bandDims: Seq[Seq[Int]] =
+                        Seq(Seq(1, 9, 17, 25, 33, 41, 49, 57),
+                            Seq(5, 13, 21, 29, 37, 45, 53, 61)),
+                      maxBucketSize: Int = 1000): DataFrame = {
+    def bucketKey(dims: Seq[Int]): Column = concat(dims.map(i =>
       when(element_at(col(vecCol), i).cast("double") >= 0, lit("1"))
         .otherwise(lit("0"))): _*)
+    val bandCols = bandDims.zipWithIndex.map { case (dims, b) =>
+      struct(lit(b).as("band"), bucketKey(dims).as("key")).as(s"b$b")
+    }
     val e = corpus.select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("__v"),
-      bucket.as("__b"))
+      array(bandCols: _*).as("__bands"))
+    val buckets = e.select(col("__id"), explode(col("__bands")).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = candidatePairs(buckets, maxBucketSize)
+    val vecs = e.select(col("__id"), col("__v"))
     val sim = graft.functions.Vectors.cosine(col("__va"), col("__vb"))
-    val dominated = e.toDF("__a", "__va", "__ba")
-      .join(e.toDF("__b2", "__vb", "__bb"),
-        col("__ba") === col("__bb") && col("__a") < col("__b2"))
+    val dominated = cand
+      .join(vecs.toDF("a", "__va"), "a")
+      .join(vecs.toDF("b", "__vb"), Seq("b"))
       .filter(sim >= threshold)
-      .select(col("__b2").as("__id")).distinct()
+      .select(col("b").as("__id")).distinct()
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 }

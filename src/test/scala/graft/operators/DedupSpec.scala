@@ -61,6 +61,61 @@ class DedupSpec extends AnyFunSuite {
     assert((0 until 5).forall(i => ids.contains(i.toLong)))
   }
 
+  test("minhash LSH hot-bucket cap: 1000-duplicate cluster dedups via star linking") {
+    import spark.implicits._
+    // 1001 identical docs land in ONE bucket per band; with the cap far
+    // below the cluster size the candidate stage must star-link (O(m)
+    // pairs against the bucket min), yet still remove every duplicate.
+    val cluster = spark.range(0, 1001)
+      .select(col("id").as("doc_id"),
+        lit("boilerplate header the quick brown fox jumps over the lazy dog").as("text"))
+    val distinctDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 20)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val corpus = cluster.unionByName(distinctDocs)
+    val out = Dedup.minhashLsh(corpus, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 10)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L), "cluster minimum survives")
+    assert(!(1 until 1001).exists(i => ids.contains(i.toLong)),
+      "every non-min cluster member is dominated by the star center")
+    // docs 0-19 contain the generator-planted near-dup (12 ~ 8, J=0.974),
+    // which the pass must still find alongside the capped cluster.
+    assert(!ids.contains(5012L) && ids.contains(5008L))
+    assert(ids.count(_ >= 5000) == 19, "the 19 distinct docs survive")
+  }
+
+  test("simhashNear removes a near-dup within Hamming<=2, exact simhash misses it") {
+    import spark.implicits._
+    // A single-token doc's signature IS its token's 16-bit hash (one vote
+    // per bit), so we can plant an exact Hamming distance: scan a token
+    // pool for a pair whose hashes differ in 1..2 bits.
+    val hvs = spark.range(0, 300)
+      .select(concat(lit("tok"), col("id")).as("tok"))
+      .selectExpr("tok",
+        """cast((instr('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 +
+          |(instr('0123456789abcdef', substr(md5(tok),2,1))-1)*256 +
+          |(instr('0123456789abcdef', substr(md5(tok),3,1))-1)*16 +
+          |(instr('0123456789abcdef', substr(md5(tok),4,1))-1) as bigint) as hv"""
+          .stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pair = (for {
+      (ta, ha) <- hvs.iterator; (tb, hb) <- hvs.iterator
+      d = java.lang.Long.bitCount(ha ^ hb) if ta < tb && d >= 1 && d <= 2
+    } yield (ta, tb)).toSeq.headOption
+    assert(pair.nonEmpty, "300 tokens must contain a Hamming<=2 hash pair")
+    val (ta, tb) = pair.get
+    val (tFar, _) = hvs.find(t =>
+      java.lang.Long.bitCount(hvs.find(_._1 == ta).get._2 ^ t._2) > 6).get
+    val corpus = Seq((1L, ta), (2L, tb), (3L, tFar)).toDF("doc_id", "text")
+    val out = Dedup.simhashNear(corpus, "doc_id", "text", k = 2)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L),
+      "Hamming<=2 near-dup dropped, original + distant doc survive")
+    // exact-collision dedup does NOT catch a Hamming>0 pair:
+    assert(Dedup.simhash(corpus, "doc_id", "text").count() == 3)
+  }
+
   test("embedding cosine dedup removes planted identical vectors") {
     import spark.implicits._
     val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -75,5 +130,26 @@ class DedupSpec extends AnyFunSuite {
     assert((0 until 3).forall(i => ids.contains(i.toLong)))
     // distinct random vectors (max observed cos ~0.4) all survive
     assert(ids.size == 50)
+  }
+
+  test("embedding cosine multi-band: perturbed near-identical vectors are recalled") {
+    import spark.implicits._
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").limit(50)
+    // Perturb dims outside every band's dimension set: cosine drops below
+    // 1 but every band bucket is unchanged — the candidate MUST surface
+    // through the banding, and verification must confirm it.
+    val near = real.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 2000).as("vec_id"),
+        expr("""transform(embedding,
+                |  (x, i) -> case when i in (1, 2, 3)
+                |            then x + cast(0.05 as float) else x end)"""
+          .stripMargin).as("embedding"))
+    val corpus = real.unionByName(near)
+    val out = Dedup.embeddingCosine(corpus, "vec_id", "embedding", 0.99)
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((2000 until 2003).forall(i => !ids.contains(i.toLong)),
+      "perturbed near-identical vectors must be dropped")
+    assert(ids.size == 50, "all originals survive")
   }
 }
