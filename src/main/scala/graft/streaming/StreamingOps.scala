@@ -69,9 +69,9 @@ object StreamingOps {
     * `ts` wins; re-delivered batches are idempotent.
     *
     * Returns the started query; the caller owns its lifecycle. Sink
-    * rewrite is whole-table here — at scale the same foreachBatch body
-    * targets a format with MERGE support or partitions the rewrite by
-    * key range. */
+    * rewrite is whole-table here — the simple variant for small sinks;
+    * the at-scale path is [[upsertStreamPartitioned]], which rewrites
+    * only the key-hash partitions a micro-batch touches. */
   def upsertStream(events: DataFrame, keyCol: String, sinkPath: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -98,6 +98,59 @@ object StreamingOps {
         val dst = new org.apache.hadoop.fs.Path(sinkPath)
         fs.delete(dst, true)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+
+  /** Partition-pruned streaming latest-wins upsert — the 100-TB face of
+    * the reference's MERGE contract. The sink is a parquet table
+    * hash-partitioned on `pmod(hash(key), numBuckets)` (`__bucket=N`
+    * directories); each micro-batch:
+    *
+    *  1. computes the bucket set its keys touch (≤ numBuckets ids —
+    *     partition-pruning metadata, not data, so the driver-side
+    *     collect is bounded and legitimate);
+    *  2. reads ONLY those partitions back (filter on the partition
+    *     column → directory pruning, no full-table scan);
+    *  3. merges latest-wins within them;
+    *  4. rewrites ONLY those partitions via dynamic partition overwrite.
+    *
+    * Untouched partitions are never read or written — per-batch cost is
+    * O(batch + touched partitions), not O(table). Idempotent on batch
+    * replay (the merge is latest-wins deterministic). `numBuckets` sizes
+    * the pruning granularity: pick so a partition ≈ one executor's
+    * comfortable rewrite unit (e.g. 4096 at 100 TB). */
+  def upsertStreamPartitioned(events: DataFrame, keyCol: String,
+                              sinkPath: String, checkpoint: String,
+                              numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.toDF()
+          .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+        val touched = incoming.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val existing =
+            try spark.read.parquet(sinkPath)
+              .filter(col("__bucket").isin(touched: _*))
+            catch { case _: Throwable => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              incoming.schema) }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(col("ts").desc)
+          val merged = existing.unionByName(incoming)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          merged.write
+            .partitionBy("__bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(sinkPath)
+        }
         ()
       }
       .start()

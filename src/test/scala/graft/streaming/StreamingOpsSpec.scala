@@ -170,4 +170,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table(1L) == ("click", 9.0), "newest row must win")
     assert(table(2L) == ("view", 2.0))
   }
+
+  test("partitioned upsert rewrites only touched partitions (untouched files byte-identical)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_pupsert").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.upsertStreamPartitioned(
+      mem.toDF(), "event_id", sink, ckpt, numBuckets = 8)
+    // batch 1: enough keys to populate several buckets
+    mem.addData((1L to 40L).map(i =>
+      Ev(i, t("10:00"), i, "view", i.toDouble)): _*)
+    q.processAllAvailable()
+
+    // snapshot every parquet file: path -> (size, checksum)
+    def snapshot(): Map[String, (Long, String)] = {
+      val root = java.nio.file.Paths.get(sink)
+      val files = java.nio.file.Files.walk(root).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var m = Map.empty[String, (Long, String)]
+      files.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          m += p.toString -> (bytes.length.toLong, md.map("%02x".format(_)).mkString)
+        }
+      }
+      m
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    // batch 2: update a single key → exactly one bucket is touched
+    mem.addData(Ev(7L, t("12:00"), 7, "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = snapshot()
+
+    val touchedBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(7L)),
+        org.apache.spark.sql.functions.lit(8))).first().getInt(0)
+    val untouchedBefore = before.filter(!_._1.contains(s"__bucket=$touchedBucket"))
+    val untouchedAfter = after.filter(!_._1.contains(s"__bucket=$touchedBucket"))
+    assert(untouchedBefore == untouchedAfter,
+      "files in untouched partitions must be byte-identical (same path, size, checksum)")
+    assert(before.keySet.exists(_.contains(s"__bucket=$touchedBucket")),
+      "sanity: the touched bucket existed before")
+
+    // merge semantics: latest-wins applied, everything else intact
+    val table = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(table.size == 40)
+    assert(table(7L) == ("click", 99.0))
+    assert(table(8L) == ("view", 8.0))
+  }
 }
