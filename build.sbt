@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output goes straight to sbt's stdout/stderr, NOT through the
 // [info]-prefixing logger — Bench's JSON line must arrive bare so the
 // driver's parser finds it (round-1 BENCH recorded parsed:null).
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale probe (the checked-in form of PLANS.md's 10×
+  * experiment): replicates the base tables `mult`× with SHIFTED keys —
+  * key cardinality grows with the data, like real scale, so joins and
+  * aggregations can't cheat through a fixed key space — then times a set
+  * of shuffle/join-heavy queries warm and emits one JSON line (also
+  * written to scale_probe.json).
+  *
+  * Dimension tables (region/nation) are NOT replicated: at any scale
+  * they stay broadcast-sized, and the probed plans must keep treating
+  * them that way (a probe that grew them 10× would test a plan no real
+  * deployment runs).
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [mult] [baseSfDir]"`
+  * (defaults: 10, $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1).
+  */
+object ScaleProbe {
+
+  /** Replica r gets every key column shifted by r*SHIFT — disjoint key
+    * ranges per replica, foreign keys stay consistent within a replica. */
+  private val SHIFT = 100000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def replicate(spark: SparkSession, baseDir: String, outDir: String,
+                        mult: Int): Unit = {
+    // dims pass through untouched
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      // cross join against a replica-id table, then shift keys: stays
+      // fully distributed (no driver-side loop over replicas)
+      val replicas = spark.range(0, mult).select(col("id").as("__r"))
+      val shifted = keys.foldLeft(base.crossJoin(broadcast(replicas))) {
+        (df, k) => df.withColumn(k, col(k) + col("__r") * SHIFT)
+      }.drop("__r")
+      shifted.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = java.nio.file.Files
+      .createTempDirectory("graft_scaleprobe").toString
+    replicate(spark, baseDir, scaled, mult)
+
+    // the shuffle/join-heavy subset PLANS.md audits (all unbounded —
+    // they scan whole tables, so the replicas actually hit them), plus
+    // the corpus-level dedup operator over the FULL documents table
+    // (q58's contract query is doc_id-bounded and would not scale)
+    val probes: Seq[(String, String => DataFrame)] =
+      Seq("q11_join_inner", "q20_agg_group", "q38_upsert_latest",
+        "q39_topk_group", "q44_multi_join_agg")
+        .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) :+
+      ("dedup_minhash_full" -> ((d: String) =>
+        graft.operators.Dedup.minhashLsh(
+          Tables.documents(spark, d).select("doc_id", "text"),
+          "doc_id", "text", threshold = 0.8).select("doc_id")))
+    // warm both directories so timings compare steady-state plans
+    probes.foreach { case (_, f) =>
+      try noop(f(baseDir)) catch { case _: Throwable => () }
+      try noop(f(scaled)) catch { case _: Throwable => () }
+    }
+    val rows = probes.map { case (n, f) =>
+      val tBase = time(noop(f(baseDir)))
+      val tScaled = time(noop(f(scaled)))
+      (n, tBase, tScaled)
+    }
+    val body = rows.map { case (n, b, s) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","mult":$mult,"base":"$baseDir","queries":$body}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_probe.json"), json + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
