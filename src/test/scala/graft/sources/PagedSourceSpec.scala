@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.paged.PagedSource
+
+/** Tier A1: the offline paged source — lazy page iteration, limit
+  * pushdown (page pruning visible in the plan), incremental streaming. */
+class PagedSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def landPages(dir: String, pages: Int, rows: Int,
+                        from: Int = 0): Unit =
+    (from until pages).foreach { p =>
+      val body = (0 until rows)
+        .map(r => s"""{"id":${p * rows + r},"page":$p}""").mkString("\n")
+      Files.writeString(Paths.get(dir, f"page-$p%05d.jsonl"), body + "\n")
+    }
+
+  test("batch read: every landed page, one row per line, page ids intact") {
+    val dir = Files.createTempDirectory("graft_paged").toString
+    landPages(dir, pages = 3, rows = 10)
+    val df = spark.read.format("graft-paged").load(dir)
+    assert(df.count() == 30)
+    assert(df.select("page").distinct().collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L, 2L))
+    // payload round-trips through from_json — transport vs parse split
+    val parsed = df.select(from_json(col("value"),
+      org.apache.spark.sql.types.DataType.fromDDL("struct<id:bigint,page:bigint>"))
+      .as("j")).select("j.id")
+    assert(parsed.agg(max("id")).first().getLong(0) == 29L)
+  }
+
+  test("limit pushdown prunes pages: only the needed prefix is opened") {
+    val dir = Files.createTempDirectory("graft_paged_lim").toString
+    landPages(dir, pages = 5, rows = 10)
+    val df = spark.read.format("graft-paged")
+      .option("pageSize", "10").load(dir).limit(7)
+    PagedSource.pagesOpened.set(0)
+    assert(df.count() == 7)
+    assert(PagedSource.pagesOpened.get() == 1,
+      "LIMIT 7 with pageSize 10 must open exactly one page file")
+    // the pushed limit is visible in the physical plan's scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=7"), s"plan must show the push: $plan")
+  }
+
+  test("micro-batch streaming consumes pages incrementally, exactly once") {
+    val dir = Files.createTempDirectory("graft_paged_stream").toString
+    landPages(dir, pages = 2, rows = 10)
+    val q = spark.readStream.format("graft-paged").load(dir)
+      .writeStream.format("memory").queryName("paged_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("paged_out").count() == 20)
+    // land two more pages while the query runs — picked up incrementally
+    landPages(dir, pages = 4, rows = 10, from = 2)
+    q.processAllAvailable()
+    val rows = spark.table("paged_out")
+    assert(rows.count() == 40, "new pages must be ingested incrementally")
+    assert(rows.select("page").distinct().count() == 4)
+    // exactly-once per page: no line duplicated across micro-batches
+    assert(rows.select("value").distinct().count() == 40)
+    q.stop()
+  }
+}
