@@ -76,7 +76,9 @@ object SparkEntry {
     "q53_fingerprint"    -> PipelineQueries.q53 _,
     "q54_ann_lsh"        -> PipelineQueries.q54 _,
     "q55_json_map"       -> PipelineQueries.q55 _,
-    "q58_dedup_corpus"   -> PipelineQueries.q58 _
+    "q58_dedup_corpus"   -> PipelineQueries.q58 _,
+    "q59_simhash_near"   -> PipelineQueries.q59 _,
+    "q60_embed_dedup"    -> PipelineQueries.q60 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -150,6 +150,25 @@ object RedditIngest {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
+  /** A1 end-to-end: the landed paged API dump (`graft-paged` DataSourceV2,
+    * one file per fetched page — the offline face of the reference's lazy
+    * paged generator, `etls/reddit_etl.py:43-59`) parsed and cleansed into
+    * the canonical schema. Payload parsing is `from_json` over permissive
+    * string fields; [[cleanse]] applies the A10–A15 battery. A downstream
+    * `.limit(n)` pushes into the source and stops opening pages once
+    * enough are read — the "stop asking the API" behavior, preserved
+    * through the whole pipeline because every step here is narrow. */
+  def fromPagedDir(spark: SparkSession, dir: String,
+                   pageSize: Option[Int] = None): DataFrame = {
+    val rawSchema = StructType(PostFields.map(f => StructField(f, StringType)))
+    val reader = spark.read.format("graft-paged")
+    val paged = pageSize.map(p => reader.option("pageSize", p.toString))
+      .getOrElse(reader).load(dir)
+    cleanse(paged
+      .select(from_json(col("value"), rawSchema).as("j"))
+      .select("j.*"))
+  }
+
   /** A8 atomic extract→transform→load fusion (reference
     * `etls/reddit_etl.py:87-132`): one action over one pipelined plan —
     * no intermediate materialization, mirroring the reference's

@@ -80,17 +80,18 @@ object Dedup {
                  bands: Int = 4, rowsPerBand: Int = 2,
                  maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shAll = corpus.select(col(idCol).as("__id"),
+    // Per-doc distinct shingle SET as an array — one narrow map, no
+    // explode/distinct exchange; every later stage derives from it.
+    val docs = corpus.select(col(idCol).as("__id"),
         expr(s"filter(split(trim($textCol), ' '), x -> x != '')").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("__id"), explode(expr(
-        """transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"""
-          .stripMargin)).as("s"))
-    val sh = shAll.distinct() // set semantics for the Jaccard stage
-    val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
-    val sigs = shAll.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+      .select(col("__id"), expr(
+        """array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"""
+          .stripMargin).as("__sh"))
+    // signatures: array_min over salted hashes — still narrow
+    val sigs = docs.select(col("__id") +: (0 until numHashes).map(j =>
+      array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
@@ -100,18 +101,15 @@ object Dedup {
       .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // stage 1: candidate pairs from shared buckets (a < b), hot-capped
     val cand = candidatePairs(buckets, maxBucketSize)
-    // stage 2: true Jaccard on candidates only. The per-doc count table
-    // joins without hints — AQE broadcasts it iff it is actually small.
-    val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(sh.toDF("a", "s"), "a")
-      .join(sh.toDF("b", "s2"), Seq("b"))
-      .filter(col("s") === col("s2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    val dominated = shared
-      .join(cnt.toDF("a", "na"), "a")
-      .join(cnt.toDF("b", "nb"), "b")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= threshold)
+    // stage 2: true Jaccard on candidates only — array_intersect on the
+    // two docs' shingle sets (shipped only for LSH candidates). No
+    // broadcast hints: AQE broadcasts sides that actually fit.
+    val dominated = cand
+      .join(docs.toDF("a", "__sha"), "a")
+      .join(docs.toDF("b", "__shb"), Seq("b"))
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .filter(col("__inter") /
+        (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
       .select(col("b").as("__id")).distinct()
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
@@ -121,19 +119,21 @@ object Dedup {
     * ±1 vote sum over the doc's distinct tokens. */
   private def simhashSigs(corpus: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val tok = corpus.select(col(idCol).as("__id"),
-        explode(expr(s"filter(split(trim($textCol), ' '), x -> x != '')")).as("tok"))
-      .distinct()
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
     val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
-    val withHv = tok.withColumn("hv", expr(hv))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(expr(s"(hv div ${1 << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sig = (0 until 16).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    withHv.groupBy(col("__id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("__id"), sig.as("__sig"))
+    val bitSum = (b: Int) =>
+      s"aggregate(__hvs, 0, (acc, h) -> acc + (case when (h div ${1 << b}) % 2 = 1 then 1 else -1 end))"
+    val sig = (0 until 16)
+      .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
+      .mkString(" + ")
+    // fully narrow: distinct tokens + per-bit vote sums are array ops —
+    // no explode, no aggregation exchange. Token-less docs carry no
+    // signature (matching the explode-based form, where they vanished).
+    corpus.select(col(idCol).as("__id"), expr(
+        s"transform(array_distinct(filter(split(trim($textCol), ' '), x -> x != '')), tok -> $hv)")
+        .as("__hvs"))
+      .filter(size(col("__hvs")) > 0)
+      .select(col("__id"), expr(s"cast($sig as bigint)").as("__sig"))
   }
 
   /** SimHash near-dedup: 16-bit signatures over distinct tokens; docs

@@ -157,8 +157,58 @@ object PipelineOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val q59 = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
+    val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+    val bitSums = (0 until 16)
+      .map(b => s"sum(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sig = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, (sg // ${1L << (4 * b)}) % 16 AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${toksCte("WHERE doc_id < 200")},
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id, $hv AS hv FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sg FROM bits),
+       |bk AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |dom AS (SELECT DISTINCT b FROM cand
+       |  JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+       |  WHERE bit_count(xor(sa.sg, sb.sg)) <= 2)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < 200 AND doc_id NOT IN (SELECT b FROM dom)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val q60 = {
+    def key(dims: Seq[Int]) = dims
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val k0 = key(Seq(1, 9, 17, 25, 33, 41, 49, 57))
+    val k1 = key(Seq(5, 13, 21, 29, 37, 45, 53, 61))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  $k0 AS k0, $k1 AS k1 FROM embeddings),
+       |bk AS (SELECT vec_id, 0 AS band, k0 AS key FROM e
+       |  UNION ALL SELECT vec_id, 1, k1 FROM e),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |dom AS (SELECT DISTINCT b FROM cand
+       |  JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+       |  WHERE ${cos("ea.v", "eb.v")} >= 0.4)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT b FROM dom)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q58_dedup_corpus"   -> q58,
+    "q59_simhash_near"   -> q59,
+    "q60_embed_dedup"    -> q60,
     "q46_minhash_lsh"    -> q46,
     "q47_jaccard_pairs"  -> q47,
     "q48_simhash"        -> q48,

@@ -30,37 +30,32 @@ import graft.functions.Vectors
   */
 object PipelineQueries {
 
-  /** Non-empty whitespace tokens per document (the reference's text unit —
-    * its CSV rows carry whitespace-delimited titles; cf. C3 tokenize,
-    * SURVEY §2.5). */
-  private def tokens(docs: DataFrame): DataFrame =
+  /** Per-document distinct word 3-gram shingle SET as an array column —
+    * a narrow map (split → transform → array_distinct), no explode, no
+    * distinct exchange. Every shingle consumer derives from this one
+    * computation: signatures via `array_min` over transformed arrays,
+    * set sizes via `size`, intersections via `array_intersect` — the
+    * whole shingle pipeline stays inside whole-stage codegen and the
+    * only shuffles left are the ones the operator semantics require.
+    * Docs with <3 tokens have no shingles and are filtered out. */
+  private def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
-
-  /** Word 3-gram shingles per document — the unit of all shingle-based
-    * dedup (MinHash/Jaccard/fingerprint). `dedup=true` gives set semantics
-    * (needed when counting intersections); min-based consumers (MinHash)
-    * skip the extra distinct shuffle since min(multiset) == min(set). */
-  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
-    val exploded = tokens(docs).filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"""
-          .stripMargin)).as("s"))
-    if (dedup) exploded.distinct() else exploded
-  }
+        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"""
+          .stripMargin).as("sh"))
 
   /** q46 MinHash signatures + LSH band keys (8 salted md5 min-hashes,
     * 4 bands × 2 rows). Documents sharing any band key are near-dup
-    * candidates; at scale dedup is a self-join on the band columns. */
+    * candidates; at scale dedup is a self-join on the band columns.
+    * Signatures are array_min over the per-doc shingle array — a narrow
+    * map; the old explode + groupBy exchange is gone. */
   def q46(s: SparkSession, d: String): DataFrame = {
-    // dedup=false: min-hash is invariant to duplicate shingles, so the
-    // distinct() exchange would be a wasted shuffle.
-    val sh = shingles(documents(s, d).filter(col("doc_id") < 100), dedup = false)
-    val mins = (0 until 8).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    val mj = (j: Int) => array_min(expr(s"transform(sh, x -> md5(concat('$j:', x)))"))
+    shingleSets(documents(s, d).filter(col("doc_id") < 100))
+      .select(col("doc_id") +: (0 until 8).map(j => mj(j).as(s"m$j")): _*)
       .select(col("doc_id"),
         concat(col("m0"), col("m1")).as("band0"),
         concat(col("m2"), col("m3")).as("band1"),
@@ -70,13 +65,34 @@ object PipelineQueries {
   }
 
   /** q47 n-gram Jaccard near-dup: top-20 most-similar document pairs by
-    * 3-gram shingle Jaccard. The pair generation is an equi-join on the
-    * shingle (inverted-index join), not a cross join. */
+    * 3-gram shingle Jaccard. Pair generation is an equi-join on the
+    * shingle (inverted-index join), not a cross join; set sizes come
+    * from the array form (narrow), so only the inverted index pays an
+    * exchange — the old shape built the distinct-shingle index three
+    * times.
+    *
+    * The explode is deliberately single-level (generator expression
+    * directly over the `toks` projection, shingle-dedup via a
+    * row-level `distinct()`): exploding a pre-built array column makes
+    * `InferFiltersFromGenerate` synthesize `size(arr) > 0` filters
+    * whose pushdown re-inlines the whole shingle chain into a per-scan-
+    * row interpreted filter — a 10× regression measured at sf0.1. */
   def q47(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(documents(s, d).filter(col("doc_id") < 60))
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("a", "s")
-      .join(sh.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
+    val base = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val cnt = base.select(col("doc_id"), expr(
+      """size(array_distinct(transform(sequence(1, size(toks)-2),
+        |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))))"""
+        .stripMargin).as("n"))
+    val inv = base.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks)-2),
+        |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"""
+        .stripMargin)).as("s"))
+      .distinct()
+    val inter = inv.toDF("a", "s")
+      .join(inv.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(cnt.toDF("a", "na")), "a")
@@ -90,22 +106,23 @@ object PipelineQueries {
 
   /** q48 SimHash document fingerprint: 16-bit signature over distinct
     * tokens, hash = first 4 nibbles of md5 (portable across engines).
-    * Near-dup = small Hamming distance between signatures. */
+    * Near-dup = small Hamming distance between signatures. Fully narrow:
+    * distinct tokens via array_distinct, per-bit ±1 vote sums via
+    * `aggregate` over the token-hash array — zero exchanges before the
+    * 100-row contract sort (the old form exploded + grouped). */
   def q48(s: SparkSession, d: String): DataFrame = {
-    val tok = tokens(documents(s, d).filter(col("doc_id") < 100))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .distinct()
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
     val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
-    val withHv = tok.withColumn("hv", expr(hv))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(expr(s"(hv div ${1 << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sig = (0 until 16).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    withHv.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.cast("long").as("simhash"))
+    val bitSum = (b: Int) =>
+      s"aggregate(hvs, 0, (acc, h) -> acc + (case when (h div ${1 << b}) % 2 = 1 then 1 else -1 end))"
+    val sig = (0 until 16)
+      .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
+      .mkString(" + ")
+    documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), expr(
+        s"transform(array_distinct(filter(split(trim(text), ' '), x -> x != '')), tok -> $hv)")
+        .as("hvs"))
+      .select(col("doc_id"), expr(s"cast($sig as bigint)").as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -174,16 +191,17 @@ object PipelineQueries {
   /** q53 document fingerprinting: mod-16 sampled shingle hashes (hash
     * breaking / winnowing-style selection) — a compact content signature
     * whose overlap estimates containment. */
-  def q53(s: SparkSession, d: String): DataFrame = {
-    val sel = substring(md5(col("s")), 32, 1) === "0"
-    shingles(documents(s, d).filter(col("doc_id") < 100))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        count(when(sel, lit(1))).as("n_sel"),
-        min(when(sel, md5(col("s")))).as("fp_min"))
+  def q53(s: SparkSession, d: String): DataFrame =
+    // narrow form: the winnowing selection + counts are array ops over the
+    // per-doc shingle set — no explode, no aggregation exchange
+    shingleSets(documents(s, d).filter(col("doc_id") < 100))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        expr("size(filter(sh, x -> substr(md5(x), 32, 1) = '0'))").cast("long")
+          .as("n_sel"),
+        expr("array_min(transform(filter(sh, x -> substr(md5(x), 32, 1) = '0'), x -> md5(x)))")
+          .as("fp_min"))
       .orderBy("doc_id")
-  }
 
   /** q55 JSON→map functions (§2.3 map/JSON family: `from_json`,
     * `map_keys`, map element access): parse `events.props` into a typed
@@ -211,6 +229,32 @@ object PipelineQueries {
         "doc_id", "text", threshold = 0.8)
       .select("doc_id")
       .orderBy("doc_id")
+
+  /** q59 SimHash Hamming≤k corpus dedup, end-to-end:
+    * [[graft.operators.Dedup.simhashNear]] over doc_id<200 — 4×4-bit
+    * band buckets generate candidates (pigeonhole: Hamming≤2 ⇒ some
+    * band matches exactly), exact `bit_count(xor)` verifies, smallest
+    * id survives. The shared synthetic vocab clusters signatures, so
+    * this exercises heavy removal. */
+  def q59(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.simhashNear(
+        documents(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
+        "doc_id", "text", k = 2)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** q60 embedding corpus dedup, end-to-end:
+    * [[graft.operators.Dedup.embeddingCosine]] over the full embeddings
+    * table — multi-band sign-LSH (2 bands × 8 dims) generates
+    * candidates, exact cosine verifies. The synthetic corpus has no
+    * true near-dups, so the threshold sits at the observed similarity
+    * tail (0.4) to exercise real removals through the full path. */
+  def q60(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.embeddingCosine(
+        embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.4)
+      .select("vec_id")
+      .orderBy("vec_id")
 
   /** q54 LSH-bucketed approximate nearest neighbor: axis-aligned
     * sign-LSH (4 dims → 16 buckets) prunes the candidate set; top-3

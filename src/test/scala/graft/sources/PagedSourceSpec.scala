@@ -47,6 +47,33 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(plan.contains("pushedLimit=7"), s"plan must show the push: $plan")
   }
 
+  test("fromPagedDir: landed API pages parse + cleanse end-to-end with pushdown") {
+    val dir = Files.createTempDirectory("graft_paged_ingest").toString
+    (0 until 3).foreach { p =>
+      val body = (0 until 10).map { r =>
+        val i = p * 10 + r
+        s"""{"id":"p$i","title":"  t$i  ","score":"$i","author":"","created_utc":"1710000000","over_18":"true","edited":"1699999999.0"}"""
+      }.mkString("\n")
+      Files.writeString(Paths.get(dir, f"page-$p%05d.jsonl"), body + "\n")
+    }
+    val df = graft.ingest.RedditIngest.fromPagedDir(spark, dir, Some(10))
+    // cleanse's defaults tighten nullability — compare names + types
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == graft.ingest.RedditIngest.CleanSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = df.filter(col("id") === "p0").first()
+    assert(r.getAs[String]("title") == "t0", "A13 trim applied")
+    assert(r.getAs[String]("author") == "Unknown", "A12 default applied")
+    assert(r.getAs[Boolean]("over_18"), "A14 coercion applied")
+    assert(!r.getAs[Boolean]("edited"), "A15 tri-state: timestamp -> false")
+    assert(r.getAs[Int]("num_comments") == 0, "A11 absent -> 0")
+    assert(df.count() == 30)
+    // the limit pushes through parse+cleanse into the source
+    PagedSource.pagesOpened.set(0)
+    assert(df.limit(5).count() == 5)
+    assert(PagedSource.pagesOpened.get() == 1,
+      "limit must reach the paged scan through the narrow pipeline")
+  }
+
   test("micro-batch streaming consumes pages incrementally, exactly once") {
     val dir = Files.createTempDirectory("graft_paged_stream").toString
     landPages(dir, pages = 2, rows = 10)
