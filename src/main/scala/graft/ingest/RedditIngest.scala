@@ -73,11 +73,24 @@ object RedditIngest {
     *    only literal booleans pass, anything else → false
     *    (`etls/reddit_etl.py:82-83`, SURVEY §7.5-1)
     */
-  def cleanse(df: DataFrame): DataFrame = {
+  def cleanse(df: DataFrame, onError: String = "skip"): DataFrame = {
+    require(onError == "skip" || onError == "abort",
+      s"onError must be skip|abort, got $onError")
+    // `abort` = the reference's error_handling contract (a bad cell fails
+    // the run, etls/reddit_etl.py:130-132 + config etl_settings): a
+    // non-null cell whose cast fails raises from inside the codegen'd
+    // expression. `skip` (default) null-safes to the field default — the
+    // engine-scale semantics.
+    def orRaise(c: String, t: String): Column =
+      if (onError == "skip") lit(null).cast(t)
+      else when(col(c).isNotNull, raise_error(
+        concat(lit(s"[abort] malformed $c: "), col(c).cast("string")))
+          .cast(t))
     def intOrZero(c: String): Column =
-      coalesce(expr(s"try_cast($c as int)"), lit(0)).as(c)
+      coalesce(expr(s"try_cast($c as int)"), orRaise(c, "int"), lit(0)).as(c)
     def boolOrFalse(c: String): Column =
-      coalesce(expr(s"try_cast($c as boolean)"), lit(false)).as(c)
+      coalesce(expr(s"try_cast($c as boolean)"), orRaise(c, "boolean"),
+        lit(false)).as(c)
     val editedStr = lower(col("edited").cast("string"))
     project(df).select(
       col("id").cast("string").as("id"),
@@ -86,9 +99,12 @@ object RedditIngest {
       intOrZero("num_comments"),
       when(col("author").isNull || col("author").cast("string") === "",
         lit("Unknown")).otherwise(col("author").cast("string")).as("author"),
-      expr("try_cast(created_utc as double)").cast("timestamp").as("created_utc"),
+      coalesce(expr("try_cast(created_utc as double)"),
+        orRaise("created_utc", "double")).cast("timestamp").as("created_utc"),
       col("url").cast("string").as("url"),
       boolOrFalse("over_18"),
+      // `edited` stays tri-state in both modes: PRAW legitimately yields
+      // an edit timestamp there, which coerces to false, never aborts
       when(editedStr.isin("true", "false"), editedStr.cast("boolean"))
         .otherwise(lit(false)).as("edited"),
       boolOrFalse("spoiler"),
@@ -159,14 +175,32 @@ object RedditIngest {
     * enough are read — the "stop asking the API" behavior, preserved
     * through the whole pipeline because every step here is narrow. */
   def fromPagedDir(spark: SparkSession, dir: String,
-                   pageSize: Option[Int] = None): DataFrame = {
+                   pageSize: Option[Int] = None,
+                   onError: String = "skip"): DataFrame = {
     val rawSchema = StructType(PostFields.map(f => StructField(f, StringType)))
     val reader = spark.read.format("graft-paged")
     val paged = pageSize.map(p => reader.option("pageSize", p.toString))
       .getOrElse(reader).load(dir)
     cleanse(paged
       .select(from_json(col("value"), rawSchema).as("j"))
-      .select("j.*"))
+      .select("j.*"), onError)
+  }
+
+  /** Config-driven ingest — the reference's `config.conf` contract wired
+    * end-to-end (`utils/constants.py`): `etl_settings.batch_size` is the
+    * landing page size (drives the paged source's limit-pushdown math),
+    * `error_handling` selects the cleanse mode, `file_paths.output_path`
+    * receives the CSV. Returns the ingested row count (observed during
+    * the write — one pass). */
+  def ingestWithConfig(spark: SparkSession, cfg: graft.Config.GraftConfig,
+                       pagedDir: String): Long = {
+    val etl = cfg.etlSettings
+    val cleansed = fromPagedDir(spark, pagedDir,
+      Some(etl.batchSize), etl.errorHandling)
+    val obs = new org.apache.spark.sql.Observation()
+    writeCsv(cleansed.observe(obs, count(lit(1)).as("rows")),
+      cfg.filePaths.outputPath)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** A8 atomic extract→transform→load fusion (reference

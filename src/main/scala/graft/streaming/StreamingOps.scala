@@ -102,6 +102,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream-stream interval join: correlate two event streams on a key
+    * within a bounded event-time interval (right row at or after the
+    * left row, within `horizon`). Both sides carry watermarks, so the
+    * join state store holds only rows inside the watermark+interval
+    * window — the condition that keeps a stream-stream join's state
+    * bounded at any throughput. Returns (key, left event, right event,
+    * both timestamps). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id",
+                   horizon: String = "1 hour",
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col(keyCol).as("k"), col("event_id").as("l_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(keyCol).as("k2"), col("event_id").as("r_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"))
+    l.join(r,
+      col("k") === col("k2") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("k").as(keyCol), col("l_id"), col("r_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   /** Partition-pruned streaming latest-wins upsert — the 100-TB face of
     * the reference's MERGE contract. The sink is a parquet table
     * hash-partitioned on `pmod(hash(key), numBuckets)` (`__bucket=N`

@@ -74,6 +74,43 @@ class PagedSourceSpec extends AnyFunSuite {
       "limit must reach the paged scan through the narrow pipeline")
   }
 
+  test("error_handling: abort raises on a malformed cell, skip defaults it") {
+    val dir = Files.createTempDirectory("graft_paged_err").toString
+    Files.writeString(Paths.get(dir, "page-00000.jsonl"),
+      """{"id":"ok","score":"5"}
+        |{"id":"bad","score":"not-a-number"}
+        |""".stripMargin)
+    val skip = graft.ingest.RedditIngest.fromPagedDir(spark, dir)
+    assert(skip.filter(col("id") === "bad").first().getAs[Int]("score") == 0,
+      "skip mode: malformed int -> default 0")
+    val abort = graft.ingest.RedditIngest.fromPagedDir(
+      spark, dir, onError = "abort")
+    val e = intercept[Exception] { abort.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("malformed score")),
+      s"abort mode must raise from the bad cell: ${msgs(e)}")
+  }
+
+  test("ingestWithConfig honors batch_size, error_handling, output_path") {
+    val dir = Files.createTempDirectory("graft_paged_cfg").toString
+    landPages(dir, pages = 2, rows = 5)  // payloads: {"id":N,"page":P}
+    val out = Files.createTempDirectory("graft_cfg_out").toString + "/posts"
+    val cfg = graft.Config.parse(
+      s"""[etl_settings]
+         |batch_size = 5
+         |error_handling = skip
+         |[file_paths]
+         |output_path = $out
+         |""".stripMargin)
+    val n = graft.ingest.RedditIngest.ingestWithConfig(spark, cfg, dir)
+    assert(n == 10)
+    val back = graft.ingest.RedditIngest.readGoldenCsv(spark, out)
+    assert(back.count() == 10)
+    assert(back.select("score").collect().forall(_.getInt(0) == 0),
+      "absent score cleanses to 0 through the configured pipeline")
+  }
+
   test("micro-batch streaming consumes pages incrementally, exactly once") {
     val dir = Files.createTempDirectory("graft_paged_stream").toString
     landPages(dir, pages = 2, rows = 10)

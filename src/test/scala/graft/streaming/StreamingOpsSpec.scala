@@ -171,6 +171,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table(2L) == ("view", 2.0))
   }
 
+  test("stream-stream interval join correlates events within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      views.toDF().filter($"event_type" === "view"),
+      clicks.toDF().filter($"event_type" === "click"),
+      "user_id", horizon = "30 minutes", lateness = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    views.addData(Ev(1, t("10:00"), 1, "view", 1.0))
+    clicks.addData(
+      Ev(100, t("10:10"), 1, "click", 1.0),  // within 30 min -> joins
+      Ev(101, t("11:30"), 1, "click", 1.0),  // outside horizon -> no
+      Ev(102, t("10:10"), 2, "click", 1.0))  // other user -> no
+    q.processAllAvailable()
+    // advance both watermarks so results flush in append mode
+    views.addData(Ev(2, t("20:00"), 9, "view", 1.0))
+    clicks.addData(Ev(103, t("20:00"), 9, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sjoin_out")
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(rows.contains((1L, 100L)), s"in-horizon pair must join: $rows")
+    assert(!rows.exists(_._2 == 101L), "outside-horizon click must not join")
+    assert(!rows.exists(_._2 == 102L), "other user's click must not join")
+  }
+
   test("partitioned upsert rewrites only touched partitions (untouched files byte-identical)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
