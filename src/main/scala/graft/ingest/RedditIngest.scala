@@ -186,6 +186,20 @@ object RedditIngest {
       .select("j.*"), onError)
   }
 
+  /** Streaming face of [[fromPagedDir]]: a `graft-paged` readStream over
+    * the landing directory — newly fetched pages are parsed and cleansed
+    * incrementally as they land, turning the reference's daily Airflow
+    * rerun into a continuously running pipeline. Compose with
+    * [[graft.streaming.StreamingOps.upsertStreamPartitioned]] for the
+    * full extract→cleanse→merge DAG. */
+  def fromPagedStream(spark: SparkSession, dir: String,
+                      onError: String = "skip"): DataFrame = {
+    val rawSchema = StructType(PostFields.map(f => StructField(f, StringType)))
+    cleanse(spark.readStream.format("graft-paged").load(dir)
+      .select(from_json(col("value"), rawSchema).as("j"))
+      .select("j.*"), onError)
+  }
+
   /** Config-driven ingest — the reference's `config.conf` contract wired
     * end-to-end (`utils/constants.py`): `etl_settings.batch_size` is the
     * landing page size (drives the paged source's limit-pushdown math),

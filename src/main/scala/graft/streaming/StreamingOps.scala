@@ -73,7 +73,8 @@ object StreamingOps {
     * the at-scale path is [[upsertStreamPartitioned]], which rewrites
     * only the key-hash partitions a micro-batch touches. */
   def upsertStream(events: DataFrame, keyCol: String, sinkPath: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -86,7 +87,7 @@ object StreamingOps {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
-          .orderBy(col("ts").desc)
+          .orderBy(col(tsCol).desc)
         val merged = existing.unionByName(incoming)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
@@ -147,7 +148,8 @@ object StreamingOps {
     * comfortable rewrite unit (e.g. 4096 at 100 TB). */
   def upsertStreamPartitioned(events: DataFrame, keyCol: String,
                               sinkPath: String, checkpoint: String,
-                              numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                              numBuckets: Int = 64,
+                              tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -166,7 +168,7 @@ object StreamingOps {
               incoming.schema) }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(keyCol))
-            .orderBy(col("ts").desc)
+            .orderBy(col(tsCol).desc)
           val merged = existing.unionByName(incoming)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")

@@ -47,4 +47,38 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head.getLong(1) >= 1)
     spark.catalog.dropTempView("posts")
   }
+
+  test("continuous DAG: paged landing -> streaming cleanse -> partitioned upsert") {
+    // The same production loop as above, but running CONTINUOUSLY: the
+    // reference's daily Airflow rerun becomes one always-on incremental
+    // pipeline — pages land, the stream parses+cleanses them, and the
+    // sink merges latest-wins rewriting only touched key partitions.
+    import java.nio.file.{Files, Paths}
+    val land = Files.createTempDirectory("graft_dag_land").toString
+    val sink = Files.createTempDirectory("graft_dag_sink").toString + "/posts"
+    val ckpt = Files.createTempDirectory("graft_dag_ckpt").toString
+
+    def page(n: Int, rows: Seq[String]): Unit =
+      Files.writeString(Paths.get(land, f"page-$n%05d.jsonl"),
+        rows.mkString("", "\n", "\n"))
+    def post(id: String, score: Int, utc: Long) =
+      s"""{"id":"$id","title":"t-$id","score":"$score","author":"a","created_utc":"$utc"}"""
+
+    page(0, Seq(post("x1", 10, 1710000000L), post("x2", 20, 1710000000L)))
+    val q = graft.streaming.StreamingOps.upsertStreamPartitioned(
+      RedditIngest.fromPagedStream(spark, land),
+      keyCol = "id", sinkPath = sink, checkpoint = ckpt,
+      numBuckets = 4, tsCol = "created_utc")
+    q.processAllAvailable()
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // a later page re-delivers x1 with fresher metrics -> latest wins
+    page(1, Seq(post("x1", 99, 1710086400L), post("x3", 30, 1710000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val byId = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Int]("score")).toMap
+    assert(byId == Map("x1" -> 99, "x2" -> 20, "x3" -> 30),
+      s"continuous upsert must hold the newest snapshot per id: $byId")
+  }
 }
