@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOracles, CoreQueries, PipelineOracles, PipelineQueries}
+import graft.queries.{CoreOracles, CoreQueries, PipelineOracles, PipelineQueries, TemporalOracles, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,10 +78,15 @@ object SparkEntry {
     "q55_json_map"       -> PipelineQueries.q55 _,
     "q58_dedup_corpus"   -> PipelineQueries.q58 _,
     "q59_simhash_near"   -> PipelineQueries.q59 _,
-    "q60_embed_dedup"    -> PipelineQueries.q60 _
+    "q60_embed_dedup"    -> PipelineQueries.q60 _,
+    "q61_asof_join"      -> TemporalQueries.q61 _,
+    "q62_pairs_range"    -> TemporalQueries.q62 _,
+    "q63_sessionize"     -> TemporalQueries.q63 _,
+    "q64_percentiles"    -> TemporalQueries.q64 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreOracles.sql ++ PipelineOracles.sql
+  def oracleSql: Map[String, String] =
+    CoreOracles.sql ++ PipelineOracles.sql ++ TemporalOracles.sql
 }

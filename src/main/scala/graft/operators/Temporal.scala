@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/grouping operators — the event-time analytics family
+  * (as-of correlation, bounded-interval pairing, sessionization) that a
+  * warehouse tier resolves with ASOF/range joins and gaps-and-islands
+  * SQL. Each is built to the shape that survives scale:
+  *
+  *  - **asofJoin**: the naive form is a per-left-row aggregating theta
+  *    join (O(n·m) and a planner NLJ trap). This one is the union-scan
+  *    form: tag both inputs, union, ONE shuffle on the key, and a
+  *    running `last(_, ignoreNulls)` window carries the most recent
+  *    right row forward to each left row. Cost: one exchange + one
+  *    sorted pass, independent of time-range density.
+  *  - **pairsWithin**: a bounded-interval self-join binned to
+  *    `horizon`-sized buckets — candidates meet only inside (key,
+  *    bucket) and (key, bucket+1), an equi-join; the exact |Δt| filter
+  *    prunes the rest. Never a full theta join.
+  *  - **sessionize**: gaps-and-islands with two windows over the SAME
+  *    (key, ts) partitioning — Catalyst plans one exchange; session ids
+  *    never cross keys, so the 100-TB failure mode (a global session
+  *    sequence) can't occur.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the single most recent `right` row
+    * with `right.ts <= left.ts` on the same `keyCol` (inner: left rows
+    * with no prior right row are dropped). `right` must be unique per
+    * (key, ts) — pre-aggregate if it isn't; ties between a left and
+    * right row at the SAME ts match (right sorts first).
+    *
+    * Columns: left's columns plus `right`'s non-key/ts columns prefixed
+    * `r_`, and `r_ts`. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String): DataFrame = {
+    val rCols = right.columns.filter(c => c != keyCol && c != tsCol)
+    val lCols = left.columns
+    // tag & align schemas: right rows carry the payload struct, left null
+    val payload = struct((col(tsCol).as("ts") +: rCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        payload.as("__r")) ++ lCols.filter(c => c != keyCol && c != tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(r.schema("__r").dataType).as("__r")) ++
+        lCols.filter(c => c != keyCol && c != tsCol).map(col)): _*)
+    // one shuffle on the key; __side=0 sorts first so same-ts rights match
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__last").isNotNull)
+      .select(
+        (lCols.map(col) :+ col("__last.ts").as(s"r_$tsCol")) ++
+          rCols.map(c => col(s"__last.$c").as(s"r_$c")): _*)
+  }
+
+  /** Ordered pairs of rows on the same key whose timestamps differ by at
+    * most `horizonSec` (a < b on `idCol`). Binned: candidates share a
+    * `horizonSec`-wide time bucket or sit in adjacent buckets — two
+    * equi-joins on (key, bucket) instead of one unbounded theta join.
+    * Output: key, a, b, both ts. */
+  def pairsWithin(events: DataFrame, keyCol: String, idCol: String,
+                  tsCol: String, horizonSec: Long): DataFrame = {
+    val hUs = horizonSec * 1000000L
+    // integer microseconds: deterministic bucket + delta math (float
+    // epoch arithmetic would disagree with the oracle at boundaries)
+    val e = events.select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(tsCol).as("t"),
+        (unix_micros(col(tsCol).cast("timestamp")) / hUs).cast("long").as("b"))
+    val a = e.toDF("k", "a", "ta", "ba")
+    val bb = e.toDF("k2", "b", "tb", "bb")
+    val cand = a.join(bb,
+      col("k") === col("k2") &&
+        (col("bb") === col("ba") || col("bb") === col("ba") + 1) &&
+        col("a") < col("b"))
+    cand.filter(abs(unix_micros(col("tb").cast("timestamp")) -
+        unix_micros(col("ta").cast("timestamp"))) <= hUs)
+      .select(col("k").as(keyCol), col("a"), col("b"),
+        col("ta").as(s"${tsCol}_a"), col("tb").as(s"${tsCol}_b"))
+  }
+
+  /** Batch sessionization (gaps-and-islands): consecutive events on a key
+    * belong to one session while the gap stays ≤ `gapSec`; a larger gap
+    * opens a new session. Output: key, session_start, session_end,
+    * n_events. The batch twin of the streaming `session_window`. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSec: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    events
+      .withColumn("__gap",
+        unix_micros(col(tsCol).cast("timestamp")) -
+          unix_micros(lag(col(tsCol), 1).over(byKey).cast("timestamp")))
+      .withColumn("__new", when(col("__gap").isNull ||
+        col("__gap") > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__sid")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the temporal queries q61–q64. Interval math is
+  * integer microseconds (`epoch_us`) to mirror Spark's `unix_micros` —
+  * no float epoch arithmetic on either side. q61 uses DuckDB's native
+  * ASOF JOIN, which implements exactly the greatest-ts-at-or-before
+  * semantics of [[graft.operators.Temporal.asofJoin]]. */
+object TemporalOracles {
+
+  private val q61 =
+    """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT event_id AS click_id, user_id, ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id, c.ts AS click_ts,
+      |       v.ts AS view_ts, v.view_id
+      |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY click_id""".stripMargin
+
+  private val q62 =
+    """WITH e AS (SELECT user_id, event_id, ts,
+      |    epoch_us(ts) // 21600000000 AS b FROM events),
+      |p AS (SELECT a.user_id, a.event_id AS a_id, x.event_id AS b_id
+      |  FROM e a JOIN e x
+      |  ON a.user_id = x.user_id AND (x.b = a.b OR x.b = a.b + 1)
+      |    AND a.event_id < x.event_id
+      |    AND abs(epoch_us(x.ts) - epoch_us(a.ts)) <= 21600000000)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val q63 =
+    """WITH x AS (SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |y AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+      |    OR epoch_us(ts) - epoch_us(prev) > 21600000000
+      |    THEN 1 ELSE 0 END AS nw FROM x),
+      |z AS (SELECT user_id, ts, sum(nw) OVER (PARTITION BY user_id
+      |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM z GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  private val q64 =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q61_asof_join"   -> q61,
+    "q62_pairs_range" -> q62,
+    "q63_sessionize"  -> q63,
+    "q64_percentiles" -> q64)
+}
