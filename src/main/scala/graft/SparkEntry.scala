@@ -79,6 +79,11 @@ object SparkEntry {
     "q58_dedup_corpus"   -> PipelineQueries.q58 _,
     "q59_simhash_near"   -> PipelineQueries.q59 _,
     "q60_embed_dedup"    -> PipelineQueries.q60 _,
+    "q65_pivot"          -> CoreQueries.q65 _,
+    "q68_window_nav"     -> CoreQueries.q68 _,
+    "q69_exists_subq"    -> CoreQueries.q69 _,
+    "q66_string_agg"     -> CoreQueries.q66 _,
+    "q67_filter_agg"     -> CoreQueries.q67 _,
     "q61_asof_join"      -> TemporalQueries.q61 _,
     "q62_pairs_range"    -> TemporalQueries.q62 _,
     "q63_sessionize"     -> TemporalQueries.q63 _,

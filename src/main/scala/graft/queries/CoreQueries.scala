@@ -458,6 +458,83 @@ object CoreQueries {
       .select(col("c_custkey"), col("c_acctbal"))
       .orderBy("c_custkey")
 
+  /** q65 PIVOT: per-user event counts spread into one column per event
+    * type. Explicit pivot values keep the plan single-pass (no values-
+    * discovery pre-query); pivot compiles to one partial+final aggregate
+    * with conditional counters — the exchange carries |users| rows.
+    * Absent combinations coalesce to 0 (DuckDB's count(CASE…) yields 0,
+    * Spark's pivot-count yields null — normalized here). */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  /** q66 sorted string aggregation: nations per region as one
+    * comma-joined alphabetical string (listagg/string_agg). Spark:
+    * collect_list → array_sort → array_join — deterministic despite
+    * collect_list's arbitrary arrival order because the sort happens
+    * after collection. */
+  def q66(s: SparkSession, d: String): DataFrame =
+    nation(s, d).join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy("r_name")
+
+  /** q67 FILTER-clause aggregation (SQL:2003 conditional aggregates):
+    * several differently-filtered counters in ONE pass over orders —
+    * the idiom that replaces N self-joins with one partial+final
+    * aggregate. */
+  def q67(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+        expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big"),
+        expr("round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)")
+          .as("avg_open"))
+      .orderBy("o_orderpriority")
+
+  /** q68 window navigation (first_value/last_value/nth_value) with an
+    * explicit ROWS frame and a full-order tiebreak — the deterministic
+    * form of the value-navigation family. One exchange on the partition
+    * key, streaming frame evaluation. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q69 correlated EXISTS / NOT EXISTS: customers with an order over
+    * 300k and none under 50k. Catalyst rewrites both correlations into
+    * semi/anti joins on c_custkey — two hash joins, no per-row
+    * subquery execution. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("__q69_customer")
+    orders(s, d).createOrReplaceTempView("__q69_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM __q69_customer
+        |WHERE EXISTS (SELECT 1 FROM __q69_orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM __q69_orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and
     * broadcast, so the main scan stays a single filtered pass. */
   def q45(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Sketch estimators vs exact answers on the synthetic tables: HLL
+  * within its error bound, sketch UNION equals rescanning (the
+  * mergeable-artifact property), CMS never under-counts. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("hllDistinct tracks exact count-distinct within the bound") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= n * 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("sketch union over partitions equals re-scanning the union") {
+    val li = graft.Tables.lineitem(spark, sf)
+    // two disjoint 'daily' slices, sketched separately (the persisted-
+    // artifact scenario), then unioned without touching rows again
+    val day1 = Sketches.hllSketches(
+      li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_partkey")
+    val day2 = Sketches.hllSketches(
+      li.filter(col("l_orderkey") % 2 === 1), "l_returnflag", "l_partkey")
+    val merged = Sketches.hllUnionEstimate(
+      day1.unionByName(day2), "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n) <= n * 0.05,
+        s"$k: union-estimate ${merged(k)} vs exact $n")
+    }
+  }
+
+  test("count-min frequency never under-counts and stays close") {
+    val ev = graft.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val items = exact.keys.toSeq.sorted
+    val approx = Sketches.itemFrequency(ev, "event_type", items)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    items.foreach { t =>
+      assert(approx(t) >= exact(t), "CMS can only over-count")
+      assert(approx(t) <= exact(t) + (ev.count() * 0.01).toLong,
+        s"$t: ${approx(t)} too far above ${exact(t)}")
+    }
+  }
+}
