@@ -61,10 +61,13 @@ object Temporal {
   }
 
   /** Ordered pairs of rows on the same key whose timestamps differ by at
-    * most `horizonSec` (a < b on `idCol`). Binned: candidates share a
-    * `horizonSec`-wide time bucket or sit in adjacent buckets — two
-    * equi-joins on (key, bucket) instead of one unbounded theta join.
-    * Output: key, a, b, both ts. */
+    * most `horizonSec` (a < b on `idCol`, in EITHER time direction).
+    * Binned: |Δt| ≤ horizon forces the two `horizonSec`-wide time
+    * buckets to differ by at most 1, so the probe side registers under
+    * its bucket ± 1 (a 3× narrow expansion) and candidates meet through
+    * ONE equi-join on (key, bucket) — never an unbounded theta join.
+    * Each qualifying pair meets exactly once (at the build row's unique
+    * bucket). Output: key, a, b, both ts. */
   def pairsWithin(events: DataFrame, keyCol: String, idCol: String,
                   tsCol: String, horizonSec: Long): DataFrame = {
     val hUs = horizonSec * 1000000L
@@ -73,11 +76,11 @@ object Temporal {
     val e = events.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(tsCol).as("t"),
         (unix_micros(col(tsCol).cast("timestamp")) / hUs).cast("long").as("b"))
-    val a = e.toDF("k", "a", "ta", "ba")
-    val bb = e.toDF("k2", "b", "tb", "bb")
-    val cand = a.join(bb,
-      col("k") === col("k2") &&
-        (col("bb") === col("ba") || col("bb") === col("ba") + 1) &&
+    val probe = e.select(col("k"), col("id").as("a"), col("t").as("ta"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bp"))
+    val build = e.toDF("k2", "b", "tb", "bb")
+    val cand = probe.join(build,
+      col("k") === col("k2") && col("bp") === col("bb") &&
         col("a") < col("b"))
     cand.filter(abs(unix_micros(col("tb").cast("timestamp")) -
         unix_micros(col("ta").cast("timestamp"))) <= hUs)

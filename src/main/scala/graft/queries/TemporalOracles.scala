@@ -17,13 +17,12 @@ object TemporalOracles {
       |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY click_id""".stripMargin
 
+  // the oracle is the PURE semantic theta join — the Spark side's bucket
+  // binning is an implementation detail it must be indistinguishable from
   private val q62 =
-    """WITH e AS (SELECT user_id, event_id, ts,
-      |    epoch_us(ts) // 21600000000 AS b FROM events),
-      |p AS (SELECT a.user_id, a.event_id AS a_id, x.event_id AS b_id
-      |  FROM e a JOIN e x
-      |  ON a.user_id = x.user_id AND (x.b = a.b OR x.b = a.b + 1)
-      |    AND a.event_id < x.event_id
+    """WITH p AS (SELECT a.user_id, a.event_id AS a_id, x.event_id AS b_id
+      |  FROM events a JOIN events x
+      |  ON a.user_id = x.user_id AND a.event_id < x.event_id
       |    AND abs(epoch_us(x.ts) - epoch_us(a.ts)) <= 21600000000)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin

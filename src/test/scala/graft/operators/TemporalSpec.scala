@@ -37,11 +37,13 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 1L, ts("10:00")),
       (1L, 2L, ts("10:59")),  // 59 min from #1 -> pair (bin-adjacent)
       (1L, 3L, ts("12:30")),  // 91 min from #2 -> no pair with 1h horizon
+      (1L, 5L, ts("09:10")),  // EARLIER than #1 but larger id -> pair (1,5)
       (2L, 4L, ts("10:30")))  // other key
       .toDF("user_id", "event_id", "ts")
     val pairs = Temporal.pairsWithin(ev, "user_id", "event_id", "ts", 3600L)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L)))
+    assert(pairs == Set((1L, 2L), (1L, 5L)),
+      "pairs must be found in either time direction, exactly once")
     // exactly-at-the-bound pair is included (<=)
     val edge = Seq((1L, 1L, ts("10:00")), (1L, 2L, ts("11:00")))
       .toDF("user_id", "event_id", "ts")
