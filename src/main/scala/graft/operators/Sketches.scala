@@ -3,8 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Mergeable-sketch surface (C5 approximate analytics): the estimators
-  * that replace exact distinct/frequency computation when the exact
+/** Mergeable-sketch surface (SURVEY §2.5 C5 approximate analytics — the
+  * distinct/top-k questions the reference answers with exact Athena SQL
+  * over its modest data, reference `README.md:21`, re-expressed as the
+  * estimators a 100-TB deployment actually runs): the sketches that
+  * replace exact distinct/frequency computation when the exact
   * answer would shuffle the whole key space. Every sketch here is an
   * Apache DataSketches binary that MERGES associatively — the property
   * that makes them 100-TB operators: partial sketches build map-side,

@@ -5,8 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal join/grouping operators — the event-time analytics family
-  * (as-of correlation, bounded-interval pairing, sessionization) that a
-  * warehouse tier resolves with ASOF/range joins and gaps-and-islands
+  * (as-of correlation, bounded-interval pairing, sessionization) that
+  * the reference delegates to its warehouse tier (ad-hoc SQL over
+  * Athena/Redshift, reference `README.md:21`; the `created_utc` event
+  * time it lands is the join key here, `etls/reddit_etl.py:74`). A
+  * warehouse resolves these with ASOF/range joins and gaps-and-islands
   * SQL. Each is built to the shape that survives scale:
   *
   *  - **asofJoin**: the naive form is a per-left-row aggregating theta
