@@ -524,15 +524,21 @@ object CoreQueries {
     * semi/anti joins on c_custkey — two hash joins, no per-row
     * subquery execution. */
   def q69(s: SparkSession, d: String): DataFrame = {
+    // temp views exist only for the eager analysis inside sql(); dropped
+    // before returning so the builder leaves no session-catalog residue
     customer(s, d).createOrReplaceTempView("__q69_customer")
     orders(s, d).createOrReplaceTempView("__q69_orders")
-    s.sql(
+    try s.sql(
       """SELECT c_custkey, c_name FROM __q69_customer
         |WHERE EXISTS (SELECT 1 FROM __q69_orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |  AND NOT EXISTS (SELECT 1 FROM __q69_orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView("__q69_customer")
+      s.catalog.dropTempView("__q69_orders")
+    }
   }
 
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and
