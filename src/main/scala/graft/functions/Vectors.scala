@@ -29,8 +29,19 @@ object Vectors {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (||a|| * ||b||). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the fused one-pass codegen'd
+    * [[ArrayCosineSim]] (the composed `dot/(norm*norm)` form walks each
+    * array three times; equal-length vectors give bit-identical
+    * results). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.toColumn(ArrayCosineSim(
+      org.apache.spark.sql.graftbridge.toExpression(a),
+      org.apache.spark.sql.graftbridge.toExpression(b)))
+
+  /** The composed three-pass formulation (portable fallback; kept for
+    * differential testing against the fused expression). */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Cast a float array column (parquet `list<float>`) to array<double> so
     * all arithmetic happens in double — matches the DuckDB oracle exactly. */

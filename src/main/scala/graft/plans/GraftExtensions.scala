@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayCosineSim, ArrayDotProduct}
 
 /** SQL-surface registration for graft's custom Catalyst expressions (so
   * `spark.sql("SELECT array_dot(a, b)")` works, not just the Column API).
@@ -24,7 +24,10 @@ object GraftExtensions {
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))),
+    (new FunctionIdentifier("array_cosine"),
+      new ExpressionInfo(classOf[ArrayCosineSim].getName, "array_cosine"),
+      (exprs: Seq[Expression]) => ArrayCosineSim(exprs(0), exprs(1))))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =
