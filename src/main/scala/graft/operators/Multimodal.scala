@@ -90,4 +90,27 @@ object Multimodal {
     assets.toDF().withColumn("meta",
       struct(lit(w).as("width"), lit(h).as("height"),
         col("meta.format").as("format")))
+
+  /** Ingest REAL binary payload files via Spark's `binaryFile` source —
+    * the production entry point for media landed as objects (one file =
+    * one asset). `pathGlobFilter` prunes by extension BEFORE any read;
+    * each row carries (path, modificationTime, length, content). The
+    * returned Dataset[Asset] feeds the same extractFeatures /
+    * frameSample stages as the synthetic table. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*", kind: String = "image"): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        // stable id from the file name digest (paths are unique)
+        expr("cast(conv(substr(md5(path), 1, 15), 16, 10) as bigint)")
+          .as("asset_id"),
+        lit(kind).as("kind"),
+        col("content"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          element_at(split(col("path"), "\\."), -1).as("format")).as("meta"))
+      .as[Asset]
+  }
 }

@@ -61,4 +61,24 @@ class MultimodalSpec extends AnyFunSuite {
     val newBytes = resized.agg(sum(length(col("content")))).first().getLong(0)
     assert(origBytes == newBytes)
   }
+
+  test("binaryFile ingest: real payload files -> assets -> features") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val payloads = Map("a.img" -> "payload-alpha", "b.img" -> "payload-beta",
+      "skip.txt" -> "not-an-image")
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        body.getBytes("UTF-8"))
+    }
+    val assets = Multimodal.readBinaryDir(spark, dir, glob = "*.img")
+    val rows = assets.collect()
+    assert(rows.length == 2, "glob filter must prune non-matching files pre-read")
+    assert(rows.map(a => new String(a.content, "UTF-8")).toSet
+      == Set("payload-alpha", "payload-beta"))
+    assert(rows.map(_.asset_id).distinct.length == 2, "ids must be distinct")
+    assert(rows.forall(_.meta.format == "img"))
+    // same downstream stages as the synthetic table
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == 8))
+  }
 }
