@@ -94,12 +94,23 @@ object ScaleProbe {
       try noop(f(scaled)) catch { case _: Throwable => () }
     }
     val rows = probes.map { case (n, f) =>
-      val tBase = time(noop(f(baseDir)))
-      val tScaled = time(noop(f(scaled)))
-      (n, tBase, tScaled)
+      var sb: Metrics.ShuffleStats = null
+      var ss: Metrics.ShuffleStats = null
+      val tBase = { val t0 = System.nanoTime()
+        sb = Metrics.shuffleOf(spark)(noop(f(baseDir)))
+        (System.nanoTime() - t0) / 1e9 }
+      val tScaled = { val t0 = System.nanoTime()
+        ss = Metrics.shuffleOf(spark)(noop(f(scaled)))
+        (System.nanoTime() - t0) / 1e9 }
+      (n, tBase, tScaled, sb, ss)
     }
-    val body = rows.map { case (n, b, s) =>
-      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f}"""
+    val body = rows.map { case (n, b, s, sb, ss) =>
+      val shufRatio =
+        if (sb.recordsWritten > 0) ss.recordsWritten.toDouble / sb.recordsWritten
+        else 0.0
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f,""" +
+        f""""shuffle_rec_base":${sb.recordsWritten},"shuffle_rec_scaled":${ss.recordsWritten},""" +
+        f""""shuffle_rec_ratio":$shufRatio%.2f,"shuffle_mb_scaled":${ss.bytesWritten / 1e6}%.1f}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","mult":$mult,"base":"$baseDir","queries":$body}"""
