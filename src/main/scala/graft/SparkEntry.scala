@@ -82,6 +82,7 @@ object SparkEntry {
     "q65_pivot"          -> CoreQueries.q65 _,
     "q68_window_nav"     -> CoreQueries.q68 _,
     "q69_exists_subq"    -> CoreQueries.q69 _,
+    "q70_unpivot"        -> CoreQueries.q70 _,
     "q66_string_agg"     -> CoreQueries.q66 _,
     "q67_filter_agg"     -> CoreQueries.q67 _,
     "q61_asof_join"      -> TemporalQueries.q61 _,

@@ -360,6 +360,15 @@ object CoreOracles {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice < 50000)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // portable long-form of UNPIVOT (UNION ALL) — semantically what
+    // Spark's Expand emits
+    "q70_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin
   )
 }

@@ -541,6 +541,18 @@ object CoreQueries {
     }
   }
 
+  /** q70 UNPIVOT (melt): wide part attributes to long (attr, val) rows —
+    * the inverse of q65's pivot, via the native `unpivot` API (compiles
+    * to Expand: each input row emits one row per value column in a
+    * single narrow pass; no join, no shuffle before the contract sort). */
+  def q70(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy("p_partkey", "attr")
+
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and
     * broadcast, so the main scan stays a single filtered pass. */
   def q45(s: SparkSession, d: String): DataFrame = {
