@@ -85,6 +85,11 @@ object SparkEntry {
     "q70_unpivot"        -> CoreQueries.q70 _,
     "q66_string_agg"     -> CoreQueries.q66 _,
     "q67_filter_agg"     -> CoreQueries.q67 _,
+    "q71_chunking"       -> PipelineQueries.q71 _,
+    "q72_normalize"      -> PipelineQueries.q72 _,
+    "q73_stopwords"      -> PipelineQueries.q73 _,
+    "q74_vocab_df"       -> PipelineQueries.q74 _,
+    "q75_split"          -> PipelineQueries.q75 _,
     "q61_asof_join"      -> TemporalQueries.q61 _,
     "q62_pairs_range"    -> TemporalQueries.q62 _,
     "q63_sessionize"     -> TemporalQueries.q63 _,

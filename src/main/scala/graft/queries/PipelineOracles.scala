@@ -205,10 +205,55 @@ object PipelineOracles {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private val q71 =
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(toks[CAST(i AS INT)*15+1 : CAST(i AS INT)*15+20], ' ') AS chunk_text,
+       |  CAST(n AS BIGINT) AS n_tokens
+       |FROM f, unnest(range(0, greatest(CAST(ceil((n - 5) / 15.0) AS BIGINT), 1))) AS u(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val q72 =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+
+  private val q73 =
+    s"""WITH ${toksCte("WHERE doc_id < 300")},
+       |k AS (SELECT doc_id,
+       |  list_filter(toks, x -> NOT list_contains(['the','a','of','to','and','in','is'], x)) AS kept
+       |  FROM t)
+       |SELECT doc_id, array_to_string(kept, ' ') AS text,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  private val q74 =
+    s"""WITH ${toksCte("")},
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+       |SELECT token, CAST(count(*) AS BIGINT) AS df
+       |FROM tok GROUP BY token ORDER BY df DESC, token LIMIT 30""".stripMargin
+
+  private val q75 =
+    """WITH s AS (SELECT doc_id,
+      |  CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 12 THEN 'train'
+      |       WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 14 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q58_dedup_corpus"   -> q58,
     "q59_simhash_near"   -> q59,
     "q60_embed_dedup"    -> q60,
+    "q71_chunking"       -> q71,
+    "q72_normalize"      -> q72,
+    "q73_stopwords"      -> q73,
+    "q74_vocab_df"       -> q74,
+    "q75_split"          -> q75,
     "q46_minhash_lsh"    -> q46,
     "q47_jaccard_pairs"  -> q47,
     "q48_simhash"        -> q48,

@@ -256,6 +256,50 @@ object PipelineQueries {
       .select("vec_id")
       .orderBy("vec_id")
 
+  /** q71 document chunking: 20-token windows with 5-token overlap
+    * (stride 15) — the context-window preparation step, one row per
+    * chunk ([[graft.operators.TextPipeline.chunk]]). */
+  def q71(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.chunk(
+        documents(s, d).filter(col("doc_id") < 100), "doc_id", "text",
+        size = 20, overlap = 5)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q72 text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace — canonical pre-tokenization cleanup as a pure
+    * codegen'd expression chain. */
+  def q72(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.TextPipeline.normalize(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** q73 stopword removal preserving token order (the q50 stopword
+    * profile, applied as a transform). */
+  def q73(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.removeStopwords(
+        documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        Seq("the", "a", "of", "to", "and", "in", "is"))
+      .orderBy("doc_id")
+
+  /** q74 corpus vocabulary by document frequency: the aggregation whose
+    * exchange carries |vocab| partial counts (per-doc distinct happens
+    * before the explode), not |token occurrences|. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.vocabulary(documents(s, d), "doc_id", "text")
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(30)
+
+  /** q75 deterministic corpus split: content-free md5-nibble hash of the
+    * id → train/val/test ≈ 81/12.5/6%; reproducible across engines. */
+  def q75(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.hashSplit(documents(s, d), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
   /** q54 LSH-bucketed approximate nearest neighbor: axis-aligned
     * sign-LSH (4 dims → 16 buckets) prunes the candidate set; top-3
     * cosine within the probe's bucket. The scale path vs q43's exhaustive

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** TextPipeline invariants beyond the oracle checks: chunk coverage and
+  * overlap algebra, normalization idempotence, split determinism. */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunks cover every token; consecutive chunks share the overlap") {
+    val text = (1 to 47).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextPipeline.chunk(corpus, "doc_id", "text", 20, 5)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq))
+    // stride 15 over 47 tokens -> ceil(42/15)=3 chunks
+    assert(chunks.length == 3)
+    assert(chunks(0)._2.size == 20 && chunks(1)._2.size == 20)
+    assert(chunks(2)._2.size == 17, "last chunk clamps at the end")
+    // coverage: concatenating de-overlapped chunks reconstructs the doc
+    val rebuilt = chunks(0)._2 ++ chunks(1)._2.drop(5) ++ chunks(2)._2.drop(5)
+    assert(rebuilt == text.split(" ").toSeq)
+    // overlap: last 5 of chunk k == first 5 of chunk k+1
+    assert(chunks(0)._2.takeRight(5) == chunks(1)._2.take(5))
+    // a doc shorter than the overlap still yields one chunk
+    val tiny = TextPipeline.chunk(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 20, 5)
+    assert(tiny.count() == 1)
+    assert(tiny.first().getString(2) == "a b c")
+  }
+
+  test("normalize is idempotent and ascii-canonical") {
+    val df = Seq((1L, "  Hello,   WORLD!! (42) \t"), (2L, "already clean"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextPipeline.normalize(col("text")).as("n1"))
+      .select(col("doc_id"), col("n1"),
+        TextPipeline.normalize(col("n1")).as("n2"))
+    val rows = df.collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rows.head._1 == "hello world 42")
+    assert(rows.forall { case (a, b) => a == b }, "normalize(normalize(x)) == normalize(x)")
+  }
+
+  test("hashSplit is deterministic and disjoint-exhaustive") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id")
+    val s1 = TextPipeline.hashSplit(docs, "doc_id")
+    val s2 = TextPipeline.hashSplit(docs, "doc_id")
+    assert(s1.collect().toSet == s2.collect().toSet, "same ids -> same split")
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts("val") && counts("val") >= counts("test"),
+      s"expected ~81/12.5/6 proportions, got $counts")
+  }
+}
