@@ -90,6 +90,7 @@ object SparkEntry {
     "q73_stopwords"      -> PipelineQueries.q73 _,
     "q74_vocab_df"       -> PipelineQueries.q74 _,
     "q75_split"          -> PipelineQueries.q75 _,
+    "q76_tfidf"          -> PipelineQueries.q76 _,
     "q61_asof_join"      -> TemporalQueries.q61 _,
     "q62_pairs_range"    -> TemporalQueries.q62 _,
     "q63_sessionize"     -> TemporalQueries.q63 _,

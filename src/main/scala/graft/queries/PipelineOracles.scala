@@ -249,6 +249,19 @@ object PipelineOracles {
     "q58_dedup_corpus"   -> q58,
     "q59_simhash_near"   -> q59,
     "q60_embed_dedup"    -> q60,
+    "q76_tfidf" ->
+      s"""WITH ${toksCte("WHERE doc_id < 100")},
+         |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM occ) GROUP BY token),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM occ)
+         |SELECT doc_id, tf.token AS token, tf, df,
+         |  round(tf * ln(n_docs / df), 6) AS tfidf
+         |FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+         |ORDER BY tfidf DESC, doc_id, token LIMIT 50""".stripMargin,
+
     "q71_chunking"       -> q71,
     "q72_normalize"      -> q72,
     "q73_stopwords"      -> q73,

@@ -300,6 +300,29 @@ object PipelineQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split")
 
+  /** q76 TF-IDF: term frequency × inverse document frequency over the
+    * bounded corpus — the classic retrieval/feature weight, composed
+    * from one occurrence aggregation and the q74 vocabulary join. IDF's
+    * log and the final product stay in double with a fixed rounding
+    * boundary (6 digits) for cross-engine parity. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+    val occ = docs.select(col("doc_id"),
+        explode(expr("filter(split(trim(text), ' '), x -> x != '')"))
+          .as("token"))
+    val tf = occ.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = occ.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+      .limit(50)
+  }
+
   /** q54 LSH-bucketed approximate nearest neighbor: axis-aligned
     * sign-LSH (4 dims → 16 buckets) prunes the candidate set; top-3
     * cosine within the probe's bucket. The scale path vs q43's exhaustive

@@ -51,6 +51,51 @@ class TemporalSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("batch sessionize == streaming session_window on the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // real slice: sf0.001 events for a handful of users
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 5)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val expected = Temporal.sessionize(
+        batch.select("user_id", "ts"), "user_id", "ts", gapSec = 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+
+    val mem = MemoryStream[graft.streaming.Ev]
+    val q = graft.streaming.StreamingOps
+      .sessionCounts(mem.toDF(), gap = "30 minutes", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    val rows = batch.collect().map(r => graft.streaming.Ev(
+      r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+      r.getDouble(4)))
+    mem.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // close all sessions: advance the watermark far past the data
+    mem.addData(graft.streaming.Ev(999999L,
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 99999L, "x", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sess_parity")
+      .filter(col("user_id") < 5)
+      .select("user_id", "ss", "se", "n").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    q.stop()
+    // streaming session_window's end = last_ts + gap; align to batch's
+    // end = last event ts by subtracting the (whole-second) gap —
+    // preserving nanos, which Timestamp.getTime arithmetic would drop
+    val gotAligned = got.map { case (u, ss, se, n) =>
+      val end = new java.sql.Timestamp(se.getTime - 1800 * 1000L)
+      end.setNanos(se.getNanos)
+      (u, ss, end, n) }
+    assert(gotAligned == expected,
+      s"batch and streaming sessionization must agree\nbatch: $expected\nstream: $gotAligned")
+  }
+
   test("sessionize cuts islands at the gap and counts members") {
     val ev = Seq(
       (1L, ts("10:00")), (1L, ts("10:20")), (1L, ts("10:50")),  // session 1
