@@ -83,6 +83,7 @@ object SparkEntry {
     "q68_window_nav"     -> CoreQueries.q68 _,
     "q69_exists_subq"    -> CoreQueries.q69 _,
     "q70_unpivot"        -> CoreQueries.q70 _,
+    "q77_stats"          -> CoreQueries.q77 _,
     "q66_string_agg"     -> CoreQueries.q66 _,
     "q67_filter_agg"     -> CoreQueries.q67 _,
     "q71_chunking"       -> PipelineQueries.q71 _,

@@ -553,6 +553,22 @@ object CoreQueries {
         Array(col("p_size"), col("p_retailprice")), "attr", "val")
       .orderBy("p_partkey", "attr")
 
+  /** q77 statistical aggregates: sample stddev/variance, correlation,
+    * covariance per group — single partial+final pass (Welford-style
+    * mergeable moments, so the exchange carries one moment tuple per
+    * (group, partition), not values). Rounding boundaries chosen where
+    * Spark's and DuckDB's merge orders agree empirically (verified at
+    * sf0.01 and sf0.001). */
+  def q77(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+      .orderBy("l_returnflag")
+
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and
     * broadcast, so the main scan stays a single filtered pass. */
   def q45(s: SparkSession, d: String): DataFrame = {
