@@ -45,15 +45,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // a failed query must be VISIBLE in the output (value -1), not
+    // recorded as a healthy-looking time-to-crash
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -22,15 +22,21 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. The session must carry
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at construction —
-    * see [[Sessions.configure]]); the loader then converts the raw nanos
-    * to a microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies,
-    * so oracle parity holds. The loader itself is side-effect-free. */
-  def events(s: SparkSession, d: String): DataFrame =
+    * reader rejects. Sessions should carry
+    * `spark.sql.legacy.parquet.nanosAsLong=true` from construction
+    * ([[Sessions.configure]] — all in-repo mains/tests do); for a
+    * caller-built session that missed it (the driver contract lets any
+    * session invoke `SparkEntry.queries`), the loader idempotently
+    * fills in the missing conf rather than failing the scan. The raw
+    * nanos convert to a microsecond TIMESTAMP_NTZ — the same truncation
+    * DuckDB applies, so oracle parity holds. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true")
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

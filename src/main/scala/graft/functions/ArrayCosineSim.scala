@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * composed form and to the DuckDB oracle's
   * `list_dot_product(...)/(sqrt(...)*sqrt(...))`.
   * Null-intolerant like the composed form: null array → null.
+  *
+  * RAGGED PAIRS ERROR: the composed form computed full-length norms
+  * but a min-length dot, deflating similarity; a fused min-length
+  * version would inflate it (cosine([3,4],[3]) = 1.0). Neither is
+  * defensible, so unequal lengths throw — schema drift between
+  * embedding batches fails visibly instead of corrupting dedup.
   */
 case class ArrayCosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,7 +47,11 @@ case class ArrayCosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"array_cosine: length mismatch (${x.numElements()} vs ${y.numElements()}) — " +
+          "truncating norms would silently inflate similarity")
+    val n = x.numElements()
     var dot = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +72,12 @@ case class ArrayCosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "array_cosine: length mismatch (" + $a.numElements() + " vs " +
+         |    $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $aa = 0.0; double $bb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = $a.getDouble($i);

@@ -83,12 +83,9 @@ object Dedup {
     // Per-doc distinct shingle SET as an array — one narrow map, no
     // explode/distinct exchange; every later stage derives from it.
     val docs = corpus.select(col(idCol).as("__id"),
-        expr(s"filter(split(trim($textCol), ' '), x -> x != '')").as("toks"))
+        expr(TextHashes.toks(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("__id"), expr(
-        """array_distinct(transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"""
-          .stripMargin).as("__sh"))
+      .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
     // signatures: array_min over salted hashes — still narrow
     val sigs = docs.select(col("__id") +: (0 until numHashes).map(j =>
       array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
@@ -118,23 +115,15 @@ object Dedup {
     * nibbles of md5 (portable); bit b of the signature is the sign of the
     * ±1 vote sum over the doc's distinct tokens. */
   private def simhashSigs(corpus: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
-    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
-    val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
-    val bitSum = (b: Int) =>
-      s"aggregate(__hvs, 0, (acc, h) -> acc + (case when (h div ${1 << b}) % 2 = 1 then 1 else -1 end))"
-    val sig = (0 until 16)
-      .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
-      .mkString(" + ")
+                          textCol: String): DataFrame =
     // fully narrow: distinct tokens + per-bit vote sums are array ops —
     // no explode, no aggregation exchange. Token-less docs carry no
     // signature (matching the explode-based form, where they vanished).
-    corpus.select(col(idCol).as("__id"), expr(
-        s"transform(array_distinct(filter(split(trim($textCol), ' '), x -> x != '')), tok -> $hv)")
-        .as("__hvs"))
+    corpus.select(col(idCol).as("__id"),
+        expr(TextHashes.hvArray(textCol)).as("__hvs"))
       .filter(size(col("__hvs")) > 0)
-      .select(col("__id"), expr(s"cast($sig as bigint)").as("__sig"))
-  }
+      .select(col("__id"),
+        expr(s"cast(${TextHashes.simhashSig("__hvs")} as bigint)").as("__sig"))
 
   /** SimHash near-dedup: 16-bit signatures over distinct tokens; docs
     * whose signatures collide exactly (Hamming 0 — the conservative

@@ -1,0 +1,49 @@
+package graft.operators
+
+/** The shared SQL expression strings behind every shingle/simhash
+  * operator AND its oracle-checked contract query. These strings ARE
+  * the cross-engine parity contract (portable md5 nibbles, word
+  * 3-grams): one definition here keeps [[Dedup]] and the
+  * `graft.queries` contract faces from silently drifting apart. */
+private[graft] object TextHashes {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def toks(textRef: String): String =
+    s"filter(split(trim($textRef), ' '), x -> x != '')"
+
+  /** Word 3-gram shingle MULTISET over a token-array reference (the
+    * single-level form safe to put directly inside an explode — see
+    * PipelineQueries.q47 on InferFiltersFromGenerate). */
+  def shingleTransform(toksRef: String): String =
+    s"""transform(sequence(1, size($toksRef)-2),
+       |  i -> concat(element_at($toksRef,i),' ',element_at($toksRef,i+1),' ',element_at($toksRef,i+2)))"""
+      .stripMargin
+
+  /** Distinct shingle SET as an array (narrow; never explode this
+    * pre-built form). */
+  def shingleSet(toksRef: String): String =
+    s"array_distinct(${shingleTransform(toksRef)})"
+
+  /** 16-bit token hash: first 4 md5 nibbles of the lambda variable
+    * `tok` (portable across engines via instr on a hex alphabet). */
+  val hv: String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  /** Array of token hashes over distinct tokens of a text column. */
+  def hvArray(textRef: String): String =
+    s"transform(array_distinct(${toks(textRef)}), tok -> $hv)"
+
+  /** SimHash signature over a token-hash-array reference: per-bit ±1
+    * vote sums via `aggregate`, sign-thresholded into a 16-bit value. */
+  def simhashSig(hvsRef: String): String = {
+    def bitSum(b: Int) =
+      s"aggregate($hvsRef, 0, (acc, h) -> acc + " +
+        s"(case when (h div ${1 << b}) % 2 = 1 then 1 else -1 end))"
+    (0 until 16)
+      .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
+      .mkString(" + ")
+  }
+}

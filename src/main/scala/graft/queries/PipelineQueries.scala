@@ -40,12 +40,10 @@ object PipelineQueries {
     * Docs with <3 tokens have no shingles and are filtered out. */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2))))"""
-          .stripMargin).as("sh"))
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.shingleSet("toks")).as("sh"))
 
   /** q46 MinHash signatures + LSH band keys (8 salted md5 min-hashes,
     * 4 bands × 2 rows). Documents sharing any band key are near-dup
@@ -80,16 +78,12 @@ object PipelineQueries {
   def q47(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).filter(col("doc_id") < 60)
       .select(col("doc_id"),
-        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-    val cnt = base.select(col("doc_id"), expr(
-      """size(array_distinct(transform(sequence(1, size(toks)-2),
-        |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))))"""
-        .stripMargin).as("n"))
-    val inv = base.select(col("doc_id"), explode(expr(
-      """transform(sequence(1, size(toks)-2),
-        |  i -> concat(element_at(toks,i),' ',element_at(toks,i+1),' ',element_at(toks,i+2)))"""
-        .stripMargin)).as("s"))
+    val cnt = base.select(col("doc_id"),
+      expr(s"size(${graft.operators.TextHashes.shingleSet("toks")})").as("n"))
+    val inv = base.select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
       .distinct()
     val inter = inv.toDF("a", "s")
       .join(inv.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
@@ -111,17 +105,13 @@ object PipelineQueries {
     * `aggregate` over the token-hash array — zero exchanges before the
     * 100-row contract sort (the old form exploded + grouped). */
   def q48(s: SparkSession, d: String): DataFrame = {
-    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
-    val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
-    val bitSum = (b: Int) =>
-      s"aggregate(hvs, 0, (acc, h) -> acc + (case when (h div ${1 << b}) % 2 = 1 then 1 else -1 end))"
-    val sig = (0 until 16)
-      .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
-      .mkString(" + ")
+    val sig = graft.operators.TextHashes.simhashSig("hvs")
     documents(s, d).filter(col("doc_id") < 100)
-      .select(col("doc_id"), expr(
-        s"transform(array_distinct(filter(split(trim(text), ' '), x -> x != '')), tok -> $hv)")
-        .as("hvs"))
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.hvArray("text")).as("hvs"))
+      // token-less docs have no signature (the explode-based oracle
+      // drops them; without this filter they'd surface as simhash=0)
+      .filter(size(col("hvs")) > 0)
       .select(col("doc_id"), expr(s"cast($sig as bigint)").as("simhash"))
       .orderBy("doc_id")
   }
@@ -224,9 +214,12 @@ object PipelineQueries {
     * returns the surviving doc ids. The synthetic corpus contains
     * generator-planted near-dups, so this exercises real removals. */
   def q58(s: SparkSession, d: String): DataFrame =
+    // cap-free: the contract oracle enumerates the full pair set, so the
+    // contract query must too (the capped default is the LIBRARY's
+    // scale posture, not the oracle semantics)
     graft.operators.Dedup.minhashLsh(
         documents(s, d).filter(col("doc_id") < 100).select("doc_id", "text"),
-        "doc_id", "text", threshold = 0.8)
+        "doc_id", "text", threshold = 0.8, maxBucketSize = Int.MaxValue)
       .select("doc_id")
       .orderBy("doc_id")
 
@@ -239,7 +232,7 @@ object PipelineQueries {
   def q59(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.simhashNear(
         documents(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
-        "doc_id", "text", k = 2)
+        "doc_id", "text", k = 2, maxBucketSize = Int.MaxValue) // cap-free: see q58
       .select("doc_id")
       .orderBy("doc_id")
 
@@ -252,7 +245,8 @@ object PipelineQueries {
   def q60(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.embeddingCosine(
         embeddings(s, d).select("vec_id", "embedding"),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.4,
+        maxBucketSize = Int.MaxValue) // cap-free: see q58
       .select("vec_id")
       .orderBy("vec_id")
 
@@ -314,7 +308,9 @@ object PipelineQueries {
       .agg(count(lit(1)).as("tf"))
     val df_ = occ.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    // n_docs from the OCCURRENCES (docs that produced >=1 token), like
+    // the oracle — a token-less doc must not shift every IDF
+    val nDocs = occ.select(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df_, "token")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),

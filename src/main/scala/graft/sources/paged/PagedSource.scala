@@ -30,10 +30,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    contract's `pageSize` option is set — plans only the
   *    `ceil(n / pageSize)` first pages, the exact "stop asking the API"
   *    behavior of the reference generator. Visible in `explain` via the
-  *    scan description.
+  *    scan description. `pageSize` declares the GUARANTEED MINIMUM
+  *    lines per non-final page: landing shorter pages under a larger
+  *    declared size under-delivers LIMIT results (the pruned pages are
+  *    rows Spark's retained global limit can never recover) — size it
+  *    from the extractor's actual batch size, never larger.
   *  - **Micro-batch streaming**: the offset is the number of pages
   *    consumed; newly landed pages are picked up incrementally, in
-  *    order, exactly once per page.
+  *    order, exactly once per page. Offsets are POSITIONAL in the
+  *    sorted listing, so the landing contract requires new files to
+  *    sort AFTER all previously landed ones (zero-padded counters, as
+  *    `page-%05d`): a late file sorting before consumed pages would
+  *    shift indexes and break exactly-once.
   */
 class PagedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-paged"

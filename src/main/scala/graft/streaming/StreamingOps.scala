@@ -81,10 +81,16 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val incoming = batch.toDF()
+        // absent sink == empty table; any other read failure aborts the
+        // batch rather than letting the swap replace the table with it
+        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
         val existing =
-          try spark.read.parquet(sinkPath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+          if (!fs0.exists(new org.apache.hadoop.fs.Path(sinkPath)))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              incoming.schema)
+          else spark.read.parquet(sinkPath)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
           .orderBy(col(tsCol).desc)
@@ -160,12 +166,19 @@ object StreamingOps {
         val touched = incoming.select(col("__bucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
         if (touched.nonEmpty) {
+          // only a genuinely absent sink means "empty table" — any other
+          // read failure must ABORT the batch, or the dynamic overwrite
+          // below would replace touched partitions with just this batch
+          // (silent data loss on a transient read error)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
           val existing =
-            try spark.read.parquet(sinkPath)
+            if (!fs.exists(new org.apache.hadoop.fs.Path(sinkPath)))
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                incoming.schema)
+            else spark.read.parquet(sinkPath)
               .filter(col("__bucket").isin(touched: _*))
-            catch { case _: Throwable => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              incoming.schema) }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(keyCol))
             .orderBy(col(tsCol).desc)
