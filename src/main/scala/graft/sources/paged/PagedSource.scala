@@ -150,22 +150,44 @@ class PagedReader(p: PagePartition, limit: Option[Int])
   override def close(): Unit = in.close()
 }
 
-/** Offset = number of pages fully consumed. */
-case class PagedOffset(pages: Long) extends Offset {
-  override def json(): String = pages.toString
+/** Offset = number of pages fully consumed, plus the NAME of the last
+  * consumed page: offsets are positional in the sorted listing, so the
+  * name lets every later planning call verify nothing was inserted
+  * before already-consumed pages (which would shift indexes and
+  * silently re-deliver/skip pages). */
+case class PagedOffset(pages: Long, lastPage: String = "") extends Offset {
+  override def json(): String =
+    if (lastPage.isEmpty) pages.toString else s"$pages:$lastPage"
 }
 
 class PagedMicroBatchStream(dir: String) extends MicroBatchStream {
   override def initialOffset(): Offset = PagedOffset(0L)
-  override def latestOffset(): Offset =
-    PagedOffset(PagedSource.listPages(dir).length.toLong)
-  override def deserializeOffset(json: String): Offset =
-    PagedOffset(json.toLong)
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PagedOffset].pages
-    val e = end.asInstanceOf[PagedOffset].pages
+  override def latestOffset(): Offset = {
     val pages = PagedSource.listPages(dir)
-    (s until e).filter(i => i < pages.length)
+    PagedOffset(pages.length.toLong,
+      pages.lastOption.map(new java.io.File(_).getName).getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset =
+    json.split(":", 2) match {
+      case Array(n, last) => PagedOffset(n.toLong, last)
+      case Array(n)       => PagedOffset(n.toLong)
+    }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PagedOffset]
+    val pages = PagedSource.listPages(dir)
+    // enforce the landing contract at runtime: the page at the consumed
+    // boundary must still be the one the offset recorded — a late file
+    // sorting before it means shifted indexes, not new data
+    if (s.pages > 0 && s.lastPage.nonEmpty && s.pages <= pages.length) {
+      val atBoundary = new java.io.File(pages(s.pages.toInt - 1)).getName
+      if (atBoundary != s.lastPage)
+        throw new IllegalStateException(
+          s"graft-paged: landing-order violation — page '$atBoundary' now sorts " +
+            s"at consumed position ${s.pages - 1} where '${s.lastPage}' was read; " +
+            "new files must sort after all consumed pages (use zero-padded names)")
+    }
+    val e = end.asInstanceOf[PagedOffset].pages
+    (s.pages until e).filter(i => i < pages.length)
       .map(i => PagePartition(i, pages(i.toInt)): InputPartition)
       .toArray
   }

@@ -111,6 +111,25 @@ class PagedSourceSpec extends AnyFunSuite {
       "absent score cleanses to 0 through the configured pipeline")
   }
 
+  test("streaming detects a landing-order violation instead of re-delivering") {
+    val dir = Files.createTempDirectory("graft_paged_order").toString
+    // deliberately NON-padded names: 'page-2' sorts after 'page-10'
+    Files.writeString(Paths.get(dir, "page-2.jsonl"), "a\nb\n")
+    val q = spark.readStream.format("graft-paged").load(dir)
+      .writeStream.format("memory").queryName("paged_order")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("paged_order").count() == 2)
+    // lands BEFORE the consumed page in sort order -> indexes shift
+    Files.writeString(Paths.get(dir, "page-10.jsonl"), "c\nd\n")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("landing-order violation")),
+      s"must fail loudly, not silently re-deliver: ${msgs(e).take(3)}")
+    q.stop()
+  }
+
   test("micro-batch streaming consumes pages incrementally, exactly once") {
     val dir = Files.createTempDirectory("graft_paged_stream").toString
     landPages(dir, pages = 2, rows = 10)
