@@ -174,6 +174,82 @@ object Dedup {
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list `(a, b)` via
+    * iterative min-label propagation: every node adopts the smallest
+    * label among itself and its neighbors until fixpoint. Converges in
+    * O(component diameter) rounds (near-dup graphs are shallow — dup
+    * clusters are dense), bounded by `maxIter`.
+    *
+    * Scale notes: each round is one self-contained join + aggregate on
+    * the node id — no driver-side data, only the convergence COUNT
+    * crosses to the driver; `localCheckpoint` truncates the lineage
+    * each round, without which the plan doubles per iteration and the
+    * scheduler, not the data, becomes the bottleneck.
+    *
+    * Returns `(node, label)` — label = the component's minimum id. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cols = edges.columns
+    val sym = edges.toDF("x", "y")
+      .union(edges.select(col(cols(1)), col(cols(0))).toDF("x", "y"))
+    var labels = sym.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym.join(labels, col("y") === col("node"))
+        .select(col("x").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = labels.toDF("node", "old")
+        .join(next, "node")
+        .filter(col("old") =!= col("label")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter for deeper component chains")
+    labels
+  }
+
+  /** MinHash-LSH dedup by CLUSTER: candidate pairs verified by Jaccard
+    * form a near-dup graph; connected components pick ONE survivor (the
+    * minimum id) per component. Stricter than [[minhashLsh]]'s pairwise
+    * domination, which keeps extra docs in star-shaped clusters (a doc
+    * whose only verified partners have larger ids survives pairwise
+    * even when transitively connected to a smaller doc). */
+  def minhashLshClusters(corpus: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8,
+                         bands: Int = 4, rowsPerBand: Int = 2,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val docs = corpus.select(col(idCol).as("__id"),
+        expr(TextHashes.toks(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
+    val sigs = docs.select(col("__id") +: (0 until bands * rowsPerBand).map(j =>
+      array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+          .as("key")).as(s"b$b"))
+    val buckets = sigs.select(col("__id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val verified = candidatePairs(buckets, maxBucketSize)
+      .join(docs.toDF("a", "__sha"), "a")
+      .join(docs.toDF("b", "__shb"), Seq("b"))
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .filter(col("__inter") /
+        (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
+      .select(col("a"), col("b"))
+    val dominated = connectedComponents(verified)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    corpus.join(dominated, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dedup: multi-band sign-LSH. Each band hashes the
     * vector's signs on its own dimension set into a bucket; candidate
     * pairs share a bucket in ANY band (union of bands, like MinHash

@@ -116,6 +116,47 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(corpus, "doc_id", "text").count() == 3)
   }
 
+  test("connectedComponents: min label per component, deep chains converge") {
+    import spark.implicits._
+    // two components: a 12-node chain (tests iteration depth + lineage
+    // truncation) and a triangle, plus an isolated edge
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(labels(_) == 1L), "chain collapses to min id")
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+  }
+
+  test("cluster dedup drops star members that pairwise domination keeps") {
+    import spark.implicits._
+    // star: hub 5 is a near-dup of 1 AND of 2, but 1 and 2 share
+    // nothing. Pairwise: 5 dominated (by 1), 2 survives (its only
+    // partner, 5, has a larger id). Cluster semantics: {1,2,5} is one
+    // component -> only 1 survives.
+    val hub = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "one two three four five six seven eight nine ten"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa x y"
+    val b = "one two three four five six seven eight nine ten p q"
+    val filler = "completely different words nothing shared here at all today"
+    val corpus = Seq((1L, a), (2L, b), (5L, hub), (9L, filler))
+      .toDF("doc_id", "text")
+    val thr = 0.3 // hub shares 10 of ~20 tokens' shingles with each spoke
+    val pairwise = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = thr,
+        bands = 16, rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustered = Dedup.minhashLshClusters(corpus, "doc_id", "text",
+        threshold = thr, bands = 16, rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clustered.contains(9L) && pairwise.contains(9L))
+    assert(clustered == Set(1L, 9L),
+      s"one survivor per component expected, got $clustered")
+    assert(pairwise == Set(1L, 2L, 9L),
+      s"pairwise keeps the second spoke, got $pairwise")
+  }
+
   test("embedding cosine dedup removes planted identical vectors") {
     import spark.implicits._
     val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
