@@ -32,7 +32,11 @@ object Tables {
     * DuckDB applies, so oracle parity holds. */
   def events(s: SparkSession, d: String): DataFrame = {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true")
+    // fill in ONLY when genuinely unset (getOption would report the
+    // registered default): an explicit caller choice — even "false" —
+    // is respected; they get the reader's own error, not an override
+    if (!org.apache.spark.sql.graftbridge.isConfSet(s, k))
+      s.conf.set(k, "true")
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

@@ -75,18 +75,21 @@ object Dedup {
     *     candidates; verification removes the false positives.
     *
     * Docs with <3 tokens have no shingles and are always kept. */
-  def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
-                 threshold: Double = 0.8,
-                 bands: Int = 4, rowsPerBand: Int = 2,
-                 maxBucketSize: Int = 1000): DataFrame = {
+  /** The shared MinHash-LSH pipeline: per-doc shingle sets (narrow) →
+    * salted `array_min` signatures (narrow) → band-bucket candidate
+    * pairs (hot-capped) → true-Jaccard verification via
+    * `array_intersect`, shipped only for LSH candidates, no broadcast
+    * hints (AQE decides). Returns verified near-dup edges `(a, b)` with
+    * a < b — the single source both [[minhashLsh]] and
+    * [[minhashLshClusters]] derive from. */
+  private def verifiedPairs(corpus: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, bands: Int, rowsPerBand: Int,
+                            maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Per-doc distinct shingle SET as an array — one narrow map, no
-    // explode/distinct exchange; every later stage derives from it.
     val docs = corpus.select(col(idCol).as("__id"),
         expr(TextHashes.toks(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
-    // signatures: array_min over salted hashes — still narrow
     val sigs = docs.select(col("__id") +: (0 until numHashes).map(j =>
       array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
     val bandCols = (0 until bands).map(b =>
@@ -96,17 +99,22 @@ object Dedup {
     val buckets = sigs.select(col("__id"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // stage 1: candidate pairs from shared buckets (a < b), hot-capped
-    val cand = candidatePairs(buckets, maxBucketSize)
-    // stage 2: true Jaccard on candidates only — array_intersect on the
-    // two docs' shingle sets (shipped only for LSH candidates). No
-    // broadcast hints: AQE broadcasts sides that actually fit.
-    val dominated = cand
+    candidatePairs(buckets, maxBucketSize)
       .join(docs.toDF("a", "__sha"), "a")
       .join(docs.toDF("b", "__shb"), Seq("b"))
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
       .filter(col("__inter") /
         (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
+      .select(col("a"), col("b"))
+  }
+
+  def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.8,
+                 bands: Int = 4, rowsPerBand: Int = 2,
+                 maxBucketSize: Int = 1000): DataFrame = {
+    val dominated =
+      verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
+        maxBucketSize)
       .select(col("b").as("__id")).distinct()
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
@@ -223,28 +231,11 @@ object Dedup {
   def minhashLshClusters(corpus: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8,
                          bands: Int = 4, rowsPerBand: Int = 2,
-                         maxBucketSize: Int = 1000): DataFrame = {
-    val docs = corpus.select(col(idCol).as("__id"),
-        expr(TextHashes.toks(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
-    val sigs = docs.select(col("__id") +: (0 until bands * rowsPerBand).map(j =>
-      array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-          .as("key")).as(s"b$b"))
-    val buckets = sigs.select(col("__id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val verified = candidatePairs(buckets, maxBucketSize)
-      .join(docs.toDF("a", "__sha"), "a")
-      .join(docs.toDF("b", "__shb"), Seq("b"))
-      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
-      .filter(col("__inter") /
-        (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
-      .select(col("a"), col("b"))
-    val dominated = connectedComponents(verified)
+                         maxBucketSize: Int = 1000,
+                         ccMaxIter: Int = 20): DataFrame = {
+    val verified = verifiedPairs(corpus, idCol, textCol, threshold, bands,
+      rowsPerBand, maxBucketSize)
+    val dominated = connectedComponents(verified, ccMaxIter)
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
     corpus.join(dominated, Seq(idCol), "left_anti")

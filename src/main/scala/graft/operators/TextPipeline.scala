@@ -32,7 +32,7 @@ object TextPipeline {
     val stride = size - overlap
     corpus
       .select(col(idCol),
-        expr(s"filter(split(trim($textCol), ' '), x -> x != '')").as("toks"))
+        expr(TextHashes.toks(textCol)).as("toks"))
       .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
       .select(col(idCol),
         org.apache.spark.sql.functions.size(col("toks")).cast("long")
@@ -52,8 +52,7 @@ object TextPipeline {
                       stopwords: Seq[String]): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     corpus.select(col(idCol),
-        filter(
-          expr(s"filter(split(trim($textCol), ' '), x -> x != '')"),
+        filter(expr(TextHashes.toks(textCol)),
           t => !array_contains(stopArr, t)).as("__kept"))
       .select(col(idCol), array_join(col("__kept"), " ").as(textCol),
         org.apache.spark.sql.functions.size(col("__kept")).cast("long")
@@ -67,8 +66,7 @@ object TextPipeline {
     * partial counts, not |token occurrences|. */
   def vocabulary(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(col(idCol),
-        explode(expr(
-          s"array_distinct(filter(split(trim($textCol), ' '), x -> x != ''))"))
+        explode(expr(s"array_distinct(${TextHashes.toks(textCol)})"))
           .as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))

@@ -302,8 +302,7 @@ object PipelineQueries {
   def q76(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(col("doc_id") < 100)
     val occ = docs.select(col("doc_id"),
-        explode(expr("filter(split(trim(text), ' '), x -> x != '')"))
-          .as("token"))
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("token"))
     val tf = occ.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df_ = occ.select(col("doc_id"), col("token")).distinct()

@@ -174,20 +174,25 @@ class PagedMicroBatchStream(dir: String) extends MicroBatchStream {
     }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PagedOffset]
+    val e = end.asInstanceOf[PagedOffset]
     val pages = PagedSource.listPages(dir)
-    // enforce the landing contract at runtime: the page at the consumed
-    // boundary must still be the one the offset recorded — a late file
-    // sorting before it means shifted indexes, not new data
-    if (s.pages > 0 && s.lastPage.nonEmpty && s.pages <= pages.length) {
-      val atBoundary = new java.io.File(pages(s.pages.toInt - 1)).getName
-      if (atBoundary != s.lastPage)
-        throw new IllegalStateException(
-          s"graft-paged: landing-order violation — page '$atBoundary' now sorts " +
-            s"at consumed position ${s.pages - 1} where '${s.lastPage}' was read; " +
-            "new files must sort after all consumed pages (use zero-padded names)")
-    }
-    val e = end.asInstanceOf[PagedOffset].pages
-    (s.pages until e).filter(i => i < pages.length)
+    // enforce the landing contract at runtime, on BOTH boundaries: the
+    // page each offset recorded must still sit at its index — a late
+    // file sorting before either boundary means shifted indexes, and
+    // checking only the start would let THIS batch deliver a wrong page
+    // under an already-committed end offset
+    def check(off: PagedOffset, what: String): Unit =
+      if (off.pages > 0 && off.lastPage.nonEmpty && off.pages <= pages.length) {
+        val atBoundary = new java.io.File(pages(off.pages.toInt - 1)).getName
+        if (atBoundary != off.lastPage)
+          throw new IllegalStateException(
+            s"graft-paged: landing-order violation — page '$atBoundary' now sorts " +
+              s"at $what position ${off.pages - 1} where '${off.lastPage}' was read; " +
+              "new files must sort after all consumed pages (use zero-padded names)")
+      }
+    check(s, "consumed")
+    check(e, "planned-end")
+    (s.pages until e.pages).filter(i => i < pages.length)
       .map(i => PagePartition(i, pages(i.toInt)): InputPartition)
       .toArray
   }

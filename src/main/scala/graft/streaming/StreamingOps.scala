@@ -81,12 +81,20 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val incoming = batch.toDF()
+        val dst = new org.apache.hadoop.fs.Path(sinkPath)
+        val tmpP = new org.apache.hadoop.fs.Path(sinkPath + "__tmp")
+        // resolve the SINK's filesystem (FileSystem.get would resolve
+        // the default FS and throw Wrong-FS for s3a://-style sinks)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: a previous batch may have died between the
+        // delete and the rename of the swap below — the complete table
+        // is sitting in __tmp; finish its rename instead of treating
+        // the absent sink as empty (which would drop the whole table)
+        if (!fs.exists(dst) && fs.exists(tmpP)) fs.rename(tmpP, dst)
         // absent sink == empty table; any other read failure aborts the
         // batch rather than letting the swap replace the table with it
-        val fs0 = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (!fs0.exists(new org.apache.hadoop.fs.Path(sinkPath)))
+          if (!fs.exists(dst))
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               incoming.schema)
@@ -97,14 +105,11 @@ object StreamingOps {
         val merged = existing.unionByName(incoming)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        // write-then-swap keeps the sink readable mid-merge
-        val tmp = sinkPath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(sinkPath)
+        // write-then-swap keeps the sink readable mid-merge; the
+        // delete→rename gap is covered by the recovery above
+        merged.write.mode("overwrite").parquet(sinkPath + "__tmp")
         fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs.rename(tmpP, dst)
         ()
       }
       .start()
@@ -169,9 +174,10 @@ object StreamingOps {
           // only a genuinely absent sink means "empty table" — any other
           // read failure must ABORT the batch, or the dynamic overwrite
           // below would replace touched partitions with just this batch
-          // (silent data loss on a transient read error)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
+          // (silent data loss on a transient read error). Resolve the
+          // SINK's filesystem, not the default one.
+          val fs = new org.apache.hadoop.fs.Path(sinkPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
             if (!fs.exists(new org.apache.hadoop.fs.Path(sinkPath)))
               spark.createDataFrame(

@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Whether `key` was explicitly SET on this session (RuntimeConfig
+    * .getOption can't tell: it yields the registered default for unset
+    * confs). Needed to fill in a missing conf without overriding a
+    * deliberate caller choice. */
+  def isConfSet(spark: SparkSession, key: String): Boolean =
+    spark.sessionState.conf.getAllConfs.contains(key)
 }
