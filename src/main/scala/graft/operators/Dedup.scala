@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * Hot buckets: a band bucket holding m boilerplate near-dups produces
   * m² candidate pairs under a naive self-join — the classic LSH
   * blow-up. Buckets larger than `maxBucketSize` switch to star linking:
-  * every member pairs with the bucket's minimum id only (m−1 pairs).
+  * every member pairs with the bucket's K smallest ids (K·m pairs, K=2).
   * For a true duplicate cluster that loses nothing — every member is
   * verified against the eventual survivor; for a spurious hot bucket the
-  * verification stage rejects the linear (not quadratic) candidate set.
+  * verification stage rejects the linear (not quadratic) candidate set,
+  * and K>1 centers bound the residual recall loss (a similar pair is
+  * missed only when neither member is among the K smallest AND the two
+  * share no other band).
   *
   * No broadcast hints anywhere: per-document side tables (shingle
   * counts, signatures) grow with the corpus, so a forced broadcast is an
@@ -41,12 +44,22 @@ object Dedup {
   }
 
   /** Candidate pairs (a < b) from bucket assignments `(__id, band, key)`,
-    * with the hot-bucket star-linking cap described in the object doc. */
-  private def candidatePairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    * with the hot-bucket star-linking cap described in the object doc.
+    *
+    * Oversized buckets link every member to the bucket's `starCenters`
+    * smallest ids rather than a single minimum: with one center, two
+    * genuinely similar docs that are both non-min in a SPURIOUS hot
+    * bucket (band-key collision of dissimilar docs) and share no other
+    * band would never meet — a recall hole beyond true dup clusters
+    * (where the single survivor catches everyone). K centers bound that
+    * miss: a pair is lost only if neither member ranks in the bucket's
+    * K smallest AND they co-occur in no other band. Cost stays linear —
+    * O(K·m) candidates per hot bucket, never O(m²). */
+  private[operators] def candidatePairs(buckets: DataFrame, maxBucketSize: Int,
+                                        starCenters: Int = 2): DataFrame = {
     val wB = Window.partitionBy(col("band"), col("key"))
     val bk = buckets
       .withColumn("__bn", count(lit(1)).over(wB))
-      .withColumn("__bmin", min(col("__id")).over(wB))
     val small = bk.filter(col("__bn") <= maxBucketSize)
     val candSmall = small.select(col("__id").as("a"), col("band"), col("key"))
       .join(small.select(col("__id").as("b"),
@@ -54,10 +67,17 @@ object Dedup {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("a") < col("b"))
       .select(col("a"), col("b"))
-    // star link: bucket min is always the smaller id of the pair
-    val candBig = bk
-      .filter(col("__bn") > maxBucketSize && col("__id") =!= col("__bmin"))
-      .select(col("__bmin").as("a"), col("__id").as("b"))
+    // star link: centers = the K smallest ids in the bucket; the center
+    // is always the smaller id of the emitted pair
+    val big = bk.filter(col("__bn") > maxBucketSize)
+    val centers = big
+      .withColumn("__rk", row_number().over(wB.orderBy(col("__id").asc)))
+      .filter(col("__rk") <= starCenters)
+      .select(col("__id").as("a"), col("band"), col("key"))
+    val candBig = big.select(col("__id").as("b"), col("band"), col("key"))
+      .join(centers, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
     candSmall.union(candBig).distinct()
   }
 

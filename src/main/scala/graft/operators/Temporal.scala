@@ -75,10 +75,16 @@ object Temporal {
                   tsCol: String, horizonSec: Long): DataFrame = {
     val hUs = horizonSec * 1000000L
     // integer microseconds: deterministic bucket + delta math (float
-    // epoch arithmetic would disagree with the oracle at boundaries)
+    // epoch arithmetic would disagree with the oracle at boundaries).
+    // Bucketing must be FLOOR division — double-divide + cast("long")
+    // truncates toward zero, so pre-1970 (negative-epoch) timestamps
+    // would land adjacent events in non-adjacent buckets and silently
+    // miss pairs. (x - pmod(x, h)) / h is exact integer floor division
+    // for every epoch sign.
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val e = events.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(tsCol).as("t"),
-        (unix_micros(col(tsCol).cast("timestamp")) / hUs).cast("long").as("b"))
+        ((us - pmod(us, lit(hUs))) / hUs).cast("long").as("b"))
     val probe = e.select(col("k"), col("id").as("a"), col("t").as("ta"),
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bp"))
     val build = e.toDF("k2", "b", "tb", "bb")

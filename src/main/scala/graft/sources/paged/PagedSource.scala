@@ -61,6 +61,19 @@ object PagedSource {
   /** Test instrumentation (local mode): pages actually opened. */
   val pagesOpened = new AtomicLong(0)
 
+  val log: java.util.logging.Logger =
+    java.util.logging.Logger.getLogger("graft.sources.paged")
+
+  /** Driver-side line count of one landed page (limit-pruning
+    * validation only — bounded by the pages a LIMIT reads anyway). */
+  def countLines(path: String): Long = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(path),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+    finally in.close()
+  }
+
   /** Landed pages, fetch order (lexicographic). */
   def listPages(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
@@ -109,10 +122,30 @@ class PagedBatch(dir: String, pageSize: Option[Int], limit: Option[Int])
     // the reference generator stops requesting once the consumer has
     // enough: with a full-page landing contract, LIMIT n needs at most
     // ceil(n / pageSize) pages (only the final page may be short, and a
-    // prefix that would include it includes every page anyway)
+    // prefix that would include it includes every page anyway).
+    //
+    // The contract is VALIDATED here, not trusted: if the extractor
+    // landed shorter pages than the declared pageSize (a batch_size
+    // mismatch), a blind prefix would silently under-deliver LIMIT n —
+    // the pruned-away rows are ones Spark's retained global limit can
+    // never recover. Planning counts lines over the prefix (bounded by
+    // what the limit reads anyway) and keeps extending until n rows are
+    // covered or pages run out.
     val pruned = (limit, pageSize) match {
       case (Some(n), Some(ps)) if ps > 0 =>
-        pages.take(((n + ps - 1) / ps).max(1))
+        val guess = ((n + ps - 1) / ps).max(1)
+        var covered = 0L
+        var k = 0
+        while (covered < n && k < pages.length) {
+          covered += PagedSource.countLines(pages(k))
+          k += 1
+        }
+        if (k > guess)
+          PagedSource.log.warning(
+            s"graft-paged: declared pageSize=$ps overstates landed page " +
+              s"sizes — LIMIT $n needed $k pages, not $guess; size " +
+              "pageSize from the extractor's real batch size")
+        pages.take(k.max(1))
       case _ => pages
     }
     pruned.zipWithIndex

@@ -89,8 +89,19 @@ object StreamingOps {
         // crash recovery: a previous batch may have died between the
         // delete and the rename of the swap below — the complete table
         // is sitting in __tmp; finish its rename instead of treating
-        // the absent sink as empty (which would drop the whole table)
-        if (!fs.exists(dst) && fs.exists(tmpP)) fs.rename(tmpP, dst)
+        // the absent sink as empty (which would drop the whole table).
+        // Only a COMPLETED write qualifies (_SUCCESS marker): a crash
+        // mid-write during the very first batch also leaves the sink
+        // absent with a partial __tmp, and renaming that installs a
+        // sink with no committed parquet files — every later read then
+        // fails and the stream is wedged. Partial __tmp is discarded
+        // and the sink treated as empty (the batch re-merges from the
+        // checkpoint's replay).
+        if (!fs.exists(dst) && fs.exists(tmpP)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")))
+            fs.rename(tmpP, dst)
+          else fs.delete(tmpP, true)
+        }
         // absent sink == empty table; any other read failure aborts the
         // batch rather than letting the swap replace the table with it
         val existing =

@@ -85,6 +85,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.count(_ >= 5000) == 19, "the 19 distinct docs survive")
   }
 
+  test("hot-bucket star linking samples K centers, stays linear") {
+    import spark.implicits._
+    // one oversized bucket of ids 1..5, cap 3, K=2 centers: every
+    // member links to centers {1, 2} — 7 pairs (2m-3), never the 10 of
+    // the full m^2/2 self-join. Two non-min members (4, 5) still reach
+    // center 2, the recall hole a single-center star leaves open.
+    val buckets = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(i => (i, 0, "k")).toDF("__id", "band", "key")
+    val pairs = Dedup.candidatePairs(buckets, maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L), (2L, 5L)))
+  }
+
   test("simhashNear removes a near-dup within Hamming<=2, exact simhash misses it") {
     import spark.implicits._
     // A single-token doc's signature IS its token's 16-bit hash (one vote

@@ -51,6 +51,23 @@ class TemporalSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("pairsWithin is floor-bucketed: pre-1970 epochs pair correctly") {
+    // negative epoch micros: double-div + cast truncates toward zero,
+    // floor division keeps every bucket exactly horizon-wide. Pairs
+    // within the horizon must be found on both sides of 1970-01-01.
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("1969-12-31 23:10:00")),
+      (1L, 2L, t("1969-12-31 23:50:00")),  // 40 min from #1 -> pair
+      (1L, 3L, t("1970-01-01 00:15:00")),  // 25 min from #2 (crosses epoch) -> pair
+      (1L, 4L, t("1969-12-31 21:00:00")))  // >1h from all -> alone
+      .toDF("user_id", "event_id", "ts")
+    val pairs = Temporal.pairsWithin(ev, "user_id", "event_id", "ts", 3600L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      "floor bucketing must find pre-1970 and epoch-crossing pairs")
+  }
+
   test("batch sessionize == streaming session_window on the same events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -47,6 +47,19 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(plan.contains("pushedLimit=7"), s"plan must show the push: $plan")
   }
 
+  test("limit pruning validates the pageSize contract: short pages fall back to more") {
+    // extractor landed 4-line pages under a DECLARED pageSize of 10: a
+    // blind ceil(n/ps) prefix would plan 1 page (4 rows) and LIMIT 7
+    // would silently return 4 — planning counts lines and extends the
+    // prefix until the limit is covered.
+    val dir = Files.createTempDirectory("graft_paged_short").toString
+    landPages(dir, pages = 5, rows = 4)
+    val df = spark.read.format("graft-paged")
+      .option("pageSize", "10").load(dir).limit(7)
+    assert(df.count() == 7,
+      "LIMIT must deliver n rows even when pages under-fill the declared pageSize")
+  }
+
   test("fromPagedDir: landed API pages parse + cleanse end-to-end with pushdown") {
     val dir = Files.createTempDirectory("graft_paged_ingest").toString
     (0 until 3).foreach { p =>

@@ -171,6 +171,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table(2L) == ("view", 2.0))
   }
 
+  test("upsert crash recovery: completed __tmp is installed, partial __tmp is discarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (a) a crash AFTER the tmp write completed but BEFORE the swap:
+    // sink absent, __tmp holds a committed table (_SUCCESS) — the next
+    // batch must install it, not treat the sink as empty.
+    val base = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val sinkA = base + "/a"
+    Seq(Ev(7, t("09:00"), 7, "old", 7.0)).toDF()
+      .write.parquet(sinkA + "__tmp")
+    val memA = MemoryStream[Ev]
+    val qA = StreamingOps.upsertStream(memA.toDF(), "event_id", sinkA,
+      base + "/ckptA")
+    memA.addData(Ev(8, t("10:00"), 8, "new", 8.0))
+    qA.processAllAvailable(); qA.stop()
+    val idsA = spark.read.parquet(sinkA).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsA == Set(7L, 8L), "committed __tmp rows must survive recovery")
+
+    // (b) a crash MID-write on the very first batch: sink absent, __tmp
+    // has task files but no _SUCCESS — installing it would wedge every
+    // later read; it must be discarded and the sink rebuilt from the
+    // incoming batch.
+    val sinkB = base + "/b"
+    val tmpB = new java.io.File(sinkB + "__tmp/_temporary/0")
+    tmpB.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sinkB + "__tmp/part-00000"), "not parquet")
+    val memB = MemoryStream[Ev]
+    val qB = StreamingOps.upsertStream(memB.toDF(), "event_id", sinkB,
+      base + "/ckptB")
+    memB.addData(Ev(9, t("10:00"), 9, "new", 9.0))
+    qB.processAllAvailable(); qB.stop()
+    val idsB = spark.read.parquet(sinkB).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsB == Set(9L), "partial __tmp must be discarded, sink rebuilt")
+  }
+
   test("stream-stream interval join correlates events within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
