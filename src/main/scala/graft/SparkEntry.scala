@@ -95,7 +95,8 @@ object SparkEntry {
     "q61_asof_join"      -> TemporalQueries.q61 _,
     "q62_pairs_range"    -> TemporalQueries.q62 _,
     "q63_sessionize"     -> TemporalQueries.q63 _,
-    "q64_percentiles"    -> TemporalQueries.q64 _
+    "q64_percentiles"    -> TemporalQueries.q64 _,
+    "q78_rank_dist"      -> CoreQueries.q78 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -43,4 +43,88 @@ object Ranking {
       .withColumn(tileCol, tile.cast("long"))
       .drop("bs")
   }
+
+  private val MidBits = 33 // monotonically_increasing_id: pid<<33 | row
+
+  /** EXACT distributed global ranking — the scale-safe twin of an
+    * un-partitioned `row_number()` window (q29's single-task funnel).
+    *
+    * Phase 1 range-partitions on `orderCols` and sorts within partitions
+    * — ONE exchange, every partition sorts in parallel;
+    * `monotonically_increasing_id` then pins each row's local position
+    * (partition id in the upper 31 bits, in-partition counter in the
+    * lower 33; nondeterministic expressions fence optimizer reordering,
+    * so the id is evaluated above the sort). Phase 2 collects per-
+    * partition COUNTS to the driver (one long per partition — metadata,
+    * not data), prefix-sums them, and rebases each local row number by
+    * its partition's global offset via a literal-map lookup — a narrow
+    * codegen projection, no second shuffle, no single-task stage.
+    *
+    * `orderCols` must be a total order (include a unique tiebreaker) for
+    * per-row determinism. The ranked input is `localCheckpoint`-ed so the
+    * counts job and downstream jobs see the SAME sampled range boundaries
+    * and ids. Returns (ranked df incl. `rankCol` = 1..N, N). */
+  private def globalRank(df: DataFrame, orderCols: Seq[String],
+                         rankCol: String, partitions: Int): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "global ranking needs at least one order column")
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = orderCols.map(c => col(c).asc)
+    val parted = df.repartitionByRange(nPart, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), MidBits)
+    val lrn = col("__mid").bitwiseAND(lit((1L << MidBits) - 1)) + 1
+    val counts = parted.groupBy(pid.as("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += counts(p); p -> o
+    }
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    (parted.withColumn(rankCol, (element_at(offMap, pid) + lrn).cast("long"))
+      .drop("__mid"), total)
+  }
+
+  /** Exact global `row_number` over `orderCols`, distributed (see
+    * [[globalRank]] for the two-phase shape). */
+  def exactRowNumber(df: DataFrame, orderCols: Seq[String],
+                     rankCol: String = "rn",
+                     partitions: Int = 0): DataFrame =
+    globalRank(df, orderCols, rankCol, partitions)._1
+
+  /** Exact global `ntile(n)` over `orderCols`, distributed and
+    * bit-identical to the single-task window form: the first N mod n
+    * tiles take ceil(N/n) rows, the rest floor(N/n) — SQL ntile's exact
+    * row-count split, computed from the global rank. */
+  def exactNtile(df: DataFrame, orderCols: Seq[String], n: Int,
+                 tileCol: String = "tile",
+                 partitions: Int = 0): DataFrame = {
+    require(n >= 1, "ntile needs n >= 1")
+    val (ranked, total) = globalRank(df, orderCols, "__grank", partitions)
+    val q = total / n
+    val r = total % n
+    val big = q + 1
+    val rank = col("__grank")
+    // ranks 1..r*big fill the r bigger tiles; guard q=0 (N < n: every
+    // row is in a big tile, the otherwise-branch is unreachable but must
+    // not divide by zero under ANSI)
+    val tile = when(rank <= r * big, ceil(rank / lit(big.toDouble)))
+      .otherwise(lit(r) + ceil((rank - r * big) / lit(math.max(q, 1L).toDouble)))
+    ranked.withColumn(tileCol, tile.cast("long")).drop("__grank")
+  }
+
+  /** Exact global `percent_rank` over `orderCols` (= (rank-1)/(N-1)),
+    * distributed. With a total order every rank is unique, so row_number
+    * equals SQL rank and the window definition is matched exactly. */
+  def exactPercentRank(df: DataFrame, orderCols: Seq[String],
+                       prCol: String = "pr",
+                       partitions: Int = 0): DataFrame = {
+    val (ranked, total) = globalRank(df, orderCols, "__grank", partitions)
+    val denom = math.max(total - 1L, 1L).toDouble
+    ranked.withColumn(prCol, (col("__grank") - 1) / lit(denom))
+      .drop("__grank")
+  }
 }

@@ -183,6 +183,14 @@ object CoreOracles {
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q78_rank_dist" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q30_str_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_u,

@@ -251,10 +251,13 @@ object CoreQueries {
     * deterministic under acctbal ties).
     *
     * Scale note: an un-partitioned window funnels all rows through one
-    * task — inherent to exact global ranking and part of this query's
-    * contract. The scale path for approximate quantile banding is
-    * `approx_percentile`-bucketed two-phase ranking, which stays
-    * distributed. */
+    * task — inherent to the single-task window form used here. The
+    * EXACT distributed equivalents are
+    * [[graft.operators.Ranking.exactNtile]] /
+    * [[graft.operators.Ranking.exactPercentRank]] (range-partitioned
+    * two-phase rank, bit-identical output — cross-checked in
+    * RankingSpec); [[graft.operators.Ranking.approxNtile]] is the
+    * sketch-based alternative when approximate tiles suffice. */
   def q29(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     customer(s, d).select(
@@ -577,6 +580,24 @@ object CoreQueries {
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** q78 distributed exact global ranking: q29's exact contract computed
+    * WITHOUT the single-task window — [[graft.operators.Ranking.exactNtile]]
+    * range-partitions on the order key, sorts partitions in parallel,
+    * and rebases local row numbers by driver prefix-summed partition
+    * counts (metadata-only collect). Bit-identical to the window form,
+    * so it shares q29's oracle SQL — the correctness gate proves the
+    * distributed rewrite, not just a spec. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq("c_acctbal", "c_custkey")
+    val cust = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val tiled = graft.operators.Ranking.exactNtile(cust, ord, 4,
+      tileCol = "quartile")
+    graft.operators.Ranking.exactPercentRank(tiled, ord, prCol = "__pr")
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        round(col("__pr"), 4).as("pr"))
       .orderBy("c_custkey")
   }
 }

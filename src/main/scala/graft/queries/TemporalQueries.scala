@@ -56,9 +56,14 @@ object TemporalQueries {
 
   /** q64 exact quantiles per group: `percentile` (linear interpolation —
     * the same definition as DuckDB's quantile_cont, so results match to
-    * the bit). Exact quantiles sort within partial aggregation buffers;
-    * the approximate scale path is `approx_percentile` (C5) /
-    * [[graft.operators.Ranking.approxNtile]]. */
+    * the bit). Exactness is this query's declared contract, and its cost:
+    * the aggregation buffer holds a value→count map that grows
+    * O(distinct values) per group — an executor OOM risk on near-all-
+    * distinct columns at 100×. The at-scale path is the mergeable
+    * quantile sketch ([[graft.operators.Sketches.quantileSketch]] /
+    * `quantileUnionEstimate`, rank error ≤ ε·n with ~KB buffers), or
+    * `approx_percentile` for one-shot queries —
+    * [[graft.operators.Ranking.approxNtile]] for tile assignment. */
   def q64(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))

@@ -32,6 +32,41 @@ class RankingSpec extends AnyFunSuite {
       assert(math.abs(c - n / 4.0) <= n * 0.02, s"unbalanced tiles: $sizes"))
   }
 
+  test("exactNtile + exactPercentRank match the single-task window exactly (sf0.01)") {
+    val cust = graft.Tables.customer(spark, "/root/testdata/sf0.01")
+      .select("c_custkey", "c_acctbal")
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val expected = cust.select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("q_exact"),
+        percent_rank().over(w).as("pr_exact"))
+    val ord = Seq("c_acctbal", "c_custkey")
+    val got = Ranking.exactPercentRank(
+        Ranking.exactNtile(cust, ord, 4, tileCol = "q_dist", partitions = 8),
+        ord, prCol = "pr_dist", partitions = 8)
+      .select("c_custkey", "q_dist", "pr_dist")
+    val joined = expected.join(got, "c_custkey")
+    assert(joined.count() == cust.count())
+    assert(joined.filter(col("q_exact") =!= col("q_dist")).count() == 0,
+      "distributed ntile must be bit-identical to the window form")
+    assert(joined.filter(abs(col("pr_exact") - col("pr_dist")) > 1e-12).count() == 0,
+      "distributed percent_rank must match the window form")
+  }
+
+  test("exactRowNumber is a 1..N permutation honoring the order (small N edge)") {
+    import spark.implicits._
+    // N=3 < partitions AND < ntile n: offsets, ANSI-safe tile math, and
+    // the q=0 branch all get exercised
+    val tiny = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val rn = Ranking.exactRowNumber(tiny, Seq("k"), partitions = 8)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rn")).toMap
+    assert(rn == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val tiles = Ranking.exactNtile(tiny, Seq("k"), 5, partitions = 8)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("tile")).toMap
+    assert(tiles == Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      "N < n: each row its own tile, no division blow-up")
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))

@@ -45,6 +45,62 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  // rank of `v` in `xs` (count of values <= v) must sit within
+  // eps*n (+1 interpolation slack) of the target rank p*n — the GK
+  // guarantee, checked on VALUES via ranks so near-duplicate prices
+  // can't mask a violation
+  private def assertRankBound(xs: Array[Double], p: Double, v: Double,
+                              eps: Double, what: String): Unit = {
+    val n = xs.length
+    val rank = xs.count(_ <= v)
+    val target = p * n
+    assert(math.abs(rank - target) <= eps * n + 1,
+      s"$what: value $v has rank $rank, target $target, n=$n")
+  }
+
+  test("quantileSketch estimates sit within the rank-error bound of exact") {
+    val sfSmall = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sfSmall)
+    val eps = 0.01
+    val pcts = Seq(0.25, 0.5, 0.75)
+    val est = Sketches.approxQuantiles(li, "l_returnflag",
+        "l_extendedprice", pcts, eps)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = li.select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, xs) =>
+      pcts.zipWithIndex.foreach { case (p, i) =>
+        assertRankBound(xs, p, est(k)(i), eps, s"group $k p$p")
+      }
+    }
+  }
+
+  test("quantile sketch union over daily artifacts equals rescanning (bound holds)") {
+    val sfSmall = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sfSmall)
+    val eps = 0.01
+    // two disjoint 'daily' slices sketched separately, persisted-artifact
+    // style, then unioned without touching rows again
+    val day1 = Sketches.quantileSketch(
+      li.filter(col("l_orderkey") % 2 === 0), "l_returnflag",
+      "l_extendedprice", eps)
+    val day2 = Sketches.quantileSketch(
+      li.filter(col("l_orderkey") % 2 === 1), "l_returnflag",
+      "l_extendedprice", eps)
+    val merged = Sketches.quantileUnionEstimate(
+        day1.unionByName(day2), "l_returnflag", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    val exact = li.select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    exact.foreach { case (k, xs) =>
+      // merging two eps-sketches can cost up to 2*eps rank error
+      assertRankBound(xs, 0.5, merged(k), 2 * eps, s"union group $k median")
+    }
+  }
+
   test("count-min frequency never under-counts and stays close") {
     val ev = graft.Tables.events(spark, sf)
     val exact = ev.groupBy("event_type").count()
