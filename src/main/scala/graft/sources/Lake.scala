@@ -72,4 +72,106 @@ object Lake {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  // ---- key-hash-bucketed table + batch MERGE -------------------------
+
+  private val BucketMarker = "_graft_buckets"
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def readBucketCount(spark: SparkSession, path: String): Option[Int] = {
+    val (p, fs) = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(p, BucketMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(spark: SparkSession, path: String,
+                               numBuckets: Int): Unit = {
+    val (p, fs) = fsOf(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, BucketMarker), true)
+    try out.write(numBuckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Create a key-hash-bucketed parquet table: `__bucket=N` directories
+    * on `pmod(hash(key), numBuckets)`. This is the layout
+    * [[mergeInto]] (batch) and `StreamingOps.upsertStreamPartitioned`
+    * (streaming) merge into by rewriting only touched buckets.
+    * `numBuckets` sizes the merge granularity — pick so one bucket is a
+    * comfortable executor rewrite unit (e.g. 4096 at 100 TB); the count
+    * is pinned in a `_graft_buckets` marker so a later merge can't
+    * silently route keys with a different modulus. */
+  def writeKeyBucketed(df: DataFrame, path: String, keyCol: String,
+                       numBuckets: Int = 64): Unit = {
+    df.withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    writeBucketCount(df.sparkSession, path, numBuckets)
+  }
+
+  /** The table without the layout column. */
+  def readKeyBucketed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
+
+  /** Batch MERGE (latest-wins upsert) into a key-hash-bucketed table —
+    * the batch twin of the streaming partition-pruned upsert, and the
+    * Spark-native face of a warehouse `MERGE INTO` (reference
+    * `README.md:13`). Per merge:
+    *
+    *  1. the updates' touched bucket ids are collected (≤ numBuckets
+    *     ints — pruning METADATA, not data);
+    *  2. ONLY those partitions are read back (partition-column filter →
+    *     directory pruning);
+    *  3. latest-wins on (`keyCol`, newest `tsCol`) within them;
+    *  4. ONLY those partitions are rewritten (dynamic partition
+    *     overwrite).
+    *
+    * Untouched buckets are never read or written (byte-identical —
+    * asserted in LakeSpec). Cost is O(updates + touched buckets), not
+    * O(table); the merge is deterministic, so a rerun after a failure
+    * is idempotent. A missing table is created (the marker is written),
+    * so bootstrap and steady state share one code path. */
+  def mergeInto(updates: DataFrame, path: String, keyCol: String,
+                tsCol: String = "ts", numBuckets: Int = 64): Unit = {
+    val spark = updates.sparkSession
+    val declared = readBucketCount(spark, path)
+    declared.foreach(d => require(d == numBuckets,
+      s"mergeInto: table at $path was bucketed with $d buckets, " +
+        s"merge requested $numBuckets — keys would route to wrong partitions"))
+    val incoming = updates
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+    val touched = incoming.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val (p, fs) = fsOf(spark, path)
+    // only a genuinely absent table means "empty" — any other read
+    // failure aborts rather than letting the overwrite below replace
+    // touched buckets with just this batch
+    val existing =
+      if (!fs.exists(p))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          incoming.schema)
+      else spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+    val merged = existing.unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    merged.write
+      .partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+    if (declared.isEmpty) writeBucketCount(spark, path, numBuckets)
+  }
 }

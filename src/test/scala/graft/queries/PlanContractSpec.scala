@@ -35,8 +35,51 @@ class PlanContractSpec extends AnyFunSuite {
       "rank filter must push below the exchange (WindowGroupLimit)")
   }
 
-  test("q04 global top-k never shuffles (TakeOrderedAndProject)") {
-    assert(shuffled("q04_topk") == 0,
-      "orderBy+limit must plan per-partition heaps, not a sort exchange")
+  test("q04 global top-k plans per-partition heaps (TakeOrderedAndProject)") {
+    // the plan-node assertion is the contract; the record bound is
+    // relaxed from == 0 because TakeOrderedAndProject legitimately
+    // shuffles the per-partition top-k whenever the scan has >1 input
+    // partition (a file split or parallelism change would flip an
+    // exact-zero assertion without any plan regression)
+    val plan = graft.SparkEntry.queries("q04_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan per-partition heaps, not a sort exchange:\n$plan")
+    val limit = 10
+    assert(shuffled("q04_topk") <= limit * 32L,
+      "only per-partition top-k rows may cross the exchange")
+  }
+
+  // ---- temporal family: the shapes PLANS.md claims, measured ----------
+
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q61 as-of join is the union+window form: zero join operators") {
+    val plan = executedPlan("q61_asof_join")
+    assert(!plan.contains("Join"),
+      s"asofJoin must be union+window, never a per-row theta join:\n$plan")
+  }
+
+  test("q62 range pairing resolves through exactly one equi-join") {
+    val plan = executedPlan("q62_pairs_range")
+    val joins = "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1,
+      s"bucket-binned range join must be ONE equi-join, found $joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range pairing must never degrade to a theta/cross join:\n$plan")
+  }
+
+  test("q63 sessionize stays within two exchanges") {
+    val plan = executedPlan("q63_sessionize")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"gaps-and-islands must reuse ONE user_id exchange + final agg, " +
+        s"found $exchanges:\n$plan")
   }
 }

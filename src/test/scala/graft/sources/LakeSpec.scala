@@ -46,6 +46,71 @@ class LakeSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("mergeInto rewrites only touched buckets, latest-wins, modulus guarded") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val path = tmp("lake_merge") + "/table"
+    val base = (1L to 40L).map(i => (i, t("10:00"), s"v$i"))
+      .toDF("key", "ts", "payload")
+    Lake.writeKeyBucketed(base, path, "key", numBuckets = 8)
+
+    def snapshot(): Map[String, (Long, String)] = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var m = Map.empty[String, (Long, String)]
+      files.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          m += p.toString -> (bytes.length.toLong,
+            md.map("%02x".format(_)).mkString)
+        }
+      }
+      m
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    // update one key + insert one new key
+    val updates = Seq((7L, t("12:00"), "updated"), (100L, t("12:00"), "new"))
+      .toDF("key", "ts", "payload")
+    Lake.mergeInto(updates, path, "key", "ts", numBuckets = 8)
+    val after = snapshot()
+
+    val touched = spark.range(1).select(
+        pmod(hash(lit(7L)), lit(8)).as("a"),
+        pmod(hash(lit(100L)), lit(8)).as("b"))
+      .first() match { case r => Set(r.getInt(0), r.getInt(1)) }
+    def untouchedOnly(m: Map[String, (Long, String)]) =
+      m.filter { case (p, _) => !touched.exists(b => p.contains(s"__bucket=$b")) }
+    assert(untouchedOnly(before) == untouchedOnly(after),
+      "files in untouched buckets must be byte-identical (path, size, checksum)")
+
+    val table = Lake.readKeyBucketed(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getString(2))).toMap
+    assert(table.size == 41, "40 originals + 1 insert")
+    assert(table(7L)._2 == "updated", "newest row must win")
+    assert(table(100L)._2 == "new", "insert lands")
+    assert(table(3L)._2 == "v3", "unrelated keys intact")
+
+    // replaying the same merge is a no-op on contents (idempotent rerun)
+    Lake.mergeInto(updates, path, "key", "ts", numBuckets = 8)
+    assert(Lake.readKeyBucketed(spark, path).count() == 41)
+
+    // a different modulus must be rejected, not silently misroute keys
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(updates, path, "key", "ts", numBuckets = 16)
+    }
+
+    // bootstrap: merging into a missing table creates it + its marker
+    val fresh = tmp("lake_merge_boot") + "/t2"
+    Lake.mergeInto(updates, fresh, "key", "ts", numBuckets = 4)
+    assert(Lake.readKeyBucketed(spark, fresh).count() == 2)
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(updates, fresh, "key", "ts", numBuckets = 8)
+    }
+  }
+
   test("bucketed tables join without any shuffle (co-located join)") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val customer = graft.Tables.customer(spark, "/root/testdata/sf0.001")
