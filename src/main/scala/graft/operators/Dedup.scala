@@ -203,43 +203,91 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list `(a, b)` via
-    * iterative min-label propagation: every node adopts the smallest
-    * label among itself and its neighbors until fixpoint. Converges in
+    * DELTA-iterated min-label propagation: each round, only labels that
+    * CHANGED last round (the frontier) are pushed to their neighbors —
+    * converged regions of the graph stop costing anything, instead of
+    * being re-joined and re-aggregated every round. Converges in
     * O(component diameter) rounds (near-dup graphs are shallow — dup
     * clusters are dense), bounded by `maxIter`.
     *
-    * Scale notes: each round is one self-contained join + aggregate on
-    * the node id — no driver-side data, only the convergence COUNT
-    * crosses to the driver; `localCheckpoint` truncates the lineage
-    * each round, without which the plan doubles per iteration and the
-    * scheduler, not the data, becomes the bottleneck.
+    * Scale notes: the symmetric edge list is partitioned by the
+    * propagation key ONCE and `localCheckpoint`-pinned, so every
+    * round's frontier join moves only the frontier side; the round's
+    * shuffles (candidate aggregation + label merge) carry
+    * O(frontier-adjacent edges), shrinking as components converge
+    * (measured per-round in DedupSpec). Only convergence COUNTS cross
+    * to the driver; `localCheckpoint` truncates lineage each round,
+    * without which the plan doubles per iteration and the scheduler,
+    * not the data, becomes the bottleneck.
     *
     * Returns `(node, label)` — label = the component's minimum id. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    ccDelta(edges, maxIter, null)
+
+  /** Truncate CC lineage with a real checkpoint every K rounds: between
+    * truncations each round only CACHES (preserving the node-hash
+    * partitioning, so the labels side of the merge join is never
+    * re-exchanged — `localCheckpoint` would drop partitioning and force
+    * an O(|nodes|) shuffle every round), and the logical plan's
+    * double-reference growth (frontier + labels both view the previous
+    * round) stays bounded at 2^K before a checkpoint resets it. */
+  private val CcTruncateEvery = 8
+
+  /** [[connectedComponents]] with per-round shuffle-record capture —
+    * the instrumented face DedupSpec uses to pin the shrinking-rounds
+    * contract. */
+  private[operators] def ccDelta(edges: DataFrame, maxIter: Int,
+      roundShuffle: scala.collection.mutable.Buffer[Long]): DataFrame = {
+    val spark = edges.sparkSession
     val cols = edges.columns
     val sym = edges.toDF("x", "y")
       .union(edges.select(col(cols(1)), col(cols(0))).toDF("x", "y"))
+      .repartition(col("y")).localCheckpoint(true)
     var labels = sym.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
+      .withColumn("label", col("node")).persist()
+    // round 0: every node just adopted its self-label, so the whole
+    // label set is the initial frontier
+    var frontier = labels
+    var prevCache = labels
+    var frontierN = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbr = sym.join(labels, col("y") === col("node"))
-        .select(col("x").as("node"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = labels.toDF("node", "old")
-        .join(next, "node")
-        .filter(col("old") =!= col("label")).count()
-      labels = next
+    while (frontierN > 0 && i < maxIter) {
+      def round(): Unit = {
+        // push ONLY frontier labels to neighbors; min per receiving node
+        val cand = sym
+          .join(frontier.select(col("node").as("y"), col("label")), "y")
+          .groupBy(col("x").as("node")).agg(min(col("label")).as("__cand"))
+        // one join per round; frontier + merged labels both derive from
+        // it narrowly (zero extra shuffle, no double-computed agg)
+        val j0 = labels.join(cand, Seq("node"), "left")
+        val joined =
+          if ((i + 1) % CcTruncateEvery == 0) j0.localCheckpoint(true)
+          else j0.persist()
+        frontier = joined
+          .filter(col("__cand") < col("label"))
+          .select(col("node"), col("__cand").as("label"))
+        labels = joined.select(col("node"),
+          least(col("label"), coalesce(col("__cand"), col("label")))
+            .as("label"))
+        // ONE action: counts the new frontier and materializes the
+        // round's cache on the way; only this count crosses the driver
+        frontierN = frontier.count()
+        prevCache.unpersist()
+        prevCache = joined
+      }
+      if (roundShuffle != null)
+        roundShuffle += graft.Metrics.shuffleOf(spark)(round()).recordsWritten
+      else round()
       i += 1
     }
-    require(changed == 0,
+    require(frontierN == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "raise maxIter for deeper component chains")
-    labels
+    // pin the result and release the loop's cache: callers get a
+    // truncated-lineage frame, not a view over our persisted state
+    val out = labels.localCheckpoint(true)
+    prevCache.unpersist()
+    out
   }
 
   /** MinHash-LSH dedup by CLUSTER: candidate pairs verified by Jaccard

@@ -130,18 +130,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(corpus, "doc_id", "text").count() == 3)
   }
 
-  test("connectedComponents: min label per component, deep chains converge") {
+  test("connectedComponents: min label per component, deep chains converge, delta rounds shrink") {
     import spark.implicits._
     // two components: a 12-node chain (tests iteration depth + lineage
     // truncation) and a triangle, plus an isolated edge
     val chain = (1L until 12L).map(i => (i, i + 1))
     val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
       .toDF("a", "b")
-    val labels = Dedup.connectedComponents(edges)
+    val rounds = scala.collection.mutable.Buffer.empty[Long]
+    val labels = Dedup.ccDelta(edges, 20, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(labels(_) == 1L), "chain collapses to min id")
     assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
     assert(labels(30L) == 30L && labels(31L) == 30L)
+    // delta contract: converged regions stop costing — the triangle and
+    // isolated edge finish in 2 rounds and the chain's frontier shrinks
+    // one node per round, so late rounds must shuffle strictly less
+    // than the all-nodes first round
+    assert(rounds.size >= 5, s"chain must take many rounds: $rounds")
+    assert(rounds.takeRight(2).sum < rounds.take(2).sum / 2,
+      s"per-round shuffle must shrink as the frontier contracts: $rounds")
   }
 
   test("cluster dedup drops star members that pairwise domination keeps") {
