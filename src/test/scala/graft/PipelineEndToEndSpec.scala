@@ -48,6 +48,43 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     spark.catalog.dropTempView("posts")
   }
 
+  test("retrying runner: injected first-attempt failure, rerun is idempotent") {
+    // the reference DAG's retries=1 contract (dags/reddit_dag.py:16-17):
+    // attempt 0 dies MID-WRITE leaving partial junk in the output dir;
+    // the retry reruns the same idempotent ingest and must converge to
+    // exactly the clean result, junk gone.
+    val raw = RedditIngest.readGoldenCsv(spark, res("reddit_20240309.csv"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_retry").toString + "/posts"
+    val expected = raw.count()
+    var attempts = 0
+    val n = Runner.withRetry(retries = 1, onAttempt = a => attempts = a + 1) {
+      if (attempts == 1) {
+        // transient failure: the extractor died after partially writing
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "part-junk.csv"), "partial,garbage\n")
+        throw new RuntimeException("transient extractor failure")
+      }
+      RedditIngest.ingest(raw, out)
+    }
+    assert(attempts == 2, "exactly one retry")
+    assert(n == expected, "retry returns the full ingest count")
+    val back = RedditIngest.readGoldenCsv(spark, out)
+    assert(back.count() == expected,
+      "rerun overwrites the failed attempt's partial state completely")
+    assert(!new java.io.File(out).listFiles().exists(_.getName == "part-junk.csv"),
+      "mode(overwrite) must purge partial junk from the failed attempt")
+
+    // exhausted retries rethrow the LAST failure
+    val e = intercept[RuntimeException] {
+      Runner.withRetry(retries = 1) {
+        throw new RuntimeException("permanent failure")
+      }: Unit
+    }
+    assert(e.getMessage == "permanent failure")
+  }
+
   test("continuous DAG: paged landing -> streaming cleanse -> partitioned upsert") {
     // The same production loop as above, but running CONTINUOUSLY: the
     // reference's daily Airflow rerun becomes one always-on incremental

@@ -143,6 +143,35 @@ class PagedSourceSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming restart from checkpoint: no page re-delivered or skipped") {
+    // the offset json round-trip ("pages:lastPage") is the risk: a
+    // restarted query must resume exactly after the consumed prefix
+    val dir = Files.createTempDirectory("graft_paged_restart").toString
+    val sink = Files.createTempDirectory("graft_paged_rsink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_paged_rckpt").toString
+    landPages(dir, pages = 2, rows = 10)
+    def start() = spark.readStream.format("graft-paged").load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill between micro-batches
+    assert(spark.read.parquet(sink).count() == 20)
+    // pages land while the query is DOWN; the restart must deliver
+    // exactly these from the deserialized "2:page-00001.jsonl" offset
+    landPages(dir, pages = 4, rows = 10, from = 2)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 40, "each page delivered exactly once across restart")
+    assert(rows.select("page").distinct().count() == 4, "no page skipped")
+    val dup = rows.groupBy("page", "value").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, "no line re-delivered after restart")
+  }
+
   test("micro-batch streaming consumes pages incrementally, exactly once") {
     val dir = Files.createTempDirectory("graft_paged_stream").toString
     landPages(dir, pages = 2, rows = 10)
