@@ -103,6 +103,24 @@ object Lake {
     finally out.close()
   }
 
+  /** Fail fast if `path` carries a `_graft_buckets` marker for a
+    * DIFFERENT bucket count — shared by [[mergeInto]] and the streaming
+    * partitioned upsert so both faces of the layout agree before any
+    * key is routed. */
+  private[graft] def validateBucketCount(spark: SparkSession, path: String,
+                                         numBuckets: Int): Unit =
+    readBucketCount(spark, path).foreach(d => require(d == numBuckets,
+      s"table at $path was bucketed with $d buckets, caller requested " +
+        s"$numBuckets — keys would route to wrong partitions"))
+
+  /** Write the bucket-count marker if absent (call AFTER a successful
+    * first write — a marker-only directory would read as a corrupt
+    * table). */
+  private[graft] def ensureBucketMarker(spark: SparkSession, path: String,
+                                        numBuckets: Int): Unit =
+    if (readBucketCount(spark, path).isEmpty)
+      writeBucketCount(spark, path, numBuckets)
+
   /** Create a key-hash-bucketed parquet table: `__bucket=N` directories
     * on `pmod(hash(key), numBuckets)`. This is the layout
     * [[mergeInto]] (batch) and `StreamingOps.upsertStreamPartitioned`
@@ -143,10 +161,7 @@ object Lake {
   def mergeInto(updates: DataFrame, path: String, keyCol: String,
                 tsCol: String = "ts", numBuckets: Int = 64): Unit = {
     val spark = updates.sparkSession
-    val declared = readBucketCount(spark, path)
-    declared.foreach(d => require(d == numBuckets,
-      s"mergeInto: table at $path was bucketed with $d buckets, " +
-        s"merge requested $numBuckets — keys would route to wrong partitions"))
+    validateBucketCount(spark, path, numBuckets)
     val incoming = updates
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
     val touched = incoming.select(col("__bucket")).distinct()
@@ -172,6 +187,6 @@ object Lake {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
-    if (declared.isEmpty) writeBucketCount(spark, path, numBuckets)
+    ensureBucketMarker(spark, path, numBuckets)
   }
 }

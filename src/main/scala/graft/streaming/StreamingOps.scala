@@ -167,7 +167,13 @@ object StreamingOps {
     * O(batch + touched partitions), not O(table). Idempotent on batch
     * replay (the merge is latest-wins deterministic). `numBuckets` sizes
     * the pruning granularity: pick so a partition ≈ one executor's
-    * comfortable rewrite unit (e.g. 4096 at 100 TB). */
+    * comfortable rewrite unit (e.g. 4096 at 100 TB).
+    *
+    * The sink layout is `Lake.writeKeyBucketed`'s — the stream validates
+    * (and on bootstrap writes) the same `_graft_buckets` marker, so a
+    * table can be fed by this stream and batch-merged via
+    * `Lake.mergeInto` interchangeably; a mismatched bucket count fails
+    * the batch instead of silently routing keys to wrong partitions. */
   def upsertStreamPartitioned(events: DataFrame, keyCol: String,
                               sinkPath: String, checkpoint: String,
                               numBuckets: Int = 64,
@@ -177,6 +183,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        graft.sources.Lake.validateBucketCount(spark, sinkPath, numBuckets)
         val incoming = batch.toDF()
           .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
         val touched = incoming.select(col("__bucket")).distinct()
@@ -207,6 +214,7 @@ object StreamingOps {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(sinkPath)
+          graft.sources.Lake.ensureBucketMarker(spark, sinkPath, numBuckets)
         }
         ()
       }

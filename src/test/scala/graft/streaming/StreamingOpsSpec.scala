@@ -171,6 +171,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table(2L) == ("view", 2.0))
   }
 
+  test("streaming upsert and batch mergeInto interoperate on one bucketed table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_interop").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_interop_ck").toString
+    // stream writes the table (and its bucket marker)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.upsertStreamPartitioned(
+      mem.toDF(), "event_id", sink, ckpt, numBuckets = 8)
+    mem.addData((1L to 10L).map(i => Ev(i, t("10:00"), i, "view", i.toDouble)): _*)
+    q.processAllAvailable(); q.stop()
+    // batch MERGE into the same table: same layout, same marker
+    val updates = Seq(Ev(3L, t("12:00"), 3, "click", 42.0)).toDF()
+    graft.sources.Lake.mergeInto(updates, sink, "event_id", "ts", numBuckets = 8)
+    val table = spark.read.parquet(sink)
+    assert(table.count() == 10)
+    assert(table.filter($"event_id" === 3L).first().getAs[String]("event_type")
+      == "click", "batch merge latest-wins over stream-written rows")
+    // wrong modulus is rejected by BOTH faces
+    intercept[IllegalArgumentException] {
+      graft.sources.Lake.mergeInto(updates, sink, "event_id", "ts", numBuckets = 16)
+    }
+    val mem2 = MemoryStream[Ev]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_interop_ck2").toString
+    val q2 = StreamingOps.upsertStreamPartitioned(
+      mem2.toDF(), "event_id", sink, ckpt2, numBuckets = 16)
+    mem2.addData(Ev(99L, t("13:00"), 99, "view", 1.0))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def msgs(tt: Throwable): Seq[String] =
+      if (tt == null) Nil else Option(tt.getMessage).toSeq ++ msgs(tt.getCause)
+    assert(msgs(err).exists(_.contains("bucketed with 8")),
+      s"mismatched stream must fail the batch loudly: ${msgs(err).take(3)}")
+    assert(spark.read.parquet(sink).count() == 10,
+      "failed mismatched batch must not have written anything")
+  }
+
   test("upsert crash recovery: completed __tmp is installed, partial __tmp is discarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
