@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOracles, CoreQueries, PipelineOracles, PipelineQueries, TemporalOracles, TemporalQueries}
+import graft.queries.{CoreOracles, CoreQueries, ExtendedOracles, ExtendedQueries, PipelineOracles, PipelineQueries, TemporalOracles, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,11 +96,24 @@ object SparkEntry {
     "q62_pairs_range"    -> TemporalQueries.q62 _,
     "q63_sessionize"     -> TemporalQueries.q63 _,
     "q64_percentiles"    -> TemporalQueries.q64 _,
-    "q78_rank_dist"      -> CoreQueries.q78 _
+    "q78_rank_dist"      -> CoreQueries.q78 _,
+    "q79_ivf_ann"        -> ExtendedQueries.q79 _,
+    "q80_cohort"         -> ExtendedQueries.q80 _,
+    "q81_range_frame"    -> ExtendedQueries.q81 _,
+    "q82_cume_dist"      -> ExtendedQueries.q82 _,
+    "q83_arg_minmax"     -> ExtendedQueries.q83 _,
+    "q84_regexp"         -> ExtendedQueries.q84 _,
+    "q85_array_hof"      -> ExtendedQueries.q85 _,
+    "q86_posexplode"     -> ExtendedQueries.q86 _,
+    "q87_date_spine"     -> ExtendedQueries.q87 _,
+    "q88_grouping_id"    -> ExtendedQueries.q88 _,
+    "q89_salted_join"    -> ExtendedQueries.q89 _,
+    "q90_asof_forward"   -> ExtendedQueries.q90 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreOracles.sql ++ PipelineOracles.sql ++ TemporalOracles.sql
+    CoreOracles.sql ++ PipelineOracles.sql ++ TemporalOracles.sql ++
+      ExtendedOracles.sql
 }

@@ -29,16 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** As-of join: for each `left` row, the single most recent `right` row
-    * with `right.ts <= left.ts` on the same `keyCol` (inner: left rows
-    * with no prior right row are dropped). `right` must be unique per
+  /** As-of join: for each `left` row, the single nearest `right` row on
+    * the same `keyCol` — the most recent with `right.ts <= left.ts` when
+    * `direction = "backward"` (default), or the earliest with
+    * `right.ts >= left.ts` when `direction = "forward"` (inner: left rows
+    * with no matching right row are dropped). `right` must be unique per
     * (key, ts) — pre-aggregate if it isn't; ties between a left and
     * right row at the SAME ts match (right sorts first).
     *
     * Columns: left's columns plus `right`'s non-key/ts columns prefixed
-    * `r_`, and `r_ts`. */
+    * `r_`, and `r_ts`. Both directions are the same union-scan shape —
+    * forward only flips the window's time ordering, so the cost model
+    * (one exchange + one sorted pass) is identical. */
   def asofJoin(left: DataFrame, right: DataFrame,
-               keyCol: String, tsCol: String): DataFrame = {
+               keyCol: String, tsCol: String,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rCols = right.columns.filter(c => c != keyCol && c != tsCol)
     val lCols = left.columns
     // tag & align schemas: right rows carry the payload struct, left null
@@ -51,9 +58,12 @@ object Temporal {
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
         lit(null).cast(r.schema("__r").dataType).as("__r")) ++
         lCols.filter(c => c != keyCol && c != tsCol).map(col)): _*)
-    // one shuffle on the key; __side=0 sorts first so same-ts rights match
+    // one shuffle on the key; __side=0 sorts first so same-ts rights
+    // match in either direction (scanning backward = ts asc, forward =
+    // ts desc; the running `last` then carries the nearest right row)
+    val tsOrd = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))

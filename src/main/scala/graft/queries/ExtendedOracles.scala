@@ -1,0 +1,148 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the round-3 extension queries q79–q90. Mirrors
+  * [[ExtendedQueries]] exactly: cosine via `list_dot_product` in double
+  * (as [[PipelineOracles]]), integer day arithmetic, ranking on ROUNDED
+  * similarities where the contract ranks rounded values (q79). */
+object ExtendedOracles {
+
+  private val cosSql =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+  private def cos(a: String, b: String) =
+    cosSql.replace("%A", a).replace("%B", b)
+
+  private val q79 =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < 4),
+       |cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |probe AS (SELECT vec_id AS pid, embedding AS vp FROM embeddings WHERE vec_id BETWEEN 4 AND 9),
+       |assign AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cos("embedding", "vc")} DESC, cid) AS rn
+       |  FROM cand CROSS JOIN c),
+       |lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+       |passign AS (
+       |  SELECT pid, vp, cid,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY ${cos("vp", "vc")} DESC, cid) AS rn
+       |  FROM probe CROSS JOIN c),
+       |plists AS (SELECT pid, vp, cid FROM passign WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.pid, l.vec_id AS cand,
+       |    round(${cos("p.vp", "l.embedding")}, 4) AS sim
+       |  FROM plists p JOIN lists l ON p.cid = l.cid),
+       |top AS (SELECT pid, cand, sim,
+       |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rank
+       |  FROM scored)
+       |SELECT pid AS probe, cand, sim, CAST(rank AS BIGINT) AS rank
+       |FROM top WHERE rank <= 3 ORDER BY probe, rank""".stripMargin
+
+  private val q80 =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |    CAST(datediff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset
+      |  FROM e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+      |FROM act GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset LIMIT 100""".stripMargin
+
+  private val q81 =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  private val q82 =
+    """SELECT c_custkey, c_mktsegment,
+      |  round(cume_dist() OVER w, 4) AS cd,
+      |  round(percent_rank() OVER w, 4) AS prk
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val q83 =
+    """SELECT o_custkey,
+      |  min_by(o_orderstatus, o_orderkey) AS first_status,
+      |  max_by(o_orderstatus, o_orderkey) AS last_status,
+      |  max(o_orderkey) AS last_key
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  private val q84 =
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_num,
+      |  array_to_string(regexp_extract_all(props, '\d+'), ',') AS all_nums
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+
+  private val q85 =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+      |  list_sort(list_transform(toks, x -> upper(x)))[1] AS first_upper,
+      |  list_contains(toks, 'the') AS has_the
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private val q86 =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  private val q87 =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |actual AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT s.day, t.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+      |ORDER BY s.day, t.event_type""".stripMargin
+
+  private val q88 =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  // the oracle is the PLAIN join — the salted rewrite must be
+  // hash-indistinguishable from it
+  private val q89 =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val q90 =
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT event_id AS click_id, user_id, ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id, c.ts AS click_ts,
+      |       p.ts AS purchase_ts, p.purchase_id
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+      |ORDER BY click_id""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q79_ivf_ann"      -> q79,
+    "q80_cohort"       -> q80,
+    "q81_range_frame"  -> q81,
+    "q82_cume_dist"    -> q82,
+    "q83_arg_minmax"   -> q83,
+    "q84_regexp"       -> q84,
+    "q85_array_hof"    -> q85,
+    "q86_posexplode"   -> q86,
+    "q87_date_spine"   -> q87,
+    "q88_grouping_id"  -> q88,
+    "q89_salted_join"  -> q89,
+    "q90_asof_forward" -> q90)
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Round-3 coverage extensions: IVF ANN (q79), event-analytics shapes a
+  * warehouse user runs daily (cohort retention q80, value-range window
+  * frames q81, distribution ranks q82, arg-extremes q83, regex extraction
+  * q84, date-spine gap fill q87, grouping markers q88), the remaining
+  * higher-order-function family (q85–q86), the salted-join equivalence
+  * contract (q89), and the forward as-of direction (q90).
+  *
+  * Same design rules as the rest of the inventory: codegen'd built-ins
+  * only (no UDFs), shuffle-minimal shapes, every query hash-checked
+  * against a DuckDB oracle.
+  */
+object ExtendedQueries {
+
+  /** q79 IVF approximate nearest neighbor ([[graft.operators.Ann]]):
+    * 4 fixed pivot centroids (vec_id<4), probes 4–9, corpus vec_id≥10
+    * assigned to inverted lists by argmax cosine; each probe searches its
+    * nprobe=2 nearest lists for top-3. Deterministic centroid choice
+    * keeps the contract oracle-checkable; the operator takes any
+    * centroid frame (k-means output at scale). */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand"), col("embedding"))
+    graft.operators.Ann.ivfSearch(cands, "cand", probes, "probe",
+        cents, "cid", "embedding", nprobe = 2, k = 3)
+      .select(col("probe"), col("cand"), col("sim"), col("rank"))
+      .orderBy("probe", "rank")
+  }
+
+  /** q80 cohort retention: users bucketed by first-seen day; distinct
+    * active users per (cohort_day, day_offset). The cohort day comes from
+    * a whole-partition window min — ONE exchange on user_id serves both
+    * the cohort assignment and the per-user distinct, then the final agg
+    * exchange carries |cohorts × offsets| rows. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val wu = Window.partitionBy(col("user_id"))
+    ev.withColumn("cohort_day", min(col("day")).over(wu))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // timestamp, not date: the comparison harness normalizes timestamps
+      // on both engines; bare DATE surfaces as python date objects
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+      .limit(100)
+  }
+
+  /** q81 value-RANGE window frame: per-customer 7-day trailing revenue —
+    * the frame bound is a VALUE distance on the ordering key (epoch day),
+    * not a row count (q27's ROWS frame). One exchange on the partition
+    * key; the running frame evaluates in a single sorted pass. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("rev_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q82 distribution ranks: cume_dist + percent_rank per market segment
+    * (completes q26's rank-family coverage). Unique (acctbal, custkey)
+    * ordering makes both deterministic. */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        round(cume_dist().over(w), 4).as("cd"),
+        round(percent_rank().over(w), 4).as("prk"))
+      .orderBy("c_custkey")
+  }
+
+  /** q83 arg-extreme aggregates (min_by/max_by): payload of the row
+    * holding the group's extreme — one partial+final pass instead of the
+    * self-join idiom. o_orderkey is unique per group, so ties can't
+    * occur and the result is deterministic. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy("o_custkey")
+
+  /** q84 regex extraction: first capture group as a typed value +
+    * all-matches list (regexp_extract / regexp_extract_all — both
+    * codegen'd; the JSON-typed twin is q55). */
+  def q84(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long").as("k_num"),
+        array_join(regexp_extract_all(col("props"), lit("\\d+"), lit(0)), ",")
+          .as("all_nums"))
+      .orderBy("event_id")
+      .limit(200)
+
+  /** q85 higher-order array functions in one pass: filter (count of long
+    * tokens), aggregate (total character fold), transform + array_sort
+    * (first upper-cased token), array_contains — all lambda expressions
+    * inside whole-stage codegen, zero explodes/exchanges before the
+    * contract sort. */
+  def q85(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+      .select(col("doc_id"),
+        expr("size(filter(toks, x -> length(x) > 5))").cast("long").as("n_long"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("total_len"),
+        expr("array_sort(transform(toks, x -> upper(x)))[0]").as("first_upper"),
+        array_contains(col("toks"), "the").as("has_the"))
+      .orderBy("doc_id")
+
+  /** q86 positional explode: (doc_id, pos, tok) rows with the 0-based
+    * token position — posexplode (ordinality-preserving unnest). */
+  def q86(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+      .orderBy("doc_id", "pos")
+
+  /** q87 date-spine gap fill: a generated continuous day spine × the
+    * event-type dimension, left-joined to actual daily counts so silent
+    * gaps surface as explicit zeros — the standard time-series
+    * completeness step. The spine derives from one scalar agg (min/max
+    * day) exploded via `sequence`; the dimension and spine are tiny and
+    * broadcast into the final join. */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val actual = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    spine.crossJoin(types)
+      .join(actual, Seq("day", "event_type"), "left")
+      // timestamp, not date — see q80
+      .select(col("day").cast("timestamp").as("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
+  /** q88 grouping markers: ROLLUP with GROUPING() flags — how a consumer
+    * distinguishes "NULL because subtotal row" from "NULL in the data"
+    * (completes the q23–q25 multi-dimensional agg family). */
+  def q88(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      // grouping() is only valid inside the agg of its grouping set
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** q89 salted-join equivalence contract: the skew-mitigation rewrite
+    * ([[graft.operators.Skew.saltedEquiJoin]], key spread across 8 salt
+    * buckets so no reducer sees a whole hot key) must be result-identical
+    * to the plain join — the oracle IS the plain join, so the hash gate
+    * proves the rewrite changes the shuffle, not the semantics. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val fact = orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedEquiJoin(fact, dim, "custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q90 forward as-of join: each click correlated to the EARLIEST
+    * purchase at-or-after it per user ([[graft.operators.Temporal
+    * .asofJoin]] with direction="forward" — q61's mirror; same
+    * one-exchange union-scan shape, flipped time ordering). */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.operators.Temporal.asofJoin(clicks, purchases,
+        "user_id", "ts", direction = "forward")
+      .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+        col("r_ts").as("purchase_ts"), col("r_purchase_id").as("purchase_id"))
+      .orderBy("click_id")
+  }
+}

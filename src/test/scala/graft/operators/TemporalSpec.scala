@@ -32,6 +32,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Map(100L -> 10L, 101L -> 11L, 103L -> 21L))
   }
 
+  test("asofJoin forward: earliest at-or-after right row, same-ts matches") {
+    val clicks = Seq(
+      (1L, ts("10:30"), 100L),  // between views -> 11:00 view
+      (1L, ts("11:00"), 101L),  // exactly at a view ts -> that view
+      (2L, ts("09:00"), 102L),  // before all views -> earliest (12:00)
+      (2L, ts("23:00"), 103L))  // after every view -> dropped (inner)
+      .toDF("user_id", "ts", "click_id")
+    val views = Seq(
+      (1L, ts("10:00"), 10L), (1L, ts("11:00"), 11L),
+      (2L, ts("12:00"), 20L), (2L, ts("13:00"), 21L))
+      .toDF("user_id", "ts", "view_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts",
+        direction = "forward")
+      .select("click_id", "r_view_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 11L, 101L -> 11L, 102L -> 20L))
+  }
+
   test("pairsWithin finds cross-bin pairs and respects the bound exactly") {
     val ev = Seq(
       (1L, 1L, ts("10:00")),

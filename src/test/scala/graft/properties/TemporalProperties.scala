@@ -82,4 +82,24 @@ object TemporalProperties extends Properties("temporal") {
       } yield lid -> cands.maxBy(r => (r._3, r._2))._2).toMap
       got == want
     }
+
+  // forward direction: every left row maps to the MIN right ts >= its ts
+  property("asofJoin.forward.equals-bruteforce") =
+    Prop.forAllNoShrink(evGen, evGen) { (lRows, rRowsRaw) =>
+      val rRows = rRowsRaw.groupBy(r => (r._1, r._3))
+        .map(_._2.maxBy(_._2)).toList
+      val left = toDF(lRows).toDF("k", "id", "ts")
+      val right = toDF(rRows).toDF("k", "rid", "ts")
+        .withColumnRenamed("rid", "view_id")
+      val got = Temporal.asofJoin(left, right, "k", "ts",
+          direction = "forward")
+        .select("id", "r_view_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        (lk, lid, lt) <- lRows
+        cands = rRows.filter(r => r._1 == lk && r._3 >= lt)
+        if cands.nonEmpty
+      } yield lid -> cands.minBy(r => (r._3, -r._2))._2).toMap
+      got == want
+    }
 }
