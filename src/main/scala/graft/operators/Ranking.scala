@@ -116,6 +116,28 @@ object Ranking {
     ranked.withColumn(tileCol, tile.cast("long")).drop("__grank")
   }
 
+  /** Exact global `ntile(n)` AND `percent_rank` from ONE ranking pass —
+    * [[exactNtile]] and [[exactPercentRank]] each pay their own range
+    * exchange + sort; a consumer wanting both (the common distribution-
+    * summary shape, q78) should pay once. */
+  def exactNtilePercentRank(df: DataFrame, orderCols: Seq[String], n: Int,
+                            tileCol: String = "tile",
+                            prCol: String = "pr",
+                            partitions: Int = 0): DataFrame = {
+    require(n >= 1, "ntile needs n >= 1")
+    val (ranked, total) = globalRank(df, orderCols, "__grank", partitions)
+    val q = total / n
+    val r = total % n
+    val big = q + 1
+    val rank = col("__grank")
+    val tile = when(rank <= r * big, ceil(rank / lit(big.toDouble)))
+      .otherwise(lit(r) + ceil((rank - r * big) / lit(math.max(q, 1L).toDouble)))
+    val denom = math.max(total - 1L, 1L).toDouble
+    ranked.withColumn(tileCol, tile.cast("long"))
+      .withColumn(prCol, (rank - 1) / lit(denom))
+      .drop("__grank")
+  }
+
   /** Exact global `percent_rank` over `orderCols` (= (rank-1)/(N-1)),
     * distributed. With a total order every rank is unique, so row_number
     * equals SQL rank and the window definition is matched exactly. */

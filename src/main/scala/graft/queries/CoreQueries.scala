@@ -593,9 +593,9 @@ object CoreQueries {
   def q78(s: SparkSession, d: String): DataFrame = {
     val ord = Seq("c_acctbal", "c_custkey")
     val cust = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-    val tiled = graft.operators.Ranking.exactNtile(cust, ord, 4,
-      tileCol = "quartile")
-    graft.operators.Ranking.exactPercentRank(tiled, ord, prCol = "__pr")
+    // fused: one range exchange + sort yields both distribution columns
+    graft.operators.Ranking.exactNtilePercentRank(cust, ord, 4,
+        tileCol = "quartile", prCol = "__pr")
       .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
         round(col("__pr"), 4).as("pr"))
       .orderBy("c_custkey")

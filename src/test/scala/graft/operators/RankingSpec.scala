@@ -51,6 +51,15 @@ class RankingSpec extends AnyFunSuite {
       "distributed ntile must be bit-identical to the window form")
     assert(joined.filter(abs(col("pr_exact") - col("pr_dist")) > 1e-12).count() == 0,
       "distributed percent_rank must match the window form")
+    // the fused single-pass form must agree with both
+    val fused = Ranking.exactNtilePercentRank(cust, ord, 4,
+        tileCol = "q_f", prCol = "pr_f", partitions = 8)
+      .select("c_custkey", "q_f", "pr_f")
+    val jf = expected.join(fused, "c_custkey")
+    assert(jf.filter(col("q_exact") =!= col("q_f")).count() == 0,
+      "fused ntile must be bit-identical to the window form")
+    assert(jf.filter(abs(col("pr_exact") - col("pr_f")) > 1e-12).count() == 0,
+      "fused percent_rank must match the window form")
   }
 
   test("exactRowNumber is a 1..N permutation honoring the order (small N edge)") {

@@ -82,4 +82,40 @@ class PlanContractSpec extends AnyFunSuite {
       s"gaps-and-islands must reuse ONE user_id exchange + final agg, " +
         s"found $exchanges:\n$plan")
   }
+
+  // ---- round-3 extension family ---------------------------------------
+
+  test("q90 forward as-of keeps the zero-join union+window shape") {
+    val plan = executedPlan("q90_asof_forward")
+    assert(!plan.contains("Join"),
+      s"forward asofJoin must stay union+window, never a theta join:\n$plan")
+  }
+
+  test("q79 IVF search never plans a cartesian product against the corpus") {
+    // centroids and probe lists broadcast; the corpus side may only meet
+    // them through BroadcastNestedLoopJoin-free broadcast hash joins or
+    // the tiny crossJoin against the broadcast K-row centroid set
+    val plan = executedPlan("q79_ivf_ann")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF must broadcast centroids/probes, not cross-shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVF candidate scoring must be broadcast-joined, not shuffled:\n$plan")
+  }
+
+  test("q81 value-RANGE frame runs over one partition exchange") {
+    val plan = executedPlan("q81_range_frame")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one o_custkey exchange + the contract sort
+    assert(exchanges <= 2,
+      s"RANGE frame must evaluate in one sorted pass per key, " +
+        s"found $exchanges exchanges:\n$plan")
+  }
+
+  test("q89 salted join spreads the key: no single-key exchange partner") {
+    // the contract is structural: join key must be (custkey, __salt) —
+    // visible as a hash partitioning over TWO expressions on both sides
+    val plan = executedPlan("q89_salted_join")
+    assert(plan.contains("custkey") && plan.contains("__salt"),
+      s"salted join must shuffle on (key, salt), not the bare key:\n$plan")
+  }
 }
