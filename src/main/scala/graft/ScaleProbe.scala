@@ -82,12 +82,27 @@ object ScaleProbe {
     // (q58's contract query is doc_id-bounded and would not scale)
     val probes: Seq[(String, String => DataFrame)] =
       Seq("q11_join_inner", "q20_agg_group", "q38_upsert_latest",
-        "q39_topk_group", "q44_multi_join_agg")
-        .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) :+
-      ("dedup_minhash_full" -> ((d: String) =>
-        graft.operators.Dedup.minhashLsh(
-          Tables.documents(spark, d).select("doc_id", "text"),
-          "doc_id", "text", threshold = 0.8).select("doc_id")))
+        "q39_topk_group", "q44_multi_join_agg", "q80_cohort")
+        .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++
+      Seq(
+        "dedup_minhash_full" -> ((d: String) =>
+          graft.operators.Dedup.minhashLsh(
+            Tables.documents(spark, d).select("doc_id", "text"),
+            "doc_id", "text", threshold = 0.8).select("doc_id")),
+        // IVF over the FULL embeddings table: the assignment pass (the
+        // part that scales with the corpus) must stay a broadcast join +
+        // partial-agg argmax, probes a fixed query batch
+        "ivf_ann_full" -> ((d: String) => {
+          val e = Tables.embeddings(spark, d)
+          graft.operators.Ann.ivfSearch(
+            e.filter(col("vec_id") >= 10).select(col("vec_id").as("cand"),
+              col("embedding")), "cand",
+            e.filter(col("vec_id").between(4, 9))
+              .select(col("vec_id").as("probe"), col("embedding")), "probe",
+            e.filter(col("vec_id") < 4).select(col("vec_id").as("cid"),
+              col("embedding")), "cid",
+            "embedding", nprobe = 2, k = 3)
+        }))
     // warm both directories so timings compare steady-state plans
     probes.foreach { case (_, f) =>
       try noop(f(baseDir)) catch { case _: Throwable => () }
