@@ -30,11 +30,19 @@ object Lake {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC sink — the other columnar lake format Spark writes natively
+    * (same predicate-pushdown/column-pruning scan path as parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Date-partitioned parquet write — the lake layout the reference's
     * daily `reddit_{ds_nodash}` files imply (`dags/reddit_dag.py:37`):

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via `flatMapGroupsWithState` (SURVEY.md §2.4 /
   * builder mandate: "KeyValueGroupedDataset …flatMapGroupsWithState for
@@ -57,6 +57,48 @@ object StatefulOps {
             Iterator(UserActivity(userId, n, sum, new java.sql.Timestamp(last)))
           }
       }
+  }
+
+  /** The arbitrary-state-v2 (`transformWithState`) twin of
+    * [[userActivity]]: the same per-user running totals held in a named
+    * `ValueState`. The v2 API is the forward path for custom streaming
+    * state — typed state variables (value/list/map) with per-state TTL
+    * instead of one opaque blob, and timers decoupled from state.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — at scale that is the
+    * provider a keyed 100-TB/day stream runs anyway (changelog
+    * checkpointing, out-of-heap state). */
+  class ActivityProcessor extends StatefulProcessor[Long, Ev2, UserActivity] {
+    @transient private var state: ValueState[ActivityState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ActivityState]("activity",
+        Encoders.product[ActivityState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev2],
+                                 timerValues: TimerValues): Iterator[UserActivity] = {
+      val prev = if (state.exists()) state.get() else ActivityState(0L, 0.0, 0L)
+      var n = prev.n
+      var sum = prev.sum_value
+      var last = prev.lastMillis
+      rows.foreach { e =>
+        n += 1; sum += e.value
+        last = math.max(last, e.ts.getTime)
+      }
+      state.update(ActivityState(n, sum, last))
+      Iterator.single(UserActivity(userId, n, sum, new java.sql.Timestamp(last)))
+    }
+  }
+
+  /** [[userActivity]] via `transformWithState` (see [[ActivityProcessor]]). */
+  def userActivityV2(events: Dataset[Ev2]): Dataset[UserActivity] = {
+    implicit val outEnc = Encoders.product[UserActivity]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }
 

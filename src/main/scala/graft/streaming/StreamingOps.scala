@@ -53,6 +53,16 @@ object StreamingOps {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n"))
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * CURRENT state of a static/lake-backed dimension (Spark re-evaluates
+    * the static side per batch, so a dimension refresh is picked up
+    * without restarting the stream). Stateless — no watermark needed on
+    * either side; the static side broadcasts below the AQE threshold, so
+    * the streaming side never shuffles for the join. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Stateful dedup within the watermark horizon — the streaming
     * equivalent of the reference's idempotent upsert (`README.md:13`):
     * replayed/duplicate event_ids are dropped while their state is live,

@@ -29,6 +29,21 @@ class LakeSpec extends AnyFunSuite {
       == src.agg(sum("event_id")).first().getLong(0))
   }
 
+  test("orc round-trip preserves schema and pushes filters to the scan") {
+    val src = events.select("event_id", "user_id", "event_type", "value")
+    val o = tmp("lake_orc")
+    Lake.writeOrc(src, o)
+    val back = Lake.readOrc(spark, o)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("user_id") === 1)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("user_id"),
+      s"ORC scan must receive the pushed predicate:\n$scan")
+    assert(filtered.count() ==
+      src.filter(col("user_id") === 1).count())
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val path = tmp("lake_part")
     Lake.writeDatePartitioned(events, "ts", path)

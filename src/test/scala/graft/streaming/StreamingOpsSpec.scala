@@ -25,6 +25,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     q
   }
 
+  test("stream-static enrichment joins each batch against the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[Ev]
+    val q = runToTable(
+      StreamingOps.enrichStream(mem.toDF(), dim, "user_id"), "enrich_out")
+    mem.addData(
+      Ev(1, t("10:00"), 1, "view", 1.0),
+      Ev(2, t("10:05"), 2, "view", 2.0),
+      Ev(3, t("10:06"), 7, "view", 3.0)) // no dim row -> left-join null
+    q.processAllAvailable()
+    mem.addData(Ev(4, t("10:10"), 1, "click", 4.0)) // second batch joins too
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out")
+      .select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"),
+      3L -> None, 4L -> Some("gold")))
+  }
+
   test("tumbling window counts + watermark drops late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
