@@ -44,6 +44,57 @@ object Lake {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Range-clustered parquet write (z-order-lite): range-partition and
+    * sort the layout on `cols` so every file covers a narrow value range
+    * and parquet row-group min/max statistics become selective — a
+    * point/range predicate then skips whole row groups (and therefore
+    * whole files) at footer-read time, before any data IO. The unsorted
+    * layout reads EVERY row group for the same predicate because each
+    * one spans the full key range. `LakeSpec` measures the difference. */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+                     targetFiles: Int = 0): Unit = {
+    val n = if (targetFiles > 0) targetFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** CSV ingest with a dead-letter quarantine: schema-conforming rows
+    * come back typed; malformed rows land under `quarantinePath` (as
+    * JSON: the raw line plus whatever fields DID parse) for later
+    * inspection instead of failing the job or silently nulling out (the
+    * PERMISSIVE-mode default).
+    *
+    * Parses through the `from_csv` EXPRESSION over a text scan rather
+    * than the CSV file source: the file source disallows queries
+    * referencing only `_corrupt_record`, and its corrupt-flag semantics
+    * shift under column pruning / scan filter pushdown — the expression
+    * form evaluates the whole-row parse exactly once per row with no
+    * pushdown interaction. Two filtered passes rather than a cache — at
+    * 100 TB caching the raw frame is not an option, two cheap
+    * line-oriented scans are. Header lines (one per file) are dropped by
+    * literal match against the schema's field-name header. */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType,
+                            quarantinePath: String): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val header = schema.fieldNames.mkString(",")
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corrupt)
+    def parsed = spark.read.text(path)
+      .filter(col("value") =!= header)
+      .select(col("value").as("raw_line"),
+        from_csv(col("value"), withCorrupt, opts).as("r"))
+    parsed.filter(col(s"r.$corrupt").isNotNull)
+      .select(col("raw_line") +:
+        schema.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+      .write.mode("overwrite").json(quarantinePath)
+    parsed.filter(col(s"r.$corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+  }
+
   /** Date-partitioned parquet write — the lake layout the reference's
     * daily `reddit_{ds_nodash}` files imply (`dags/reddit_dag.py:37`):
     * one directory per day, so time-ranged queries prune at the

@@ -44,6 +44,64 @@ class LakeSpec extends AnyFunSuite {
       src.filter(col("user_id") === 1).count())
   }
 
+  test("clustered layout prunes row groups the unsorted layout reads") {
+    import spark.implicits._
+    // 40k rows over 4k keys; small row groups so pruning granularity is
+    // visible even at test size
+    val src = spark.range(0, 40000)
+      .select((col("id") % 4000).as("k"), col("id").as("payload"))
+    val clustered = tmp("lake_clustered")
+    val unsorted = tmp("lake_unsorted")
+    spark.conf.set("spark.hadoop.parquet.block.size", (64 * 1024).toString)
+    try {
+      Lake.writeClustered(src, clustered, Seq("k"), targetFiles = 8)
+      // unsorted twin: same content, keys scattered round-robin
+      src.orderBy("payload").repartition(8)
+        .write.mode("overwrite").parquet(unsorted)
+    } finally spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("k") === 17)
+      df.collect() // execute
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val prunedRows = scanRows(clustered)
+    val fullRows = scanRows(unsorted)
+    // clustered: only the row group(s) whose [min,max] covers k=17 are
+    // decoded; unsorted: every row group spans the whole key range
+    assert(prunedRows < fullRows / 4,
+      s"clustered scan must decode far fewer rows: $prunedRows vs $fullRows")
+  }
+
+  test("csv quarantine routes malformed rows aside, returns typed clean rows") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("lake_badcsv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("name", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      """id,score,name
+        |1,2.5,alpha
+        |not_a_number,9.9,broken
+        |2,3.5,beta
+        |3,oops,also_broken
+        |""".stripMargin)
+    val quarantine = tmp("lake_quarantine")
+    val clean = Lake.readCsvWithQuarantine(spark, dir, schema, quarantine)
+    val ids = clean.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+    assert(clean.schema.fieldNames.toSeq == Seq("id", "score", "name"))
+    val bad = spark.read.json(quarantine)
+    val badLines = bad.select("raw_line").collect().map(_.getString(0))
+    assert(badLines.length == 2 &&
+      badLines.exists(_.startsWith("not_a_number")) &&
+      badLines.exists(_.startsWith("3,oops")))
+    // partially-parsed fields ride along for diagnosis
+    assert(bad.columns.contains("score"))
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val path = tmp("lake_part")
     Lake.writeDatePartitioned(events, "ts", path)
