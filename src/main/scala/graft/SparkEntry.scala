@@ -108,7 +108,10 @@ object SparkEntry {
     "q87_date_spine"     -> ExtendedQueries.q87 _,
     "q88_grouping_id"    -> ExtendedQueries.q88 _,
     "q89_salted_join"    -> ExtendedQueries.q89 _,
-    "q90_asof_forward"   -> ExtendedQueries.q90 _
+    "q90_asof_forward"   -> ExtendedQueries.q90 _,
+    "q91_bool_bit_agg"   -> ExtendedQueries.q91 _,
+    "q92_histogram"      -> ExtendedQueries.q92 _,
+    "q93_str_funcs2"     -> ExtendedQueries.q93 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

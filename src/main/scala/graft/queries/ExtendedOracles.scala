@@ -132,6 +132,31 @@ object ExtendedOracles {
       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
       |ORDER BY click_id""".stripMargin
 
+  private val q91 =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_discount > 0.09) AS any_disc,
+      |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+      |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+      |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val q92 =
+    """WITH b AS (SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket
+      |  FROM orders)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  private val q93 =
+    """SELECT p_partkey,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  CAST(levenshtein(p_brand, split_part(p_type, ' ', 1)) AS BIGINT) AS lev,
+      |  reverse(p_brand) AS brand_rev,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  repeat('*', p_size % 5) AS stars,
+      |  translate(p_brand, '#', '-') AS brand_tr
+      |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
@@ -144,5 +169,8 @@ object ExtendedOracles {
     "q87_date_spine"   -> q87,
     "q88_grouping_id"  -> q88,
     "q89_salted_join"  -> q89,
-    "q90_asof_forward" -> q90)
+    "q90_asof_forward" -> q90,
+    "q91_bool_bit_agg" -> q91,
+    "q92_histogram"    -> q92,
+    "q93_str_funcs2"   -> q93)
 }

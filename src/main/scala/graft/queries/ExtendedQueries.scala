@@ -191,6 +191,46 @@ object ExtendedQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q91 boolean + bitwise aggregates (bool_and/bool_or, bit_and/or/xor)
+    * — quorum/flag semantics in one partial+final pass (the aggregate
+    * family q19–q25/q77 doesn't cover). */
+  def q91(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.09)").as("any_disc"),
+        expr("bit_and(l_linenumber)").cast("long").as("band"),
+        expr("bit_or(l_linenumber)").cast("long").as("bor"),
+        expr("bit_xor(l_linenumber)").cast("long").as("bxor"))
+      .orderBy("l_returnflag")
+
+  /** q92 fixed-width histogram via explicit bucket math (floor division
+    * + cap) — engine-portable (no width_bucket dependency), one
+    * partial+final aggregate whose exchange carries |buckets|. */
+  def q92(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(least(floor(col("o_totalprice") / 50000), lit(9))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** q93 string battery 2: split_part, edit distance (levenshtein —
+    * fuzzy matching), reverse, lpad, data-dependent repeat, translate
+    * (completes q30's scalar string family). */
+  def q93(s: SparkSession, d: String): DataFrame =
+    part(s, d).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        levenshtein(col("p_brand"), expr("split_part(p_type, ' ', 1)"))
+          .cast("long").as("lev"),
+        reverse(col("p_brand")).as("brand_rev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        expr("repeat('*', p_size % 5)").as("stars"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"))
+      .orderBy("p_partkey")
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
