@@ -216,9 +216,18 @@ object Lake {
     * asserted in LakeSpec). Cost is O(updates + touched buckets), not
     * O(table); the merge is deterministic, so a rerun after a failure
     * is idempotent. A missing table is created (the marker is written),
-    * so bootstrap and steady state share one code path. */
+    * so bootstrap and steady state share one code path.
+    *
+    * CDC deletes: pass `deleteCol` naming a boolean column on `updates`
+    * — a row whose marker is true acts as a tombstone: if it is the
+    * key's LATEST version by `tsCol`, the key is removed (an older
+    * tombstone loses to a newer insert, standard latest-wins CDC). The
+    * marker column is never persisted, and a bucket whose keys are all
+    * deleted has its partition directory removed (dynamic overwrite
+    * alone would leave it stale). */
   def mergeInto(updates: DataFrame, path: String, keyCol: String,
-                tsCol: String = "ts", numBuckets: Int = 64): Unit = {
+                tsCol: String = "ts", numBuckets: Int = 64,
+                deleteCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession
     validateBucketCount(spark, path, numBuckets)
     val incoming = updates
@@ -227,25 +236,51 @@ object Lake {
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val (p, fs) = fsOf(spark, path)
-    // only a genuinely absent table means "empty" — any other read
-    // failure aborts rather than letting the overwrite below replace
-    // touched buckets with just this batch
+    // only a genuinely absent or empty-layout table means "empty" (an
+    // existing dir with no __bucket= partitions is a fresh mkdir'd
+    // target, not data) — any other read failure aborts rather than
+    // letting the overwrite below replace touched buckets with just
+    // this batch
+    val hasLayout = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
     val existing =
-      if (!fs.exists(p))
+      if (!hasLayout)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           incoming.schema)
       else spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
-    val merged = existing.unionByName(incoming)
+    // existing rows have no tombstone column — allowMissingColumns nulls
+    // it in, and null coalesces to "not deleted"
+    val merged = existing
+      .unionByName(incoming, allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    merged.write
+    val survivors = deleteCol match {
+      case Some(dc) =>
+        merged.filter(!coalesce(col(dc).cast("boolean"), lit(false))).drop(dc)
+      case None => merged
+    }
+    // fully-deleted buckets write no partition, so dynamic overwrite
+    // would leave their old directories behind. The surviving-bucket set
+    // MUST be computed BEFORE the overwrite — the plan reads the table's
+    // pre-merge files, and executing it after the write would re-run the
+    // merge against the already-modified table.
+    val alive: Set[Int] =
+      if (deleteCol.isDefined)
+        survivors.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      else touched.toSet
+    survivors.write
       .partitionBy("__bucket")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    touched.filterNot(alive).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(p, s"__bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
     ensureBucketMarker(spark, path, numBuckets)
   }
 }

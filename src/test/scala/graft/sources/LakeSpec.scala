@@ -184,6 +184,35 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto CDC tombstones delete keys and reap fully-deleted buckets") {
+    import spark.implicits._
+    val path = tmp("lake_cdc")
+    val nB = 4
+    val base = Seq((1L, "a1", 1L), (2L, "b1", 1L), (3L, "c1", 1L))
+      .toDF("k", "v", "ts")
+    Lake.mergeInto(base, path, "k", "ts", nB)
+    val upd = Seq(
+      (1L, "xx", 5L, true),  // live tombstone -> k1 removed
+      (2L, "xx", 0L, true),  // STALE tombstone (older than b1) -> k2 stays
+      (4L, "d1", 5L, false)) // plain insert
+      .toDF("k", "v", "ts", "deleted")
+    Lake.mergeInto(upd, path, "k", "ts", nB, deleteCol = Some("deleted"))
+    val back = Lake.readKeyBucketed(spark, path)
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(2L -> "b1", 3L -> "c1", 4L -> "d1"))
+    // the delete-marker column is never persisted
+    assert(!Lake.readKeyBucketed(spark, path).columns.contains("deleted"))
+    // on-disk partition dirs are exactly the surviving keys' buckets —
+    // a bucket whose only key was tombstoned is reaped
+    val expected = Seq(2L, 3L, 4L).toDF("k")
+      .select(pmod(hash(col("k")), lit(nB)).as("b"))
+      .collect().map(r => s"__bucket=${r.getInt(0)}").toSet
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).toSet
+    assert(dirs == expected, s"stale bucket dirs must be reaped: $dirs vs $expected")
+  }
+
   test("bucketed tables join without any shuffle (co-located join)") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val customer = graft.Tables.customer(spark, "/root/testdata/sf0.001")
