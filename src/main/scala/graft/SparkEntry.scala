@@ -111,7 +111,9 @@ object SparkEntry {
     "q90_asof_forward"   -> ExtendedQueries.q90 _,
     "q91_bool_bit_agg"   -> ExtendedQueries.q91 _,
     "q92_histogram"      -> ExtendedQueries.q92 _,
-    "q93_str_funcs2"     -> ExtendedQueries.q93 _
+    "q93_str_funcs2"     -> ExtendedQueries.q93 _,
+    "q94_profile"        -> ExtendedQueries.q94 _,
+    "q95_seq_gaps"       -> ExtendedQueries.q95 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -157,6 +157,36 @@ object ExtendedOracles {
       |  translate(p_brand, '#', '-') AS brand_tr
       |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin
 
+  private val q94 =
+    """WITH m AS (
+      |  SELECT 'o_totalprice' AS col_name,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(o_totalprice) AS BIGINT) AS n_nonnull,
+      |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+      |    round(min(o_totalprice), 4) AS min_v,
+      |    round(max(o_totalprice), 4) AS max_v,
+      |    round(avg(o_totalprice), 4) AS avg_v
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey',
+      |    CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+      |    round(min(o_custkey), 4), round(max(o_custkey), 4),
+      |    round(avg(o_custkey), 4)
+      |  FROM orders)
+      |SELECT * FROM m ORDER BY col_name""".stripMargin
+
+  // the oracle is the single-task lead() form the distributed operator
+  // must be indistinguishable from
+  private val q95 =
+    """WITH s AS (SELECT o_orderkey AS k,
+      |    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      |  FROM orders WHERE o_orderstatus = 'F')
+      |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+      |  CAST(nxt - k - 1 AS BIGINT) AS gap_len
+      |FROM s WHERE nxt - k > 1
+      |ORDER BY gap_start LIMIT 100""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
@@ -172,5 +202,7 @@ object ExtendedOracles {
     "q90_asof_forward" -> q90,
     "q91_bool_bit_agg" -> q91,
     "q92_histogram"    -> q92,
-    "q93_str_funcs2"   -> q93)
+    "q93_str_funcs2"   -> q93,
+    "q94_profile"      -> q94,
+    "q95_seq_gaps"     -> q95)
 }

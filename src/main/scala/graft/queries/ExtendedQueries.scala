@@ -231,6 +231,27 @@ object ExtendedQueries {
         translate(col("p_brand"), "#", "-").as("brand_tr"))
       .orderBy("p_partkey")
 
+  /** q94 column profiling ([[graft.operators.Profile.describe]]): every
+    * metric for every column from ONE multi-aggregate scan, reshaped to
+    * one row per column — the corpus-audit face (null rates,
+    * cardinality, ranges). */
+  def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.describe(orders(s, d),
+        Seq("o_custkey", "o_totalprice"))
+      .orderBy("col_name")
+
+  /** q95 sequence-gap detection ([[graft.operators.Profile
+    * .sequenceGaps]]): missing o_orderkey ranges within the F-status
+    * subset — anti-join boundary detection + positional pairing, no
+    * global-order window over the data (the oracle's lead() form IS
+    * that single-task window; the hash gate proves the distributed
+    * rewrite). */
+  def q95(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.sequenceGaps(
+        orders(s, d).filter(col("o_orderstatus") === "F"), "o_orderkey")
+      .orderBy("gap_start")
+      .limit(100)
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
