@@ -71,6 +71,46 @@ object TextPipeline {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
 
+  /** Token-id encoding: map each document's token sequence to vocab ids
+    * (the final text→training-input step). The vocabulary is derived
+    * from the corpus itself — ids ranked by document frequency (ties
+    * alphabetical), so the mapping is deterministic and the most common
+    * tokens get the smallest ids (the usual convention). Unknown-token
+    * id is `unkId` (only reachable when encoding against a vocabulary
+    * built elsewhere via the 3-arg overload's future use; padding uses
+    * `unkId` too). Output: (idCol, ids array<long>) plus `ids_padded`
+    * truncated/padded to `maxLen` when maxLen > 0.
+    *
+    * Scale shape: tokenization is narrow; the vocabulary aggregation's
+    * exchange carries |vocab| (per-doc distinct before explode, like
+    * [[vocabulary]]); the id-ranking window is global-order but over
+    * |vocab| METADATA rows, not the corpus; re-assembly is one
+    * (id)-keyed aggregation with order restored by sort_array on
+    * (pos, id) structs — no order-dependent collect_list assumption. */
+  def encode(corpus: DataFrame, idCol: String, textCol: String,
+             maxLen: Int = 0, unkId: Long = 0L): DataFrame = {
+    val toks = corpus.select(col(idCol),
+      expr(TextHashes.toks(textCol)).as("__toks"))
+    val tok = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__pos", "__token")))
+    val df_ = tok.select(col(idCol), col("__token")).distinct()
+      .groupBy(col("__token")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__df").desc, col("__token").asc)
+    val vocab = df_.withColumn("__tok_id",
+      row_number().over(w).cast("long"))
+    val enc = tok
+      .join(vocab.select(col("__token"), col("__tok_id")), Seq("__token"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos").as("p"),
+        coalesce(col("__tok_id"), lit(unkId)).as("id")))).as("__ps"))
+      .select(col(idCol), expr("transform(__ps, x -> x.id)").as("ids"))
+    if (maxLen <= 0) enc
+    else enc.withColumn("ids_padded",
+      expr(s"concat(slice(ids, 1, $maxLen), " +
+        s"array_repeat(${unkId}L, greatest(0, $maxLen - size(ids))))"))
+  }
+
   /** Deterministic train/val/test split on a portable content-free hash
     * of the id (first md5 nibble: 0–12 train, 13–14 val, 15 test ≈
     * 81/12.5/6%). Reproducible across engines and runs — the property a

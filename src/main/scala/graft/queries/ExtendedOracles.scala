@@ -187,6 +187,24 @@ object ExtendedOracles {
       |FROM s WHERE nxt - k > 1
       |ORDER BY gap_start LIMIT 100""".stripMargin
 
+  private val q96 =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 50),
+      |tok AS (SELECT doc_id, u.i AS pos, toks[i] AS token
+      |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)),
+      |vocab AS (SELECT token,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
+      |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+      |  GROUP BY token),
+      |enc AS (SELECT tok.doc_id, list(coalesce(v.tok_id, 0) ORDER BY tok.pos) AS ids
+      |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      |  GROUP BY tok.doc_id)
+      |SELECT doc_id,
+      |  CAST(len(ids) AS BIGINT) AS n_tokens,
+      |  array_to_string(ids[1:least(len(ids),16)], ',') AS ids16
+      |FROM enc ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
@@ -204,5 +222,6 @@ object ExtendedOracles {
     "q92_histogram"    -> q92,
     "q93_str_funcs2"   -> q93,
     "q94_profile"      -> q94,
-    "q95_seq_gaps"     -> q95)
+    "q95_seq_gaps"     -> q95,
+    "q96_encode"       -> q96)
 }

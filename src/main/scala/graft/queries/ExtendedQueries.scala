@@ -252,6 +252,19 @@ object ExtendedQueries {
       .orderBy("gap_start")
       .limit(100)
 
+  /** q96 token-id encoding ([[graft.operators.TextPipeline.encode]]):
+    * documents mapped to df-ranked vocab-id sequences, order preserved
+    * by positional reassembly — the final text→training-input step.
+    * Contract surface: token count + the first 16 ids comma-joined. */
+  def q96(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.encode(
+        documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        expr("array_join(transform(slice(ids, 1, 16), x -> cast(x as string)), ',')")
+          .as("ids16"))
+      .orderBy("doc_id")
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same

@@ -57,4 +57,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(counts("train") > counts("val") && counts("val") >= counts("test"),
       s"expected ~81/12.5/6 proportions, got $counts")
   }
+
+  test("encode maps tokens to df-ranked ids, preserves order, pads/truncates") {
+    import spark.implicits._
+    // df: b appears in 3 docs, a in 2, c in 1 -> ids b=1, a=2, c=3
+    val docs = Seq(
+      (1L, "a b c b"),
+      (2L, "b a"),
+      (3L, "b")).toDF("doc_id", "text")
+    val enc = TextPipeline.encode(docs, "doc_id", "text", maxLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(enc(1L)._1 == Seq(2L, 1L, 3L, 1L), "order must follow the text")
+    assert(enc(1L)._2 == Seq(2L, 1L, 3L), "over-length docs truncate")
+    assert(enc(2L)._1 == Seq(1L, 2L))
+    assert(enc(2L)._2 == Seq(1L, 2L, 0L), "short docs pad with unkId")
+    assert(enc(3L)._2 == Seq(1L, 0L, 0L))
+  }
 }
