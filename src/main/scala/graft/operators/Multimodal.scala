@@ -69,6 +69,28 @@ object Multimodal {
     }
   }
 
+  /** Batched feature extraction — the accelerator-friendly shape (the
+    * Scala analog of a `mapInPandas` batch UDF): each partition's
+    * iterator is consumed in `batchSize` groups, the whole batch is
+    * handed to the decode kernel in ONE call (where a real
+    * implementation ships it to a GPU/codec in bulk), and results
+    * stream out without materializing the partition. Bit-identical to
+    * [[extractFeatures]] — batching is an execution shape, not a
+    * semantics change (asserted in MultimodalSpec). */
+  def extractFeaturesBatched(assets: Dataset[Asset], dim: Int = 16,
+                             batchSize: Int = 64): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one kernel invocation per batch: a real decoder replaces this
+        // loop with a single bulk call over `batch`
+        batch.map(a => AssetFeatures(a.asset_id, a.kind, dim,
+          decodeStub(a.content, dim)))
+      }
+    }
+  }
+
   /** Frame sampling for `video` assets: every k-th fixed-size chunk of the
     * payload (stand-in for every k-th decoded frame), exploded to one row
     * per sampled frame. */

@@ -42,6 +42,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions == 7)
   }
 
+  test("batched extraction is bit-identical to per-row and keeps partitioning") {
+    val repart = assets.repartition(5)
+    val batched = Multimodal.extractFeaturesBatched(repart, dim = 16,
+        batchSize = 7) // deliberately not a divisor of partition sizes
+      .collect().map(r => r.asset_id -> r.features.toSeq).toMap
+    val perRow = Multimodal.extractFeatures(repart, dim = 16)
+      .collect().map(r => r.asset_id -> r.features.toSeq).toMap
+    assert(batched == perRow,
+      "batching is an execution shape, not a semantics change")
+    assert(Multimodal.extractFeaturesBatched(repart, dim = 8)
+      .rdd.getNumPartitions == 5)
+  }
+
   test("frame sampling takes every k-th chunk of video payloads only") {
     val frames = Multimodal.frameSample(assets, frameBytes = 32, every = 2)
     val kinds = frames.join(assets.toDF().select(col("asset_id"), col("kind")),
