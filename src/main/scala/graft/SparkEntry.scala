@@ -114,7 +114,8 @@ object SparkEntry {
     "q93_str_funcs2"     -> ExtendedQueries.q93 _,
     "q94_profile"        -> ExtendedQueries.q94 _,
     "q95_seq_gaps"       -> ExtendedQueries.q95 _,
-    "q96_encode"         -> ExtendedQueries.q96 _
+    "q96_encode"         -> ExtendedQueries.q96 _,
+    "q97_quantiles_dist" -> ExtendedQueries.q97 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

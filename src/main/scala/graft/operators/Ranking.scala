@@ -149,4 +149,99 @@ object Ranking {
     ranked.withColumn(prCol, (col("__grank") - 1) / lit(denom))
       .drop("__grank")
   }
+
+  /** EXACT per-group continuous quantiles (SQL `percentile` /
+    * `quantile_cont` semantics: linear interpolation at rank (N−1)·p),
+    * distributed — the scale-safe twin of Spark's exact `percentile`
+    * aggregate, whose buffer holds a value→count map that grows
+    * O(distinct values) PER GROUP (an executor OOM when a huge table
+    * has few groups — q64's declared weakness).
+    *
+    * Shape: range-partition on (group, value) and sort within
+    * partitions — values of one group span consecutive partitions,
+    * every partition sorts in parallel, and sorts SPILL (no unbounded
+    * in-memory buffer anywhere). Per-(partition, group) row counts and
+    * first-local-positions are collected — ≤ partitions × |groups|
+    * longs of METADATA — and prefix-summed per group on the driver, so
+    * each row's within-group rank is a narrow literal-map projection.
+    * The quantile boundary ranks (⌊t⌋+1, ⌈t⌉+1 for t = (N−1)·p) are
+    * computed on the driver from the same metadata, the ≤ 2·|ps|
+    * boundary ROWS per group are filtered out via a broadcast join, and
+    * one tiny aggregation interpolates. No stage sees more than its
+    * partition; no buffer exceeds the sort's spill threshold.
+    *
+    * Output: one row per group — `groupCol`, then `q_<i>` (i = index
+    * into `ps`) in the given order. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, ps: Seq[Double],
+                            partitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantile fractions must be in [0, 1]")
+    val spark = df.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(nPart, col("__g").asc, col("__v").asc)
+      .sortWithinPartitions(col("__g").asc, col("__v").asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), MidBits)
+    val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
+    // metadata: per (partition, group) row count + first local position
+    val meta = parted.groupBy(pid.as("__pid"), col("__g"))
+      .agg(count(lit(1)).as("c"), min(local).as("first"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getLong(3)))
+    // per group: prefix-sum counts in partition order -> rank offsets
+    val byGroup = meta.groupBy(_._2).toSeq
+    val offsets: Seq[((Long, Any), (Long, Long))] =
+      byGroup.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).toSeq.map { case (p, g, c, first) =>
+          val o = acc; acc += c; ((p, g), (o, first))
+        }
+      }
+    val groupTotals = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
+    // boundary ranks per (group, p): lo/hi/frac of t = (N-1)*p
+    case class Bound(g: Any, pi: Int, lo: Long, hi: Long, frac: Double)
+    val bounds = groupTotals.flatMap { case (g, n) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        val t = (n - 1) * p
+        val lo = math.floor(t).toLong
+        Bound(g, i, lo + 1, math.ceil(t).toLong + 1, t - lo)
+      }
+    }.toSeq
+    // within-group rank via literal maps keyed "pid:group" (groups are
+    // grouping keys — bounded cardinality, driver-side by definition)
+    // group keys must be non-null (they are grouping keys; null groups
+    // would fall out of the string-keyed maps silently)
+    def key(p: Long, g: Any) = s"$p:${String.valueOf(g)}"
+    val offMap = map(offsets.toSeq.flatMap { case ((p, g), (o, _)) =>
+      Seq(lit(key(p, g)), lit(o)) }: _*)
+    val firstMap = map(offsets.toSeq.flatMap { case ((p, g), (_, f)) =>
+      Seq(lit(key(p, g)), lit(f)) }: _*)
+    val k = concat(pid.cast("string"), lit(":"), col("__g").cast("string"))
+    val ranked = parted.withColumn("__r",
+      element_at(offMap, k) + (local - element_at(firstMap, k)) + 1)
+    import spark.implicits._
+    val boundDf = broadcast(bounds.map(b =>
+        (String.valueOf(b.g), b.pi, b.lo, b.hi, b.frac))
+      .toDF("__bg", "__pi", "__lo", "__hi", "__frac"))
+    // ≤ 2 boundary rows per (group, p) survive this join
+    val picked = ranked.join(boundDf,
+      col("__g").cast("string") === col("__bg") &&
+        (col("__r") === col("__lo") || col("__r") === col("__hi")))
+    val interp = picked.groupBy(col("__g"), col("__pi"))
+      .agg(min(col("__frac")).as("__f"),
+        min(when(col("__r") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__r") === col("__hi"), col("__v"))).as("__vhi"))
+      .select(col("__g"), col("__pi"),
+        (col("__vlo") + col("__f") * (col("__vhi") - col("__vlo"))).as("__q"))
+    interp.groupBy(col("__g").as(groupCol))
+      .pivot("__pi", ps.indices.map(_.toString))
+      .agg(first(col("__q")))
+      .select(col(groupCol) +:
+        ps.indices.map(i => col(i.toString).as(s"q_$i")): _*)
+  }
 }

@@ -205,6 +205,15 @@ object ExtendedOracles {
       |  array_to_string(ids[1:least(len(ids),16)], ',') AS ids16
       |FROM enc ORDER BY doc_id""".stripMargin
 
+  // q64's oracle verbatim — q97 is the distributed rewrite of the same
+  // exact contract, and must hash-match it
+  private val q97 =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
@@ -223,5 +232,6 @@ object ExtendedOracles {
     "q93_str_funcs2"   -> q93,
     "q94_profile"      -> q94,
     "q95_seq_gaps"     -> q95,
-    "q96_encode"       -> q96)
+    "q96_encode"       -> q96,
+    "q97_quantiles_dist" -> q97)
 }

@@ -265,6 +265,25 @@ object ExtendedQueries {
           .as("ids16"))
       .orderBy("doc_id")
 
+  /** q97 exact quantiles per group, DISTRIBUTED — q64's exact contract
+    * without the O(distinct)-per-group aggregation buffer
+    * ([[graft.operators.Ranking.exactQuantilesByGroup]]: range-
+    * partitioned spill-safe sorts + metadata rank rebase + boundary-row
+    * interpolation). Shares q64's oracle SQL, so the hash gate proves
+    * the rewrite is bit-exact, not just close. */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val qty = graft.operators.Ranking.exactQuantilesByGroup(
+        li, "l_returnflag", "l_quantity", Seq(0.5))
+      .select(col("l_returnflag"), round(col("q_0"), 4).as("med_qty"))
+    val price = graft.operators.Ranking.exactQuantilesByGroup(
+        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+      .select(col("l_returnflag"),
+        round(col("q_0"), 4).as("p25_price"),
+        round(col("q_1"), 4).as("p75_price"))
+    qty.join(price, "l_returnflag").orderBy("l_returnflag")
+  }
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same

@@ -59,7 +59,10 @@ object TemporalQueries {
     * the bit). Exactness is this query's declared contract, and its cost:
     * the aggregation buffer holds a value→count map that grows
     * O(distinct values) per group — an executor OOM risk on near-all-
-    * distinct columns at 100×. The at-scale path is the mergeable
+    * distinct columns at 100×. The at-scale paths: EXACT —
+    * [[graft.operators.Ranking.exactQuantilesByGroup]] (range-
+    * partitioned spill-safe sorts, no unbounded buffer; q97 proves it
+    * bit-matches this query's oracle); approximate — the mergeable
     * quantile sketch ([[graft.operators.Sketches.quantileSketch]] /
     * `quantileUnionEstimate`, rank error ≤ ε·n with ~KB buffers), or
     * `approx_percentile` for one-shot queries —

@@ -76,6 +76,39 @@ class RankingSpec extends AnyFunSuite {
       "N < n: each row its own tile, no division blow-up")
   }
 
+  test("exactQuantilesByGroup matches the percentile aggregate exactly (sf0.01)") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val got = Ranking.exactQuantilesByGroup(li, "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75), partitions = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](1); (p(0), p(1), p(2))
+      }).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { g =>
+      val (g1, g2, g3) = got(g); val (w1, w2, w3) = want(g)
+      assert(math.abs(g1 - w1) < 1e-9 && math.abs(g2 - w2) < 1e-9 &&
+        math.abs(g3 - w3) < 1e-9, s"group $g: $got vs $want")
+    }
+  }
+
+  test("exactQuantilesByGroup edges: single-row group, integer-rank targets") {
+    import spark.implicits._
+    // group a: one value (every quantile = it); group b: 1..5 (p=0.5
+    // lands exactly on rank 3, p=0.25 interpolates between ranks 2,3)
+    val df = (Seq((100.0, "a")) ++ (1 to 5).map(v => (v.toDouble, "b")))
+      .toDF("v", "g")
+    val q = Ranking.exactQuantilesByGroup(df, "g", "v", Seq(0.25, 0.5),
+        partitions = 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(q("a") == ((100.0, 100.0)))
+    assert(q("b") == ((2.0, 3.0)))
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))
