@@ -82,7 +82,11 @@ object ScaleProbe {
     // (q58's contract query is doc_id-bounded and would not scale)
     val probes: Seq[(String, String => DataFrame)] =
       Seq("q11_join_inner", "q20_agg_group", "q38_upsert_latest",
-        "q39_topk_group", "q44_multi_join_agg", "q80_cohort")
+        "q39_topk_group", "q44_multi_join_agg", "q80_cohort",
+        // exact quantiles both ways: the O(distinct)-buffer aggregate
+        // vs the range-partitioned buffer-free rewrite (q97) — the
+        // probe shows which shape survives growth
+        "q64_percentiles", "q97_quantiles_dist")
         .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++
       Seq(
         "dedup_minhash_full" -> ((d: String) =>
