@@ -68,8 +68,11 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { n =>
-      val good = samples.map(_(n)).filter(_ >= 0)
-      n -> (if (good.isEmpty) -1.0 else median(good))
+      val all = samples.map(_(n))
+      // ANY failed sweep marks the query failed (-1): medianing only the
+      // successful runs would report an intermittently-crashing query as
+      // a healthy-looking time
+      n -> (if (all.exists(_ < 0)) -1.0 else median(all))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,9 +31,11 @@ object Runner {
     var last: Throwable = null
     while (attempt <= retries) {
       onAttempt(attempt)
+      // NonFatal only: OOM/interrupt must propagate, not re-run the
+      // whole side-effecting pipeline
       try return task
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e
           if (attempt < retries && delayMs > 0) Thread.sleep(delayMs)
       }

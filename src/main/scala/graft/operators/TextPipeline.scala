@@ -99,12 +99,19 @@ object TextPipeline {
       .orderBy(col("__df").desc, col("__token").asc)
     val vocab = df_.withColumn("__tok_id",
       row_number().over(w).cast("long"))
-    val enc = tok
+    val nonEmpty = tok
       .join(vocab.select(col("__token"), col("__tok_id")), Seq("__token"), "left")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__pos").as("p"),
         coalesce(col("__tok_id"), lit(unkId)).as("id")))).as("__ps"))
       .select(col(idCol), expr("transform(__ps, x -> x.id)").as("ids"))
+    // token-less docs produce no posexplode rows and would vanish from
+    // the groupBy — re-attach them with an empty (then all-pad) ids row
+    // so encode(corpus) stays row-complete
+    val enc = toks.select(col(idCol))
+      .join(nonEmpty, Seq(idCol), "left")
+      .withColumn("ids",
+        coalesce(col("ids"), expr("cast(array() as array<bigint>)")))
     if (maxLen <= 0) enc
     else enc.withColumn("ids_padded",
       expr(s"concat(slice(ids, 1, $maxLen), " +

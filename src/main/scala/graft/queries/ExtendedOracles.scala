@@ -200,10 +200,13 @@ object ExtendedOracles {
       |enc AS (SELECT tok.doc_id, list(coalesce(v.tok_id, 0) ORDER BY tok.pos) AS ids
       |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
       |  GROUP BY tok.doc_id)
-      |SELECT doc_id,
-      |  CAST(len(ids) AS BIGINT) AS n_tokens,
-      |  array_to_string(ids[1:least(len(ids),16)], ',') AS ids16
-      |FROM enc ORDER BY doc_id""".stripMargin
+      |-- row-complete: token-less docs keep a (0, '') row, mirroring the
+      |-- operator's empty-ids re-attachment
+      |SELECT t.doc_id,
+      |  CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
+      |  coalesce(array_to_string(e.ids[1:least(len(e.ids),16)], ','), '') AS ids16
+      |FROM t LEFT JOIN enc e ON t.doc_id = e.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // q64's oracle verbatim — q97 is the distributed rewrite of the same
   // exact contract, and must hash-match it

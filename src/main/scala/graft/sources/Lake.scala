@@ -224,7 +224,10 @@ object Lake {
     * tombstone loses to a newer insert, standard latest-wins CDC). The
     * marker column is never persisted, and a bucket whose keys are all
     * deleted has its partition directory removed (dynamic overwrite
-    * alone would leave it stale). */
+    * alone would leave it stale). An insert and a tombstone carrying
+    * the SAME timestamp resolve deterministically: the insert wins.
+    * (For determinism of plain upserts, (key, ts) should be unique
+    * across existing ∪ updates — standard CDC feed discipline.) */
   def mergeInto(updates: DataFrame, path: String, keyCol: String,
                 tsCol: String = "ts", numBuckets: Int = 64,
                 deleteCol: Option[String] = None): Unit = {
@@ -249,8 +252,15 @@ object Lake {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           incoming.schema)
       else spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
+    // latest-wins ordering: ts desc, then (with CDC) the tombstone flag
+    // asc so an insert BEATS a tombstone carrying the same timestamp —
+    // without the tiebreaker a same-ts delete+reinsert pair (common at
+    // second-granularity source clocks) would win arbitrarily and two
+    // runs of the same merge could produce different tables
+    val ord = col(tsCol).desc +: deleteCol.toSeq.map(dc =>
+      coalesce(col(dc).cast("boolean"), lit(false)).asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
     // existing rows have no tombstone column — allowMissingColumns nulls
     // it in, and null coalesces to "not deleted"
     val merged = existing
@@ -266,21 +276,26 @@ object Lake {
     // would leave their old directories behind. The surviving-bucket set
     // MUST be computed BEFORE the overwrite — the plan reads the table's
     // pre-merge files, and executing it after the write would re-run the
-    // merge against the already-modified table.
-    val alive: Set[Int] =
-      if (deleteCol.isDefined)
-        survivors.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-      else touched.toSet
-    survivors.write
-      .partitionBy("__bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(path)
-    touched.filterNot(alive).foreach { b =>
-      val dir = new org.apache.hadoop.fs.Path(p, s"__bucket=$b")
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    // merge against the already-modified table. Persisting survivors
+    // makes the collect + write share ONE execution of the merge instead
+    // of reading the touched partitions twice.
+    val cached = if (deleteCol.isDefined) survivors.persist() else survivors
+    try {
+      val alive: Set[Int] =
+        if (deleteCol.isDefined)
+          cached.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+        else touched.toSet
+      cached.write
+        .partitionBy("__bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+      touched.filterNot(alive).foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(p, s"__bucket=$b")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    } finally if (deleteCol.isDefined) { cached.unpersist(); () }
     ensureBucketMarker(spark, path, numBuckets)
   }
 }

@@ -100,16 +100,21 @@ object StreamingOps {
         // delete and the rename of the swap below — the complete table
         // is sitting in __tmp; finish its rename instead of treating
         // the absent sink as empty (which would drop the whole table).
-        // Only a COMPLETED write qualifies (_SUCCESS marker): a crash
-        // mid-write during the very first batch also leaves the sink
-        // absent with a partial __tmp, and renaming that installs a
-        // sink with no committed parquet files — every later read then
-        // fails and the stream is wedged. Partial __tmp is discarded
-        // and the sink treated as empty (the batch re-merges from the
-        // checkpoint's replay).
+        // Only a COMPLETED write qualifies: a crash mid-write during the
+        // very first batch also leaves the sink absent with a partial
+        // __tmp, and renaming that installs a sink with no committed
+        // parquet files — every later read then fails and the stream is
+        // wedged. Completeness = the _SUCCESS marker, OR (for deploys
+        // that disable marker files via marksuccessfuljobs=false) no
+        // in-flight _temporary dir plus at least one committed parquet
+        // file. Partial __tmp is discarded and the sink treated as
+        // empty (the batch re-merges from the checkpoint's replay).
         if (!fs.exists(dst) && fs.exists(tmpP)) {
-          if (fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")))
-            fs.rename(tmpP, dst)
+          val complete =
+            fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")) ||
+              (!fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_temporary")) &&
+                fs.listStatus(tmpP).exists(_.getPath.getName.endsWith(".parquet")))
+          if (complete) fs.rename(tmpP, dst)
           else fs.delete(tmpP, true)
         }
         // absent sink == empty table; any other read failure aborts the
@@ -192,40 +197,13 @@ object StreamingOps {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        graft.sources.Lake.validateBucketCount(spark, sinkPath, numBuckets)
-        val incoming = batch.toDF()
-          .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
-        val touched = incoming.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (touched.nonEmpty) {
-          // only a genuinely absent sink means "empty table" — any other
-          // read failure must ABORT the batch, or the dynamic overwrite
-          // below would replace touched partitions with just this batch
-          // (silent data loss on a transient read error). Resolve the
-          // SINK's filesystem, not the default one.
-          val fs = new org.apache.hadoop.fs.Path(sinkPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val existing =
-            if (!fs.exists(new org.apache.hadoop.fs.Path(sinkPath)))
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                incoming.schema)
-            else spark.read.parquet(sinkPath)
-              .filter(col("__bucket").isin(touched: _*))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyCol))
-            .orderBy(col(tsCol).desc)
-          val merged = existing.unionByName(incoming)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-          merged.write
-            .partitionBy("__bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(sinkPath)
-          graft.sources.Lake.ensureBucketMarker(spark, sinkPath, numBuckets)
-        }
+        // one merge implementation, two faces: the batch body IS
+        // Lake.mergeInto (bucket routing, touched-partition pruning,
+        // latest-wins, dynamic overwrite, empty-dir bootstrap, marker
+        // validation) — duplicating it here let the two drift (the
+        // empty-directory bootstrap fix had landed on only one side)
+        graft.sources.Lake.mergeInto(batch.toDF(), sinkPath, keyCol,
+          tsCol, numBuckets)
         ()
       }
       .start()

@@ -64,7 +64,8 @@ class TextPipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a b c b"),
       (2L, "b a"),
-      (3L, "b")).toDF("doc_id", "text")
+      (3L, "b"),
+      (4L, "   ")).toDF("doc_id", "text") // token-less doc must survive
     val enc = TextPipeline.encode(docs, "doc_id", "text", maxLen = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
@@ -73,5 +74,7 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(enc(2L)._1 == Seq(1L, 2L))
     assert(enc(2L)._2 == Seq(1L, 2L, 0L), "short docs pad with unkId")
     assert(enc(3L)._2 == Seq(1L, 0L, 0L))
+    assert(enc(4L)._1 == Seq() && enc(4L)._2 == Seq(0L, 0L, 0L),
+      "token-less docs keep an empty/all-pad row, not disappear")
   }
 }

@@ -54,8 +54,17 @@ class PlanContractSpec extends AnyFunSuite {
 
   private def executedPlan(name: String): String = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
-    df.queryExecution.executedPlan.toString
+    // collect() executes THIS Dataset's QueryExecution, so the adaptive
+    // plan below is the FINAL one (a noop .write would spawn a separate
+    // QueryExecution and leave this plan un-executed, isFinalPlan=false
+    // — asserting on the pre-AQE plan misses runtime rewrites)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"),
+      s"plan must be post-AQE final for the contract to mean anything:\n$plan")
+    // the adaptive toString prints Final AND Initial sections — counting
+    // nodes across both would double every Exchange/Join
+    plan.split("== Initial Plan ==")(0)
   }
 
   test("q61 as-of join is the union+window form: zero join operators") {
