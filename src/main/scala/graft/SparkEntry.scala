@@ -115,7 +115,10 @@ object SparkEntry {
     "q94_profile"        -> ExtendedQueries.q94 _,
     "q95_seq_gaps"       -> ExtendedQueries.q95 _,
     "q96_encode"         -> ExtendedQueries.q96 _,
-    "q97_quantiles_dist" -> ExtendedQueries.q97 _
+    "q97_quantiles_dist" -> ExtendedQueries.q97 _,
+    "q98_array_setops"   -> ExtendedQueries.q98 _,
+    "q99_null_battery"   -> ExtendedQueries.q99 _,
+    "q100_weighted_agg"  -> ExtendedQueries.q100 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -217,6 +217,32 @@ object ExtendedOracles {
       |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val q98 =
+    """WITH t AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS s
+      |  FROM documents WHERE doc_id < 30)
+      |SELECT a.doc_id,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+      |  CAST(len(list_filter(a.s, x -> NOT list_contains(b.s, x))) AS BIGINT) AS n_only_a,
+      |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY a.doc_id""".stripMargin
+
+  private val q99 =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_f,
+      |  CASE WHEN c_acctbal IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_like,
+      |  greatest(c_acctbal, 0.0) AS bal_pos,
+      |  least(c_acctbal, 1000.0) AS bal_cap
+      |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin
+
+  private val q100 =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6) AS disc_ratio
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
@@ -236,5 +262,8 @@ object ExtendedOracles {
     "q94_profile"      -> q94,
     "q95_seq_gaps"     -> q95,
     "q96_encode"       -> q96,
-    "q97_quantiles_dist" -> q97)
+    "q97_quantiles_dist" -> q97,
+    "q98_array_setops" -> q98,
+    "q99_null_battery" -> q99,
+    "q100_weighted_agg" -> q100)
 }

@@ -284,6 +284,53 @@ object ExtendedQueries {
     qty.join(price, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** q98 array set algebra (array_intersect/except/union) between
+    * consecutive documents' token SETS — the set-operation face of the
+    * array family (q35 covers element ops, q85 lambdas). Self-join is a
+    * key-shifted equi-join, never a cross product. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(filter(split(trim(text), ' '), x -> x != '')))")
+          .as("s"))
+    t.toDF("a_id", "sa")
+      .join(t.toDF("b_id", "sb"), col("b_id") === col("a_id") + 1)
+      .select(col("a_id").as("doc_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+        size(array_except(col("sa"), col("sb"))).cast("long").as("n_only_a"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("n_union"))
+      .orderBy("doc_id")
+  }
+
+  /** q99 null-handling battery: nullif, layered coalesce, the nvl2
+    * pattern, greatest/least against literals — the NULL-algebra
+    * scalars q33's CASE/COALESCE pass didn't cover. */
+  def q99(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_f"),
+        when(col("c_acctbal").isNotNull, lit("has")).otherwise(lit("none"))
+          .as("nvl2_like"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+      .orderBy("c_custkey")
+      .limit(200)
+
+  /** q100 weighted aggregates: quantity-weighted average price and a
+    * ratio-of-sums — both are TWO partial-aggregatable sums composed
+    * after the aggregate, never a per-row division pre-agg (the shape
+    * that keeps weighted metrics one exchange at any scale). */
+  def q100(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_quantity")) /
+          sum(col("l_quantity")), 4).as("wavg_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) /
+          sum(col("l_extendedprice")), 6).as("disc_ratio"))
+      .orderBy("l_returnflag")
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
