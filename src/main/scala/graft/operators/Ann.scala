@@ -25,9 +25,10 @@ import graft.functions.Vectors
   *    scoring joins lists to probes by centroid id map-side, then a
   *    per-probe top-k window over only the probed lists' rows.
   *
-  * Centroid choice is the caller's (k-means elsewhere, a hash-sample, or
-  * a fixed pivot set); the operator takes them as a DataFrame so the
-  * contract stays deterministic and oracle-checkable.
+  * Centroids come from [[trainCentroids]] (sampled k-means, in-engine)
+  * or any caller-supplied frame (a hash-sample, a fixed pivot set);
+  * the search operators take them as a DataFrame either way, so the
+  * query contract stays deterministic and oracle-checkable.
   */
 object Ann {
 
@@ -54,6 +55,125 @@ object Ann {
       .select(col(idCol), col("__best.cid").as(cidCol), col(vecOut))
   }
 
+  /** Sampled k-means centroid training for the IVF index — the
+    * in-engine answer to "where do centroids come from". Spherical
+    * (cosine) Lloyd iterations, built to the same discipline as
+    * [[ivfAssign]] and `Dedup.ccDelta`:
+    *
+    *  - **sample** — training runs over a deterministic hash sample of
+    *    the corpus (`sampleFraction`): k-means needs cluster SHAPE, not
+    *    every row, so 100 TB trains on a few GB. The filter is a narrow
+    *    `pmod(hash(id))` predicate — reproducible, no `rand()`.
+    *  - **init** — deterministic farthest-point seeding: seed 1 is the
+    *    smallest-`md5(id)` sample row, each next seed the sample vector
+    *    LEAST similar to its nearest chosen seed (ties to the smallest
+    *    id). k−1 cheap top-1 jobs over the sample; on clustered data
+    *    this lands roughly one seed per cluster, where hash-ordered
+    *    seeding routinely merges clusters and strands duplicates
+    *    (k-means++ without the randomness, the determinism contract
+    *    every operator here keeps).
+    *  - **iterate** — each Lloyd round broadcasts the current centroids
+    *    (k × dim doubles — driver metadata), assigns via
+    *    [[ivfAssign]]'s partial-agg argmax (the exchange carries one
+    *    row per sampled vector), and re-estimates means with a
+    *    (cid, dimension) partial aggregation whose exchange carries
+    *    k × dim partial sums per partition — never vectors. The driver
+    *    loop holds only k × dim doubles and stops early once the max
+    *    centroid shift drops below `tol`.
+    *  - **empty clusters** keep their previous centroid (deterministic,
+    *    no re-seeding randomness).
+    *
+    * Means are L2-normalized each round (cosine assignment is
+    * scale-invariant; normalizing keeps magnitudes stable). Per-round
+    * double-summation order follows Spark's partition merge order, so
+    * centroid bits can differ at the ulp level across runs — assignment
+    * and recall are insensitive to that; exact-hash contracts should
+    * pin centroids explicitly (q79 does).
+    *
+    * Returns one row per centroid: `cid` (0..k-1, long), `vecCol`
+    * (array<double>) — plugs straight into [[ivfAssign]]/[[ivfSearch]]. */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5,
+                     sampleFraction: Double = 1.0,
+                     tol: Double = 1e-6): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val denom = 1000000L
+    val keep = (sampleFraction * denom).toLong
+    val sampled = vectors
+      .select(col(idCol), Vectors.asDouble(col(vecCol)).as("__v"))
+      .filter(pmod(hash(col(idCol)), lit(denom)) < keep)
+      .localCheckpoint(true) // iterated over: pin ONE materialization
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val nSample = sampled.count()
+    require(nSample >= k,
+      s"sample has only $nSample rows — need at least k=$k")
+    // farthest-point seeding (see object doc): first the smallest
+    // md5(id), then k-1 argmin-of-max-similarity top-1 jobs
+    val first_ = sampled.orderBy(md5(col(idCol).cast("string")).asc)
+      .limit(1).select(col("__v")).collect()
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      normalized(first_.head.getSeq[Double](0).toArray))
+    while (seeds.length < k) {
+      val sDf = broadcast(seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toDF("__sid", "__sv"))
+      val far = sampled.crossJoin(sDf)
+        .groupBy(col(idCol))
+        .agg(max(Vectors.cosine(col("__v"), col("__sv"))).as("__near"),
+          first(col("__v")).as("__v"))
+        .orderBy(col("__near").asc, col(idCol).asc)
+        .limit(1).select(col("__v")).collect()
+      require(far.nonEmpty, s"sample has fewer than k=$k rows")
+      seeds += normalized(far.head.getSeq[Double](0).toArray)
+    }
+    var cents: Array[Array[Double]] = seeds.toArray
+    val dim = cents.head.length
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < iters && shift > tol) {
+      val centDf = cents.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("cid", "__cv")
+      val assigned = ivfAssign(sampled, idCol, "__v", centDf, "cid", "__cv",
+        vecOut = "__v")
+      // mean update: (cid, dimension) partial sums — k × dim per
+      // partition cross the exchange, k × dim rows reach the driver
+      val sums = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("cid"), col("__d"))
+        .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      val next = cents.zipWithIndex.map { case (prev, ci) =>
+        byCid.get(ci.toLong) match {
+          case Some(rows) =>
+            val mean = Array.fill(dim)(0.0)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = r.getLong(3) match {
+                case 0L => 0.0
+                case n => r.getDouble(2) / n
+              }
+            }
+            normalized(mean)
+          case None => prev // empty cluster: keep its centroid
+        }
+      }
+      shift = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cents = next
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", vecCol)
+  }
+
   /** IVF search: for each probe, the top-`k` candidates by cosine among
     * the `nprobe` nearest inverted lists. Output: `probe`, `cand`, `sim`
     * (rounded to `simScale` digits — ranking happens on the rounded value
@@ -61,12 +181,21 @@ object Ann {
     *
     * Recall is approximate by design: a true neighbor assigned to an
     * unprobed list is missed — raise `nprobe` to trade cost for recall
-    * (`nprobe` = K is exhaustive search). */
+    * (`nprobe` = K is exhaustive search).
+    *
+    * `broadcastProbes` (default true) pins the documented "probe batch
+    * ≪ corpus" shape: the probed (probe, list) pairs broadcast into the
+    * list join. Probing with a LARGE frame under that hint is a driver
+    * OOM — pass false and the probes meet the lists through a plain
+    * equi-join on the list id instead (AQE still broadcasts when
+    * runtime stats say they fit; both paths are value-identical,
+    * asserted in AnnSpec). */
   def ivfSearch(candidates: DataFrame, candIdCol: String,
                 probes: DataFrame, probeIdCol: String,
                 centroids: DataFrame, cidCol: String,
                 vecCol: String, nprobe: Int, k: Int,
-                simScale: Int = 4): DataFrame = {
+                simScale: Int = 4,
+                broadcastProbes: Boolean = true): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"nprobe/k must be >= 1")
     val lists = ivfAssign(candidates, candIdCol, vecCol,
       centroids, cidCol, vecCol, vecOut = "__vc")
@@ -85,7 +214,8 @@ object Ann {
       .select(col(probeIdCol), col("__vp"), col("__cid").as(cidCol))
     val wk = Window.partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col(candIdCol).asc)
-    lists.join(broadcast(probeLists), cidCol)
+    val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    lists.join(probeSide, cidCol)
       .select(col(probeIdCol), col(candIdCol),
         round(Vectors.cosine(col("__vp"), col("__vc")), simScale).as("sim"))
       .withColumn("rank", row_number().over(wk).cast("long"))

@@ -46,6 +46,44 @@ object Ranking {
 
   private val MidBits = 33 // monotonically_increasing_id: pid<<33 | row
 
+  /** Driver-computed rank metadata above this many entries ships as a
+    * broadcast-joined DataFrame instead of a `map(lit...)` literal map —
+    * a literal map sized partitions × groups blows up plan size and
+    * codegen at high cardinalities (10⁴ × 10⁴ = 10⁸ literals), while a
+    * broadcast hash join of the same entries is a few MB of table. Below
+    * the threshold the literal map wins: it is a pure codegen projection
+    * with no join operator at all. */
+  private val MaxLiteralEntries = 10000
+
+  /** Attach driver-computed per-key metadata columns (`outCols`) to
+    * `df`, keyed by the string expression `keyExpr`: literal-map lookup
+    * below `maxLiteral` entries, broadcast equi-join above (see
+    * [[MaxLiteralEntries]]). `entries` = (key, values aligned with
+    * `outCols`). Both paths leave row count and partitioning untouched —
+    * every key produced by `keyExpr` must be present in `entries`. */
+  private def attachMeta(df: DataFrame, keyExpr: Column,
+                         entries: Seq[(String, Seq[Long])],
+                         outCols: Seq[String],
+                         maxLiteral: Int): DataFrame = {
+    if (entries.size.toLong * outCols.size <= maxLiteral) {
+      val maps = outCols.indices.map { i =>
+        map(entries.flatMap { case (k, vs) => Seq(lit(k), lit(vs(i))) }: _*)
+      }
+      df.select(col("*") +: outCols.zipWithIndex.map { case (c, i) =>
+        element_at(maps(i), keyExpr).as(c) }: _*)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val meta = broadcast(
+        entries.map { case (k, vs) => (k, vs) }
+          .toDF("__mk", "__mv")
+          .select(col("__mk") +: outCols.zipWithIndex.map { case (c, i) =>
+            element_at(col("__mv"), i + 1).as(c) }: _*))
+      df.withColumn("__mk0", keyExpr).join(meta, col("__mk0") === col("__mk"))
+        .drop("__mk0", "__mk")
+    }
+  }
+
   /** EXACT distributed global ranking — the scale-safe twin of an
     * un-partitioned `row_number()` window (q29's single-task funnel).
     *
@@ -83,9 +121,11 @@ object Ranking {
     val offsets = counts.keys.toSeq.sorted.map { p =>
       val o = acc; acc += counts(p); p -> o
     }
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    (parted.withColumn(rankCol, (element_at(offMap, pid) + lrn).cast("long"))
-      .drop("__mid"), total)
+    val withOff = attachMeta(parted, pid.cast("string"),
+      offsets.map { case (p, o) => p.toString -> Seq(o) },
+      Seq("__off"), MaxLiteralEntries)
+    (withOff.withColumn(rankCol, (col("__off") + lrn).cast("long"))
+      .drop("__mid", "__off"), total)
   }
 
   /** Exact global `row_number` over `orderCols`, distributed (see
@@ -174,74 +214,312 @@ object Ranking {
     * into `ps`) in the given order. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String,
                             valueCol: String, ps: Seq[Double],
-                            partitions: Int = 0): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
-      "quantile fractions must be in [0, 1]")
+                            partitions: Int = 0,
+                            maxLiteralEntries: Int = MaxLiteralEntries): DataFrame =
+    exactQuantilesByGroupMulti(df, groupCol, Seq(valueCol -> ps),
+        partitions, maxLiteralEntries)
+      .select(col(groupCol) +:
+        ps.indices.map(i => col(s"q_0_$i").as(s"q_$i")): _*)
+
+  /** [[exactQuantilesByGroup]] for SEVERAL value columns in ONE
+    * partitioned pass — per-column calls each pay a full range exchange +
+    * sort + checkpoint of the input (q97 paid two); this form stacks the
+    * requested columns into (columnIndex, value) rows FIRST, so a single
+    * range partitioning on (column, group, value) sorts every column's
+    * values in parallel and one metadata collect serves all of them. The
+    * stacked frame is |rows| × |specs| — each value still crosses the
+    * exchange exactly once, same total bytes as the per-column calls,
+    * but one job instead of |specs|.
+    *
+    * `specs` = (valueCol, fractions) per requested column. Output: one
+    * row per group — `groupCol`, then `q_<ci>_<pi>` for spec `ci`,
+    * fraction index `pi` (the given order).
+    *
+    * `maxLiteralEntries` caps the driver metadata shipped as literal
+    * maps; larger rank-offset sets broadcast-join instead (see
+    * [[MaxLiteralEntries]]). */
+  def exactQuantilesByGroupMulti(df: DataFrame, groupCol: String,
+                                 specs: Seq[(String, Seq[Double])],
+                                 partitions: Int = 0,
+                                 maxLiteralEntries: Int = MaxLiteralEntries): DataFrame = {
+    require(specs.nonEmpty, "need at least one (valueCol, fractions) spec")
+    specs.foreach { case (c, ps) =>
+      require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+        s"quantile fractions for $c must be in [0, 1]") }
     val spark = df.sparkSession
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val parted = df
-      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    // stack: one (columnIndex, value) row per requested column — narrow
+    val stacked = df.select(col(groupCol).as("__g"),
+        explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
+          struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
+        }: _*)).as("__e"))
+      .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
       .filter(col("__v").isNotNull)
-      .repartitionByRange(nPart, col("__g").asc, col("__v").asc)
-      .sortWithinPartitions(col("__g").asc, col("__v").asc)
+    val parted = stacked
+      .repartitionByRange(nPart, col("__ci").asc, col("__g").asc, col("__v").asc)
+      .sortWithinPartitions(col("__ci").asc, col("__g").asc, col("__v").asc)
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
-    // metadata: per (partition, group) row count + first local position
-    val meta = parted.groupBy(pid.as("__pid"), col("__g"))
+    // metadata: per (partition, column, group) row count + first local
+    // position — ≤ partitions × |specs| × |groups| longs
+    val meta = parted.groupBy(pid.as("__pid"), col("__ci"), col("__g"))
       .agg(count(lit(1)).as("c"), min(local).as("first"))
-      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getLong(3)))
-    // per group: prefix-sum counts in partition order -> rank offsets
-    val byGroup = meta.groupBy(_._2).toSeq
-    val offsets: Seq[((Long, Any), (Long, Long))] =
-      byGroup.flatMap { case (_, rows) =>
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.get(2), r.getLong(3), r.getLong(4)))
+    // per (column, group): prefix-sum counts in partition order -> offsets
+    val byCg = meta.groupBy(m => (m._2, m._3)).toSeq
+    val offsets: Seq[((Long, Int, Any), (Long, Long))] =
+      byCg.flatMap { case (_, rows) =>
         var acc = 0L
-        rows.sortBy(_._1).toSeq.map { case (p, g, c, first) =>
-          val o = acc; acc += c; ((p, g), (o, first))
+        rows.sortBy(_._1).toSeq.map { case (p, ci, g, c, first) =>
+          val o = acc; acc += c; ((p, ci, g), (o, first))
         }
       }
-    val groupTotals = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
-    // boundary ranks per (group, p): lo/hi/frac of t = (N-1)*p
-    case class Bound(g: Any, pi: Int, lo: Long, hi: Long, frac: Double)
-    val bounds = groupTotals.flatMap { case (g, n) =>
-      ps.zipWithIndex.map { case (p, i) =>
+    val cgTotals = byCg.map { case (cg, rows) => cg -> rows.map(_._4).sum }
+    // boundary ranks per (column, group, p): lo/hi/frac of t = (N-1)*p
+    val bounds = cgTotals.flatMap { case ((ci, g), n) =>
+      specs(ci)._2.zipWithIndex.map { case (p, pi) =>
         val t = (n - 1) * p
         val lo = math.floor(t).toLong
-        Bound(g, i, lo + 1, math.ceil(t).toLong + 1, t - lo)
+        (ci, String.valueOf(g), pi, lo + 1, math.ceil(t).toLong + 1, t - lo)
       }
     }.toSeq
-    // within-group rank via literal maps keyed "pid:group" (groups are
-    // grouping keys — bounded cardinality, driver-side by definition)
-    // group keys must be non-null (they are grouping keys; null groups
-    // would fall out of the string-keyed maps silently)
-    def key(p: Long, g: Any) = s"$p:${String.valueOf(g)}"
-    val offMap = map(offsets.toSeq.flatMap { case ((p, g), (o, _)) =>
-      Seq(lit(key(p, g)), lit(o)) }: _*)
-    val firstMap = map(offsets.toSeq.flatMap { case ((p, g), (_, f)) =>
-      Seq(lit(key(p, g)), lit(f)) }: _*)
-    val k = concat(pid.cast("string"), lit(":"), col("__g").cast("string"))
-    val ranked = parted.withColumn("__r",
-      element_at(offMap, k) + (local - element_at(firstMap, k)) + 1)
+    // within-group rank: offset/first metadata keyed "pid:ci:group"
+    // (group keys must be non-null — they are grouping keys; null
+    // groups would fall out of the string-keyed lookup silently)
+    def key(p: Long, ci: Int, g: Any) = s"$p:$ci:${String.valueOf(g)}"
+    val k = concat(pid.cast("string"), lit(":"), col("__ci").cast("string"),
+      lit(":"), col("__g").cast("string"))
+    val ranked = attachMeta(parted, k,
+        offsets.map { case ((p, ci, g), (o, f)) => key(p, ci, g) -> Seq(o, f) },
+        Seq("__off", "__first"), maxLiteralEntries)
+      .withColumn("__r", col("__off") + (local - col("__first")) + 1)
     import spark.implicits._
-    val boundDf = broadcast(bounds.map(b =>
-        (String.valueOf(b.g), b.pi, b.lo, b.hi, b.frac))
-      .toDF("__bg", "__pi", "__lo", "__hi", "__frac"))
-    // ≤ 2 boundary rows per (group, p) survive this join
+    val boundDf = broadcast(bounds
+      .toDF("__bci", "__bg", "__pi", "__lo", "__hi", "__frac"))
+    // ≤ 2 boundary rows per (column, group, p) survive this join
     val picked = ranked.join(boundDf,
-      col("__g").cast("string") === col("__bg") &&
+      col("__ci") === col("__bci") &&
+        col("__g").cast("string") === col("__bg") &&
         (col("__r") === col("__lo") || col("__r") === col("__hi")))
-    val interp = picked.groupBy(col("__g"), col("__pi"))
+    val interp = picked.groupBy(col("__g"), col("__ci"), col("__pi"))
       .agg(min(col("__frac")).as("__f"),
         min(when(col("__r") === col("__lo"), col("__v"))).as("__vlo"),
         min(when(col("__r") === col("__hi"), col("__v"))).as("__vhi"))
-      .select(col("__g"), col("__pi"),
-        (col("__vlo") + col("__f") * (col("__vhi") - col("__vlo"))).as("__q"))
+      .select(col("__g"), concat(col("__ci"), lit("_"), col("__pi")).as("__cp"),
+        // two-sided weighted interpolation with exact-rank short-circuit
+        // — bit-matches Spark's percentile and DuckDB's quantile_cont
+        // (the one-sided lo + f*(hi-lo) drifts an ulp on some operands)
+        when(col("__vlo") === col("__vhi") || col("__f") === 0, col("__vlo"))
+          .otherwise((lit(1) - col("__f")) * col("__vlo") +
+            col("__f") * col("__vhi")).as("__q"))
+    val outKeys = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+      ps.indices.map(pi => s"${ci}_$pi") }
     interp.groupBy(col("__g").as(groupCol))
-      .pivot("__pi", ps.indices.map(_.toString))
+      .pivot("__cp", outKeys)
       .agg(first(col("__q")))
-      .select(col(groupCol) +:
-        ps.indices.map(i => col(i.toString).as(s"q_$i")): _*)
+      .select(col(groupCol) +: outKeys.map(k0 => col(k0).as(s"q_$k0")): _*)
+  }
+
+  /** EXACT per-group quantiles by iterative histogram refinement —
+    * the zero-shuffle twin of [[exactQuantilesByGroupMulti]] (same
+    * contract, same output schema), and the preferred shape when only
+    * the quantile VALUES are needed (the range-sort form additionally
+    * yields per-row ranks, which this one never materializes).
+    *
+    * Classic distributed selection: a quantile is the value at one or
+    * two specific ranks per group, so instead of sorting anything the
+    * operator brackets each target rank inside a shrinking value
+    * interval —
+    *
+    *  1. one aggregation computes per-group count/min/max (narrow scan,
+    *     |groups| rows out);
+    *  2. each refinement round histograms the rows inside every active
+    *     target's interval into `buckets` equal-width bins (broadcast
+    *     target table → narrow scan → `targets × buckets` counts back);
+    *     the bin containing the target rank becomes the next interval;
+    *  3. once an interval holds ≤ `collectCap` rows (or is too narrow
+    *     to subdivide), its DISTINCT values + counts come back (bounded
+    *     by the cap / by how many doubles fit in the interval) and the
+    *     rank is answered exactly on the driver.
+    *
+    * Every pass is a full scan with column pruning and a partial-agg
+    * exchange of metadata size — NO shuffle of data rows, NO sort, NO
+    * materialization, bounded driver state (`targets × buckets` longs).
+    * At 100 TB that is 3–4 cheap scans against the range-sort form's
+    * full-data exchange; rounds converge geometrically (each divides
+    * the interval by `buckets`; doubles bottom out at ulp width, where
+    * the distinct-value collect is a handful of rows no matter the
+    * row count).
+    *
+    * Bucket arithmetic is comparison-consistent: bin indices are
+    * floor((v−lo)/width) CORRECTED one step against the exact edge
+    * comparisons, so the set counted into bin b is exactly
+    * `[lo + b·width, lo + (b+1)·width)` (last bin: `[.., hi)`) and the
+    * next round's plain-comparison membership reproduces it — float
+    * rounding can never drop or double-count a boundary row. */
+  def exactQuantilesByGroupScan(df: DataFrame, groupCol: String,
+                                specs: Seq[(String, Seq[Double])],
+                                buckets: Int = 1024,
+                                collectCap: Int = 32768,
+                                maxRounds: Int = 64): DataFrame = {
+    require(specs.nonEmpty, "need at least one (valueCol, fractions) spec")
+    specs.foreach { case (c, ps) =>
+      require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+        s"quantile fractions for $c must be in [0, 1]") }
+    require(buckets >= 2 && collectCap >= 1, "need buckets >= 2, cap >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the stacked row stream: (group, columnIndex, value) — re-derived
+    // per pass (narrow, column-pruned) rather than materialized
+    def rows = df.select(col(groupCol).as("__g"),
+        explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
+          struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
+        }: _*)).as("__e"))
+      .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
+      .filter(col("__v").isNotNull)
+    // pass 1: per (column, group) count/min/max — and the group key's
+    // original value for the output rows
+    val stats = rows.groupBy(col("__ci"), col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("mn"),
+        max(col("__v")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // one target per distinct needed rank: quantile p needs the values
+    // at ranks floor(t)+1 and ceil(t)+1, t = (n-1)p — dedup'd per group
+    case class Target(tid: Int, ci: Int, g: Any, rank: Long,
+                      var lo: Double, var hi: Double, // half-open [lo, hi)
+                      var offset: Long, // values < lo
+                      var rowsIn: Long,
+                      var value: Option[Double])
+    var nextTid = 0
+    val targets = stats.toSeq.flatMap { case ((ci, g), (n, mn, mx)) =>
+      val ranks = specs(ci)._2.flatMap { p =>
+        val t = (n - 1) * p
+        Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
+      }.distinct
+      ranks.map { r =>
+        val t = Target(nextTid, ci, g, r, mn, Math.nextUp(mx), 0L, n, None)
+        nextTid += 1
+        // single-value interval (or trivially small group): no search
+        if (mn == mx) t.value = Some(mn)
+        t
+      }
+    }
+    val gType = df.schema(groupCol).dataType
+    def active = targets.filter(t => t.value.isEmpty && t.rowsIn > collectCap)
+    var round = 0
+    while (active.nonEmpty && round < maxRounds) {
+      val acts = active
+      // a target is refinable while its interval can still subdivide;
+      // one that can't (width underflow) falls through to the exact
+      // distinct-value resolution below, which its ulp-narrow interval
+      // keeps tiny regardless of row count
+      val refinable = acts.filter(t => (t.hi - t.lo) / buckets > 0)
+      if (refinable.isEmpty) {
+        round = maxRounds
+      } else {
+        val tDf = broadcast(refinable.map(t =>
+            (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi,
+              (t.hi - t.lo) / buckets))
+          .toDF("tid", "tci", "tg", "lo", "hi", "w"))
+        val raw = floor((col("__v") - col("lo")) / col("w")).cast("long")
+        // comparison-consistent index: correct floor's float slop one
+        // step so bin b == exactly [lo + b*w, lo + (b+1)*w)
+        val idx = raw -
+          when(col("__v") < col("lo") + raw * col("w"), 1L).otherwise(0L) +
+          when(col("__v") >= col("lo") + (raw + 1L) * col("w"), 1L).otherwise(0L)
+        val counts = rows.join(tDf,
+            col("__ci") === col("tci") &&
+              col("__g").cast("string") === col("tg") &&
+              col("__v") >= col("lo") && col("__v") < col("hi"))
+          .select(col("tid"), least(idx, lit(buckets - 1L)).as("b"))
+          .groupBy(col("tid"), col("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        refinable.foreach { t =>
+          val w = (t.hi - t.lo) / buckets
+          var acc = 0L
+          var b = 0
+          var done = false
+          while (!done && b < buckets) {
+            val c = counts.getOrElse((t.tid, b.toLong), 0L)
+            if (t.offset + acc + c >= t.rank) {
+              val newLo = t.lo + b * w
+              val newHi = if (b == buckets - 1) t.hi else t.lo + (b + 1) * w
+              t.offset += acc
+              t.rowsIn = c
+              t.lo = newLo
+              t.hi = newHi
+              done = true
+            } else { acc += c; b += 1 }
+          }
+          assert(done, s"rank ${t.rank} not found — bucket accounting broke")
+        }
+        round += 1
+      }
+    }
+    // resolution: distinct values + counts inside each remaining
+    // interval (≤ collectCap rows, or ulp-narrow => few distincts)
+    val pending = targets.filter(_.value.isEmpty)
+    if (pending.nonEmpty) {
+      val tDf = broadcast(pending.map(t =>
+          (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi))
+        .toDF("tid", "tci", "tg", "lo", "hi"))
+      val vals = rows.join(tDf,
+          col("__ci") === col("tci") &&
+            col("__g").cast("string") === col("tg") &&
+            col("__v") >= col("lo") && col("__v") < col("hi"))
+        .groupBy(col("tid"), col("__v")).agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      pending.foreach { t =>
+        val cand = vals.getOrElse(t.tid, Array.empty)
+          .map(r => r.getDouble(1) -> r.getLong(2)).sortBy(_._1)
+        var acc = t.offset
+        t.value = cand.collectFirst {
+          case (v, c) if { acc += c; acc >= t.rank } => v
+        }
+        assert(t.value.isDefined,
+          s"rank ${t.rank} unresolved — interval accounting broke")
+      }
+    }
+    // assemble: q = vlo + frac * (vhi - vlo), one output row per group
+    val byKey = targets.map(t => (t.ci, t.g, t.rank) -> t.value.get).toMap
+    val groups = stats.keySet.map(_._2)
+    val outRows = groups.toSeq.map { g =>
+      val qs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+        ps.map { p =>
+          stats.get((ci, g)) match {
+            case Some((n, _, _)) =>
+              val t = (n - 1) * p
+              val lo = byKey((ci, g, math.floor(t).toLong + 1))
+              val hi = byKey((ci, g, math.ceil(t).toLong + 1))
+              val f = t - math.floor(t)
+              // two-sided weighted form, exact-rank short-circuit: the
+              // interpolation both Spark's percentile and DuckDB's
+              // quantile_cont compute — the one-sided lo + f*(hi-lo)
+              // drifts an ulp on some operands and would break
+              // bit-parity with the oracle pre-rounding
+              java.lang.Double.valueOf(
+                if (lo == hi || f == 0) lo else (1 - f) * lo + f * hi)
+            case None => null // group absent for this column (all-null)
+          }
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(g +: qs)
+    }
+    val outKeys = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+      ps.indices.map(pi => s"q_${ci}_$pi") }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(groupCol, gType) +:
+        outKeys.map(k0 => org.apache.spark.sql.types.StructField(
+          k0, org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
   }
 }

@@ -71,43 +71,91 @@ object TextPipeline {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
 
+  /** The encoding id order: token ids 1..|vocab| by document frequency
+    * (ties alphabetical), so the mapping is deterministic and the most
+    * common tokens get the smallest ids (the usual convention). Input:
+    * a (token, df) frame like [[vocabulary]]'s output. The ranking is
+    * [[Ranking.exactRowNumber]] — a range-partitioned parallel rank,
+    * never a single-task global-order window, even when the vocabulary
+    * itself is large (web-scale corpora reach 10⁸+ distinct tokens). */
+  private def rankVocab(v: DataFrame): DataFrame =
+    Ranking.exactRowNumber(
+        v.withColumn("__negdf", -col("df")), Seq("__negdf", "token"),
+        rankCol = "tok_id")
+      .drop("__negdf")
+
+  /** Build and rank the encoding vocabulary of a corpus: (token, df,
+    * tok_id) with ids assigned by [[rankVocab]]'s order. PERSIST this
+    * frame and pass it to the vocabulary-taking [[encode]] overload to
+    * keep token ids stable while the corpus grows — re-deriving the
+    * vocabulary per increment reshuffles ids whenever frequencies
+    * cross (the training-input stability requirement). */
+  def rankedVocabulary(corpus: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    rankVocab(vocabulary(corpus, idCol, textCol))
+
   /** Token-id encoding: map each document's token sequence to vocab ids
-    * (the final text→training-input step). The vocabulary is derived
-    * from the corpus itself — ids ranked by document frequency (ties
-    * alphabetical), so the mapping is deterministic and the most common
-    * tokens get the smallest ids (the usual convention). Unknown-token
-    * id is `unkId` (only reachable when encoding against a vocabulary
-    * built elsewhere via the 3-arg overload's future use; padding uses
-    * `unkId` too). Output: (idCol, ids array<long>) plus `ids_padded`
-    * truncated/padded to `maxLen` when maxLen > 0.
+    * (the final text→training-input step). This overload derives the
+    * vocabulary from the corpus itself ([[rankedVocabulary]]'s order);
+    * `unkId` then only labels padding. Output: (idCol, ids array<long>)
+    * plus `ids_padded` truncated/padded to `maxLen` when maxLen > 0.
     *
     * Scale shape: tokenization is narrow; the vocabulary aggregation's
     * exchange carries |vocab| (per-doc distinct before explode, like
-    * [[vocabulary]]); the id-ranking window is global-order but over
-    * |vocab| METADATA rows, not the corpus; re-assembly is one
-    * (id)-keyed aggregation with order restored by sort_array on
-    * (pos, id) structs — no order-dependent collect_list assumption. */
+    * [[vocabulary]]); id ranking is the distributed [[rankVocab]];
+    * re-assembly is one (id)-keyed aggregation with order restored by
+    * sort_array on (pos, id) structs — no order-dependent collect_list
+    * assumption. */
   def encode(corpus: DataFrame, idCol: String, textCol: String,
              maxLen: Int = 0, unkId: Long = 0L): DataFrame = {
-    val toks = corpus.select(col(idCol),
-      expr(TextHashes.toks(textCol)).as("__toks"))
-    val tok = toks.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("__pos", "__token")))
-    val df_ = tok.select(col(idCol), col("__token")).distinct()
-      .groupBy(col("__token")).agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__df").desc, col("__token").asc)
-    val vocab = df_.withColumn("__tok_id",
-      row_number().over(w).cast("long"))
+    val toks = tokenized(corpus, idCol, textCol)
+    val tok = exploded(toks, idCol)
+    // vocabulary from the SAME token frame (one tokenization pass)
+    val vocab = rankVocab(tok.select(col(idCol), col("__token")).distinct()
+      .groupBy(col("__token").as("token")).agg(count(lit(1)).as("df")))
+    assemble(toks, tok, vocab, idCol, maxLen, unkId)
+  }
+
+  /** [[encode]] against a PERSISTED vocabulary — the incremental-corpus
+    * form: `vocab` is a (token, tok_id) frame (extra columns ignored),
+    * normally a stored [[rankedVocabulary]] result. Token ids are
+    * whatever the vocabulary says — stable across corpus increments and
+    * engine runs; tokens absent from the vocabulary encode as `unkId`
+    * (the OOV semantics the 2-arg form cannot reach, since its derived
+    * vocabulary covers every token). */
+  def encode(corpus: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, maxLen: Int, unkId: Long): DataFrame = {
+    val toks = tokenized(corpus, idCol, textCol)
+    assemble(toks, exploded(toks, idCol),
+      vocab.select(col("token"), col("tok_id").cast("long")),
+      idCol, maxLen, unkId)
+  }
+
+  /** [[encode]] against a persisted vocabulary, no padding, unkId 0. */
+  def encode(corpus: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame =
+    encode(corpus, idCol, textCol, vocab, 0, 0L)
+
+  private def tokenized(corpus: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    corpus.select(col(idCol), expr(TextHashes.toks(textCol)).as("__toks"))
+
+  private def exploded(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__token")))
+
+  /** Shared encode tail: join tokens to the vocabulary (OOV → `unkId`),
+    * reassemble per-document id sequences, re-attach token-less docs
+    * (they produce no posexplode rows and would vanish from the groupBy)
+    * so the output stays row-complete, then pad. */
+  private def assemble(toks: DataFrame, tok: DataFrame, vocab: DataFrame,
+                       idCol: String, maxLen: Int, unkId: Long): DataFrame = {
     val nonEmpty = tok
-      .join(vocab.select(col("__token"), col("__tok_id")), Seq("__token"), "left")
+      .join(vocab.select(col("token").as("__token"), col("tok_id").as("__tok_id")),
+        Seq("__token"), "left")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__pos").as("p"),
         coalesce(col("__tok_id"), lit(unkId)).as("id")))).as("__ps"))
       .select(col(idCol), expr("transform(__ps, x -> x.id)").as("ids"))
-    // token-less docs produce no posexplode rows and would vanish from
-    // the groupBy — re-attach them with an empty (then all-pad) ids row
-    // so encode(corpus) stays row-complete
     val enc = toks.select(col(idCol))
       .join(nonEmpty, Seq(idCol), "left")
       .withColumn("ids",

@@ -248,22 +248,24 @@ object CoreQueries {
   }
 
   /** q29 ntile / percent_rank (custkey tiebreak keeps tile assignment
-    * deterministic under acctbal ties).
-    *
-    * Scale note: an un-partitioned window funnels all rows through one
-    * task — inherent to the single-task window form used here. The
-    * EXACT distributed equivalents are
-    * [[graft.operators.Ranking.exactNtile]] /
-    * [[graft.operators.Ranking.exactPercentRank]] (range-partitioned
-    * two-phase rank, bit-identical output — cross-checked in
-    * RankingSpec); [[graft.operators.Ranking.approxNtile]] is the
+    * deterministic under acctbal ties), computed DISTRIBUTED —
+    * [[graft.operators.Ranking.exactNtilePercentRank]] range-partitions
+    * on the order key, sorts partitions in parallel, and rebases local
+    * row numbers by driver prefix-summed partition counts (metadata-only
+    * collect), yielding both distribution columns from ONE exchange.
+    * The un-partitioned `ntile(4).over(Window.orderBy(...))` form pins
+    * the same contract but funnels every row through one task — it was
+    * retired to RankingSpec's cross-check ("match the single-task window
+    * exactly"), and the oracle hash gate proved the two bit-identical
+    * before the swap. [[graft.operators.Ranking.approxNtile]] is the
     * sketch-based alternative when approximate tiles suffice. */
   def q29(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    customer(s, d).select(
-        col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 4).as("pr"))
+    val cust = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    graft.operators.Ranking.exactNtilePercentRank(cust,
+        Seq("c_acctbal", "c_custkey"), 4,
+        tileCol = "quartile", prCol = "__pr")
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        round(col("__pr"), 4).as("pr"))
       .orderBy("c_custkey")
   }
 
@@ -583,21 +585,11 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
-  /** q78 distributed exact global ranking: q29's exact contract computed
-    * WITHOUT the single-task window — [[graft.operators.Ranking.exactNtile]]
-    * range-partitions on the order key, sorts partitions in parallel,
-    * and rebases local row numbers by driver prefix-summed partition
-    * counts (metadata-only collect). Bit-identical to the window form,
-    * so it shares q29's oracle SQL — the correctness gate proves the
-    * distributed rewrite, not just a spec. */
-  def q78(s: SparkSession, d: String): DataFrame = {
-    val ord = Seq("c_acctbal", "c_custkey")
-    val cust = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-    // fused: one range exchange + sort yields both distribution columns
-    graft.operators.Ranking.exactNtilePercentRank(cust, ord, 4,
-        tileCol = "quartile", prCol = "__pr")
-      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
-        round(col("__pr"), 4).as("pr"))
-      .orderBy("c_custkey")
-  }
+  /** q78 distributed exact global ranking. Landed in round 3 as q29's
+    * distributed twin (same oracle SQL, so the hash gate proved the
+    * range-partitioned rewrite bit-identical to the single-task window);
+    * round 4 promoted that body INTO q29, so the twin now delegates —
+    * both inventory faces carry the scale-safe form, and the retired
+    * window form survives as RankingSpec's cross-check. */
+  def q78(s: SparkSession, d: String): DataFrame = q29(s, d)
 }

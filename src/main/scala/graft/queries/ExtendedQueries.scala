@@ -266,23 +266,26 @@ object ExtendedQueries {
       .orderBy("doc_id")
 
   /** q97 exact quantiles per group, DISTRIBUTED — q64's exact contract
-    * without the O(distinct)-per-group aggregation buffer
-    * ([[graft.operators.Ranking.exactQuantilesByGroup]]: range-
-    * partitioned spill-safe sorts + metadata rank rebase + boundary-row
-    * interpolation). Shares q64's oracle SQL, so the hash gate proves
-    * the rewrite is bit-exact, not just close. */
-  def q97(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-    val qty = graft.operators.Ranking.exactQuantilesByGroup(
-        li, "l_returnflag", "l_quantity", Seq(0.5))
-      .select(col("l_returnflag"), round(col("q_0"), 4).as("med_qty"))
-    val price = graft.operators.Ranking.exactQuantilesByGroup(
-        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+    * without the O(distinct)-per-group aggregation buffer.
+    * [[graft.operators.Ranking.exactQuantilesByGroupScan]]: iterative
+    * histogram-refinement selection — 3-4 narrow column-pruned scans
+    * with metadata-sized exchanges, NO shuffle of data rows, no sort,
+    * no materialization (the range-sort twin
+    * [[graft.operators.Ranking.exactQuantilesByGroupMulti]] pins the
+    * same contract when per-row ranks are also wanted; RankingSpec
+    * proves all three forms — scan, range-sort, percentile aggregate —
+    * value-identical). Shares q64's oracle SQL, so the hash gate proves
+    * the rewrite is bit-exact, not just close; q64 itself now carries
+    * this body. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranking.exactQuantilesByGroupScan(
+        lineitem(s, d), "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.25, 0.75)))
       .select(col("l_returnflag"),
-        round(col("q_0"), 4).as("p25_price"),
-        round(col("q_1"), 4).as("p75_price"))
-    qty.join(price, "l_returnflag").orderBy("l_returnflag")
-  }
+        round(col("q_0_0"), 4).as("med_qty"),
+        round(col("q_1_0"), 4).as("p25_price"),
+        round(col("q_1_1"), 4).as("p75_price"))
+      .orderBy("l_returnflag")
 
   /** q98 array set algebra (array_intersect/except/union) between
     * consecutive documents' token SETS — the set-operation face of the

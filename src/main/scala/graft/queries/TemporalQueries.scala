@@ -54,30 +54,20 @@ object TemporalQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
-  /** q64 exact quantiles per group: `percentile` (linear interpolation —
-    * the same definition as DuckDB's quantile_cont, so results match to
-    * the bit). Exactness is this query's declared contract, and its cost:
-    * the aggregation buffer holds a value→count map that grows
-    * O(distinct values) per group — an executor OOM risk on near-all-
-    * distinct columns at 100×. The at-scale paths: EXACT —
-    * [[graft.operators.Ranking.exactQuantilesByGroup]] (range-
-    * partitioned spill-safe sorts, no unbounded buffer; q97 proves it
-    * bit-matches this query's oracle); approximate — the mergeable
-    * quantile sketch ([[graft.operators.Sketches.quantileSketch]] /
-    * `quantileUnionEstimate`, rank error ≤ ε·n with ~KB buffers), or
-    * `approx_percentile` for one-shot queries —
-    * [[graft.operators.Ranking.approxNtile]] for tile assignment. */
+  /** q64 exact quantiles per group (linear interpolation — the same
+    * definition as DuckDB's quantile_cont, so results match to the bit).
+    * The body is the DISTRIBUTED exact form,
+    * [[graft.operators.Ranking.exactQuantilesByGroupScan]] (histogram-
+    * refinement selection: a few narrow scans, zero shuffle) — Spark's
+    * `percentile` aggregate pins the same contract but its buffer holds
+    * a value→count map growing O(distinct values) PER GROUP (an
+    * executor OOM on near-all-distinct columns like l_extendedprice at
+    * 100×), so the single-buffer form was retired to RankingSpec's
+    * cross-check ("matches the percentile aggregate exactly") and this
+    * face shares q97's scale-safe body; the oracle hash gate proved the
+    * forms bit-identical before the swap. Approximate alternatives:
+    * [[graft.operators.Sketches.quantileSketch]] (mergeable, ~KB
+    * buffers, rank error ≤ ε·n) or `approx_percentile`. */
   def q64(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-        // one buffer for both price quantiles: percentile's value->count
-        // map over l_extendedprice (~|distinct| entries) is the dominant
-        // cost — the array form builds it once instead of twice
-        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pq"))
-      .select(col("l_returnflag"), col("med_qty"),
-        round(element_at(col("pq"), 1), 4).as("p25_price"),
-        round(element_at(col("pq"), 2), 4).as("p75_price"))
-      .orderBy("l_returnflag")
+    ExtendedQueries.q97(s, d)
 }

@@ -57,6 +57,104 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("ivfSearch parity: non-broadcast probe path matches the broadcast path") {
+    val probes = Seq((1L, Array(0.7f, 0.3f, 0.0f)),
+      (2L, Array(0.1f, 0.95f, 0.0f))).toDF("pid", "v")
+    def run(bcast: Boolean) = Ann.ivfSearch(cands.toDF("id", "v"), "id",
+        probes, "pid", cents.toDF("cid", "v"), "cid", "v",
+        nprobe = 2, k = 4, broadcastProbes = bcast)
+      .orderBy("pid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(run(bcast = true) == run(bcast = false),
+      "broadcast and shuffled probe joins must return identical results")
+  }
+
+  // ---- sampled k-means centroid training ------------------------------
+
+  test("trainCentroids beats fixed pivots on planted-cluster recall (sf0.01)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val probes = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val cands = e.filter(col("vec_id") >= 30)
+      .select(col("vec_id").as("cand"), col("embedding"))
+    // the data plants 10 label clusters; train k=10 on the corpus side
+    val trained = Ann.trainCentroids(cands, "cand", "embedding",
+      k = 10, iters = 5)
+    // baseline = q79's scheme: the first k corpus vectors as pivots
+    val fixed = e.filter(col("vec_id").between(30, 39))
+      .select((col("vec_id") - 30).as("cid"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("embedding"))
+    val brute = cands
+      .crossJoin(broadcast(probes.select(col("probe").as("p2"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("vp"))))
+      .select(col("p2"), col("cand"),
+        graft.functions.Vectors.cosine(
+          graft.functions.Vectors.asDouble(col("embedding")), col("vp")).as("sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p2"))
+          .orderBy(col("sim").desc, col("cand").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("p2"), col("cand"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val hits = Ann.ivfSearch(cands, "cand", probes, "probe",
+          cents, "cid", "embedding", nprobe = 2, k = 10)
+        .select(col("probe"), col("cand"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      hits.intersect(brute).size.toDouble / brute.size
+    }
+    val rTrained = recall(trained)
+    val rFixed = recall(fixed)
+    // self-calibrating ceiling: centroids built from the PLANTED labels
+    // (the noise level of this synthetic data caps nprobe=2 recall well
+    // below 1 — label-mean centroids measure that cap, and k-means
+    // optimizing the actual geometry may legitimately beat them)
+    val oracleCents = e.filter(col("vec_id") >= 30)
+      .select(col("label").cast("long").as("cid"),
+        posexplode(graft.functions.Vectors.asDouble(col("embedding")))
+          .as(Seq("d", "x")))
+      .groupBy("cid", "d").agg(avg("x").as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
+        .as("embedding"))
+    val rOracle = recall(oracleCents)
+    assert(rTrained > rFixed,
+      s"trained centroids must beat fixed pivots: $rTrained <= $rFixed")
+    assert(rTrained >= rOracle * 0.9,
+      s"k-means should probe at least as well as label-derived centroids: " +
+        s"trained=$rTrained oracle=$rOracle fixed=$rFixed")
+  }
+
+  test("trainCentroids assignment never plans a cartesian product") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", k = 4, iters = 2)
+    assert(cents.count() == 4)
+    // the per-iteration shape IS ivfAssign: assert on it with the
+    // trained centroids (broadcast K-row side, partial-agg argmax)
+    val assign = Ann.ivfAssign(e, "vec_id", "embedding",
+      cents, "cid", "embedding")
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid scoring must broadcast the K-row side:\n$plan")
+    // every sampled vector got a list
+    assert(assign.count() == e.count())
+  }
+
+  test("trainCentroids empty-cluster and sample guards hold") {
+    val few = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.98f, 0.02f))).toDF("id", "v")
+    // k=3 over 3 near-identical vectors: clusters collapse, some stay
+    // empty after round 1 — training must still return k centroids
+    val cents = Ann.trainCentroids(few, "id", "v", k = 3, iters = 3)
+    assert(cents.count() == 3)
+    // sample smaller than k fails loudly, not with a silent short frame
+    val err = intercept[IllegalArgumentException] {
+      Ann.trainCentroids(few, "id", "v", k = 3, iters = 1,
+        sampleFraction = 0.01)
+    }
+    assert(err.getMessage.contains("need at least k"))
+  }
+
   test("ivfSearch with nprobe=1 only scans the probe's nearest list") {
     // probe sits in the x-cluster: with nprobe=1 no y-cluster id appears,
     // even though k exceeds the list size

@@ -109,6 +109,90 @@ class RankingSpec extends AnyFunSuite {
     assert(q("b") == ((2.0, 3.0)))
   }
 
+  test("exactQuantilesByGroupMulti fuses columns: one pass, per-column parity") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val fused = Ranking.exactQuantilesByGroupMulti(li, "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.25, 0.75)),
+        partitions = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](2); (r.getDouble(1), p(0), p(1))
+      }).toMap
+    assert(fused.keySet == want.keySet)
+    fused.keySet.foreach { g =>
+      val (f1, f2, f3) = fused(g); val (w1, w2, w3) = want(g)
+      assert(math.abs(f1 - w1) < 1e-9 && math.abs(f2 - w2) < 1e-9 &&
+        math.abs(f3 - w3) < 1e-9, s"group $g: $fused vs $want")
+    }
+  }
+
+  test("exactQuantilesByGroupScan matches the percentile aggregate exactly (sf0.01)") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val got = Ranking.exactQuantilesByGroupScan(li, "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.25, 0.75)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](2); (r.getDouble(1), p(0), p(1))
+      }).toMap
+    assert(got == want,
+      "histogram-refinement selection must be bit-exact vs percentile()")
+  }
+
+  test("exactQuantilesByGroupScan refinement edges: tiny cap forces rounds") {
+    import spark.implicits._
+    // collectCap=1 with buckets=2: every target must refine to a
+    // single-row (or single-value) interval — exercises the bucket
+    // walk, offset accounting, and last-bucket hi-edge carry
+    val df = (Seq((100.0, "a")) ++ (1 to 9).map(v => (v.toDouble, "b")))
+      .toDF("v", "g")
+    val q = Ranking.exactQuantilesByGroupScan(df, "g",
+        Seq("v" -> Seq(0.0, 0.25, 0.5, 1.0)), buckets = 2, collectCap = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(q("a") == ((100.0, 100.0, 100.0, 100.0)))
+    assert(q("b") == ((1.0, 3.0, 5.0, 9.0)))
+    // duplicate-heavy group: interval narrows to a repeated value
+    val dup = Seq.fill(50)(7.0).map((_, "c")) ++ Seq((1.0, "c"), (9.0, "c"))
+    val qd = Ranking.exactQuantilesByGroupScan(dup.toDF("v", "g"), "g",
+        Seq("v" -> Seq(0.5)), buckets = 2, collectCap = 1)
+      .head().getDouble(1)
+    assert(qd == 7.0)
+  }
+
+  test("rank metadata above the literal-map cap broadcast-joins instead") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // force the fallback: cap 0 means even this cardinality must join
+    val df = Ranking.exactQuantilesByGroup(li, "l_returnflag",
+      "l_extendedprice", Seq(0.25, 0.5, 0.75), partitions = 8,
+      maxLiteralEntries = 0)
+    // the boundary-row join is a broadcast join on both paths; the
+    // fallback is visible as attachMeta's "__mk" key in a SECOND one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__mk"),
+      s"offset metadata must ship as a broadcast join above the cap:\n$plan")
+    assert(!Ranking.exactQuantilesByGroup(li, "l_returnflag",
+        "l_extendedprice", Seq(0.5), partitions = 8)
+      .queryExecution.executedPlan.toString.contains("__mk"),
+      "below the cap the literal-map path must stay join-free")
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = Ranking.exactQuantilesByGroup(li, "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75), partitions = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == want, "broadcast-join path must be value-identical to " +
+      "the literal-map path")
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))

@@ -77,4 +77,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(enc(4L)._1 == Seq() && enc(4L)._2 == Seq(0L, 0L, 0L),
       "token-less docs keep an empty/all-pad row, not disappear")
   }
+
+  test("encode against a persisted vocabulary: OOV -> unkId, stable ids") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a b c b"), (2L, "b a"), (3L, "b"))
+      .toDF("doc_id", "text")
+    // vocab from the v1 corpus: b=1 (3 docs), a=2 (2), c=3 (1)
+    val vocab = TextPipeline.rankedVocabulary(v1, "doc_id", "text")
+    assert(vocab.orderBy("tok_id").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toSeq ==
+      Seq("b" -> 1L, "a" -> 2L, "c" -> 3L))
+    // OOV: tokens outside the vocabulary encode as unkId
+    val oov = TextPipeline.encode(
+        Seq((9L, "a zzz b")).toDF("doc_id", "text"), "doc_id", "text",
+        vocab, 0, -1L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(oov(9L) == Seq(2L, -1L, 1L), "unknown token must become unkId")
+    // stability: growing the corpus until frequencies cross does NOT
+    // move ids when encoding against the persisted vocabulary...
+    val v2 = v1.union(Seq((4L, "c d"), (5L, "c d"), (6L, "c d"), (7L, "c d"))
+      .toDF("doc_id", "text"))
+    val stable = TextPipeline.encode(v2, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stable(1L) == Seq(2L, 1L, 3L, 1L) && stable(2L) == Seq(1L, 2L)
+      && stable(3L) == Seq(1L), "v1 docs must encode exactly as before")
+    assert(stable(4L) == Seq(3L, 0L), "c keeps its old id; new token d -> unkId")
+    // ...whereas the self-deriving form reshuffles them (c outranks a
+    // in v2 — the instability persisted vocabularies exist to prevent)
+    val reshuffled = TextPipeline.encode(v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(reshuffled(2L) != stable(2L) || reshuffled(1L) != stable(1L),
+      "re-derived vocabulary should rank differently on the grown corpus")
+  }
 }

@@ -120,6 +120,37 @@ class PlanContractSpec extends AnyFunSuite {
         s"found $exchanges exchanges:\n$plan")
   }
 
+  // ---- round-4 swaps: the contract faces now carry distributed bodies
+
+  test("q29 ranks without a single-task window funnel") {
+    // the old body's Window.orderBy planned Exchange SinglePartition +
+    // a Window node; the Ranking form has neither (the pre-checkpoint
+    // range sort runs as its own parallel job)
+    val plan = executedPlan("q29_window_ntile")
+    assert(!plan.contains("Window"),
+      s"q29 must use the distributed ranking form, not a global window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"q29 must never funnel rows through one partition:\n$plan")
+  }
+
+  test("q64 computes quantiles without the percentile aggregation buffer") {
+    // the old body's percentile() buffer grows O(distinct) per group;
+    // the Ranking form sorts spill-safely and never plans the aggregate
+    val plan = executedPlan("q64_percentiles")
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"q64 must use the range-sort quantile form, not percentile():\n$plan")
+  }
+
+  test("q96 encode ranks its vocabulary without a global-order window") {
+    // rankVocab uses Ranking.exactRowNumber: no Window node, no
+    // single-partition funnel anywhere in the encode plan
+    val plan = executedPlan("q96_encode")
+    assert(!plan.contains("Window"),
+      s"vocab ranking must be the distributed exactRowNumber form:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"encode must never funnel the vocabulary through one partition:\n$plan")
+  }
+
   test("q89 salted join spreads the key: no single-key exchange partner") {
     // the contract is structural: join key must be (custkey, __salt) —
     // visible as a hash partitioning over TWO expressions on both sides
