@@ -199,6 +199,10 @@ object Lake {
   def readKeyBucketed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
 
+  private val StagingDir = "_graft_staging"
+  private val OldDir = "_graft_old"
+  private val Manifest = "_graft_touched"
+
   /** Batch MERGE (latest-wins upsert) into a key-hash-bucketed table —
     * the batch twin of the streaming partition-pruned upsert, and the
     * Spark-native face of a warehouse `MERGE INTO` (reference
@@ -209,41 +213,76 @@ object Lake {
     *  2. ONLY those partitions are read back (partition-column filter →
     *     directory pruning);
     *  3. latest-wins on (`keyCol`, newest `tsCol`) within them;
-    *  4. ONLY those partitions are rewritten (dynamic partition
-    *     overwrite).
+    *  4. the merge result is STAGED under `_graft_staging` (invisible
+    *     to readers — underscore-prefixed paths are filtered by Spark's
+    *     file listing) and a touched-bucket manifest is written only
+    *     after the staging job completes;
+    *  5. [[commitStagedMerge]] swaps each touched bucket directory for
+    *     its staged replacement (rename pairs through `_graft_old`),
+    *     which also reaps buckets the merge emptied, then clears the
+    *     scaffolding.
+    *
+    * Crash safety: the manifest gates the swap, so a crash anywhere
+    * before it leaves the table byte-identical and the next merge
+    * discards the partial staging; a crash DURING the swap leaves a
+    * mixed-but-readable table (every visible bucket directory is a
+    * complete write) and the next merge first resumes the interrupted
+    * commit from the manifest — every per-bucket state (parked /
+    * swapped / dead) is re-entrant, and latest-wins determinism makes
+    * re-running the same updates converge (asserted in LakeSpec's
+    * injected-crash cases). Single writer assumed; a reader racing the
+    * swap instant can miss a bucket mid-rename — full snapshot
+    * isolation needs a manifest-reading table format, which a plain
+    * directory layout cannot provide.
     *
     * Untouched buckets are never read or written (byte-identical —
     * asserted in LakeSpec). Cost is O(updates + touched buckets), not
-    * O(table); the merge is deterministic, so a rerun after a failure
-    * is idempotent. A missing table is created (the marker is written),
-    * so bootstrap and steady state share one code path.
+    * O(table). A missing table is created (the marker is written), so
+    * bootstrap and steady state share one code path.
     *
     * CDC deletes: pass `deleteCol` naming a boolean column on `updates`
     * — a row whose marker is true acts as a tombstone: if it is the
     * key's LATEST version by `tsCol`, the key is removed (an older
     * tombstone loses to a newer insert, standard latest-wins CDC). The
     * marker column is never persisted, and a bucket whose keys are all
-    * deleted has its partition directory removed (dynamic overwrite
-    * alone would leave it stale). An insert and a tombstone carrying
-    * the SAME timestamp resolve deterministically: the insert wins.
-    * (For determinism of plain upserts, (key, ts) should be unique
-    * across existing ∪ updates — standard CDC feed discipline.) */
+    * deleted has its directory removed at swap time (nothing staged for
+    * it — the reap IS the swap, no separate post-write delete window).
+    * An insert and a tombstone carrying the SAME timestamp resolve
+    * deterministically: the insert wins. (For determinism of plain
+    * upserts, (key, ts) should be unique across existing ∪ updates —
+    * standard CDC feed discipline.) */
   def mergeInto(updates: DataFrame, path: String, keyCol: String,
                 tsCol: String = "ts", numBuckets: Int = 64,
                 deleteCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession
     validateBucketCount(spark, path, numBuckets)
+    recoverStagedMerge(spark, path)
+    if (stageMerge(updates, path, keyCol, tsCol, numBuckets, deleteCol)) {
+      commitStagedMerge(spark, path)
+      ensureBucketMarker(spark, path, numBuckets)
+    }
+  }
+
+  /** Steps 1–4 of [[mergeInto]]: compute the merge and land it under
+    * `_graft_staging`, manifest last. The table is untouched. Returns
+    * false when the update batch is empty (nothing staged). */
+  private[graft] def stageMerge(updates: DataFrame, path: String,
+                                keyCol: String, tsCol: String,
+                                numBuckets: Int,
+                                deleteCol: Option[String]): Boolean = {
+    val spark = updates.sparkSession
     val incoming = updates
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
     val touched = incoming.select(col("__bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return false
     val (p, fs) = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(p, StagingDir)
+    if (fs.exists(staging)) fs.delete(staging, true)
     // only a genuinely absent or empty-layout table means "empty" (an
     // existing dir with no __bucket= partitions is a fresh mkdir'd
     // target, not data) — any other read failure aborts rather than
-    // letting the overwrite below replace touched buckets with just
-    // this batch
+    // letting the swap replace touched buckets with just this batch
     val hasLayout = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
     val existing =
@@ -272,30 +311,97 @@ object Lake {
         merged.filter(!coalesce(col(dc).cast("boolean"), lit(false))).drop(dc)
       case None => merged
     }
-    // fully-deleted buckets write no partition, so dynamic overwrite
-    // would leave their old directories behind. The surviving-bucket set
-    // MUST be computed BEFORE the overwrite — the plan reads the table's
-    // pre-merge files, and executing it after the write would re-run the
-    // merge against the already-modified table. Persisting survivors
-    // makes the collect + write share ONE execution of the merge instead
-    // of reading the touched partitions twice.
-    val cached = if (deleteCol.isDefined) survivors.persist() else survivors
-    try {
-      val alive: Set[Int] =
-        if (deleteCol.isDefined)
-          cached.select(col("__bucket")).distinct()
-            .collect().map(_.getInt(0)).toSet
-        else touched.toSet
-      cached.write
-        .partitionBy("__bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
-      touched.filterNot(alive).foreach { b =>
-        val dir = new org.apache.hadoop.fs.Path(p, s"__bucket=$b")
-        if (fs.exists(dir)) fs.delete(dir, true)
+    // the staging write reads the table's PRE-merge files (the swap
+    // hasn't started), so no persist/two-phase execution is needed; a
+    // fully-deleted bucket simply stages no directory
+    survivors.write.partitionBy("__bucket").mode("overwrite")
+      .parquet(staging.toString)
+    // manifest LAST: its presence is the commit gate — staging without
+    // it is garbage to be discarded, never swapped. Each touched bucket
+    // is recorded alive (staged replacement exists) or dead (the merge
+    // emptied it) — without the flag, a resumed commit could not tell
+    // an already-swapped bucket from a dead one awaiting its reap
+    val stagedSet = fs.listStatus(staging).map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt).toSet
+    val lines = touched.map(b => s"$b:${if (stagedSet(b)) "a" else "d"}")
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, Manifest), true)
+    try out.write(lines.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  /** Step 5 of [[mergeInto]]: swap every manifest bucket to its staged
+    * state, then clear `_graft_old` and the staging dir. Re-entrant —
+    * callable on a fresh staging or to RESUME after a crash at any
+    * point of a previous commit:
+    *
+    *  - ALIVE bucket, staged dir present → park the live dir (if any)
+    *    under `_graft_old`, rename the staged dir in;
+    *  - ALIVE bucket, staged dir absent → its swap already completed
+    *    (parking precedes the rename-in, and only the rename-in
+    *    consumes the staged dir): nothing to do;
+    *  - DEAD bucket (the merge emptied it), live dir present → park it
+    *    (a rename is atomic where a recursive delete is not — a crash
+    *    mid-delete would leave readers a half-deleted parquet dir);
+    *  - DEAD bucket, live dir absent → already reaped: nothing to do.
+    *
+    * Parked copies are dropped with the scaffolding at the end. */
+  private[graft] def commitStagedMerge(spark: SparkSession,
+                                       path: String): Unit = {
+    val (p, fs) = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(p, StagingDir)
+    val manifest = new org.apache.hadoop.fs.Path(staging, Manifest)
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val entries =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map { l =>
+          val Array(b, flag) = l.trim.split(":")
+          b.toInt -> (flag == "a")
+        }.toSeq
+      finally in.close()
+    val old = new org.apache.hadoop.fs.Path(p, OldDir)
+    if (!fs.exists(old)) { fs.mkdirs(old); () }
+    entries.foreach { case (b, alive) =>
+      val live = new org.apache.hadoop.fs.Path(p, s"__bucket=$b")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"__bucket=$b")
+      val parked = new org.apache.hadoop.fs.Path(old, s"__bucket=$b")
+      def park(): Unit = {
+        if (fs.exists(parked)) fs.delete(parked, true)
+        fs.rename(live, parked)
+        ()
       }
-    } finally if (deleteCol.isDefined) { cached.unpersist(); () }
-    ensureBucketMarker(spark, path, numBuckets)
+      if (alive) {
+        if (fs.exists(staged)) {
+          if (fs.exists(live)) park()
+          fs.rename(staged, live)
+        }
+      } else if (fs.exists(live)) park()
+    }
+    // scaffolding teardown order matters: parked copies first, staging
+    // (with the manifest) last — a crash in between resumes above with
+    // every bucket already in its final state
+    fs.delete(old, true)
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Resume or discard whatever a previous merge left behind: a
+    * manifest means a completed staging whose swap may be mid-flight —
+    * finish it; staging without a manifest is a partial write —
+    * discard. Called at the top of every [[mergeInto]]. */
+  private[graft] def recoverStagedMerge(spark: SparkSession,
+                                        path: String): Unit = {
+    val (p, fs) = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(p, StagingDir)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, Manifest)))
+      commitStagedMerge(spark, path)
+    else {
+      fs.delete(staging, true)
+      ()
+    }
   }
 }

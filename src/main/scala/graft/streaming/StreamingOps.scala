@@ -188,23 +188,50 @@ object StreamingOps {
     * (and on bootstrap writes) the same `_graft_buckets` marker, so a
     * table can be fed by this stream and batch-merged via
     * `Lake.mergeInto` interchangeably; a mismatched bucket count fails
-    * the batch instead of silently routing keys to wrong partitions. */
+    * the batch instead of silently routing keys to wrong partitions.
+    *
+    * `trigger` picks the execution cadence: None = the default
+    * micro-batch loop (run forever, process as data arrives);
+    * `Trigger.AvailableNow()` = the BACKFILL face — drain everything
+    * already landed in bounded micro-batches (the source's rate limits,
+    * e.g. `maxFilesPerTrigger`, still apply per batch), then terminate.
+    * That is the catch-up a lake user runs over a landed backlog before
+    * switching to the steady-state stream: same checkpoint, same sink,
+    * so the steady stream resumes exactly where the drain stopped. */
   def upsertStreamPartitioned(events: DataFrame, keyCol: String,
                               sinkPath: String, checkpoint: String,
                               numBuckets: Int = 64,
-                              tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+                              tsCol: String = "ts",
+                              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // one merge implementation, two faces: the batch body IS
         // Lake.mergeInto (bucket routing, touched-partition pruning,
-        // latest-wins, dynamic overwrite, empty-dir bootstrap, marker
+        // latest-wins, staged atomic swap, empty-dir bootstrap, marker
         // validation) — duplicating it here let the two drift (the
         // empty-directory bootstrap fix had landed on only one side)
         graft.sources.Lake.mergeInto(batch.toDF(), sinkPath, keyCol,
           tsCol, numBuckets)
         ()
       }
-      .start()
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** Backfill drain: run [[upsertStreamPartitioned]] under
+    * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
+    * merged — the bounded-catch-up entry point (a skipped-backlog
+    * deployment instead simply starts the steady-state stream on a
+    * fresh checkpoint). Returns the number of micro-batches executed. */
+  def drainBacklog(events: DataFrame, keyCol: String, sinkPath: String,
+                   checkpoint: String, numBuckets: Int = 64,
+                   tsCol: String = "ts"): Long = {
+    val q = upsertStreamPartitioned(events, keyCol, sinkPath, checkpoint,
+      numBuckets, tsCol,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    q.recentProgress.map(_.batchId).distinct.length.toLong
+  }
 }

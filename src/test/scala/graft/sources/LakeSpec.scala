@@ -213,6 +213,81 @@ class LakeSpec extends AnyFunSuite {
     assert(dirs == expected, s"stale bucket dirs must be reaped: $dirs vs $expected")
   }
 
+  test("mergeInto staged commit survives injected crashes and converges") {
+    import spark.implicits._
+    val path = tmp("lake_crash")
+    val nB = 4
+    def readBack() = Lake.readKeyBucketed(spark, path)
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fsP = new org.apache.hadoop.fs.Path(path)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def scaffoldingGone() = {
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(fsP, "_graft_staging")),
+        "staging dir must be cleared after commit")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(fsP, "_graft_old")),
+        "parked-old dir must be cleared after commit")
+    }
+    Lake.mergeInto(Seq((1L, "a1", 1L), (2L, "b1", 1L), (3L, "c1", 1L))
+      .toDF("k", "v", "ts"), path, "k", "ts", nB)
+
+    // crash #1: die between the staging write and the swap — the live
+    // table is byte-untouched (staging is underscore-invisible), and
+    // the next merge resumes the staged commit before doing its own
+    val upd = Seq((1L, "xx", 5L, true), (4L, "d1", 5L, false))
+      .toDF("k", "v", "ts", "deleted")
+    assert(Lake.stageMerge(upd, path, "k", "ts", nB, Some("deleted")))
+    assert(readBack() == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"),
+      "a staged-but-uncommitted merge must be invisible to readers")
+    Lake.mergeInto(upd, path, "k", "ts", nB, deleteCol = Some("deleted"))
+    assert(readBack() == Map(2L -> "b1", 3L -> "c1", 4L -> "d1"))
+    scaffoldingGone()
+
+    // crash #2: die MID-swap — one bucket already swapped by hand, the
+    // rest still staged; the table stays readable, and resuming the
+    // commit (what the next merge's recovery does) converges
+    val upd2 = Seq((2L, "b2", 9L, false), (3L, "c2", 9L, false))
+      .toDF("k", "v", "ts", "deleted")
+    assert(Lake.stageMerge(upd2, path, "k", "ts", nB, Some("deleted")))
+    val b2 = spark.range(1).select(pmod(hash(lit(2L)), lit(nB))).first().getInt(0)
+    val live = new org.apache.hadoop.fs.Path(fsP, s"__bucket=$b2")
+    val staged = new org.apache.hadoop.fs.Path(fsP, s"_graft_staging/__bucket=$b2")
+    val old = new org.apache.hadoop.fs.Path(fsP, "_graft_old")
+    fs.mkdirs(old)
+    fs.rename(live, new org.apache.hadoop.fs.Path(old, s"__bucket=$b2"))
+    fs.rename(staged, live)
+    assert(Lake.readKeyBucketed(spark, path).count() == 3,
+      "mid-swap table must stay readable (every visible dir is complete)")
+    Lake.commitStagedMerge(spark, path)
+    assert(readBack() == Map(2L -> "b2", 3L -> "c2", 4L -> "d1"))
+    scaffoldingGone()
+
+    // crash #3: replaying the SAME merge after a completed commit (a
+    // checkpoint replay) must converge to the same table
+    Lake.mergeInto(upd2, path, "k", "ts", nB, deleteCol = Some("deleted"))
+    assert(readBack() == Map(2L -> "b2", 3L -> "c2", 4L -> "d1"))
+    scaffoldingGone()
+
+    // crash #4: a dead bucket (tombstone reap) parked but not cleaned —
+    // resume must leave it dead, not resurrect it
+    val upd3 = Seq((4L, "xx", 20L, true)).toDF("k", "v", "ts", "deleted")
+    assert(Lake.stageMerge(upd3, path, "k", "ts", nB, Some("deleted")))
+    val b4 = spark.range(1).select(pmod(hash(lit(4L)), lit(nB))).first().getInt(0)
+    val live4 = new org.apache.hadoop.fs.Path(fsP, s"__bucket=$b4")
+    // only park by hand when the reap is the bucket's ONLY change (key 4
+    // alone in it); sharing a bucket with a survivor means the staged
+    // swap handles it — both paths end with k4 gone either way
+    if (!fs.exists(new org.apache.hadoop.fs.Path(fsP,
+        s"_graft_staging/__bucket=$b4")) && fs.exists(live4)) {
+      fs.mkdirs(old)
+      fs.rename(live4, new org.apache.hadoop.fs.Path(old, s"__bucket=$b4"))
+    }
+    Lake.commitStagedMerge(spark, path)
+    assert(readBack() == Map(2L -> "b2", 3L -> "c2"),
+      "a parked dead bucket must stay dead after resume")
+    scaffoldingGone()
+  }
+
   test("bucketed tables join without any shuffle (co-located join)") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val customer = graft.Tables.customer(spark, "/root/testdata/sf0.001")

@@ -232,6 +232,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       "failed mismatched batch must not have written anything")
   }
 
+  test("AvailableNow drains a pre-landed backlog in bounded batches, then terminates") {
+    import spark.implicits._
+    // backlog: three file drops landed BEFORE the stream starts — the
+    // reference's catchup=False skips these (dags/reddit_dag.py:24); the
+    // backfill face replays them in bounded micro-batches and stops
+    val base = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val dir = base + "/backlog"
+    val sink = base + "/table"
+    val ckpt = base + "/ck"
+    Seq(Ev(1L, t("10:00"), 1, "view", 1.0), Ev(2L, t("10:01"), 2, "view", 2.0))
+      .toDF().write.parquet(dir + "/d1")
+    Seq(Ev(3L, t("10:02"), 3, "view", 3.0)).toDF().write.parquet(dir + "/d2")
+    Seq(Ev(1L, t("11:00"), 1, "click", 9.0)).toDF().write.parquet(dir + "/d3")
+    val schema = Seq.empty[Ev].toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // bound each micro-batch
+      .parquet(dir + "/d*/")
+    val nBatches = StreamingOps.drainBacklog(
+      stream, "event_id", sink, ckpt, numBuckets = 4)
+    // terminated on its own (drainBacklog returned), drained in BOUNDED
+    // batches (one file each), and the merge result is latest-wins
+    assert(nBatches >= 3,
+      s"maxFilesPerTrigger=1 over 3 drops must take >= 3 batches, got $nBatches")
+    val table = spark.read.parquet(sink)
+    assert(table.count() == 3)
+    assert(table.filter($"event_id" === 1L).first()
+      .getAs[String]("event_type") == "click",
+      "the later backlog file's row must win the merge")
+    // a second drain over the SAME checkpoint is a no-op (nothing new)
+    val again = StreamingOps.drainBacklog(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir + "/d*/"), "event_id", sink, ckpt, numBuckets = 4)
+    assert(spark.read.parquet(sink).count() == 3,
+      s"re-drain must not duplicate or rewrite (ran $again batches)")
+  }
+
   test("upsert crash recovery: completed __tmp is installed, partial __tmp is discarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
