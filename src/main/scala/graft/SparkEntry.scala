@@ -118,7 +118,9 @@ object SparkEntry {
     "q97_quantiles_dist" -> ExtendedQueries.q97 _,
     "q98_array_setops"   -> ExtendedQueries.q98 _,
     "q99_null_battery"   -> ExtendedQueries.q99 _,
-    "q100_weighted_agg"  -> ExtendedQueries.q100 _
+    "q100_weighted_agg"  -> ExtendedQueries.q100 _,
+    "q101_encode_vocab"  -> ExtendedQueries.q101 _,
+    "q102_quantiles_scan" -> ExtendedQueries.q102 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

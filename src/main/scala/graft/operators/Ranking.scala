@@ -355,12 +355,19 @@ object Ranking {
     * the distinct-value collect is a handful of rows no matter the
     * row count).
     *
-    * Bucket arithmetic is comparison-consistent: bin indices are
-    * floor((v−lo)/width) CORRECTED one step against the exact edge
-    * comparisons, so the set counted into bin b is exactly
-    * `[lo + b·width, lo + (b+1)·width)` (last bin: `[.., hi)`) and the
-    * next round's plain-comparison membership reproduces it — float
-    * rounding can never drop or double-count a boundary row. */
+    * Refined intervals are DATA-defined, not arithmetic-defined: the
+    * bin index (floor((v−lo)/width), one-step-corrected against the
+    * exact edge comparisons) is a MONOTONE function of v, so each bin's
+    * rows form a contiguous value range — the next interval is
+    * `[min(bin), nextUp(max(bin)))` over the bin's actual values, which
+    * the next round's plain comparisons reproduce exactly. Arithmetic
+    * edges (`lo + b·width`) can collapse once width shrinks under an
+    * ulp and would strand counted rows outside their own half-open
+    * interval; data edges cannot. A bin holding one distinct value
+    * resolves on the spot (duplicate-heavy groups converge in O(1)
+    * rounds); a bin the bucketing can no longer split is only possible
+    * when its whole span is a few ulps, where the distinct-value
+    * collect is a handful of rows. */
   def exactQuantilesByGroupScan(df: DataFrame, groupCol: String,
                                 specs: Seq[(String, Seq[Double])],
                                 buckets: Int = 1024,
@@ -395,6 +402,7 @@ object Ranking {
                       var lo: Double, var hi: Double, // half-open [lo, hi)
                       var offset: Long, // values < lo
                       var rowsIn: Long,
+                      var stuck: Boolean, // bucketing can't split further
                       var value: Option[Double])
     var nextTid = 0
     val targets = stats.toSeq.flatMap { case ((ci, g), (n, mn, mx)) =>
@@ -403,7 +411,8 @@ object Ranking {
         Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
       }.distinct
       ranks.map { r =>
-        val t = Target(nextTid, ci, g, r, mn, Math.nextUp(mx), 0L, n, None)
+        val t = Target(nextTid, ci, g, r, mn, Math.nextUp(mx), 0L, n,
+          stuck = false, None)
         nextTid += 1
         // single-value interval (or trivially small group): no search
         if (mn == mx) t.value = Some(mn)
@@ -413,55 +422,61 @@ object Ranking {
     val gType = df.schema(groupCol).dataType
     def active = targets.filter(t => t.value.isEmpty && t.rowsIn > collectCap)
     var round = 0
-    while (active.nonEmpty && round < maxRounds) {
-      val acts = active
-      // a target is refinable while its interval can still subdivide;
-      // one that can't (width underflow) falls through to the exact
-      // distinct-value resolution below, which its ulp-narrow interval
-      // keeps tiny regardless of row count
-      val refinable = acts.filter(t => (t.hi - t.lo) / buckets > 0)
-      if (refinable.isEmpty) {
-        round = maxRounds
-      } else {
-        val tDf = broadcast(refinable.map(t =>
-            (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi,
-              (t.hi - t.lo) / buckets))
-          .toDF("tid", "tci", "tg", "lo", "hi", "w"))
-        val raw = floor((col("__v") - col("lo")) / col("w")).cast("long")
-        // comparison-consistent index: correct floor's float slop one
-        // step so bin b == exactly [lo + b*w, lo + (b+1)*w)
-        val idx = raw -
-          when(col("__v") < col("lo") + raw * col("w"), 1L).otherwise(0L) +
-          when(col("__v") >= col("lo") + (raw + 1L) * col("w"), 1L).otherwise(0L)
-        val counts = rows.join(tDf,
-            col("__ci") === col("tci") &&
-              col("__g").cast("string") === col("tg") &&
-              col("__v") >= col("lo") && col("__v") < col("hi"))
-          .select(col("tid"), least(idx, lit(buckets - 1L)).as("b"))
-          .groupBy(col("tid"), col("b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
-          .toMap
-        refinable.foreach { t =>
-          val w = (t.hi - t.lo) / buckets
-          var acc = 0L
-          var b = 0
-          var done = false
-          while (!done && b < buckets) {
-            val c = counts.getOrElse((t.tid, b.toLong), 0L)
-            if (t.offset + acc + c >= t.rank) {
-              val newLo = t.lo + b * w
-              val newHi = if (b == buckets - 1) t.hi else t.lo + (b + 1) * w
+    while (active.exists(!_.stuck) && round < maxRounds) {
+      val refinable = active.filter(!_.stuck)
+      val tDf = broadcast(refinable.map(t =>
+          (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi,
+            math.max((t.hi - t.lo) / buckets, java.lang.Double.MIN_VALUE)))
+        .toDF("tid", "tci", "tg", "lo", "hi", "w"))
+      val raw = floor((col("__v") - col("lo")) / col("w")).cast("long")
+      // one-step-corrected floor: keeps the index aligned with the
+      // exact edge comparisons where edges are representable, and —
+      // the property refinement actually relies on — MONOTONE in v
+      val idx = raw -
+        when(col("__v") < col("lo") + raw * col("w"), 1L).otherwise(0L) +
+        when(col("__v") >= col("lo") + (raw + 1L) * col("w"), 1L).otherwise(0L)
+      val counts = rows.join(tDf,
+          col("__ci") === col("tci") &&
+            col("__g").cast("string") === col("tg") &&
+            col("__v") >= col("lo") && col("__v") < col("hi"))
+        .select(col("tid"),
+          least(greatest(idx, lit(0L)), lit(buckets - 1L)).as("b"),
+          col("__v"))
+        .groupBy(col("tid"), col("b"))
+        .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"),
+          max(col("__v")).as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      refinable.foreach { t =>
+        var acc = 0L
+        var b = 0
+        var done = false
+        while (!done && b < buckets) {
+          counts.get((t.tid, b.toLong)) match {
+            case Some((c, mn, mx)) if t.offset + acc + c >= t.rank =>
               t.offset += acc
               t.rowsIn = c
-              t.lo = newLo
-              t.hi = newHi
+              if (mn == mx) t.value = Some(mn) // one distinct value left
+              else {
+                // data-defined edges (see scaladoc): the bin's rows are
+                // a contiguous value range, so [mn, nextUp(mx)) holds
+                // exactly them; no-shrink means the span is a few ulps
+                // — hand it to the distinct-value resolution
+                if (mn == t.lo && Math.nextUp(mx) == t.hi) t.stuck = true
+                t.lo = mn
+                t.hi = Math.nextUp(mx)
+              }
               done = true
-            } else { acc += c; b += 1 }
+            case maybe =>
+              acc += maybe.map(_._1).getOrElse(0L)
+              b += 1
           }
-          assert(done, s"rank ${t.rank} not found — bucket accounting broke")
         }
-        round += 1
+        assert(done, s"rank ${t.rank} not found — bucket accounting broke")
       }
+      round += 1
     }
     // resolution: distinct values + counts inside each remaining
     // interval (≤ collectCap rows, or ulp-narrow => few distincts)

@@ -243,7 +243,39 @@ object ExtendedOracles {
       |  round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6) AS disc_ratio
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val q101 =
+    """WITH tr AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 50),
+      |vocab AS (SELECT token,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
+      |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tr)
+      |  GROUP BY token),
+      |te AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id BETWEEN 50 AND 99),
+      |tok AS (SELECT doc_id, u.i AS pos, toks[i] AS token
+      |  FROM te, unnest(range(1, len(toks)+1)) AS u(i)),
+      |enc AS (SELECT tok.doc_id, list(coalesce(v.tok_id, 0) ORDER BY tok.pos) AS ids
+      |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      |  GROUP BY tok.doc_id)
+      |SELECT te.doc_id,
+      |  CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(len(list_filter(e.ids, x -> x = 0)), 0) AS BIGINT) AS n_unk,
+      |  coalesce(array_to_string(e.ids[1:least(len(e.ids),16)], ','), '') AS ids16
+      |FROM te LEFT JOIN enc e ON te.doc_id = e.doc_id
+      |ORDER BY te.doc_id""".stripMargin
+
+  private val q102 =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.1), 4) AS p10_value,
+      |  round(quantile_cont(value, 0.5), 4) AS p50_value,
+      |  round(quantile_cont(value, 0.9), 4) AS p90_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q101_encode_vocab"   -> q101,
+    "q102_quantiles_scan" -> q102,
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
     "q81_range_frame"  -> q81,

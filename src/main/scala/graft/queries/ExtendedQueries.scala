@@ -334,6 +334,41 @@ object ExtendedQueries {
           sum(col("l_extendedprice")), 6).as("disc_ratio"))
       .orderBy("l_returnflag")
 
+  /** q101 encode against a PERSISTED vocabulary (round-4 overload of
+    * [[graft.operators.TextPipeline.encode]]): the vocabulary is built
+    * from a TRAINING slice (doc_id < 50) and a disjoint slice encodes
+    * against it — token ids stay stable as the corpus grows, and
+    * out-of-vocabulary tokens surface as `unkId` (counted in `n_unk`),
+    * the contract the self-deriving q96 form cannot reach. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val vocab = graft.operators.TextPipeline.rankedVocabulary(
+      docs.filter(col("doc_id") < 50), "doc_id", "text")
+    graft.operators.TextPipeline.encode(
+        docs.filter(col("doc_id").between(50, 99)), "doc_id", "text",
+        vocab, 0, 0L)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        expr("size(filter(ids, x -> x = 0))").cast("long").as("n_unk"),
+        expr("array_join(transform(slice(ids, 1, 16), x -> cast(x as string)), ',')")
+          .as("ids16"))
+      .orderBy("doc_id")
+  }
+
+  /** q102 exact per-group quantiles by histogram-refinement selection
+    * ([[graft.operators.Ranking.exactQuantilesByGroupScan]]) over the
+    * events stream table — q97's operator on a second shape (wider
+    * fraction spread, more groups) so the zero-shuffle selection path
+    * is oracle-pinned beyond lineitem. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranking.exactQuantilesByGroupScan(
+        events(s, d), "event_type", Seq("value" -> Seq(0.1, 0.5, 0.9)))
+      .select(col("event_type"),
+        round(col("q_0_0"), 4).as("p10_value"),
+        round(col("q_0_1"), 4).as("p50_value"),
+        round(col("q_0_2"), 4).as("p90_value"))
+      .orderBy("event_type")
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
