@@ -83,12 +83,24 @@ object ScaleProbe {
     val probes: Seq[(String, String => DataFrame)] =
       Seq("q11_join_inner", "q20_agg_group", "q38_upsert_latest",
         "q39_topk_group", "q44_multi_join_agg", "q80_cohort",
-        // exact quantiles both ways: the O(distinct)-buffer aggregate
-        // vs the range-partitioned buffer-free rewrite (q97) — the
-        // probe shows which shape survives growth
-        "q64_percentiles", "q97_quantiles_dist")
+        // the shipped quantile face (histogram-refinement scan)
+        "q97_quantiles_dist")
         .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d))) ++
       Seq(
+        // exact quantiles three ways — the memory/shuffle/time triangle:
+        // the percentile AGGREGATE (O(distinct)-per-group buffer, the
+        // shape q64 retired), the range-sort form (full-data exchange,
+        // spill-safe, also yields per-row ranks), and q97's scan above
+        // (zero shuffle). The probe shows which shapes survive growth.
+        "quantiles_aggregate" -> ((d: String) =>
+          Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+            .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+              expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pq"))),
+        "quantiles_rangesort" -> ((d: String) =>
+          graft.operators.Ranking.exactQuantilesByGroupMulti(
+            Tables.lineitem(spark, d), "l_returnflag",
+            Seq("l_quantity" -> Seq(0.5),
+              "l_extendedprice" -> Seq(0.25, 0.75)))),
         "dedup_minhash_full" -> ((d: String) =>
           graft.operators.Dedup.minhashLsh(
             Tables.documents(spark, d).select("doc_id", "text"),

@@ -264,37 +264,42 @@ object Ranking {
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
     // metadata: per (partition, column, group) row count + first local
-    // position — ≤ partitions × |specs| × |groups| longs
-    val meta = parted.groupBy(pid.as("__pid"), col("__ci"), col("__g"))
+    // position — ≤ partitions × |specs| × |groups| longs. The group
+    // key's string form comes back as SPARK's cast (driver-side
+    // String.valueOf disagrees with cast() for timestamps — trailing
+    // ".0" — which would silently empty the keyed lookups below)
+    val meta = parted.groupBy(pid.as("__pid"), col("__ci"), col("__g"),
+        col("__g").cast("string").as("__gsv"))
       .agg(count(lit(1)).as("c"), min(local).as("first"))
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.get(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getLong(4), r.getLong(5)))
     // per (column, group): prefix-sum counts in partition order -> offsets
     val byCg = meta.groupBy(m => (m._2, m._3)).toSeq
-    val offsets: Seq[((Long, Int, Any), (Long, Long))] =
+    val offsets: Seq[((Long, Int, String), (Long, Long))] =
       byCg.flatMap { case (_, rows) =>
         var acc = 0L
-        rows.sortBy(_._1).toSeq.map { case (p, ci, g, c, first) =>
-          val o = acc; acc += c; ((p, ci, g), (o, first))
+        rows.sortBy(_._1).toSeq.map { case (p, ci, gs, c, first) =>
+          val o = acc; acc += c; ((p, ci, gs), (o, first))
         }
       }
     val cgTotals = byCg.map { case (cg, rows) => cg -> rows.map(_._4).sum }
     // boundary ranks per (column, group, p): lo/hi/frac of t = (N-1)*p
-    val bounds = cgTotals.flatMap { case ((ci, g), n) =>
+    val bounds = cgTotals.flatMap { case ((ci, gs), n) =>
       specs(ci)._2.zipWithIndex.map { case (p, pi) =>
         val t = (n - 1) * p
         val lo = math.floor(t).toLong
-        (ci, String.valueOf(g), pi, lo + 1, math.ceil(t).toLong + 1, t - lo)
+        (ci, gs, pi, lo + 1, math.ceil(t).toLong + 1, t - lo)
       }
     }.toSeq
     // within-group rank: offset/first metadata keyed "pid:ci:group"
     // (group keys must be non-null — they are grouping keys; null
     // groups would fall out of the string-keyed lookup silently)
-    def key(p: Long, ci: Int, g: Any) = s"$p:$ci:${String.valueOf(g)}"
+    def key(p: Long, ci: Int, gs: String) = s"$p:$ci:$gs"
     val k = concat(pid.cast("string"), lit(":"), col("__ci").cast("string"),
       lit(":"), col("__g").cast("string"))
     val ranked = attachMeta(parted, k,
-        offsets.map { case ((p, ci, g), (o, f)) => key(p, ci, g) -> Seq(o, f) },
+        offsets.map { case ((p, ci, gs), (o, f)) => key(p, ci, gs) -> Seq(o, f) },
         Seq("__off", "__first"), maxLiteralEntries)
       .withColumn("__r", col("__off") + (local - col("__first")) + 1)
     import spark.implicits._
@@ -388,36 +393,60 @@ object Ranking {
         }: _*)).as("__e"))
       .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
       .filter(col("__v").isNotNull)
-    // pass 1: per (column, group) count/min/max — and the group key's
-    // original value for the output rows
-    val stats = rows.groupBy(col("__ci"), col("__g"))
-      .agg(count(lit(1)).as("n"), min(col("__v")).as("mn"),
-        max(col("__v")).as("mx"))
+    // pass 1: per (column, group) counts and the FINITE value range.
+    // ±Infinity and NaN cannot live inside a half-open refinement
+    // interval (nextUp(NaN) is NaN; an infinite bucket width breaks the
+    // index math), but they have well-defined positions in the sort
+    // order Spark and DuckDB share (-Inf < finite < +Inf < NaN), so
+    // their per-group COUNTS place every rank in a region directly.
+    // The group key also comes back as SPARK's string cast (`__gs`) —
+    // driver-side String.valueOf disagrees with cast() for timestamps
+    // (trailing ".0") and nulls, which would silently empty the joins.
+    val isFin = col("__v") > Double.NegativeInfinity &&
+      col("__v") < Double.PositiveInfinity // NaN sorts above +Inf: excluded
+    val stats = rows
+      .groupBy(col("__ci"), col("__g"), col("__g").cast("string").as("__gsv"))
+      .agg(count(lit(1)).as("n"),
+        min(when(isFin, col("__v"))).as("mn"),
+        max(when(isFin, col("__v"))).as("mx"),
+        count(when(col("__v") === Double.NegativeInfinity, 1)).as("nneg"),
+        count(when(col("__v") === Double.PositiveInfinity, 1)).as("npos"),
+        count(when(isnan(col("__v")), 1)).as("nnan"))
       .collect()
       .map(r => (r.getInt(0), r.get(1)) ->
-        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
     // one target per distinct needed rank: quantile p needs the values
     // at ranks floor(t)+1 and ceil(t)+1, t = (n-1)p — dedup'd per group
-    case class Target(tid: Int, ci: Int, g: Any, rank: Long,
+    case class Target(tid: Int, ci: Int, g: Any, gs: String, rank: Long,
                       var lo: Double, var hi: Double, // half-open [lo, hi)
                       var offset: Long, // values < lo
                       var rowsIn: Long,
                       var stuck: Boolean, // bucketing can't split further
                       var value: Option[Double])
     var nextTid = 0
-    val targets = stats.toSeq.flatMap { case ((ci, g), (n, mn, mx)) =>
-      val ranks = specs(ci)._2.flatMap { p =>
-        val t = (n - 1) * p
-        Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
-      }.distinct
-      ranks.map { r =>
-        val t = Target(nextTid, ci, g, r, mn, Math.nextUp(mx), 0L, n,
-          stuck = false, None)
-        nextTid += 1
-        // single-value interval (or trivially small group): no search
-        if (mn == mx) t.value = Some(mn)
-        t
-      }
+    val targets = stats.toSeq.flatMap {
+      case ((ci, g), (gs, n, mn, mx, nNeg, nPos, nNan)) =>
+        val nFin = n - nNeg - nPos - nNan
+        val ranks = specs(ci)._2.flatMap { p =>
+          val t = (n - 1) * p
+          Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
+        }.distinct
+        ranks.map { r =>
+          val t = Target(nextTid, ci, g, gs, r, mn, Math.nextUp(mx),
+            nNeg, nFin, stuck = false, None)
+          nextTid += 1
+          // region classification by the shared sort order: only ranks
+          // inside the finite run need the refinement search at all
+          if (r <= nNeg) t.value = Some(Double.NegativeInfinity)
+          else if (r > nNeg + nFin + nPos) t.value = Some(Double.NaN)
+          else if (r > nNeg + nFin) t.value = Some(Double.PositiveInfinity)
+          // single finite value (or trivially small run): no search
+          else if (mn == mx) t.value = Some(mn)
+          t
+        }
     }
     val gType = df.schema(groupCol).dataType
     def active = targets.filter(t => t.value.isEmpty && t.rowsIn > collectCap)
@@ -425,7 +454,7 @@ object Ranking {
     while (active.exists(!_.stuck) && round < maxRounds) {
       val refinable = active.filter(!_.stuck)
       val tDf = broadcast(refinable.map(t =>
-          (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi,
+          (t.tid, t.ci, t.gs, t.lo, t.hi,
             math.max((t.hi - t.lo) / buckets, java.lang.Double.MIN_VALUE)))
         .toDF("tid", "tci", "tg", "lo", "hi", "w"))
       val raw = floor((col("__v") - col("lo")) / col("w")).cast("long")
@@ -437,7 +466,7 @@ object Ranking {
         when(col("__v") >= col("lo") + (raw + 1L) * col("w"), 1L).otherwise(0L)
       val counts = rows.join(tDf,
           col("__ci") === col("tci") &&
-            col("__g").cast("string") === col("tg") &&
+            (col("__g").cast("string") <=> col("tg")) && // null-safe: null groups rank too
             col("__v") >= col("lo") && col("__v") < col("hi"))
         .select(col("tid"),
           least(greatest(idx, lit(0L)), lit(buckets - 1L)).as("b"),
@@ -483,11 +512,11 @@ object Ranking {
     val pending = targets.filter(_.value.isEmpty)
     if (pending.nonEmpty) {
       val tDf = broadcast(pending.map(t =>
-          (t.tid, t.ci, String.valueOf(t.g), t.lo, t.hi))
+          (t.tid, t.ci, t.gs, t.lo, t.hi))
         .toDF("tid", "tci", "tg", "lo", "hi"))
       val vals = rows.join(tDf,
           col("__ci") === col("tci") &&
-            col("__g").cast("string") === col("tg") &&
+            (col("__g").cast("string") <=> col("tg")) &&
             col("__v") >= col("lo") && col("__v") < col("hi"))
         .groupBy(col("tid"), col("__v")).agg(count(lit(1)).as("c"))
         .collect()
@@ -510,7 +539,7 @@ object Ranking {
       val qs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
         ps.map { p =>
           stats.get((ci, g)) match {
-            case Some((n, _, _)) =>
+            case Some((_, n, _, _, _, _, _)) =>
               val t = (n - 1) * p
               val lo = byKey((ci, g, math.floor(t).toLong + 1))
               val hi = byKey((ci, g, math.ceil(t).toLong + 1))

@@ -320,17 +320,37 @@ object Lake {
     // it is garbage to be discarded, never swapped. Each touched bucket
     // is recorded alive (staged replacement exists) or dead (the merge
     // emptied it) — without the flag, a resumed commit could not tell
-    // an already-swapped bucket from a dead one awaiting its reap
+    // an already-swapped bucket from a dead one awaiting its reap.
+    // Written to a temp name and RENAMED into place: the gate file must
+    // appear atomically — a crash mid-write would otherwise leave a
+    // well-formed prefix that recovery would happily commit (a torn,
+    // half-applied merge)
     val stagedSet = fs.listStatus(staging).map(_.getPath.getName)
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toInt).toSet
     val lines = touched.map(b => s"$b:${if (stagedSet(b)) "a" else "d"}")
-    val out = fs.create(new org.apache.hadoop.fs.Path(staging, Manifest), true)
+    val tmp = new org.apache.hadoop.fs.Path(staging, Manifest + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    renameOrFail(fs, tmp, new org.apache.hadoop.fs.Path(staging, Manifest))
     true
   }
+
+  /** Hadoop rename reports several failure modes by RETURNING FALSE
+    * (missing source, existing destination, object-store copy failure)
+    * — treating that as success would let the commit's teardown delete
+    * the only remaining copy of a bucket. Every swap rename must
+    * either succeed or abort the commit (the manifest and staging
+    * survive, so the next merge resumes exactly where this one died). */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           src: org.apache.hadoop.fs.Path,
+                           dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"rename $src -> $dst failed — merge commit aborted (staging kept; " +
+          "rerun the merge to resume)")
 
   /** Step 5 of [[mergeInto]]: swap every manifest bucket to its staged
     * state, then clear `_graft_old` and the staging dir. Re-entrant —
@@ -370,13 +390,12 @@ object Lake {
       val parked = new org.apache.hadoop.fs.Path(old, s"__bucket=$b")
       def park(): Unit = {
         if (fs.exists(parked)) fs.delete(parked, true)
-        fs.rename(live, parked)
-        ()
+        renameOrFail(fs, live, parked)
       }
       if (alive) {
         if (fs.exists(staged)) {
           if (fs.exists(live)) park()
-          fs.rename(staged, live)
+          renameOrFail(fs, staged, live)
         }
       } else if (fs.exists(live)) park()
     }

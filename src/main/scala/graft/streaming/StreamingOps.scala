@@ -224,14 +224,27 @@ object StreamingOps {
     * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
     * merged — the bounded-catch-up entry point (a skipped-backlog
     * deployment instead simply starts the steady-state stream on a
-    * fresh checkpoint). Returns the number of micro-batches executed. */
+    * fresh checkpoint). Returns the number of micro-batches THIS drain
+    * executed, counted from the checkpoint's committed offset log —
+    * `recentProgress` is a ring buffer capped at 100 entries and would
+    * undercount exactly the long backlogs this API exists for. */
   def drainBacklog(events: DataFrame, keyCol: String, sinkPath: String,
                    checkpoint: String, numBuckets: Int = 64,
                    tsCol: String = "ts"): Long = {
+    val spark = events.sparkSession
+    def maxBatch(): Long = {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(-1L)(math.max)
+    }
+    val before = maxBatch()
     val q = upsertStreamPartitioned(events, keyCol, sinkPath, checkpoint,
       numBuckets, tsCol,
       Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     q.awaitTermination()
-    q.recentProgress.map(_.batchId).distinct.length.toLong
+    maxBatch() - before
   }
 }

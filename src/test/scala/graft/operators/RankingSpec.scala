@@ -168,6 +168,55 @@ class RankingSpec extends AnyFunSuite {
     assert(qd == 7.0)
   }
 
+  test("quantile scan: non-finite values and timestamp/null group keys") {
+    import spark.implicits._
+    // ±Inf/NaN sort as -Inf < finite < +Inf < NaN in both engines; the
+    // scan classifies their ranks by region instead of refining (an
+    // interval can't hold them: nextUp(NaN)=NaN, infinite bucket width)
+    val nf = Seq(("a", Double.NegativeInfinity), ("a", 1.0), ("a", 2.0),
+      ("a", Double.PositiveInfinity), ("a", Double.NaN),
+      ("b", Double.NaN), ("b", Double.NaN)).toDF("g", "v")
+    val got = Ranking.exactQuantilesByGroupScan(nf, "g",
+        Seq("v" -> Seq(0.0, 0.5, 1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = nf.groupBy("g")
+      .agg(expr("percentile(v, array(0.0, 0.5, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](1); (p(0), p(1), p(2))
+      }).toMap
+    def same(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { g =>
+      assert(same(got(g)._1, want(g)._1) && same(got(g)._2, want(g)._2) &&
+        same(got(g)._3, want(g)._3), s"group $g: ${got(g)} vs ${want(g)}")
+    }
+    // timestamp group keys: java.sql.Timestamp.toString renders a
+    // trailing ".0" that Spark's cast-to-string does not — the join
+    // keys must come from Spark's cast on BOTH sides (scan + Multi)
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val ts = Seq((t1, 1.0), (t1, 3.0), (t1, 5.0), (t2, 10.0), (t2, 20.0))
+      .toDF("g", "v")
+    val wantTs = Map(t1 -> 3.0, t2 -> 15.0)
+    val gotScan = Ranking.exactQuantilesByGroupScan(ts, "g",
+        Seq("v" -> Seq(0.5)), collectCap = 1)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(gotScan == wantTs, s"scan timestamp groups: $gotScan")
+    val gotMulti = Ranking.exactQuantilesByGroup(ts, "g", "v", Seq(0.5),
+        partitions = 4)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(gotMulti == wantTs, s"range-sort timestamp groups: $gotMulti")
+    // null group keys rank too (null-safe join in the scan)
+    val ng = Seq((null.asInstanceOf[String], 1.0), (null, 3.0), ("x", 5.0))
+      .toDF("g", "v")
+    val gotNull = Ranking.exactQuantilesByGroupScan(ng, "g",
+        Seq("v" -> Seq(0.5)), collectCap = 1)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(gotNull == Map(None -> 2.0, Some("x") -> 5.0),
+      s"null group must not be dropped: $gotNull")
+  }
+
   test("rank metadata above the literal-map cap broadcast-joins instead") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     // force the fallback: cap 0 means even this cardinality must join

@@ -22,9 +22,11 @@ object RoundFourProperties extends Properties("round4") {
     n <- Gen.chooseNum(1, 60)
     rows <- Gen.listOfN(n, for {
       g <- Gen.oneOf("a", "b", "c")
-      v <- Gen.oneOf(
-        Gen.chooseNum(-1000, 1000).map(_ / 8.0), // spread values
-        Gen.oneOf(1.0, 2.0, 3.0))                // heavy duplicates
+      v <- Gen.frequency(
+        (6, Gen.chooseNum(-1000, 1000).map(_ / 8.0)), // spread values
+        (3, Gen.oneOf(1.0, 2.0, 3.0)),                // heavy duplicates
+        (1, Gen.oneOf(Double.NegativeInfinity,        // non-finite regions
+          Double.PositiveInfinity, Double.NaN)))
     } yield (g, v))
   } yield rows
 
@@ -43,7 +45,8 @@ object RoundFourProperties extends Properties("round4") {
           val p = r.getSeq[Double](1); p.toIndexedSeq
         }).toMap
       got.keySet == want.keySet && got.keySet.forall { g =>
-        got(g).zip(want(g)).forall { case (a, b) => a == b }
+        got(g).zip(want(g)).forall { case (a, b) =>
+          (a.isNaN && b.isNaN) || a == b }
       }
     }
 

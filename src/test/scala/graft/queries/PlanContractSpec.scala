@@ -133,12 +133,24 @@ class PlanContractSpec extends AnyFunSuite {
       s"q29 must never funnel rows through one partition:\n$plan")
   }
 
-  test("q64 computes quantiles without the percentile aggregation buffer") {
-    // the old body's percentile() buffer grows O(distinct) per group;
-    // the Ranking form sorts spill-safely and never plans the aggregate
-    val plan = executedPlan("q64_percentiles")
-    assert(!plan.toLowerCase.contains("percentile"),
-      s"q64 must use the range-sort quantile form, not percentile():\n$plan")
+  test("q64 quantile scan never shuffles data rows (sf0.1 measured)") {
+    // the returned frame is driver-assembled, so a plan-string assert
+    // would be vacuous — the contract lives in the EAGER jobs the scan
+    // runs while constructing it, and those are captured by job-group-
+    // scoped shuffle metrics. At sf0.1 the stacked input is 1.2M rows:
+    // the retired percentile form shuffled O(distinct)-sized buffers,
+    // the range-sort form all 1.2M rows; the histogram scan's partial
+    // aggregations must stay metadata-sized (partitions × targets ×
+    // bins after map-side combine — measured ~10k; bound has headroom).
+    // Only discriminating at this sf: below ~100k rows the bin partials
+    // aren't yet map-side-combined under the data row count.
+    val shuffledRecs = Metrics.shuffleOf(spark) {
+      graft.SparkEntry.queries("q64_percentiles")(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save()
+    }.recordsWritten
+    assert(shuffledRecs <= 100000L,
+      s"quantile scan must shuffle bin metadata, not the 1.2M stacked " +
+        s"data rows: $shuffledRecs records crossed an exchange")
   }
 
   test("q96 encode ranks its vocabulary without a global-order window") {
