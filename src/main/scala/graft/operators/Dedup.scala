@@ -128,6 +128,106 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** Persistable MinHash signature table: one row per doc with ≥3
+    * tokens — (`idCol`, `mh` array<string> of `numHashes` salted
+    * min-hashes). This is the artifact an INCREMENTAL dedup pipeline
+    * stores per ingested slice (parquet-append it): later increments
+    * dedup against the signatures alone — the corpus text is never
+    * re-read, which is the property that makes daily dedup against a
+    * 100-TB corpus a signature-table join instead of a corpus scan.
+    * Fully narrow (per-doc shingle set → salted `array_min`s). */
+  def minhashSignatures(corpus: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    corpus.select(col(idCol),
+        expr(TextHashes.toks(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), expr(TextHashes.shingleSet("toks")).as("__sh"))
+      .select(col(idCol), array((0 until numHashes).map(j =>
+        array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))"))): _*)
+        .as("mh"))
+  }
+
+  /** Band-key bucket assignments `(__id, band, key)` from a signature
+    * table (key = concat of the band's `rowsPerBand` min-hashes). */
+  private def sigBuckets(sigs: DataFrame, idCol: String,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), b * rowsPerBand + r + 1)): _*).as("key"))
+        .as(s"b$b"))
+    sigs.select(col(idCol).as("__id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** INCREMENTAL MinHash near-dedup: drop every `increment` doc that
+    * near-duplicates the EXISTING corpus (represented only by its
+    * [[minhashSignatures]] table — no corpus text is touched) or a
+    * smaller-id doc within the increment itself. The daily-slice flow:
+    *
+    * {{{
+    * val sigs  = spark.read.parquet(sigStore)            // corpus so far
+    * val keep  = Dedup.minhashIncremental(batch, "id", "text", sigs)
+    * Dedup.minhashSignatures(keep, "id", "text")
+    *   .write.mode("append").parquet(sigStore)           // corpus grows
+    * }}}
+    *
+    * Candidates meet through band-key equi-joins (increment×existing
+    * and increment×increment — never corpus×corpus); hot band keys on
+    * the existing side are capped to the `reprPerBucket` smallest-id
+    * representatives (a boilerplate key shared by millions of stored
+    * docs needs only a few similar representatives to condemn a new
+    * arrival — the star-link recall tradeoff, documented at
+    * [[candidatePairs]]). Verification is SIGNATURE-estimated Jaccard
+    * (fraction of agreeing min-hashes ≥ `threshold`) rather than the
+    * exact shingle Jaccard [[minhashLsh]] computes — the existing
+    * side's shingles no longer exist, and the estimate's granularity
+    * is 1/(bands·rowsPerBand): size `bands`·`rowsPerBand` to the
+    * precision the threshold needs. Docs with <3 tokens carry no
+    * signature and are always kept. */
+  def minhashIncremental(increment: DataFrame, idCol: String, textCol: String,
+                         existingSigs: DataFrame,
+                         threshold: Double = 0.8,
+                         bands: Int = 4, rowsPerBand: Int = 2,
+                         maxBucketSize: Int = 1000,
+                         reprPerBucket: Int = 16): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val incSigs = minhashSignatures(increment, idCol, textCol,
+      bands, rowsPerBand)
+    val incBuckets = sigBuckets(incSigs, idCol, bands, rowsPerBand)
+    val exBuckets = sigBuckets(existingSigs, idCol, bands, rowsPerBand)
+    // existing-side hot-key cap: keep the reprPerBucket smallest ids
+    val wB = Window.partitionBy(col("band"), col("key"))
+      .orderBy(col("__id").asc)
+    val exRepr = exBuckets
+      .withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") <= reprPerBucket)
+      .select(col("__id").as("__ex"), col("band"), col("key"))
+    val agree = (a: Column, b: Column) =>
+      size(filter(zip_with(a, b, (x, y) => x === y), m => m)) /
+        lit(numHashes.toDouble)
+    // vs existing: ANY similar existing doc condemns the increment doc
+    // (the stored corpus is canonical — it already survived dedup)
+    val vsExisting = incBuckets
+      .join(exRepr, Seq("band", "key"))
+      .select(col("__id"), col("__ex")).distinct()
+      .join(incSigs.select(col(idCol).as("__id"), col("mh").as("__mhi")), "__id")
+      .join(existingSigs.select(col(idCol).as("__ex"), col("mh").as("__mhe")),
+        "__ex")
+      .filter(agree(col("__mhi"), col("__mhe")) >= threshold)
+      .select(col("__id"))
+    // within the increment: smaller id survives, hot buckets star-link
+    val withinInc = candidatePairs(incBuckets, maxBucketSize)
+      .join(incSigs.select(col(idCol).as("a"), col("mh").as("__mha")), "a")
+      .join(incSigs.select(col(idCol).as("b"), col("mh").as("__mhb")), Seq("b"))
+      .filter(agree(col("__mha"), col("__mhb")) >= threshold)
+      .select(col("b").as("__id"))
+    val dominated = vsExisting.union(withinInc).distinct()
+    increment.join(dominated.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8,
                  bands: Int = 4, rowsPerBand: Int = 2,

@@ -130,6 +130,49 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhash(corpus, "doc_id", "text").count() == 3)
   }
 
+  test("incremental minhash dedups a new batch against stored signatures only") {
+    import spark.implicits._
+    val existing = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(30)
+    // the signature STORE is all the increment ever sees of the corpus
+    val sigStore = Dedup.minhashSignatures(existing, "doc_id", "text")
+    val copyOfExisting = existing.filter(col("doc_id") === 3)
+      .select(lit(1L).as("doc_id"), col("text"))  // id SMALLER than 3:
+      // the stored corpus must dominate regardless of id order
+    val freshText = "completely original sentence about glaciers and " +
+      "tectonic plates drifting slowly across deep geological time"
+    val fresh = Seq((5000L, freshText)).toDF("doc_id", "text")
+    val dupText = "another unique paragraph mentioning wind turbines " +
+      "solar arrays and long transmission lines across the open plains"
+    val internalDup = Seq((6000L, dupText), (6001L, dupText))
+      .toDF("doc_id", "text")
+    val tiny = Seq((7000L, "two tokens")).toDF("doc_id", "text")
+    val increment = copyOfExisting.unionByName(fresh)
+      .unionByName(internalDup).unionByName(tiny)
+    val kept = Dedup.minhashIncremental(increment, "doc_id", "text", sigStore)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5000L, 6000L, 7000L),
+      s"existing-copy and larger-internal-dup must drop, fresh/first/" +
+        s"short-doc must survive: $kept")
+    // appending the survivors' signatures reproduces the full-store
+    // state: a SECOND run of the same increment now drops everything
+    // that has a signature (only the signature-less tiny doc survives)
+    val grown = sigStore.unionByName(
+      Dedup.minhashSignatures(
+        increment.filter(col("doc_id").isin(5000L, 6000L)),
+        "doc_id", "text"))
+    val rerun = Dedup.minhashIncremental(increment, "doc_id", "text", grown)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun == Set(7000L),
+      s"a re-ingested slice must dedup against its own stored signatures: $rerun")
+    // against an EMPTY store the semantics reduce to within-batch dedup
+    val empty = sigStore.filter(lit(false))
+    val solo = Dedup.minhashIncremental(increment, "doc_id", "text", empty)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(solo == Set(1L, 5000L, 6000L, 7000L),
+      s"empty store: only the internal dup drops: $solo")
+  }
+
   test("connectedComponents: min label per component, deep chains converge, delta rounds shrink") {
     import spark.implicits._
     // two components: a 12-node chain (tests iteration depth + lineage
