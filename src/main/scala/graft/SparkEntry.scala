@@ -120,7 +120,8 @@ object SparkEntry {
     "q99_null_battery"   -> ExtendedQueries.q99 _,
     "q100_weighted_agg"  -> ExtendedQueries.q100 _,
     "q101_encode_vocab"  -> ExtendedQueries.q101 _,
-    "q102_quantiles_scan" -> ExtendedQueries.q102 _
+    "q102_quantiles_scan" -> ExtendedQueries.q102 _,
+    "q103_dedup_incr"    -> ExtendedQueries.q103 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

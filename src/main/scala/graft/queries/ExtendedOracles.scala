@@ -273,9 +273,50 @@ object ExtendedOracles {
       |  round(quantile_cont(value, 0.9), 4) AS p90_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val q103 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bandsU = Seq((0, "m0 || m1"), (1, "m2 || m3"), (2, "m4 || m5"),
+      (3, "m6 || m7")).map { case (b, k) =>
+        s"SELECT side, doc_id, $b AS band, $k AS key FROM m"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH corp AS (
+       |  SELECT doc_id, text, 'e' AS side FROM documents WHERE doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id, text, 'i' FROM documents WHERE doc_id BETWEEN 60 AND 99
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text, 'i' FROM documents WHERE doc_id < 3),
+       |t AS (SELECT side, doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM corp),
+       |sh AS (SELECT DISTINCT side, doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |  FROM t, unnest(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+       |m AS (SELECT side, doc_id, $mins FROM sh GROUP BY 1, 2),
+       |bk AS ($bandsU),
+       |vsx AS (SELECT DISTINCT bi.doc_id
+       |  FROM bk bi JOIN bk be ON bi.band = be.band AND bi.key = be.key
+       |    AND bi.side = 'i' AND be.side = 'e'
+       |  JOIN m x ON x.side = 'i' AND x.doc_id = bi.doc_id
+       |  JOIN m y ON y.side = 'e' AND y.doc_id = be.doc_id
+       |  WHERE ($agree) / 8.0 >= 0.8),
+       |win AS (SELECT DISTINCT bb.doc_id
+       |  FROM bk ba JOIN bk bb ON ba.band = bb.band AND ba.key = bb.key
+       |    AND ba.side = 'i' AND bb.side = 'i' AND ba.doc_id < bb.doc_id
+       |  JOIN m x ON x.side = 'i' AND x.doc_id = ba.doc_id
+       |  JOIN m y ON y.side = 'i' AND y.doc_id = bb.doc_id
+       |  WHERE ($agree) / 8.0 >= 0.8)
+       |SELECT doc_id FROM corp WHERE side = 'i'
+       |  AND doc_id NOT IN (SELECT doc_id FROM vsx)
+       |  AND doc_id NOT IN (SELECT doc_id FROM win)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q101_encode_vocab"   -> q101,
     "q102_quantiles_scan" -> q102,
+    "q103_dedup_incr"     -> q103,
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
     "q81_range_frame"  -> q81,

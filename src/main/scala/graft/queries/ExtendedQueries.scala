@@ -369,6 +369,27 @@ object ExtendedQueries {
         round(col("q_0_2"), 4).as("p90_value"))
       .orderBy("event_type")
 
+  /** q103 incremental corpus dedup ([[graft.operators.Dedup
+    * .minhashIncremental]]): the signature store is built from docs
+    * 0–59, the increment is docs 60–99 plus planted copies of docs 0–2
+    * under new ids — the copies must be condemned by the STORE alone
+    * (their source text is never re-read), while increment docs that
+    * near-duplicate nothing survive. Signature-estimated Jaccard at
+    * 8 hashes: ≥ 0.8 means ≥ 7 of 8 min-hashes agree. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 60)
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      existing, "doc_id", "text")
+    val increment = docs.filter(col("doc_id").between(60, 99))
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    graft.operators.Dedup.minhashIncremental(
+        increment, "doc_id", "text", sigs)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
