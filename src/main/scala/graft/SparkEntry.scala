@@ -121,7 +121,9 @@ object SparkEntry {
     "q100_weighted_agg"  -> ExtendedQueries.q100 _,
     "q101_encode_vocab"  -> ExtendedQueries.q101 _,
     "q102_quantiles_scan" -> ExtendedQueries.q102 _,
-    "q103_dedup_incr"    -> ExtendedQueries.q103 _
+    "q103_dedup_incr"    -> ExtendedQueries.q103 _,
+    "q104_mix_exact"     -> ExtendedQueries.q104 _,
+    "q105_mix_rate"      -> ExtendedQueries.q105 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

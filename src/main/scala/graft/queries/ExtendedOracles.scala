@@ -313,10 +313,31 @@ object ExtendedOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val q104 =
+    """WITH r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents WHERE lang IN ('en', 'de', 'fr'))
+      |SELECT doc_id, lang FROM r
+      |WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin
+
+  private val q105 = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)),$i,1)) - 1)"
+    s"""SELECT doc_id, source FROM documents
+       |WHERE source IN ('src0', 'src1', 'src2')
+       |  AND (${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) / 65536.0
+       |    < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q101_encode_vocab"   -> q101,
     "q102_quantiles_scan" -> q102,
     "q103_dedup_incr"     -> q103,
+    "q104_mix_exact"      -> q104,
+    "q105_mix_rate"       -> q105,
     "q79_ivf_ann"      -> q79,
     "q80_cohort"       -> q80,
     "q81_range_frame"  -> q81,

@@ -390,6 +390,29 @@ object ExtendedQueries {
       .orderBy("doc_id")
   }
 
+  /** q104 exact-count dataset mixture ([[graft.operators.Sampling
+    * .stratifiedExact]]): compose a corpus of exactly 50 en / 20 de /
+    * 10 fr documents, deterministically (smallest md5(doc_id) per
+    * stratum) — the fixed-ratio curation step of a training pipeline.
+    * Other languages drop: the output IS the declared mixture. */
+  def q104(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedExact(
+        documents(s, d), "lang", "doc_id",
+        Map("en" -> 50L, "de" -> 20L, "fr" -> 10L))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** q105 rate-based dataset mixture ([[graft.operators.Sampling
+    * .stratifiedRate]]): keep all of src0, half of src1, a quarter of
+    * src2 by a salted id-hash gate — narrow, membership-stable under
+    * corpus growth (the incremental-mixing property). */
+  def q105(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedRate(
+        documents(s, d), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same
