@@ -105,20 +105,13 @@ object Dedup {
   private def verifiedPairs(corpus: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val docs = corpus.select(col(idCol).as("__id"),
-        expr(TextHashes.toks(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
-    val sigs = docs.select(col("__id") +: (0 until numHashes).map(j =>
-      array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))")).as(s"m$j")): _*)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-          .as("key")).as(s"b$b"))
-    val buckets = sigs.select(col("__id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val docs = shingleDocs(corpus, idCol, textCol)
+    // signatures and band keys through the SAME construction the
+    // persisted store uses ([[minhashSignatures]]/[[sigBuckets]]) — one
+    // key scheme, so batch and incremental dedup can never drift apart
+    val sigs = docs.select(col("__id"),
+      sigFromShingles(bands * rowsPerBand).as("mh"))
+    val buckets = sigBuckets(sigs, "__id", bands, rowsPerBand)
     candidatePairs(buckets, maxBucketSize)
       .join(docs.toDF("a", "__sha"), "a")
       .join(docs.toDF("b", "__shb"), Seq("b"))
@@ -128,8 +121,28 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** Per-doc distinct word-3-gram shingle sets `(__id, __sh)`; docs
+    * with <3 tokens carry no row (no shingles — always kept by every
+    * dedup face). The single source for both signature construction
+    * and exact-Jaccard verification. */
+  private def shingleDocs(corpus: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    corpus.select(col(idCol).as("__id"),
+        expr(TextHashes.toks(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("__id"), expr(TextHashes.shingleSet("toks")).as("__sh"))
+
+  /** The min-hash array over a `__sh` shingle column: `numHashes`
+    * salted-md5 minima. ONE definition — [[minhashSignatures]] (the
+    * persisted store) and [[verifiedPairs]] (batch dedup) must emit
+    * bit-identical signatures or stored epochs silently stop matching
+    * later batches. */
+  private def sigFromShingles(numHashes: Int) =
+    array((0 until numHashes).map(j =>
+      array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))"))): _*)
+
   /** Persistable MinHash signature table: one row per doc with ≥3
-    * tokens — (`idCol`, `mh` array<string> of `numHashes` salted
+    * tokens — (`idCol`, `mh` array<string> of bands·rowsPerBand salted
     * min-hashes). This is the artifact an INCREMENTAL dedup pipeline
     * stores per ingested slice (parquet-append it): later increments
     * dedup against the signatures alone — the corpus text is never
@@ -137,16 +150,10 @@ object Dedup {
     * 100-TB corpus a signature-table join instead of a corpus scan.
     * Fully narrow (per-doc shingle set → salted `array_min`s). */
   def minhashSignatures(corpus: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    corpus.select(col(idCol),
-        expr(TextHashes.toks(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col(idCol), expr(TextHashes.shingleSet("toks")).as("__sh"))
-      .select(col(idCol), array((0 until numHashes).map(j =>
-        array_min(expr(s"transform(__sh, x -> md5(concat('$j:', x)))"))): _*)
-        .as("mh"))
-  }
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    shingleDocs(corpus, idCol, textCol)
+      .select(col("__id").as(idCol),
+        sigFromShingles(bands * rowsPerBand).as("mh"))
 
   /** Band-key bucket assignments `(__id, band, key)` from a signature
     * table (key = concat of the band's `rowsPerBand` min-hashes). */
@@ -174,17 +181,27 @@ object Dedup {
     * }}}
     *
     * Candidates meet through band-key equi-joins (increment×existing
-    * and increment×increment — never corpus×corpus); hot band keys on
-    * the existing side are capped to the `reprPerBucket` smallest-id
-    * representatives (a boilerplate key shared by millions of stored
-    * docs needs only a few similar representatives to condemn a new
-    * arrival — the star-link recall tradeoff, documented at
-    * [[candidatePairs]]). Verification is SIGNATURE-estimated Jaccard
-    * (fraction of agreeing min-hashes ≥ `threshold`) rather than the
-    * exact shingle Jaccard [[minhashLsh]] computes — the existing
-    * side's shingles no longer exist, and the estimate's granularity
-    * is 1/(bands·rowsPerBand): size `bands`·`rowsPerBand` to the
-    * precision the threshold needs. Docs with <3 tokens carry no
+    * and increment×increment — never corpus×corpus). The existing
+    * side's exploded band rows are semi-join-pruned to the band keys
+    * the increment actually touches BEFORE anything ranks or joins —
+    * per-batch cost is O(batch + matched buckets), never a pass over
+    * the store — and a hot matched key caps at its `reprPerBucket`
+    * smallest-id representatives (a boilerplate key shared by millions
+    * of stored docs needs only a few similar representatives to
+    * condemn a new arrival — the star-link recall tradeoff, documented
+    * at [[candidatePairs]]).
+    *
+    * Verification is two-grade: WITHIN the increment both docs'
+    * shingles are on hand, so candidates verify by exact shingle
+    * Jaccard — identical semantics to [[minhashLsh]] (an empty store
+    * reduces this operator to it). AGAINST the store only signatures
+    * exist, so those candidates verify by signature-estimated Jaccard
+    * (fraction of agreeing min-hashes ≥ `threshold`; granularity
+    * 1/(bands·rowsPerBand) — size the hash count to the precision the
+    * threshold needs). The store's signature width is validated
+    * against bands·rowsPerBand up front: a width mismatch would
+    * otherwise null out band keys and agreement terms and silently
+    * stop detecting duplicates. Docs with <3 tokens carry no
     * signature and are always kept. */
   def minhashIncremental(increment: DataFrame, idCol: String, textCol: String,
                          existingSigs: DataFrame,
@@ -193,14 +210,26 @@ object Dedup {
                          maxBucketSize: Int = 1000,
                          reprPerBucket: Int = 16): DataFrame = {
     val numHashes = bands * rowsPerBand
+    existingSigs.select(size(col("mh"))).head(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"signature store carries ${r.getInt(0)} min-hashes per doc but " +
+          s"bands*rowsPerBand = $numHashes — the store must be read with " +
+          "the hash layout it was written with")
+    }
+    // the increment's signatures feed two faces below: pin ONE
+    // computation instead of re-tokenizing and re-hashing per reference
     val incSigs = minhashSignatures(increment, idCol, textCol,
-      bands, rowsPerBand)
+      bands, rowsPerBand).localCheckpoint(true)
     val incBuckets = sigBuckets(incSigs, idCol, bands, rowsPerBand)
-    val exBuckets = sigBuckets(existingSigs, idCol, bands, rowsPerBand)
-    // existing-side hot-key cap: keep the reprPerBucket smallest ids
+    // prune the store's band rows to keys the increment touches, THEN
+    // cap hot keys (representative choice is per-key, so pruning first
+    // changes nothing but the shuffle size)
+    val exTouched = sigBuckets(existingSigs, idCol, bands, rowsPerBand)
+      .join(incBuckets.select(col("band"), col("key")).distinct(),
+        Seq("band", "key"), "left_semi")
     val wB = Window.partitionBy(col("band"), col("key"))
       .orderBy(col("__id").asc)
-    val exRepr = exBuckets
+    val exRepr = exTouched
       .withColumn("__rk", row_number().over(wB))
       .filter(col("__rk") <= reprPerBucket)
       .select(col("__id").as("__ex"), col("band"), col("key"))
@@ -217,11 +246,10 @@ object Dedup {
         "__ex")
       .filter(agree(col("__mhi"), col("__mhe")) >= threshold)
       .select(col("__id"))
-    // within the increment: smaller id survives, hot buckets star-link
-    val withinInc = candidatePairs(incBuckets, maxBucketSize)
-      .join(incSigs.select(col(idCol).as("a"), col("mh").as("__mha")), "a")
-      .join(incSigs.select(col(idCol).as("b"), col("mh").as("__mhb")), Seq("b"))
-      .filter(agree(col("__mha"), col("__mhb")) >= threshold)
+    // within the increment: exact-Jaccard verification, smaller id
+    // survives, hot buckets star-link — minhashLsh's semantics exactly
+    val withinInc = verifiedPairs(increment, idCol, textCol, threshold,
+        bands, rowsPerBand, maxBucketSize)
       .select(col("b").as("__id"))
     val dominated = vsExisting.union(withinInc).distinct()
     increment.join(dominated.withColumnRenamed("__id", idCol),

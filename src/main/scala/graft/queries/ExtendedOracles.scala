@@ -301,12 +301,19 @@ object ExtendedOracles {
        |  JOIN m x ON x.side = 'i' AND x.doc_id = bi.doc_id
        |  JOIN m y ON y.side = 'e' AND y.doc_id = be.doc_id
        |  WHERE ($agree) / 8.0 >= 0.8),
-       |win AS (SELECT DISTINCT bb.doc_id
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh WHERE side = 'i' GROUP BY 1),
+       |wcand AS (SELECT ba.doc_id AS a, bb.doc_id AS b
        |  FROM bk ba JOIN bk bb ON ba.band = bb.band AND ba.key = bb.key
        |    AND ba.side = 'i' AND bb.side = 'i' AND ba.doc_id < bb.doc_id
-       |  JOIN m x ON x.side = 'i' AND x.doc_id = ba.doc_id
-       |  JOIN m y ON y.side = 'i' AND y.doc_id = bb.doc_id
-       |  WHERE ($agree) / 8.0 >= 0.8)
+       |  GROUP BY 1, 2),
+       |wshared AS (SELECT c.a, c.b, count(*) AS inter FROM wcand c
+       |  JOIN sh sa ON sa.side = 'i' AND sa.doc_id = c.a
+       |  JOIN sh sb ON sb.side = 'i' AND sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |win AS (SELECT DISTINCT b AS doc_id FROM wshared
+       |  JOIN cnt ca ON ca.doc_id = a
+       |  JOIN cnt cb ON cb.doc_id = b
+       |  WHERE inter / (ca.n + cb.n - inter) >= 0.8)
        |SELECT doc_id FROM corp WHERE side = 'i'
        |  AND doc_id NOT IN (SELECT doc_id FROM vsx)
        |  AND doc_id NOT IN (SELECT doc_id FROM win)

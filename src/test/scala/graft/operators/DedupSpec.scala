@@ -132,8 +132,10 @@ class DedupSpec extends AnyFunSuite {
 
   test("incremental minhash dedups a new batch against stored signatures only") {
     import spark.implicits._
+    // deterministic slice (an unordered limit() could omit doc 3 and
+    // make the stored-copy assertion below pass vacuously)
     val existing = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-      .select("doc_id", "text").limit(30)
+      .select("doc_id", "text").filter(col("doc_id") < 30)
     // the signature STORE is all the increment ever sees of the corpus
     val sigStore = Dedup.minhashSignatures(existing, "doc_id", "text")
     val copyOfExisting = existing.filter(col("doc_id") === 3)
