@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreOracles, CoreQueries, ExtendedOracles, ExtendedQueries, PipelineOracles, PipelineQueries, TemporalOracles, TemporalQueries}
+import graft.queries.{CoreOracles, CoreQueries, CurationOracles, CurationQueries, ExtendedOracles, ExtendedQueries, PipelineOracles, PipelineQueries, TemporalOracles, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -123,12 +123,19 @@ object SparkEntry {
     "q102_quantiles_scan" -> ExtendedQueries.q102 _,
     "q103_dedup_incr"    -> ExtendedQueries.q103 _,
     "q104_mix_exact"     -> ExtendedQueries.q104 _,
-    "q105_mix_rate"      -> ExtendedQueries.q105 _
+    "q105_mix_rate"      -> ExtendedQueries.q105 _,
+    "q106_bucket_join"   -> CurationQueries.q106 _,
+    "q107_bigram_lm"     -> CurationQueries.q107 _,
+    "q108_contamination" -> CurationQueries.q108 _,
+    "q109_repetition"    -> CurationQueries.q109 _,
+    "q110_containment"   -> CurationQueries.q110 _,
+    "q111_quantize"      -> CurationQueries.q111 _,
+    "q112_len_quantiles" -> CurationQueries.q112 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOracles.sql ++ PipelineOracles.sql ++ TemporalOracles.sql ++
-      ExtendedOracles.sql
+      ExtendedOracles.sql ++ CurationOracles.sql
 }
