@@ -130,7 +130,10 @@ object SparkEntry {
     "q109_repetition"    -> CurationQueries.q109 _,
     "q110_containment"   -> CurationQueries.q110 _,
     "q111_quantize"      -> CurationQueries.q111 _,
-    "q112_len_quantiles" -> CurationQueries.q112 _
+    "q112_len_quantiles" -> CurationQueries.q112 _,
+    "q113_cc_clusters"   -> CurationQueries.q113 _,
+    "q114_bigram_pmi"    -> CurationQueries.q114 _,
+    "q115_ann_recall"    -> CurationQueries.q115 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

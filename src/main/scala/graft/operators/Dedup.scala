@@ -256,6 +256,19 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Verified near-duplicate EDGES `(a, b)` with a < b: LSH band-key
+    * candidates filtered by true-Jaccard ≥ `threshold` — the pair
+    * source [[minhashLsh]] and [[minhashLshClusters]] both consume,
+    * published so audits (cluster statistics, graph exports, manual
+    * review queues) read the same edge set dedup acts on instead of
+    * re-deriving a drifting approximation. */
+  def minhashEdges(corpus: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8,
+                   bands: Int = 4, rowsPerBand: Int = 2,
+                   maxBucketSize: Int = 1000): DataFrame =
+    verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
+      maxBucketSize)
+
   def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8,
                  bands: Int = 4, rowsPerBand: Int = 2,

@@ -122,7 +122,112 @@ object CurationOracles {
       |  round(quantile_cont(n_tok, 0.75), 4) AS p75_tok
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val q113 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE ${toksCte("WHERE doc_id < 100")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT a, b FROM shared
+       |  JOIN cnt ca ON ca.doc_id = a
+       |  JOIN cnt cb ON cb.doc_id = b
+       |  WHERE inter / (ca.n + cb.n - inter) >= 0.8),
+       |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |lbl AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+       |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+       |LEFT JOIN lbl l ON l.u = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private val q114 =
+    s"""WITH ${toksCte("")},
+       |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |p AS (SELECT doc_id, u.i AS pos, toks[i] AS tok
+       |  FROM t2, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |uni AS (SELECT tok, count(*) AS c1 FROM p GROUP BY tok),
+       |bg AS (SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS c2
+       |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1 HAVING count(*) >= 5),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tok FROM uni),
+       |totb AS (SELECT CAST(sum(len(toks) - 1) AS DOUBLE) AS n_bg FROM t2)
+       |SELECT bigram, CAST(c2 AS BIGINT) AS n,
+       |  round(ln((CAST(c2 AS DOUBLE) / n_bg) /
+       |    ((CAST(cx.c1 AS DOUBLE) / n_tok) * (CAST(cy.c1 AS DOUBLE) / n_tok))), 4) AS pmi
+       |FROM bg
+       |CROSS JOIN tot CROSS JOIN totb
+       |JOIN uni cx ON cx.tok = split_part(bigram, ' ', 1)
+       |JOIN uni cy ON cy.tok = split_part(bigram, ' ', 2)
+       |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin
+
+  private val cosSql =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+  private def cos(a: String, b: String) =
+    cosSql.replace("%A", a).replace("%B", b)
+
+  private val q115 =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < 4),
+       |cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |probe AS (SELECT vec_id AS pid, embedding AS vp FROM embeddings WHERE vec_id BETWEEN 4 AND 9),
+       |assign AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cos("embedding", "vc")} DESC, cid) AS rn
+       |  FROM cand CROSS JOIN c),
+       |lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+       |passign AS (
+       |  SELECT pid, vp, cid,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY ${cos("vp", "vc")} DESC, cid) AS rn
+       |  FROM probe CROSS JOIN c),
+       |plists AS (SELECT pid, vp, cid FROM passign WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.pid, l.vec_id AS cand,
+       |    round(${cos("p.vp", "l.embedding")}, 4) AS sim
+       |  FROM plists p JOIN lists l ON p.cid = l.cid),
+       |top AS (SELECT pid, cand FROM (
+       |    SELECT pid, cand,
+       |      row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rank
+       |    FROM scored) WHERE rank <= 3),
+       |bscored AS (
+       |  SELECT p.pid, c2.vec_id AS cand,
+       |    round(${cos("p.vp", "c2.embedding")}, 4) AS sim
+       |  FROM probe p CROSS JOIN cand c2),
+       |btop AS (SELECT pid, cand FROM (
+       |    SELECT pid, cand,
+       |      row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cand) AS rk
+       |    FROM bscored) WHERE rk <= 3),
+       |hits AS (SELECT t.pid, count(*) AS n
+       |  FROM top t JOIN btop b ON t.pid = b.pid AND t.cand = b.cand
+       |  GROUP BY t.pid)
+       |SELECT p.pid AS probe, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+       |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 3.0, 4) AS recall
+       |FROM (SELECT DISTINCT pid FROM probe) p
+       |LEFT JOIN hits h ON h.pid = p.pid
+       |ORDER BY probe""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q113_cc_clusters"    -> q113,
+    "q114_bigram_pmi"     -> q114,
+    "q115_ann_recall"     -> q115,
     "q106_bucket_join"    -> q106,
     "q107_bigram_lm"      -> q107,
     "q108_contamination"  -> q108,

@@ -192,6 +192,100 @@ object CurationQueries {
       .orderBy("vec_id")
   }
 
+  /** q113 dedup cluster audit: every document labeled with its near-dup
+    * CLUSTER (connected component of the verified MinHash edge graph,
+    * label = component minimum; singletons label themselves). The edges
+    * are [[graft.operators.Dedup.minhashEdges]] — the exact pair set
+    * dedup acts on — and the labels come from the delta-iteration
+    * [[graft.operators.Dedup.connectedComponents]]; the oracle recomputes
+    * the same edges in SQL and closes them with a recursive CTE, so the
+    * hash gate proves the ITERATIVE distributed clustering equals the
+    * declarative transitive closure. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val edges = graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = Int.MaxValue) // cap-free: see q58
+    val labels = graft.operators.Dedup.connectedComponents(edges)
+      .toDF("doc_id", "cluster")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** q114 bigram PMI (pointwise mutual information): association strength
+    * of adjacent token pairs — ln(p(xy) / (p(x)·p(y))) with joint mass
+    * over bigram positions and marginals over token positions. The
+    * collocation-mining read over a corpus. Marginal/total aggregates
+    * are group-sized; totals broadcast as scalar cross joins; ranking is
+    * on the ROUNDED pmi with the bigram as tiebreak, support ≥ 5 so the
+    * top-30 cut sits on real mass. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bg = t.select(explode(expr(bigrams("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 5)
+    val nTok = uni.agg(sum(col("c1")).as("n_tok"))
+    val nBg = t.select((size(col("toks")) - 1).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_bg"))
+    bg.crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("x", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("y", expr("split_part(bigram, ' ', 2)"))
+      .join(broadcast(uni.toDF("x", "cx")), "x")
+      .join(broadcast(uni.toDF("y", "cy")), "y")
+      .select(col("bigram"), col("c2").as("n"),
+        round(log((col("c2").cast("double") / col("n_bg")) /
+          ((col("cx").cast("double") / col("n_tok")) *
+            (col("cy").cast("double") / col("n_tok")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(30)
+  }
+
+  /** q115 ANN recall audit: q79's IVF search graded against the
+    * brute-force exact top-3 for the same probes — per-probe hit count
+    * and recall@3. The quality gate an ANN deployment publishes next to
+    * its latency; the brute-force side is bounded by the PROBE batch
+    * (6 probes × corpus — an audit cost, not a serving cost). Both
+    * rankings order by ROUNDED similarity with the candidate id as
+    * tiebreak, so the comparison is deterministic cross-engine. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand"), col("embedding"))
+    val ivf = graft.operators.Ann.ivfSearch(cands, "cand", probes, "probe",
+        cents, "cid", "embedding", nprobe = 2, k = 3)
+      .select(col("probe"), col("cand"))
+    val pv = probes.select(col("probe"), Vectors.asDouble(col("embedding")).as("vp"))
+    val cv = cands.select(col("cand"), Vectors.asDouble(col("embedding")).as("vc"))
+    val wB = Window.partitionBy(col("probe"))
+      .orderBy(col("sim").desc, col("cand").asc)
+    val brute = pv.crossJoin(cv)
+      .select(col("probe"), col("cand"),
+        round(Vectors.cosine(col("vp"), col("vc")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= 3)
+      .select(col("probe"), col("cand"))
+    val hits = ivf.join(brute, Seq("probe", "cand"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("n_hit"))
+    probes.select(col("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 3.0, 4)
+          .as("recall"))
+      .orderBy("probe")
+  }
+
   /** q112 exact per-group quantiles over a DERIVED measure: token counts
     * per language through [[graft.operators.Ranking
     * .exactQuantilesByGroupScan]] — the histogram-refinement selection

@@ -120,17 +120,77 @@ object Lake {
     * shuffle; the exchange happens once, at ingest).
     *
     * Uses the session catalog (`saveAsTable` — bucketing metadata lives
-    * in the catalog, not the files). */
+    * in the catalog, not the files). Idempotent across SESSIONS, not just
+    * within one: the in-memory catalog forgets the table when the JVM
+    * exits but the managed warehouse directory survives on disk, and a
+    * fresh session's CTAS then fails with LOCATION_ALREADY_EXISTS even
+    * in overwrite mode — so the stale registration AND any orphaned
+    * location are reaped before writing. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // drops the managed location too when the table IS registered
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // orphaned location from a previous session (dir without catalog
+    // entry): Spark derives managed locations as <warehouse>/<lowername>
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-file compaction: rewrite a parquet directory's files into
+    * ~`targetBytes` outputs. Streaming upserts and incremental batch
+    * appends accrete thousands of tiny files per partition; at 100 TB
+    * the resulting task explosion (one scan task per file) and
+    * NameNode/listing pressure dominate read cost, so compaction is a
+    * standing maintenance job. `coalesce` (narrow, no shuffle) folds
+    * existing files into the target count — the data is NOT re-sorted
+    * or re-partitioned, just re-packed.
+    *
+    * Crash-safe swap: the compacted copy is fully written to
+    * `<path>__compact` first, then the live dir parks under
+    * `<path>__old`, the copy renames in, and the parked original is
+    * reaped. A crash between the two renames leaves the table absent
+    * but the ORIGINAL parked — the recovery at the next call's entry
+    * restores it (restoring beats adopting the copy: it is always
+    * correct, and the redone compaction is idempotent work, not data
+    * loss). Returns the resulting file count (unchanged when the
+    * directory is already compact enough). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (dir, fs) = fsOf(spark, path)
+    val park = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    // recovery: a crash between park and rename-in left no live dir —
+    // the parked original is the authoritative state; put it back
+    if (!fs.exists(dir) && fs.exists(park)) renameOrFail(fs, park, dir)
+    // stale debris from any earlier crash is dead weight either way
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(park)) fs.delete(park, true)
+    def parquetFiles() = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val files = parquetFiles()
+    val total = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (nOut >= files.length) return files.length
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    renameOrFail(fs, dir, park)
+    renameOrFail(fs, tmp, dir)
+    fs.delete(park, true)
+    parquetFiles().length
+  }
 
   // ---- key-hash-bucketed table + batch MERGE -------------------------
 

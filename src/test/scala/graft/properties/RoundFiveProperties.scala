@@ -1,0 +1,98 @@
+package graft.properties
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Property suites for the round-5 curation operators: the inverted-index
+  * containment pipeline and the int8 quantizer must agree with driver-side
+  * reference computations on random inputs (same discipline as
+  * RoundThree/RoundFourProperties).
+  */
+object RoundFiveProperties extends Properties("round5") {
+  private lazy val spark = TestSpark.spark
+
+  // ---- containment pipeline == brute-force set arithmetic -------------
+  // random short docs over a tiny alphabet make shingle collisions (and
+  // therefore candidate pairs) common; the DataFrame inverted-index join
+  // must report exactly the containments a per-pair Set computation gives
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(3, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+  } yield toks.mkString(" ")
+
+  private val corpusGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(2, 8)
+    docs <- Gen.listOfN(n, docGen)
+  } yield docs
+
+  private def shingleSet(text: String): Set[String] = {
+    val t = text.trim.split(" ").filter(_.nonEmpty)
+    (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+  }
+
+  property("containment.equals-bruteforce") =
+    Prop.forAllNoShrink(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // the q110 pipeline shape, inlined over the random corpus
+      val sh = df.select(col("doc_id"),
+          expr("filter(split(trim(text), ' '), x -> x != '')").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val got = sh.toDF("a", "s")
+        .join(sh.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        .join(cnt.toDF("a", "na"), "a")
+        .join(cnt.toDF("b", "nb"), "b")
+        .select(col("a"), col("b"),
+          (col("inter").cast("double") / col("na")).as("ca"),
+          (col("inter").cast("double") / col("nb")).as("cb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      val sets = docs.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b
+        inter = (sets(a) & sets(b)).size
+        if inter > 0
+      } yield (a, b) ->
+        (inter.toDouble / sets(a).size, inter.toDouble / sets(b).size)).toMap
+      got == want
+    }
+
+  // ---- int8 quantizer == driver-side reference ------------------------
+  // the engine-portable floor(x*127/amax + 0.5) must reproduce the exact
+  // integer vectors a scalar implementation gives, and containment of the
+  // quantized cosine within the analytic error budget follows
+
+  private val vecGen: Gen[List[Double]] = for {
+    n <- Gen.chooseNum(4, 16)
+    v <- Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+    if v.exists(_ != 0.0)
+  } yield v
+
+  private def quantRef(v: List[Double]): List[Long] = {
+    val amax = v.map(math.abs).max
+    v.map(x => math.floor(x * 127.0 / amax + 0.5).toLong)
+  }
+
+  property("quantize.equals-reference") =
+    Prop.forAllNoShrink(vecGen) { v =>
+      import spark.implicits._
+      val df = Seq(Tuple1(v)).toDF("v")
+        .withColumn("amax",
+          expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+        .withColumn("qv",
+          expr("transform(v, x -> cast(floor(x * 127.0D / nullif(amax, 0D) + 0.5D) as long))"))
+      val got = df.select("qv").first().getSeq[Long](0).toList
+      got == quantRef(v)
+    }
+}

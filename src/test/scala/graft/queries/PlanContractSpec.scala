@@ -170,4 +170,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("custkey") && plan.contains("__salt"),
       s"salted join must shuffle on (key, salt), not the bare key:\n$plan")
   }
+
+  test("q106 bucketed join plans zero join exchanges (layout paid at ingest)") {
+    // both sides land bucketed by custkey, so the sort-merge join reads
+    // co-located buckets directly: the ONLY exchanges in the final plan
+    // are the group-sized aggregate and the contract sort — a plain
+    // (unbucketed) join would add two row-sized exchanges before the join
+    val plan = executedPlan("q106_bucket_join")
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint must pin the sort-merge path over the bucketed scans:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected only the aggregate + sort exchanges, found $exchanges:\n$plan")
+    assert(shuffled("q106_bucket_join") <= 400,
+      "join must move zero data rows; only group-sized agg/sort partials")
+  }
 }

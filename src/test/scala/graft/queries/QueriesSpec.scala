@@ -86,6 +86,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(bands(0L) != bands(2L), "unrelated docs must not collide")
   }
 
+  test("q111 int8 quantization keeps cosine within a tight error budget") {
+    // 64-dim symmetric int8: worst-case per-element error 0.5/127 of the
+    // scale — cosine drift stays well under 0.05 on real vectors, and a
+    // violation means the quantizer (not the data) broke
+    val rows = run("q111_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("cos_err")
+      assert(err >= 0 && err <= 0.05,
+        s"vec ${r.getAs[Long]("vec_id")}: cos_err=$err out of budget")
+    }
+  }
+
+  test("q108 contamination audit reports every eval doc with a sane fraction") {
+    val rows = run("q108_contamination").collect()
+    // every eval doc (300-349 with >=3 tokens) reports, zero-hit included
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("contamination")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("q110 containment dominates Jaccard for every reported pair") {
+    // |A∩B|/min-denominator >= |A∩B|/|A∪B| always: the asymmetric score
+    // can only be more sensitive than q47's symmetric one
+    val rows = run("q110_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+      val cm = r.getAs[Double]("cont_max")
+      assert(cm >= ca - 1e-9 && cm >= cb - 1e-9 && cm <= 1.0 + 1e-9)
+    }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)

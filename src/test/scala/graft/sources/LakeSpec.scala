@@ -315,4 +315,44 @@ class LakeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("compact folds small files, preserves the data, skips compact dirs") {
+    val dir = tmp("lake_compact") + "/t"
+    val src = events.select("event_id", "user_id", "value")
+    src.repartition(16).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles == 16)
+    val before = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    // huge target -> everything folds into one file
+    val n = Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && nFiles == 1)
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "compaction must not change the data")
+    // already compact: a second call is a no-op (no rewrite, same count)
+    assert(Lake.compact(spark, dir, targetBytes = 1L << 30) == 1)
+  }
+
+  test("compact recovers the parked original after a crash between renames") {
+    val dir = tmp("lake_compact_crash") + "/t"
+    val src = events.select("event_id", "value")
+    src.repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: live dir parked, rename-in never ran
+    // (plus stale compacted debris) — exactly the state compact leaves
+    // if it dies between its two renames
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__compact"))
+    assert(!fs.exists(p))
+    val n = Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "recovery must restore the parked original")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact")))
+  }
 }
