@@ -105,6 +105,38 @@ object ScaleProbe {
           graft.operators.Dedup.minhashLsh(
             Tables.documents(spark, d).select("doc_id", "text"),
             "doc_id", "text", threshold = 0.8).select("doc_id")),
+        // round 5: contamination over a split that GROWS with the corpus
+        // (even ids = train, odd = eval — the declared q108 ranges are
+        // fixed-size and would not stress the inverted-index join)
+        "contamination_full" -> ((d: String) => {
+          val docs = Tables.documents(spark, d)
+            .select(col("doc_id"), col("text"))
+          val sh = docs
+            .select(col("doc_id"), expr(
+              graft.operators.TextHashes.toks("text")).as("toks"))
+            .filter(size(col("toks")) >= 3)
+            .select(col("doc_id"), explode(expr(
+              graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
+            .distinct()
+          val train = sh.filter(col("doc_id") % 2 === 0)
+            .select("s").distinct()
+          sh.filter(col("doc_id") % 2 === 1).join(train, "s")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        }),
+        // round 5: bigram LM counts over the full corpus (narrow build,
+        // |distinct bigrams|-sized exchange — the exchange must grow with
+        // vocabulary, not with tokens)
+        "bigram_lm_full" -> ((d: String) =>
+          SparkEntry.queries("q107_bigram_lm")(spark, d)),
+        // round 5: near-dup clustering over the full corpus — the
+        // iterative delta-CC on top of the verified edge set; per-round
+        // frontier shrinkage is what must survive growth
+        "cc_clusters_full" -> ((d: String) => {
+          val docs = Tables.documents(spark, d).select("doc_id", "text")
+          graft.operators.Dedup.connectedComponents(
+            graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
+              threshold = 0.8))
+        }),
         // IVF over the FULL embeddings table: the assignment pass (the
         // part that scales with the corpus) must stay a broadcast join +
         // partial-agg argmax, probes a fixed query batch

@@ -133,7 +133,10 @@ object SparkEntry {
     "q112_len_quantiles" -> CurationQueries.q112 _,
     "q113_cc_clusters"   -> CurationQueries.q113 _,
     "q114_bigram_pmi"    -> CurationQueries.q114 _,
-    "q115_ann_recall"    -> CurationQueries.q115 _
+    "q115_ann_recall"    -> CurationQueries.q115 _,
+    "q116_salted_agg"    -> CurationQueries.q116 _,
+    "q117_winsorize"     -> CurationQueries.q117 _,
+    "q118_minhash_est"   -> CurationQueries.q118 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -224,7 +224,65 @@ object CurationOracles {
        |LEFT JOIN hits h ON h.pid = p.pid
        |ORDER BY probe""".stripMargin
 
+  // the oracle is the PLAIN aggregate — the salted two-phase rewrite
+  // must be hash-indistinguishable from it
+  private val q116 =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q117 =
+    """WITH q AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  round(avg(greatest(q.lo, least(q.hi, l.l_extendedprice))), 2) AS wmean,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q118 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
+      .mkString("\n  UNION ALL ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN ma.m$j = mb.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${toksCte("WHERE doc_id < 100")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ov AS (
+       |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |    round(($agree) / 8.0, 4) AS est_j,
+       |    round(coalesce(o.inter, 0) /
+       |      (ca.n + cb.n - coalesce(o.inter, 0)), 4) AS true_j
+       |  FROM cand c
+       |  JOIN m ma ON ma.doc_id = c.a
+       |  JOIN m mb ON mb.doc_id = c.b
+       |  JOIN cnt ca ON ca.doc_id = c.a
+       |  JOIN cnt cb ON cb.doc_id = c.b
+       |  LEFT JOIN ov o ON o.a = c.a AND o.b = c.b)
+       |SELECT a, b, est_j, true_j, round(abs(est_j - true_j), 4) AS err
+       |FROM scored ORDER BY true_j DESC, a, b LIMIT 20""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q116_salted_agg"     -> q116,
+    "q117_winsorize"      -> q117,
+    "q118_minhash_est"    -> q118,
     "q113_cc_clusters"    -> q113,
     "q114_bigram_pmi"     -> q114,
     "q115_ann_recall"     -> q115,

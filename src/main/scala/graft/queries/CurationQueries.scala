@@ -286,6 +286,82 @@ object CurationQueries {
       .orderBy("probe")
   }
 
+  /** q116 salted aggregation equivalence: [[graft.operators.Skew
+    * .saltedCountSum]] (two-phase count/sum through 8 salt buckets — a
+    * hot key spreads across 8 reducers before the group-sized
+    * re-aggregate) must be result-identical to the plain GROUP BY. The
+    * oracle IS the plain aggregate — q89's hash-gate discipline applied
+    * to the aggregation rewrite. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedCountSum(lineitem(s, d),
+        col("l_returnflag"), col("l_extendedprice"), saltBuckets = 8)
+      .select(col("k").as("l_returnflag"), col("n"),
+        round(col("sum_v"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** q117 winsorized mean: per-group p05/p95 from the zero-shuffle
+    * quantile scan ([[graft.operators.Ranking.exactQuantilesByGroupScan]])
+    * broadcast back onto the rows, values clipped into [p05, p95], then
+    * one aggregate — the outlier-robust statistic composed FROM the
+    * quantile operator (selection feeding computation, not just a
+    * report). */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val q = graft.operators.Ranking.exactQuantilesByGroupScan(
+        li, "l_returnflag", Seq("l_extendedprice" -> Seq(0.05, 0.95)))
+      .select(col("l_returnflag"), col("q_0_0").as("lo"),
+        col("q_0_1").as("hi"))
+    li.join(broadcast(q), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(greatest(col("lo"), least(col("hi"),
+          col("l_extendedprice")))), 2).as("wmean"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q118 MinHash estimator calibration: for every LSH candidate pair
+    * (band-key collision over docs <100), the SIGNATURE-estimated
+    * Jaccard (fraction of agreeing min-hashes — what incremental dedup
+    * thresholds on, q103) against the TRUE shingle Jaccard, with the
+    * error. Top-20 by true similarity. The audit that justifies the
+    * 8-hash estimate before trusting it at corpus scale. */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val bandKey = (b: Int) => concat(
+      element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2))
+    val buckets = sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = buckets.toDF("a", "band", "key")
+      .join(buckets.toDF("b", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sh = docs
+      .select(col("doc_id"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(TextHashes.shingleSet("toks")).as("sh"))
+    val agree = size(filter(zip_with(col("mha"), col("mhb"),
+      (x, y) => x === y), m => m))
+    pairs
+      .join(sigs.toDF("a", "mha"), "a")
+      .join(sigs.toDF("b", "mhb"), "b")
+      .join(sh.toDF("a", "sha"), "a")
+      .join(sh.toDF("b", "shb"), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a"), col("b"),
+        round(agree / lit(8.0), 4).as("est_j"),
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4).as("true_j"))
+      .withColumn("err", round(abs(col("est_j") - col("true_j")), 4))
+      .orderBy(col("true_j").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   /** q112 exact per-group quantiles over a DERIVED measure: token counts
     * per language through [[graft.operators.Ranking
     * .exactQuantilesByGroupScan]] — the histogram-refinement selection
