@@ -136,7 +136,8 @@ object SparkEntry {
     "q115_ann_recall"    -> CurationQueries.q115 _,
     "q116_salted_agg"    -> CurationQueries.q116 _,
     "q117_winsorize"     -> CurationQueries.q117 _,
-    "q118_minhash_est"   -> CurationQueries.q118 _
+    "q118_minhash_est"   -> CurationQueries.q118 _,
+    "q119_quality_gate"  -> CurationQueries.q119 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -279,7 +279,32 @@ object CurationOracles {
        |FROM scored ORDER BY true_j DESC, a, b LIMIT 20""".stripMargin
   }
 
+  private val q119 =
+    s"""WITH ${toksCte("")},
+       |base AS (SELECT doc_id, len(toks) AS n_tok,
+       |    len(list_distinct(toks)) AS nd,
+       |    len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS n_stop
+       |  FROM t WHERE len(toks) >= 1),
+       |$posCte,
+       |bgc AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS n
+       |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |top AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS topf
+       |  FROM bgc GROUP BY doc_id),
+       |g AS (SELECT b.doc_id, b.n_tok,
+       |    (CASE WHEN b.n_tok < 30 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN CAST(b.nd AS DOUBLE) / b.n_tok < 0.4 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN coalesce(tp.topf, 0) > 0.08 THEN 4 ELSE 0 END) +
+       |    (CASE WHEN CAST(b.n_stop AS DOUBLE) / b.n_tok < 0.03 THEN 8 ELSE 0 END)
+       |      AS fail_mask
+       |  FROM base b LEFT JOIN top tp ON tp.doc_id = b.doc_id)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST(fail_mask AS BIGINT) AS fail_mask,
+       |  fail_mask = 0 AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q119_quality_gate"   -> q119,
     "q116_salted_agg"     -> q116,
     "q117_winsorize"      -> q117,
     "q118_minhash_est"    -> q118,

@@ -362,6 +362,43 @@ object CurationQueries {
       .limit(20)
   }
 
+  /** q119 composed quality gate (the C4/Gopher-style filter): every
+    * document graded against four rules — minimum length, type-token
+    * diversity, top-bigram repetition, stopword density — into a
+    * fail BITMASK (1=short, 2=low-diversity, 4=repetitive,
+    * 8=low-stopword) plus the keep verdict. The auditable form: a
+    * release gate keeps `fail_mask = 0` and the mask says WHY everything
+    * else dropped. All signals are exact integer ratios compared with
+    * identical IEEE doubles on both engines; thresholds sit at corpus
+    * split points (30 tokens / 0.4 ttr / 0.08 top-bigram / 0.03
+    * stopword) so the gate actually partitions the data. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(col("doc_id"), expr(toks).as("toks"))
+    val base = t.filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("nd"),
+        expr("size(filter(toks, x -> array_contains(array('the','a','of','to','and','in','is'), x)))")
+          .cast("long").as("n_stop"))
+    val top = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigrams("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("topf"))
+    base.join(top, Seq("doc_id"), "left")
+      .withColumn("topf", coalesce(col("topf"), lit(0.0)))
+      .withColumn("fail_mask",
+        (when(col("n_tok") < 30, 1).otherwise(0) +
+          when(col("nd").cast("double") / col("n_tok") < 0.4, 2).otherwise(0) +
+          when(col("topf") > 0.08, 4).otherwise(0) +
+          when(col("n_stop").cast("double") / col("n_tok") < 0.03, 8)
+            .otherwise(0)).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("fail_mask"),
+        (col("fail_mask") === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q112 exact per-group quantiles over a DERIVED measure: token counts
     * per language through [[graft.operators.Ranking
     * .exactQuantilesByGroupScan]] — the histogram-refinement selection

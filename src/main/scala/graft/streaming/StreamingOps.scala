@@ -220,6 +220,64 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Continuous corpus dedup — the STREAMING face of incremental
+    * MinHash dedup ([[graft.operators.Dedup.minhashIncremental]],
+    * batch contract q103): each micro-batch of documents dedups
+    * against the persisted signature store (all PRIOR batches'
+    * signatures — the corpus text is never re-read), survivors land in
+    * the sink and append their signatures to the store.
+    *
+    * Exactly-once without a transaction log: every batch writes to its
+    * OWN `batch=<id>` directory with overwrite, so a replayed batch
+    * (crash before the checkpoint commit) rewrites the same two
+    * directories instead of duplicating rows — and the store read
+    * EXCLUDES the replaying batch's own directory, so a replay can
+    * never self-condemn its documents against the partial state it
+    * wrote before dying. */
+  def dedupDocStream(docs: DataFrame, idCol: String, textCol: String,
+                     sigPath: String, sinkPath: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        dedupDocBatch(batch.toDF(), bid, idCol, textCol, sigPath, sinkPath)
+      }
+      .start()
+
+  /** One micro-batch of [[dedupDocStream]] — separated so tests can
+    * drive replay (same batch id twice) deterministically. */
+  private[streaming] def dedupDocBatch(batch: DataFrame, batchId: Long,
+                                       idCol: String, textCol: String,
+                                       sigPath: String,
+                                       sinkPath: String): Unit = {
+    val spark = batch.sparkSession
+    val sigRoot = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the store = every batch directory EXCEPT this batch's own (a
+    // replay must dedup against exactly the state the first attempt saw)
+    val prior =
+      if (!fs.exists(sigRoot)) Array.empty[String]
+      else fs.listStatus(sigRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          p.getName != s"batch=$batchId")
+        .map(_.toString)
+    val store =
+      if (prior.isEmpty)
+        // empty store with the CORRECT schema, derived from the batch
+        graft.operators.Dedup.minhashSignatures(batch.limit(0), idCol, textCol)
+      else spark.read.parquet(prior.toIndexedSeq: _*)
+    // survivors feed two writes — pin one computation
+    val survivors = graft.operators.Dedup
+      .minhashIncremental(batch, idCol, textCol, store)
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite")
+      .parquet(s"$sinkPath/batch=$batchId")
+    graft.operators.Dedup.minhashSignatures(survivors, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+    ()
+  }
+
   /** Backfill drain: run [[upsertStreamPartitioned]] under
     * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
     * merged — the bounded-catch-up entry point (a skipped-backlog

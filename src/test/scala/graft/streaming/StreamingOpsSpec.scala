@@ -306,6 +306,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(idsB == Set(9L), "partial __tmp must be discarded, sink rebuilt")
   }
 
+  test("continuous corpus dedup: store condemns later copies, replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+    val (sig, sink, ckpt) = (s"$root/sigs", s"$root/sink", s"$root/ckpt")
+    // distinct texts share no 3-gram shingles; copies are exact
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    val tC = "red orange yellow green blue indigo violet ultraviolet"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupDocStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", sig, sink, ckpt)
+    // batch 0: internal dup (11 copies 10) -> 10 and 12 survive
+    mem.addData((10L, tA), (11L, tA), (12L, tB))
+    q.processAllAvailable()
+    // batch 1: 20 copies the STORED tA (condemned by signatures alone),
+    // 21 is new -> only 21 survives
+    mem.addData((20L, tA), (21L, tC))
+    q.processAllAvailable()
+    q.stop()
+    def survivors = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(10L, 12L, 21L))
+    // replay batch 1 (same id, same data — the crash-before-commit path):
+    // state must converge to the same survivors, no duplicates
+    StreamingOps.dedupDocBatch(
+      Seq((20L, tA), (21L, tC)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", sig, sink)
+    assert(survivors == Set(10L, 12L, 21L),
+      "replayed batch must overwrite its own partition, not append")
+    // and the signature store matches the survivor set exactly
+    val sigIds = spark.read.parquet(s"$sig/batch=0", s"$sig/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(10L, 12L, 21L))
+  }
+
   test("stream-stream interval join correlates events within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
