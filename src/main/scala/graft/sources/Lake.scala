@@ -60,6 +60,52 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ordered parquet write: the TWO-dimensional clustering layout.
+    * Range-clustering on one key ([[writeClustered]]) makes predicates
+    * on THAT key prune row groups but leaves the other dimension
+    * scattered; interleaving the bits of both keys' normalized values
+    * (the Z-order / Morton curve) gives every row group a narrow
+    * min/max envelope in BOTH dimensions, so point/range predicates on
+    * EITHER column skip row groups at footer-read time. The layout of
+    * choice when two independent predicates recur over the same 100-TB
+    * table (e.g. user_id and event day).
+    *
+    * Both columns must be numeric. Normalization is min/max-linear into
+    * `bits` bits (one broadcast of a 1-row bounds aggregate — no
+    * collect); skewed data degrades cell uniformity but never
+    * correctness, since z-value only DRIVES the layout and is dropped
+    * before writing. */
+  def writeZordered(df: DataFrame, path: String, colA: String, colB: String,
+                    bits: Int = 16, targetFiles: Int = 0): Unit = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val n = if (targetFiles > 0) targetFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = broadcast(df.agg(
+      min(col(colA)).cast("double").as("__a0"),
+      max(col(colA)).cast("double").as("__a1"),
+      min(col(colB)).cast("double").as("__b0"),
+      max(col(colB)).cast("double").as("__b1")))
+    val top = (1L << bits) - 1
+    def norm(c: String, lo: String, hi: String) =
+      least(lit(top), greatest(lit(0L), floor(
+        (col(c).cast("double") - col(lo)) /
+          (col(hi) - col(lo)) * top).cast("long")))
+    def interleave(c: org.apache.spark.sql.Column, offset: Int) =
+      (0 until bits).map(i =>
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), 2 * i + offset))
+        .reduce(_ + _)
+    df.crossJoin(bounds)
+      .withColumn("__xa", norm(colA, "__a0", "__a1"))
+      .withColumn("__xb", norm(colB, "__b0", "__b1"))
+      .withColumn("__zv",
+        interleave(col("__xa"), 0) + interleave(col("__xb"), 1))
+      .repartitionByRange(n, col("__zv"))
+      .sortWithinPartitions(col("__zv"))
+      // narrow projection preserves the sorted row order
+      .drop("__zv", "__xa", "__xb", "__a0", "__a1", "__b0", "__b1")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** CSV ingest with a dead-letter quarantine: schema-conforming rows
     * come back typed; malformed rows land under `quarantinePath` (as
     * JSON: the raw line plus whatever fields DID parse) for later

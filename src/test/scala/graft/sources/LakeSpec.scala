@@ -74,6 +74,48 @@ class LakeSpec extends AnyFunSuite {
       s"clustered scan must decode far fewer rows: $prunedRows vs $fullRows")
   }
 
+  test("z-ordered layout prunes row groups on BOTH dimensions") {
+    // 40k rows over two INDEPENDENT 200-value keys; small row groups so
+    // pruning granularity is visible at test size
+    // k2 via hash: independent of k1 AND dense within any row subset,
+    // so neither min/max envelopes nor parquet dictionary filtering can
+    // prune it under a k1-clustered layout — only a 2-D layout helps
+    val src = spark.range(0, 40000)
+      .select((col("id") % 200).as("k1"),
+        pmod(hash(col("id")), lit(200)).cast("long").as("k2"),
+        col("id").as("payload"))
+    val zo = tmp("lake_zorder")
+    val oneD = tmp("lake_oned")
+    // 64 files = 64 z-intervals covering the plane as an ~8x8 grid, so
+    // a point predicate on either dimension keeps ~1/8 of the files
+    // (each file's min/max envelope spans ~1/8 of each axis); bounds
+    // below leave 2x headroom over that theory. File-level stats prune
+    // the same way row-group stats do at production block sizes.
+    Lake.writeZordered(src, zo, "k1", "k2", bits = 8, targetFiles = 64)
+    Lake.writeClustered(src, oneD, Seq("k1"), targetFiles = 64)
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val full = 40000L
+    // both layouts prune on k1 (1-D is sharper there — that's its job)
+    val zK1 = scanRows(zo, col("k1") === 17)
+    assert(zK1 < full / 4, s"z-order must prune on k1: $zK1 rows decoded")
+    assert(scanRows(oneD, col("k1") === 17) < full / 8)
+    // ...but only the z-order prunes on k2 (the 1-D layout scatters it)
+    val zK2 = scanRows(zo, col("k2") === 17)
+    val oneDK2 = scanRows(oneD, col("k2") === 17)
+    assert(zK2 < full / 4,
+      s"z-order must prune on the second dimension too: $zK2 rows decoded")
+    assert(zK2 < oneDK2 / 2,
+      s"z-order must beat the 1-D layout on k2: $zK2 vs $oneDK2")
+    // layout changes nothing about the data
+    assert(spark.read.parquet(zo).agg(sum("payload")).first().getLong(0)
+      == src.agg(sum("payload")).first().getLong(0))
+  }
+
   test("csv quarantine routes malformed rows aside, returns typed clean rows") {
     import org.apache.spark.sql.types._
     val dir = tmp("lake_badcsv")
