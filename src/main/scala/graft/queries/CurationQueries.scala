@@ -219,9 +219,13 @@ object CurationQueries {
     * of adjacent token pairs — ln(p(xy) / (p(x)·p(y))) with joint mass
     * over bigram positions and marginals over token positions. The
     * collocation-mining read over a corpus. Marginal/total aggregates
-    * are group-sized; totals broadcast as scalar cross joins; ranking is
-    * on the ROUNDED pmi with the bigram as tiebreak, support ≥ 5 so the
-    * top-30 cut sits on real mass. */
+    * are group-sized; the 1-row totals broadcast as scalar cross joins;
+    * the unigram-marginal joins carry NO broadcast hint — a natural-
+    * language vocabulary is usually broadcastable and AQE will choose
+    * that, but a forced hint would OOM the driver on an unbounded token
+    * domain (ids, hashes), so the plan must be allowed to degrade to a
+    * shuffle join. Ranking is on the ROUNDED pmi with the bigram as
+    * tiebreak, support ≥ 5 so the top-30 cut sits on real mass. */
   def q114(s: SparkSession, d: String): DataFrame = {
     val t = documents(s, d).select(expr(toks).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -236,8 +240,8 @@ object CurationQueries {
     bg.crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
       .withColumn("x", expr("split_part(bigram, ' ', 1)"))
       .withColumn("y", expr("split_part(bigram, ' ', 2)"))
-      .join(broadcast(uni.toDF("x", "cx")), "x")
-      .join(broadcast(uni.toDF("y", "cy")), "y")
+      .join(uni.toDF("x", "cx"), "x")
+      .join(uni.toDF("y", "cy"), "y")
       .select(col("bigram"), col("c2").as("n"),
         round(log((col("c2").cast("double") / col("n_bg")) /
           ((col("cx").cast("double") / col("n_tok")) *
