@@ -137,7 +137,8 @@ object SparkEntry {
     "q116_salted_agg"    -> CurationQueries.q116 _,
     "q117_winsorize"     -> CurationQueries.q117 _,
     "q118_minhash_est"   -> CurationQueries.q118 _,
-    "q119_quality_gate"  -> CurationQueries.q119 _
+    "q119_quality_gate"  -> CurationQueries.q119 _,
+    "q120_prefix_join"   -> CurationQueries.q120 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

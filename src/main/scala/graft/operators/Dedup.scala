@@ -256,6 +256,55 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** EXACT token-set similarity join by prefix filtering (the
+    * AllPairs/PPJoin principle): all pairs with token-set Jaccard ≥
+    * `threshold`, with NO recall loss — the lossless alternative to LSH
+    * when the threshold is a hard contract rather than a heuristic.
+    *
+    * Why it scales: J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so if A shares NO
+    * token with B inside A's first (|A| − ⌈t·|A|⌉ + 1) tokens under a
+    * GLOBAL canonical order, then |A∩B| ≤ ⌈t·|A|⌉ − 1 — contradiction.
+    * Ordering every document's tokens rarest-first (corpus frequency
+    * asc, token asc — a total order) and inverted-indexing only those
+    * short prefixes therefore generates a candidate SUPERSET of all
+    * qualifying pairs, sized by rare-token collisions rather than
+    * all-pairs; exact verification filters it. Plan shape: one token
+    * exchange for frequencies, one group-sized doc rollup, a prefix
+    * inverted-index equi-join, verification joins shipping token sets
+    * to candidates only.
+    *
+    * Returns `(a, b, j)` with a < b and j = exact Jaccard (unrounded;
+    * callers round for contracts). */
+  def prefixSimilarityJoin(corpus: DataFrame, idCol: String,
+                           textCol: String,
+                           threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val toksets = corpus.select(col(idCol).as("__id"),
+        expr(s"array_sort(array_distinct(${TextHashes.toks(textCol)}))").as("ts"))
+      .filter(size(col("ts")) >= 1)
+    val tokRows = toksets.select(col("__id"), explode(col("ts")).as("tok"))
+    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val prefixes = tokRows.join(freq, "tok")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__c"), col("tok")))).as("o"))
+      .select(col("__id"), expr(
+        s"transform(slice(o, 1, size(o) - cast(ceil($threshold * size(o)) as int) + 1), x -> x.tok)")
+        .as("pfx"))
+    val cand = prefixes.select(col("__id").as("a"), explode(col("pfx")).as("tok"))
+      .join(prefixes.select(col("__id").as("b"), explode(col("pfx")).as("tok2")),
+        col("tok") === col("tok2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(toksets.toDF("a", "tsa"), "a")
+      .join(toksets.toDF("b", "tsb"), "b")
+      .withColumn("__i", size(array_intersect(col("tsa"), col("tsb"))))
+      .withColumn("j", col("__i").cast("double") /
+        (size(col("tsa")) + size(col("tsb")) - col("__i")))
+      .filter(col("j") >= threshold)
+      .select(col("a"), col("b"), col("j"))
+  }
+
   /** Verified near-duplicate EDGES `(a, b)` with a < b: LSH band-key
     * candidates filtered by true-Jaccard ≥ `threshold` — the pair
     * source [[minhashLsh]] and [[minhashLshClusters]] both consume,

@@ -303,7 +303,24 @@ object CurationOracles {
        |  fail_mask = 0 AS keep
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // the oracle is the BRUTE-FORCE similarity join — the prefix-filter
+  // rewrite must lose nothing (lossless candidate generation)
+  private val q120 =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id < 80),
+      |s AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 1),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(inter / (ca.n + cb.n - inter), 4) AS j
+      |FROM p JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      |WHERE inter / (ca.n + cb.n - inter) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q120_prefix_join"    -> q120,
     "q119_quality_gate"   -> q119,
     "q116_salted_agg"     -> q116,
     "q117_winsorize"      -> q117,

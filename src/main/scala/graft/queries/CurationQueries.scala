@@ -403,6 +403,20 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q120 EXACT similarity join by prefix filtering
+    * ([[graft.operators.Dedup.prefixSimilarityJoin]]): every pair with
+    * token-set Jaccard ≥ 0.8 over docs <80. The oracle is the BRUTE
+    * FORCE ground truth (all shared-token pairs, no pruning) — so the
+    * hash gate proves the prefix-filter optimization is LOSSLESS, the
+    * property LSH queries (q46–q60) can only approximate. */
+  def q120(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.prefixSimilarityJoin(
+        documents(s, d).filter(col("doc_id") < 80)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.8)
+      .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+      .orderBy("a", "b")
+
   /** q112 exact per-group quantiles over a DERIVED measure: token counts
     * per language through [[graft.operators.Ranking
     * .exactQuantilesByGroupScan]] — the histogram-refinement selection

@@ -68,6 +68,44 @@ object RoundFiveProperties extends Properties("round5") {
       got == want
     }
 
+  // ---- prefix-filter similarity join == brute force -------------------
+  // the AllPairs prefix principle claims LOSSLESS candidate generation;
+  // random corpora over a tiny alphabet produce dense near-threshold
+  // Jaccard values, so both missed pairs (broken prefix math) and false
+  // positives (broken verification) would surface
+
+  private val tokDocGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 10)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+  } yield toks.mkString(" ")
+
+  private val tokCorpusGen: Gen[(List[String], Double)] = for {
+    n <- Gen.chooseNum(2, 8)
+    docs <- Gen.listOfN(n, tokDocGen)
+    t <- Gen.oneOf(0.3, 0.5, 0.75, 1.0)
+  } yield (docs, t)
+
+  property("prefixJoin.equals-bruteforce") =
+    Prop.forAllNoShrink(tokCorpusGen) { case (docs, t) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .prefixSimilarityJoin(df, "doc_id", "text", t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = docs.zipWithIndex.map { case (s, i) =>
+        i.toLong -> s.split(" ").filter(_.nonEmpty).toSet }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a) | sets(b)).size
+        if j >= t
+      } yield (a, b) -> j).toMap
+      got == want
+    }
+
   // ---- int8 quantizer == driver-side reference ------------------------
   // the engine-portable floor(x*127/amax + 0.5) must reproduce the exact
   // integer vectors a scalar implementation gives, and containment of the
