@@ -171,6 +171,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"salted join must shuffle on (key, salt), not the bare key:\n$plan")
   }
 
+  test("q120 prefix join never plans a cartesian product") {
+    // candidates must come from the prefix inverted-index EQUI-join;
+    // a cartesian/NLJ pairing would mean the pruning silently died
+    val plan = executedPlan("q120_prefix_join")
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix join must pair through the inverted index:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must never fall back to NLJ pairing:\n$plan")
+  }
+
   test("q106 bucketed join plans zero join exchanges (layout paid at ingest)") {
     // both sides land bucketed by custkey, so the sort-merge join reads
     // co-located buckets directly: the ONLY exchanges in the final plan
