@@ -236,14 +236,21 @@ object StreamingOps {
     * wrote before dying. */
   def dedupDocStream(docs: DataFrame, idCol: String, textCol: String,
                      sigPath: String, sinkPath: String,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                     checkpoint: String,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         dedupDocBatch(batch.toDF(), bid, idCol, textCol, sigPath, sinkPath)
       }
-      .start()
+    // Trigger.AvailableNow = the BACKFILL face (same contract as
+    // upsertStreamPartitioned's): drain an already-landed corpus in
+    // bounded micro-batches through the same checkpoint, then stop —
+    // the steady stream resumes where the drain left off
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
 
   /** One micro-batch of [[dedupDocStream]] — separated so tests can
     * drive replay (same batch id twice) deterministically. */

@@ -342,6 +342,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sigIds == Set(10L, 12L, 21L))
   }
 
+  test("dedup backlog drain: AvailableNow processes a landed corpus batch-by-batch, then stops") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_drain").toString
+    val (in, sig, sink, ckpt) =
+      (s"$root/in", s"$root/sigs", s"$root/sink", s"$root/ckpt")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    // two landed files: the second contains a copy of the first's doc —
+    // with maxFilesPerTrigger=1 they arrive as separate micro-batches,
+    // so the copy must be condemned by the SIGNATURE STORE, not
+    // within-batch comparison
+    Seq((1L, tA)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f0")
+    Seq((2L, tA), (3L, tB)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$in/f1")
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+    val q = StreamingOps.dedupDocStream(docs, "doc_id", "text", sig, sink,
+      ckpt, Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    val survivors = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L),
+      "the landed copy must be condemned by the store built from earlier batches")
+    // drained: a re-run with the same checkpoint finds nothing new
+    val q2 = StreamingOps.dedupDocStream(docs, "doc_id", "text", sig, sink,
+      ckpt, Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
   test("stream-stream interval join correlates events within the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
