@@ -339,7 +339,26 @@ object ExtendedOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val q123 =
+    """WITH a AS (SELECT
+      |  round(corr(l_quantity, l_extendedprice), 4) AS r0,
+      |  round(corr(l_quantity, l_discount), 4) AS r1,
+      |  round(corr(l_quantity, l_tax), 4) AS r2,
+      |  round(corr(l_extendedprice, l_discount), 4) AS r3,
+      |  round(corr(l_extendedprice, l_tax), 4) AS r4,
+      |  round(corr(l_discount, l_tax), 4) AS r5
+      |FROM lineitem)
+      |SELECT x, y, r FROM (
+      |  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, r0 AS r FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_discount', r1 FROM a
+      |  UNION ALL SELECT 'l_quantity', 'l_tax', r2 FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount', r3 FROM a
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax', r4 FROM a
+      |  UNION ALL SELECT 'l_discount', 'l_tax', r5 FROM a)
+      |ORDER BY x, y""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q123_corr_matrix"    -> q123,
     "q101_encode_vocab"   -> q101,
     "q102_quantiles_scan" -> q102,
     "q103_dedup_incr"     -> q103,

@@ -413,6 +413,32 @@ object ExtendedQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** q123 pairwise correlation matrix: Pearson r over every pair of
+    * four lineitem measures in ONE aggregate pass — `corr` is a single-
+    * pass co-moment aggregate, so all six pairs ride the same scan and
+    * the exchange carries one partial-aggregate row per partition. The
+    * 6-row (x, y, r) reshape happens AFTER the aggregate via an inline
+    * table, never a self-join per pair (the shape that would scan the
+    * fact table six times). */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val agg = lineitem(s, d).agg(
+      round(corr(col(pairs.head._1), col(pairs.head._2)), 4)
+        .as(s"r0"),
+      pairs.tail.zipWithIndex.map { case ((x, y), k) =>
+        round(corr(col(x), col(y)), 4).as(s"r${k + 1}")
+      }: _*)
+    val structs = pairs.zipWithIndex.map { case ((x, y), k) =>
+      struct(lit(x).as("x"), lit(y).as("y"), col(s"r$k").as("r"))
+    }
+    agg.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.r").as("r"))
+      .orderBy("x", "y")
+  }
+
   /** q90 forward as-of join: each click correlated to the EARLIEST
     * purchase at-or-after it per user ([[graft.operators.Temporal
     * .asofJoin]] with direction="forward" — q61's mirror; same

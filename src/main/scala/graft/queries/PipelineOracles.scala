@@ -280,6 +280,19 @@ object PipelineOracles {
       """SELECT event_id,
         |  array_to_string(json_keys(props), ',') AS keys,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+    "q125_entropy"       ->
+      """WITH t AS (SELECT lang,
+        |    unnest(list_filter(string_split(trim(text), ' '),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY lang, tok),
+        |g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(n * ln(n)) AS nlogn
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_tokens, n_types,
+        |  round(ln(n_tokens) - nlogn / n_tokens, 4) AS entropy
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

@@ -193,6 +193,28 @@ object PipelineQueries {
           .as("fp_min"))
       .orderBy("doc_id")
 
+  /** q125 token-distribution entropy per language: Shannon entropy of
+    * the unigram distribution, the corpus-diversity statistic a
+    * curation pipeline tracks per slice (a collapsing H flags template
+    * spam / dedup failures). Computed as ln(T) − Σ n·ln(n) / T so the
+    * whole thing is ONE aggregation over (lang, token) counts followed
+    * by a group-sized rollup — never a per-token p=n/T join back. */
+  def q125(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        explode(expr("filter(split(trim(text), ' '), x -> x != '')"))
+          .as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n") * log(col("n"))).as("nlogn"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("nlogn") / col("n_tokens"), 4)
+          .as("entropy"))
+      .orderBy("lang")
+
   /** q55 JSON→map functions (§2.3 map/JSON family: `from_json`,
     * `map_keys`, map element access): parse `events.props` into a typed
     * map, list its keys, extract the value — all codegen'd expressions,

@@ -48,9 +48,60 @@ object TemporalOracles {
       |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val q121 =
+    """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT user_id, value,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS w
+      |  FROM e),
+      |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |    sum(w) AS tw, sum(value * w) AS vw
+      |  FROM l WHERE w IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, round(vw / tw, 4) AS twap
+      |FROM g WHERE tw > 0 ORDER BY user_id""".stripMargin
+
+  private val q122 =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s AS (SELECT user_id, min(us) AS s_us FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT DISTINCT s.user_id FROM s
+      |  JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      |    AND p.us >= s.s_us AND p.us <= s.s_us + 604800000000),
+      |g AS (SELECT s.user_id, CAST(make_timestamp(s.s_us) AS DATE) AS cohort_day,
+      |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+      |  FROM s LEFT JOIN c ON c.user_id = s.user_id)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+      |  CAST(count(*) AS BIGINT) AS n_signups,
+      |  CAST(sum(conv) AS BIGINT) AS n_converted,
+      |  round(sum(conv) / count(*), 4) AS rate
+      |FROM g GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
+  private val q124 =
+    """WITH e AS (SELECT user_id, event_id, event_type AS src,
+      |    epoch_us(ts) AS us FROM events),
+      |l AS (SELECT src, lead(src) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS dst FROM e),
+      |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM l WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  round(n / sum(n) OVER (PARTITION BY src), 4) AS p
+      |FROM c ORDER BY src, dst""".stripMargin
+
+  private val q126 =
+    """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, value, us,
+      |    max(us) OVER (PARTITION BY user_id) AS last_us FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value * pow(0.5, (last_us - us) / 86400000000.0)), 4)
+      |    AS decayed
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q61_asof_join"   -> q61,
     "q62_pairs_range" -> q62,
     "q63_sessionize"  -> q63,
-    "q64_percentiles" -> q64)
+    "q64_percentiles" -> q64,
+    "q121_twap"       -> q121,
+    "q122_funnel"     -> q122,
+    "q124_transitions" -> q124,
+    "q126_decay"      -> q126)
 }

@@ -181,6 +181,63 @@ class PlanContractSpec extends AnyFunSuite {
       s"prefix join must never fall back to NLJ pairing:\n$plan")
   }
 
+  test("q121 TWAP reuses the window's user_id exchange for the aggregate") {
+    // lead() partitions by user_id; the per-user aggregate must ride the
+    // same exchange — one data exchange + the contract sort, zero joins
+    val plan = executedPlan("q121_twap")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"TWAP must be window exchange + final sort only, found $exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"TWAP is a single-table read — no join may appear:\n$plan")
+  }
+
+  test("q122 funnel aggregates signups once and joins once") {
+    // the naive form references the signup aggregate twice and Spark
+    // scans+aggregates it twice; the contract pins the single-pass shape
+    val plan = executedPlan("q122_funnel")
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"funnel must scan events twice (signup + purchase pushdowns), " +
+        s"not re-aggregate the signup side, found $scans scans:\n$plan")
+    val joins = "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1,
+      s"funnel must pair signups to purchases through ONE equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"horizon predicate must ride the equi-join, never a theta join:\n$plan")
+  }
+
+  test("q123 correlation matrix is one aggregate pass over one scan") {
+    // all six Pearson pairs are co-moment aggregates on the same scan;
+    // the only exchange carries one partial-aggregate row per partition
+    // and the 6-row reshape happens after it — a per-pair self-join
+    // would show extra scans/joins here
+    val plan = executedPlan("q123_corr_matrix")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"corr matrix must compute all pairs on ONE scan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"corr matrix may only shuffle partial-agg rows, found $exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"corr matrix must never self-join per pair:\n$plan")
+  }
+
+  test("q124/q125/q126 sequence/entropy/decay plans stay join-free") {
+    // transition matrix: user window + matrix-sized aggs; entropy:
+    // (lang,tok) counts + lang rollup; decay: window + agg on the SAME
+    // user_id exchange — none of them may introduce a join
+    for ((q, maxEx) <- Seq("q124_transitions" -> 4, "q125_entropy" -> 3,
+        "q126_decay" -> 2)) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Join"), s"$q must be join-free:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= maxEx,
+        s"$q exceeded its exchange budget ($exchanges > $maxEx):\n$plan")
+    }
+  }
+
   test("q106 bucketed join plans zero join exchanges (layout paid at ingest)") {
     // both sides land bucketed by custkey, so the sort-merge join reads
     // co-located buckets directly: the ONLY exchanges in the final plan
