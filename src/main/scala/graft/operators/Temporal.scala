@@ -128,4 +128,66 @@ object Temporal {
         count(lit(1)).as("n_events"))
       .drop("__sid")
   }
+
+  /** Time-weighted average per key over an irregularly-sampled stream:
+    * each value weighted by its holding period — the integer-microsecond
+    * gap to the key's NEXT observation (`tieCol` breaks equal-timestamp
+    * ordering; the final open-ended observation carries no weight). Keys
+    * whose observations all share one timestamp have zero total weight
+    * and drop. One exchange: the lead() window and the aggregate share
+    * the key partitioning. Output: key, n_intervals, tw (total weight,
+    * micros), vw (value·weight sum), twap — unrounded. */
+  def twap(events: DataFrame, keyCol: String, tsUsCol: String,
+           valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol).asc, col(tieCol).asc)
+    events
+      .withColumn("__w", lead(col(tsUsCol), 1).over(w) - col(tsUsCol))
+      .filter(col("__w").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("__w")).as("tw"),
+        sum(col(valueCol) * col("__w")).as("vw"))
+      .filter(col("tw") > 0)
+      .withColumn("twap", col("vw") / col("tw"))
+  }
+
+  /** First-order Markov transition matrix: P(next `typeCol` | current)
+    * over each key's time-ordered stream. The lead() window rides one
+    * key exchange; the (src, dst) counts and the per-src normalizing
+    * window are |types|²-sized — metadata for any sane type domain.
+    * Output: src, dst, n, p — unrounded. */
+  def transitionMatrix(events: DataFrame, keyCol: String,
+                       typeCol: String, tsUsCol: String,
+                       tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol).asc, col(tieCol).asc)
+    events
+      .select(col(keyCol), col(tsUsCol), col(tieCol),
+        col(typeCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))))
+  }
+
+  /** Exponentially time-decayed sum per key, evaluated at the key's
+    * LAST observation: Σ value·2^(−Δ/halfLifeUs) with Δ the integer-
+    * microsecond distance to the key's max timestamp. The recency
+    * weighting a freshness-aware ranking keeps per entity — and unlike
+    * a recursive EWMA it is a plain one-pass aggregate: the max()
+    * window and the groupBy share ONE key exchange, zero joins.
+    * Output: key, n_events, decayed — unrounded. */
+  def decayedSum(events: DataFrame, keyCol: String, tsUsCol: String,
+                 valueCol: String, halfLifeUs: Long): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    events
+      .withColumn("__last", max(col(tsUsCol)).over(wk))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol) * pow(lit(0.5),
+          (col("__last") - col(tsUsCol)) / lit(halfLifeUs.toDouble)))
+          .as("decayed"))
+  }
 }

@@ -75,72 +75,53 @@ object TemporalQueries {
     * weighted by how long it HELD — the integer-microsecond gap to the
     * user's next event (lead; the final open-ended observation carries
     * no weight). The metric that makes irregularly-sampled streams
-    * comparable: an arithmetic mean over-counts bursts. One exchange on
-    * the user key; weights are integer micros so only the final ratio
-    * is float. Users whose events all share one timestamp have zero
-    * total weight and drop (no defined holding period). */
-  def q121(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
-      .withColumn("w", lead(col("us"), 1).over(w) - col("us"))
-      .filter(col("w").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_intervals"), sum(col("w")).as("tw"),
-        sum(col("value") * col("w")).as("vw"))
-      .filter(col("tw") > 0)
+    * comparable: an arithmetic mean over-counts bursts. The query face
+    * of [[graft.operators.Temporal.twap]]: one exchange on the user
+    * key; weights are integer micros so only the final ratio is float.
+    * Users whose events all share one timestamp have zero total weight
+    * and drop (no defined holding period). */
+  def q121(s: SparkSession, d: String): DataFrame =
+    Temporal.twap(
+        events(s, d).select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")),
+        "user_id", "us", "value", "event_id")
       .select(col("user_id"), col("n_intervals"),
-        round(col("vw") / col("tw"), 4).as("twap"))
+        round(col("twap"), 4).as("twap"))
       .orderBy("user_id")
-  }
 
   /** q124 event-transition matrix: P(next event_type | current) over
     * each user's time-ordered stream — the first-order Markov read
-    * behind session modeling and anomaly baselines. One user_id
+    * behind session modeling and anomaly baselines. The query face of
+    * [[graft.operators.Temporal.transitionMatrix]]: one user_id
     * exchange feeds the lead() window; the (src, dst) count and the
     * per-src normalizing window both run over the 25-row transition
     * matrix, i.e. metadata. */
-  def q124(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    events(s, d)
-      .select(col("user_id"), col("event_id"),
-        col("event_type").as("src"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
-      .withColumn("dst", lead(col("src"), 1).over(w))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("src"))), 4))
+  def q124(s: SparkSession, d: String): DataFrame =
+    Temporal.transitionMatrix(
+        events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us")),
+        "user_id", "event_type", "us", "event_id")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("p"), 4).as("p"))
       .orderBy("src", "dst")
-  }
 
   /** q126 time-decayed aggregate: each user's activity score as of
     * their LAST event, every prior event's value discounted by a
     * one-day half-life (weight 2^(-Δ/1d), Δ in integer micros). The
     * recency-weighted statistic a freshness-aware ranking pipeline
-    * keeps per entity — and unlike a recursive EWMA it is a plain
-    * one-pass aggregate: the max(us) window and the groupBy ride the
-    * SAME user_id exchange, zero joins. */
-  def q126(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wu = Window.partitionBy(col("user_id"))
-    events(s, d)
-      .select(col("user_id"), col("value"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
-      .withColumn("last_us", max(col("us")).over(wu))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value") * pow(lit(0.5),
-          (col("last_us") - col("us")) / lit(86400000000.0))), 4)
-          .as("decayed"))
+    * keeps per entity ([[graft.operators.Temporal.decayedSum]]) — and
+    * unlike a recursive EWMA it is a plain one-pass aggregate: the
+    * max(us) window and the groupBy ride the SAME user_id exchange,
+    * zero joins. */
+  def q126(s: SparkSession, d: String): DataFrame =
+    Temporal.decayedSum(
+        events(s, d).select(col("user_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us")),
+        "user_id", "us", "value", halfLifeUs = 86400000000L)
+      .select(col("user_id"), col("n_events"),
+        round(col("decayed"), 4).as("decayed"))
       .orderBy("user_id")
-  }
 
   /** q122 funnel conversion: per signup-cohort day, how many users
     * reached a purchase within 7 days of their FIRST signup. The

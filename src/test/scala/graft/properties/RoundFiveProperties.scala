@@ -133,4 +133,85 @@ object RoundFiveProperties extends Properties("round5") {
       val got = df.select("qv").first().getSeq[Long](0).toList
       got == quantRef(v)
     }
+
+  // ---- temporal analytics operators == driver references --------------
+  // random irregular event streams (duplicate timestamps included — the
+  // tie-break and zero-weight paths must hold); references are scalar
+  // re-computations, agreement to 1e-9 absorbs float summation order
+
+  private case class Ev(key: Long, id: Long, us: Long, value: Double,
+                        typ: String)
+
+  private val streamGen: Gen[List[Ev]] = for {
+    n <- Gen.chooseNum(1, 40)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 3L)
+      us <- Gen.chooseNum(0L, 20L)          // dense → frequent ties
+      v <- Gen.chooseNum(-100, 100).map(_ / 10.0)
+      t <- Gen.oneOf("a", "b", "c")
+    } yield (k, us, v, t))
+  } yield evs.zipWithIndex.map { case ((k, us, v, t), i) =>
+    Ev(k, i.toLong, us, v, t) }
+
+  private def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+
+  property("twap.equals-reference") =
+    Prop.forAllNoShrink(streamGen) { evs =>
+      import spark.implicits._
+      val df = evs.map(e => (e.key, e.id, e.us, e.value))
+        .toDF("key", "id", "us", "value")
+      val got = graft.operators.Temporal
+        .twap(df, "key", "us", "value", "id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(4))).toMap
+      val want = evs.groupBy(_.key).flatMap { case (k, es) =>
+        val sorted = es.sortBy(e => (e.us, e.id))
+        val ws = sorted.zip(sorted.tail)
+          .map { case (a, b) => (a.value, b.us - a.us) }
+        val tw = ws.map(_._2).sum
+        if (ws.isEmpty || tw == 0L) None
+        else Some(k -> (ws.length.toLong,
+          ws.map { case (v, w) => v * w }.sum / tw))
+      }
+      got.keySet == want.keySet && want.forall { case (k, (n, t)) =>
+        got(k)._1 == n && close(got(k)._2, t) }
+    }
+
+  property("transitions.equals-reference-and-normalized") =
+    Prop.forAllNoShrink(streamGen) { evs =>
+      import spark.implicits._
+      val df = evs.map(e => (e.key, e.id, e.us, e.typ))
+        .toDF("key", "id", "us", "typ")
+      val rows = graft.operators.Temporal
+        .transitionMatrix(df, "key", "typ", "us", "id")
+        .collect()
+      val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+      val want = evs.groupBy(_.key).toList.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e.us, e.id))
+        sorted.zip(sorted.tail).map { case (a, b) => (a.typ, b.typ) }
+      }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      val normalized = rows.groupBy(_.getString(0)).forall {
+        case (_, rs) => close(rs.map(_.getDouble(3)).sum, 1.0) }
+      got == want && normalized
+    }
+
+  property("decayedSum.equals-reference") =
+    Prop.forAllNoShrink(streamGen) { evs =>
+      import spark.implicits._
+      val df = evs.map(e => (e.key, e.us, e.value))
+        .toDF("key", "us", "value")
+      val half = 10L // in the us range, so decay is non-trivial
+      val got = graft.operators.Temporal
+        .decayedSum(df, "key", "us", "value", half)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      val want = evs.groupBy(_.key).map { case (k, es) =>
+        val last = es.map(_.us).max
+        k -> (es.length.toLong, es.map(e =>
+          e.value * math.pow(0.5, (last - e.us).toDouble / half)).sum)
+      }
+      got.keySet == want.keySet && want.forall { case (k, (n, s)) =>
+        got(k)._1 == n && close(got(k)._2, s) }
+    }
 }
