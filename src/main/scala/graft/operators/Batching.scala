@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators (builder mandate: the step between
+  * curation and the trainer — turning a cleaned corpus into the exact
+  * sequences/splits a training job consumes). Like [[Sampling]], every
+  * decision is keyed on a portable salted md5 of the row id — never
+  * `rand()` — so a re-run, an incremental slice, or the DuckDB oracle
+  * reproduces the identical assignment.
+  *
+  * Reference scope: the reference pipeline stops at loading curated rows
+  * into a warehouse (reference `README.md:13`); these are the operators
+  * its output feeds at 100 TB, kept in the same engine so the lineage
+  * from raw crawl to training batch is one plan.
+  */
+object Batching {
+
+  /** Portable hash-order key: lowercase-hex md5 of `salt:id`. Sorting by
+    * (hkey, id) is a deterministic engine-independent shuffle of the
+    * corpus — the "document order" every operator below packs or splits
+    * against. */
+  private def hkey(idCol: String, salt: String): Column =
+    md5(concat(lit(s"$salt:"), col(idCol).cast("string")))
+
+  /** Uniform 16-bit integer from the first four md5 nibbles (same
+    * `instr` arithmetic as [[Sampling]]'s rate gate — DuckDB-replicable
+    * verbatim, granularity 65536). */
+  private def hash16(idCol: String, salt: String): Column = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('$salt:', cast($idCol as string))),$i,1)) - 1)"
+    expr(s"${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}")
+  }
+
+  /** Concat-and-chunk sequence packing: deterministically shuffle each
+    * stratum's docs (hash order), lay them end to end, and cut the tape
+    * every `budget` tokens — a doc is assigned to the chunk its FIRST
+    * token lands in (`chunk = floor(exclusive-cumsum / budget)`), the
+    * layout GPT-style pretraining uses when documents are concatenated
+    * with EOD separators and split into fixed-length sequences.
+    *
+    * Adds `chunk` to the input (plus nothing else); group on
+    * (stratum, chunk) downstream for per-sequence manifests.
+    *
+    * Scale shape: ONE exchange on the stratum key and a per-stratum
+    * running sum — no global-order window ever (packing across strata
+    * has no training meaning; a single giant stratum should be
+    * pre-split by a second hash-derived column folded into `strataCol`).
+    * The assignment is stable under re-runs but NOT under corpus growth
+    * (an inserted doc shifts every later chunk boundary in its stratum
+    * — inherent to contiguous packing; re-pack per frozen snapshot). */
+  def packChunks(df: DataFrame, strataCol: String, idCol: String,
+                 tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hkey(idCol, "pack").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("chunk",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+  }
+
+  /** Deterministic k-fold assignment: `fold = hash16(id) % k`. Fully
+    * NARROW (a codegen'd projection — zero shuffle, zero window) and
+    * membership-stable: a row's fold never changes as the corpus grows,
+    * so folds built incrementally stay consistent. `salt` decorrelates
+    * the fold from other hash-keyed gates on the same ids. */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+            salt: String = "fold"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("fold", (hash16(idCol, salt) % k).cast("long"))
+  }
+
+  /** Per-stratum token-budget cap: keep each stratum's docs in hash
+    * order while the RUNNING (inclusive) token total stays within
+    * `budget` — "at most N tokens of each source", the knob that
+    * down-weights an over-represented crawl without dropping it.
+    * Membership is deterministic but (unlike [[Sampling.stratifiedRate]])
+    * not stable under growth — a new low-hash doc displaces the tail.
+    *
+    * Same one-exchange-per-stratum shape as [[packChunks]]. The running
+    * sum cannot be pruned below the exchange (every row's keep decision
+    * needs its prefix), so the stratum's rows all shuffle once; when
+    * only the CUTOFF is needed at extreme scale, derive the hash
+    * threshold from a quantile scan over (hkey, tokens) instead and
+    * apply it as a narrow filter. */
+  def capTokens(df: DataFrame, strataCol: String, idCol: String,
+                tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hkey(idCol, "cap").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+}

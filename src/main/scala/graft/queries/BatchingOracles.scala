@@ -1,0 +1,101 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the batch-assembly/audit queries q127–q133.
+  * Mirrors [[BatchingQueries]] exactly: identical tokenizer
+  * (`string_split` + filter), identical salted-md5 hash order
+  * (lowercase hex on both engines), identical `instr` nibble
+  * arithmetic for the fold bucket, identical epoch-micros range frame.
+  */
+object BatchingOracles {
+
+  /** Token count twin of BatchingQueries.nToks. */
+  private val nToks =
+    "len(list_filter(string_split(trim(text), ' '), x -> x <> ''))"
+
+  private def hkey(salt: String) =
+    s"md5('$salt:' || CAST(doc_id AS VARCHAR))"
+
+  private def nib(salt: String, i: Int) =
+    s"(instr('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)),$i,1)) - 1)"
+
+  private val q127 =
+    s"""WITH t AS (SELECT doc_id, lang, $nToks AS nt, ${hkey("pack")} AS h
+       |  FROM documents),
+       |c AS (SELECT lang, nt,
+       |  coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t)
+       |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS chunk,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens
+       |FROM c GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin
+
+  private val q128 =
+    s"""SELECT CAST((${nib("fold", 1)}*4096 + ${nib("fold", 2)}*256 +
+       |    ${nib("fold", 3)}*16 + ${nib("fold", 4)}) % 5 AS BIGINT) AS fold,
+       |  lang, CAST(count(*) AS BIGINT) AS n,
+       |  floor(sum(n_chars) * 100 / count(*)) / 100.0 AS avg_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
+  private val q129 =
+    s"""WITH t AS (SELECT doc_id, source, $nToks AS nt, ${hkey("cap")} AS h
+       |  FROM documents),
+       |c AS (SELECT source, nt,
+       |  sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(nt) AS BIGINT) AS tokens_kept
+       |  FROM c WHERE cum <= 800 GROUP BY source),
+       |total AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+       |  FROM t GROUP BY source)
+       |SELECT kept.source, n_kept, tokens_kept, n_total
+       |FROM kept JOIN total ON kept.source = total.source
+       |ORDER BY kept.source""".stripMargin
+
+  private val q130 =
+    """WITH stats AS (SELECT l_returnflag,
+      |    avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_out,
+      |  round(min(l_extendedprice), 2) AS lo,
+      |  round(max(l_extendedprice), 2) AS hi
+      |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+      |WHERE abs(l_extendedprice - mu) > 1.5 * sd
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  private val q131 =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 5) AS slope,
+      |  round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2) AS icept
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val q132 =
+    """WITH cells AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rl AS (SELECT lang, sum(o) AS rl FROM cells GROUP BY lang),
+      |cs AS (SELECT source, sum(o) AS cs FROM cells GROUP BY source),
+      |tot AS (SELECT sum(o) AS t, count(DISTINCT lang) AS nl,
+      |    count(DISTINCT source) AS ns FROM cells)
+      |SELECT round(sum(pow(o - rl * cs / t, 2) / (rl * cs / t)), 2) AS chi2,
+      |  CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof, CAST(t AS BIGINT) AS n
+      |FROM cells JOIN rl USING (lang) JOIN cs USING (source), tot
+      |GROUP BY t, nl, ns""".stripMargin
+
+  private val q133 =
+    """SELECT user_id, event_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_3d,
+      |  floor(sum(value) OVER w / count(*) OVER w * 10000) / 10000.0 AS avg_3d
+      |FROM events WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q127_pack_chunks" -> q127,
+    "q128_kfold"       -> q128,
+    "q129_token_cap"   -> q129,
+    "q130_zscore"      -> q130,
+    "q131_regr_trend"  -> q131,
+    "q132_chi2"        -> q132,
+    "q133_rolling_3d"  -> q133)
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Batching
+
+/** Round-5 batch-assembly + statistical-audit faces — the step between a
+  * curated corpus and the trainer, plus the distribution checks a data
+  * curator runs before shipping a snapshot:
+  *
+  *  - q127: concat-and-chunk sequence packing per language
+  *    ([[Batching.packChunks]] — the GPT-style fixed-length-sequence
+  *    layout, hash-order deterministic so the oracle replays it)
+  *  - q128: deterministic k-fold split audit ([[Batching.kFold]])
+  *  - q129: per-source token-budget cap ([[Batching.capTokens]])
+  *  - q130: per-group z-score outlier audit (2σ rule on lineitem prices)
+  *  - q131: per-event-type linear trend (regr_slope/intercept of value
+  *    on fractional days — both engines' regr_* built-ins)
+  *  - q132: lang × source chi-square independence statistic (is the
+  *    language mix uniform across sources, or does a source skew?)
+  *  - q133: per-user rolling 3-day time-RANGE features on the event
+  *    stream (q81's value-range frame discipline applied to epoch time)
+  *
+  * Same design rules as the rest of the inventory: codegen'd built-ins
+  * only, one exchange per keyed window, group-sized aggregates, every
+  * query hash-checked against DuckDB.
+  */
+object BatchingQueries {
+
+  /** Non-empty whitespace token count (shared contract expression —
+    * identical to the q52/q107 tokenizer). */
+  private val nToks = "size(filter(split(trim(text), ' '), x -> x != ''))"
+
+  /** q127 sequence packing: pack each language's docs into 2048-token
+    * chunks in deterministic hash order and emit the per-chunk manifest.
+    * The pack window is per-LANGUAGE (one exchange, no global order);
+    * the manifest aggregate is chunk-sized. */
+  def q127(s: SparkSession, d: String): DataFrame =
+    Batching.packChunks(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          expr(nToks).cast("long").as("nt")),
+        "lang", "doc_id", "nt", 2048L)
+      .groupBy(col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .orderBy("lang", "chunk")
+
+  /** q128 k-fold audit: 5-fold deterministic assignment, then the
+    * per-(fold, lang) census that checks the folds are balanced. The
+    * fold gate is a NARROW projection — the only exchange is the
+    * group-sized census aggregate. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    Batching.kFold(documents(s, d), "doc_id", 5)
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("__sc"))
+      // TRUNCATED mean from exact integer sums: round(avg, 2) is an
+      // engine-portability trap — a census mean is often an exact
+      // decimal half (sum/n with small n), and Spark rounds the
+      // shortest decimal repr (282.775 → 282.78) while DuckDB rounds
+      // the binary value (282.774999… → 282.77). floor on the exact
+      // rational sum*100/n is identical IEEE math in both engines.
+      .select(col("fold"), col("lang"), col("n"),
+        (floor(col("__sc") * 100 / col("n")) / 100.0).as("avg_chars"))
+      .orderBy("fold", "lang")
+
+  /** q129 token-budget cap: at most 800 tokens of each source (hash
+    * order), then the per-source kept-vs-total census. One exchange on
+    * the source for the cap window; the cap filter cannot prune below
+    * it (every keep decision needs its running prefix) — the operator
+    * doc records the quantile-scan cutoff alternative for strata too
+    * large to shuffle. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+      expr(nToks).cast("long").as("nt"))
+    val kept = Batching.capTokens(toks, "source", "doc_id", "nt", 800L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
+    val total = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+    // every source keeps >= 1 doc (budget >= max single-doc size here),
+    // so the inner join is total on the source dimension
+    kept.join(total, "source")
+      .select(col("source"), col("n_kept"), col("tokens_kept"),
+        col("n_total"))
+      .orderBy("source")
+  }
+
+  /** q130 z-score outlier audit: lineitem prices more than 1.5 sample
+    * standard deviations from their return-flag group mean (a uniform
+    * distribution tops out at |z| = √3, so 1.5σ flags its tails; real
+    * long-tailed data would use 2–3σ). Group stats
+    * are a 3-row aggregate joined back (AQE broadcasts); the outlier
+    * scan is a narrow codegen'd filter — the audit never shuffles data
+    * rows, only the group-sized stat and result tables. */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("__mu"),
+        stddev_samp(col("l_extendedprice")).as("__sd"))
+    li.join(stats, "l_returnflag")
+      .filter(abs(col("l_extendedprice") - col("__mu")) > lit(1.5) * col("__sd"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_out"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q131 per-type linear trend: slope/intercept of event value over
+    * fractional days (epoch micros / 86.4e9) via the regr_* aggregate
+    * family — one partial+final pass, exchange = |event types|. */
+  def q131(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("value"),
+        (unix_micros(col("ts").cast("timestamp")) / lit(8.64e10)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(value, x)"), 5).as("slope"),
+        round(expr("regr_intercept(value, x)"), 2).as("icept"))
+      .orderBy("event_type")
+
+  /** q132 chi-square independence of lang × source: the contingency
+    * CELLS are the only aggregate that touches rows (exchange =
+    * |langs × sources|); marginals and the total re-aggregate the cell
+    * table (metadata-sized), and the statistic folds in one final
+    * 1-row pass. dof = (|lang|-1) × (|source|-1). */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+    val cs = cells.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("t"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    cells.join(rl, "lang").join(cs, "source").crossJoin(tot)
+      .select((pow(col("o") - col("rl") * col("cs") / col("t"), 2) /
+          (col("rl") * col("cs") / col("t"))).as("term"),
+        col("t"), col("nl"), col("ns"))
+      .groupBy(col("t"), col("nl"), col("ns"))
+      .agg(round(sum(col("term")), 2).as("chi2"))
+      .select(col("chi2"),
+        ((col("nl") - 1) * (col("ns") - 1)).cast("long").as("dof"),
+        col("t").cast("long").as("n"))
+  }
+
+  /** q133 rolling 3-day time-range features: per-user event count and
+    * mean value over the trailing 72 h, computed as a value-RANGE frame
+    * over integer epoch MICROS (q81's discipline on the time axis —
+    * deterministic, peer-inclusive, engine-portable). One exchange on
+    * user_id; the user_id < 40 bound keeps the contract output finite
+    * while the frame semantics stay per-key and scale-free. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(-259200000000L, Window.currentRow)
+    events(s, d).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_3d"),
+        // truncation, not round(): same portability trap as q128 —
+        // short frames make exact decimal halves common
+        (floor(sum(col("value")).over(w) / count(lit(1)).over(w)
+          * 10000) / 10000.0).as("avg_3d"))
+      .orderBy("user_id", "event_id")
+  }
+}
