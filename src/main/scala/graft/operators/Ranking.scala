@@ -566,4 +566,80 @@ object Ranking {
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1), schema)
   }
+
+  /** EXACT distributed global-order running aggregate over an integral
+    * value column — the scale-safe twin of
+    * `fn(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * {CURRENT ROW | 1 PRECEDING})`, which Spark plans as a
+    * SinglePartition window (every row through one task).
+    *
+    * Same two-phase discipline as [[globalRank]]: range-partition on
+    * `orderCols` + parallel in-partition sort pins each row's partition;
+    * ONE aggregate per partition is collected (a long per partition —
+    * metadata, not data), exclusive-prefix-combined on the driver, and
+    * attached back per row (literal map below [[MaxLiteralEntries]],
+    * broadcast join above). The in-partition running value is a window
+    * PARTITIONED BY the range-partition id — a hash exchange that keeps
+    * every partition parallel, never a global sort — and each row's
+    * result is `offset ⊕ local`.
+    *
+    * `fn` ∈ sum|max|min over values cast to LONG: integral math is
+    * associative, so the distributed result is bit-identical to the
+    * single-task window under ANY partitioning (a double running sum
+    * would re-associate; overflow is the caller's contract, as in SQL).
+    * `orderCols` must be a total order (include a unique tiebreaker).
+    * With `inclusive = false` the frame is UNBOUNDED PRECEDING..1
+    * PRECEDING and the first global row gets the fn identity
+    * (0 / Long.MinValue / Long.MaxValue — the empty-prefix value). */
+  def runningAgg(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                 fn: String, outCol: String, inclusive: Boolean = true,
+                 partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "running aggregate needs an order")
+    val (aggF, ident): (Column => Column, Long) = fn match {
+      case "sum" => (sum, 0L)
+      case "max" => (max, Long.MinValue)
+      case "min" => (min, Long.MaxValue)
+      case other => throw new IllegalArgumentException(
+        s"fn must be sum|max|min, got $other")
+    }
+    val comb: (Column, Column) => Column = fn match {
+      case "sum" => (a, b) => a + b
+      case "max" => (a, b) => greatest(a, b)
+      case _     => (a, b) => least(a, b)
+    }
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = orderCols.map(c => col(c).asc)
+    val parted = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .repartitionByRange(nPart, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), MidBits)
+    val perPart = parted.groupBy(pid.as("__pid"))
+      .agg(aggF(col("__v")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = ident
+    val offsets = perPart.keys.toSeq.sorted.map { p =>
+      val o = acc
+      acc = fn match {
+        case "sum" => acc + perPart(p)
+        case "max" => math.max(acc, perPart(p))
+        case _     => math.min(acc, perPart(p))
+      }
+      p -> o
+    }
+    val withOff = attachMeta(parted, pid.cast("string"),
+      offsets.map { case (p, o) => p.toString -> Seq(o) },
+      Seq("__off"), MaxLiteralEntries)
+    val w0 = Window.partitionBy(pid).orderBy(ord: _*)
+    val w = if (inclusive)
+      w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else w0.rowsBetween(Window.unboundedPreceding, -1)
+    withOff
+      .withColumn(outCol,
+        comb(col("__off"), coalesce(aggF(col("__v")).over(w), lit(ident))))
+      .drop("__mid", "__off", "__v")
+  }
 }
