@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The scheduled production entry (reference `dags/reddit_dag.py:16-26`:
+  * a daily task with `retries=1` and a fixed retry delay): ONE execution
+  * date's landing pages → parse + cleanse → latest-wins merge into the
+  * bucketed lake. The orchestrator (Airflow, cron, anything) only has to
+  * invoke `graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>` — all
+  * retry safety lives in the task body:
+  *
+  *  - the merge is STAGED and manifest-gated ([[graft.sources.Lake
+  *    .mergeInto]]): a crash mid-merge leaves either the old table or
+  *    the new one, never a torn mix, and the next attempt recovers;
+  *  - the batch is stamped with the execution date as its merge
+  *    timestamp, so a same-day rerun re-asserts the same (key, ts)
+  *    facts — latest-wins converges to the identical table instead of
+  *    duplicating rows (the idempotency the reference DAG relies on).
+  *
+  * Scale shape: the day's pages scan once (count is observed during the
+  * merge's bucket-discovery pass, narrow), and the merge rewrites only
+  * the key buckets the batch touches — daily cost is O(batch + touched
+  * buckets), never O(lake).
+  */
+object Daily {
+
+  /** Run one execution date. Returns the cleansed row count merged. */
+  def run(spark: SparkSession, date: String, pagedDir: String,
+          lakePath: String, retries: Int = 1, delayMs: Long = 0): Long =
+    Runner.withRetry(retries, delayMs) {
+      val batch = graft.ingest.RedditIngest.fromPagedDir(spark, pagedDir)
+        .withColumn("snapshot_ts", to_timestamp(lit(date), "yyyy-MM-dd"))
+      val obs = new org.apache.spark.sql.Observation()
+      graft.sources.Lake.mergeInto(
+        batch.observe(obs, count(lit(1)).as("rows")),
+        lakePath, keyCol = "id", tsCol = "snapshot_ts")
+      obs.get("rows").asInstanceOf[Long]
+    }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>")
+    // reuse a live session when embedded (tests, notebooks); only a
+    // session this main created gets stopped on exit
+    val pre = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val spark = pre.getOrElse {
+      val s = Sessions.configure(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    try {
+      val n = run(spark, args(0), args(1), args(2))
+      println(s"""{"task":"daily","date":"${args(0)}","rows":$n}""")
+    } finally if (pre.isEmpty) spark.stop()
+  }
+}

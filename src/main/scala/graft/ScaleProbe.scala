@@ -137,6 +137,15 @@ object ScaleProbe {
             graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
               threshold = 0.8))
         }),
+        // round 6: df-capped containment over the FULL corpus (the
+        // declared q110 is doc_id-bounded). The r5-flagged shape was an
+        // UNCAPPED inverted-index self-join — a stop-shingle in d docs
+        // is d² join rows; with the df cap the candidate exchange must
+        // grow with SHARED-RARE-shingle volume, not corpus²
+        "containment_full" -> ((d: String) =>
+          graft.queries.CurationQueries.containmentPairs(
+            Tables.documents(spark, d).select("doc_id", "text"),
+            dfCap = 20)),
         // IVF over the FULL embeddings table: the assignment pass (the
         // part that scales with the corpus) must stay a broadcast join +
         // partial-agg argmax, probes a fixed query batch

@@ -43,4 +43,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Every loader above, by its table name — the catalog face's source
+    * of truth (events included, with its nanos→NTZ normalization). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+    "lineitem" -> lineitem _, "events" -> events _,
+    "documents" -> documents _, "embeddings" -> embeddings _)
+
+  /** Ad-hoc SQL entry face (reference `README.md:21` — the declared
+    * query surface is analysts typing SQL against warehouse tables):
+    * registers every lake table as a session temp view, so
+    * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` works
+    * verbatim. Views are LAZY — registration reads only parquet
+    * schemas; scans/pushdown happen per-query exactly as through the
+    * loaders, because a temp view IS the loader's logical plan, not a
+    * materialization. Idempotent (createOrReplace), so re-pointing a
+    * session at a different scale dir is one call. */
+  def registerViews(s: SparkSession, sfDir: String): Unit =
+    all.foreach { case (name, load) =>
+      load(s, sfDir).createOrReplaceTempView(name)
+    }
 }

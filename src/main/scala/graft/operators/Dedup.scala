@@ -318,6 +318,20 @@ object Dedup {
     verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
       maxBucketSize)
 
+  /** UNVERIFIED LSH candidate pairs `(a, b)`, a < b, from a signature
+    * table — the raw band-collision set before any Jaccard check,
+    * published for calibration audits (q118) that must see the
+    * estimator's actual candidate universe. Routes through the SAME
+    * [[sigBuckets]] key scheme and hot-capped [[candidatePairs]] as
+    * every dedup face (star-linking above `maxBucketSize`), so an audit
+    * can never reintroduce the uncapped bucket self-join the module
+    * exists to prevent. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    bands: Int = 4, rowsPerBand: Int = 2,
+                    maxBucketSize: Int = 1000): DataFrame =
+    candidatePairs(sigBuckets(sigs, idCol, bands, rowsPerBand),
+      maxBucketSize)
+
   def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8,
                  bands: Int = 4, rowsPerBand: Int = 2,

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * task streams through its partition without materializing it — the
   * distributed shape a real decoder plugs into.
   *
-  * STUB BOUNDARY: this container has no image/audio codecs, so
-  * `decodeStub` derives deterministic fake features from the bytes. The
-  * Spark-side plumbing — schema, encoders, partition-preserving batch
-  * iteration, feature dimensionality — is real and tested; swapping
-  * `decodeStub` for a JNI/codec call is a one-function change.
+  * The decode boundary is REAL for codec-free formats: PPM (P6) and WAV
+  * (PCM s16le) parse header+payload with plain byte arithmetic
+  * ([[decodePpm]]/[[decodeWav]] — checked against checked-in fixture
+  * files end-to-end through `binaryFile` ingest). STUB BOUNDARY: only
+  * COMPRESSED codecs (JPEG/MP3/H.264) fall back to `decodeStub`'s
+  * deterministic fake features, because their libraries are absent from
+  * this container; swapping the stub for a JNI/codec call is a
+  * one-function change and every Spark-side shape stays identical.
   */
 object Multimodal {
 
@@ -40,9 +43,131 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** ??? real decode — requires codec libraries absent from this
-    * environment. Deterministic stand-in: per-dimension rolling hash over
-    * the payload bytes, scaled to [-1, 1]. */
+  // ---- real decode: codec-free formats -------------------------------
+  // PPM (P6) and WAV (PCM s16le) are header+raw-payload formats parseable
+  // with plain byte arithmetic, so the decode boundary is REAL for them —
+  // the stub below now covers only compressed codecs (JPEG/MP3/H.264),
+  // whose libraries are absent from this container.
+
+  /** PPM P6 parse: `(meta(width, height, "ppm"), per-pixel luminance in
+    * [-1, 1])`. Header = "P6", then whitespace-separated width, height,
+    * maxval ('#' comments skipped per spec), one whitespace byte, then
+    * raw RGB triplets. None when the payload isn't a well-formed P6. */
+  private[operators] def decodePpm(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] = {
+    if (b.length < 11 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else if (b(i).toChar.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val (w, h, maxv) = (int(), int(), int())
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // the single whitespace byte after maxval
+    if (b.length - i < w * h * 3) return None
+    val lum = new Array[Float](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = i + p * 3
+      val s = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+      lum(p) = s / (3.0f * maxv) * 2.0f - 1.0f
+      p += 1
+    }
+    Some((AssetMeta(w, h, "ppm"), lum))
+  }
+
+  /** WAV RIFF parse, PCM 16-bit little-endian: `(meta(n_samples,
+    * channels, "wav"), interleaved samples in [-1, 1))`. Walks the chunk
+    * list (fmt may precede data with LIST/fact chunks between). None for
+    * non-RIFF payloads or non-PCM16 encodings. */
+  private[operators] def decodeWav(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var (i, channels, bits, fmt) = (12, 0, 0, 0)
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (fmt == 0 || data.isEmpty)) {
+      val (id, size) = (tag(i), u32(i + 4).toInt)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmt = u16(i + 8); channels = u16(i + 10); bits = u16(i + 22)
+      } else if (id == "data")
+        data = Some((i + 8, math.min(size, b.length - i - 8)))
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || data.isEmpty) return None
+    val (off, len) = data.get
+    val n = len / 2
+    val out = new Array[Float](n)
+    var s = 0
+    while (s < n) {
+      val v = ((b(off + 2 * s) & 0xff) |
+        (b(off + 2 * s + 1) << 8)).toShort
+      out(s) = v / 32768.0f
+      s += 1
+    }
+    Some((AssetMeta(n / channels, channels, "wav"), out))
+  }
+
+  /** Mean of each of `dim` contiguous signal segments (the fixed-width
+    * feature a variable-length decoded signal folds into). */
+  private def segmentMeans(signal: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (signal.isEmpty) return out
+    var d = 0
+    while (d < dim) {
+      val lo = (signal.length.toLong * d / dim).toInt
+      val hi = (signal.length.toLong * (d + 1) / dim).toInt
+      var (s, j) = (0.0, lo)
+      while (j < hi) { s += signal(j); j += 1 }
+      out(d) = if (hi > lo) (s / (hi - lo)).toFloat else 0.0f
+      d += 1
+    }
+    out
+  }
+
+  /** Dispatch: real parse for self-describing codec-free payloads,
+    * deterministic stub otherwise. */
+  private def decode(content: Array[Byte], dim: Int): Array[Float] =
+    decodePpm(content).orElse(decodeWav(content))
+      .map { case (_, signal) => segmentMeans(signal, dim) }
+      .getOrElse(decodeStub(content, dim))
+
+  /** Payload-sniffing metadata repair: fills real (width, height, format)
+    * for PPM / (samples-per-channel, channels, format) for WAV payloads;
+    * other assets pass through untouched. The step between
+    * [[readBinaryDir]] (which knows only file-level facts) and anything
+    * that trusts `meta`. Iterator-shaped like every decode stage. */
+  def parseMeta(assets: Dataset[Asset]): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      decodePpm(a.content).orElse(decodeWav(a.content)) match {
+        case Some((meta, _)) => a.copy(meta = meta)
+        case None            => a
+      }
+    })
+  }
+
+  /** ??? real decode for COMPRESSED codecs (JPEG/MP3/H.264) — requires
+    * codec libraries absent from this environment; PPM/WAV payloads take
+    * the real [[decodePpm]]/[[decodeWav]] path above. Deterministic
+    * stand-in: per-dimension rolling hash over the payload bytes, scaled
+    * to [-1, 1]. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -65,7 +190,7 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map(a => AssetFeatures(a.asset_id, a.kind, dim,
-        decodeStub(a.content, dim)))
+        decode(a.content, dim)))
     }
   }
 
@@ -86,7 +211,7 @@ object Multimodal {
         // one kernel invocation per batch: a real decoder replaces this
         // loop with a single bulk call over `batch`
         batch.map(a => AssetFeatures(a.asset_id, a.kind, dim,
-          decodeStub(a.content, dim)))
+          decode(a.content, dim)))
       }
     }
   }

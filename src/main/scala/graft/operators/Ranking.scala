@@ -377,7 +377,8 @@ object Ranking {
                                 specs: Seq[(String, Seq[Double])],
                                 buckets: Int = 1024,
                                 collectCap: Int = 32768,
-                                maxRounds: Int = 64): DataFrame = {
+                                maxRounds: Int = 64,
+                                materialize: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "need at least one (valueCol, fractions) spec")
     specs.foreach { case (c, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
@@ -385,14 +386,30 @@ object Ranking {
     require(buckets >= 2 && collectCap >= 1, "need buckets >= 2, cap >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    // the stacked row stream: (group, columnIndex, value) — re-derived
-    // per pass (narrow, column-pruned) rather than materialized
-    def rows = df.select(col(groupCol).as("__g"),
+    // the stacked row stream: (group, columnIndex, value) — by default
+    // re-derived per pass (narrow, column-pruned: the right default when
+    // the input is a stored column and the scan is parquet-cheap). With
+    // `materialize`, the stream is localCheckpoint-ed ONCE and every
+    // refinement pass reads the blocks instead of re-running the
+    // derivation — opt in when the value column is an EXPENSIVE derived
+    // expression (q112's tokenize projection). Cost: O(|rows|·|specs|)
+    // executor storage for the duration of the call (released before
+    // returning); the scan family's time-for-memory dial, now explicit.
+    val matRows = if (materialize)
+      Some(df.select(col(groupCol).as("__g"),
+          explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
+            struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
+          }: _*)).as("__e"))
+        .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
+        .filter(col("__v").isNotNull)
+        .localCheckpoint(true))
+    else None
+    def rows = matRows.getOrElse(df.select(col(groupCol).as("__g"),
         explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
           struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
         }: _*)).as("__e"))
       .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull))
     // pass 1: per (column, group) counts and the FINITE value range.
     // ±Infinity and NaN cannot live inside a half-open refinement
     // interval (nextUp(NaN) is NaN; an infinite bucket width breaks the
@@ -563,6 +580,9 @@ object Ranking {
       org.apache.spark.sql.types.StructField(groupCol, gType) +:
         outKeys.map(k0 => org.apache.spark.sql.types.StructField(
           k0, org.apache.spark.sql.types.DoubleType)))
+    // the result is driver-assembled metadata — the checkpointed stream
+    // has served its last pass, release its blocks eagerly
+    matRows.foreach(_.unpersist(blocking = false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1), schema)
   }
@@ -588,9 +608,13 @@ object Ranking {
     * single-task window under ANY partitioning (a double running sum
     * would re-associate; overflow is the caller's contract, as in SQL).
     * `orderCols` must be a total order (include a unique tiebreaker).
-    * With `inclusive = false` the frame is UNBOUNDED PRECEDING..1
-    * PRECEDING and the first global row gets the fn identity
-    * (0 / Long.MinValue / Long.MaxValue — the empty-prefix value). */
+    * NULL semantics match SQL's window exactly: NULL values are ignored
+    * by the aggregate, and a row whose frame holds NO non-null value
+    * (all-null prefix, or the empty frame of the first row under
+    * `inclusive = false` — UNBOUNDED PRECEDING..1 PRECEDING) yields
+    * NULL, not the fn identity. The per-partition offset tracks a
+    * non-null COUNT alongside the value so the mask is exact across
+    * partition boundaries. */
   def runningAgg(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  fn: String, outCol: String, inclusive: Boolean = true,
                  partitions: Int = 0): DataFrame = {
@@ -617,29 +641,43 @@ object Ranking {
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
+    // coalesce to the identity: an all-null partition aggregates to NULL
+    // and would NPE getLong; its identity value is neutral under `comb`
+    // and its count of 0 keeps the NULL mask exact.
     val perPart = parted.groupBy(pid.as("__pid"))
-      .agg(aggF(col("__v")).as("a"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .agg(coalesce(aggF(col("__v")), lit(ident)).as("a"),
+        count(col("__v")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     var acc = ident
+    var cnt = 0L
     val offsets = perPart.keys.toSeq.sorted.map { p =>
-      val o = acc
+      val (o, c) = (acc, cnt)
       acc = fn match {
-        case "sum" => acc + perPart(p)
-        case "max" => math.max(acc, perPart(p))
-        case _     => math.min(acc, perPart(p))
+        case "sum" => acc + perPart(p)._1
+        case "max" => math.max(acc, perPart(p)._1)
+        case _     => math.min(acc, perPart(p)._1)
       }
-      p -> o
+      cnt += perPart(p)._2
+      p -> (o, c)
     }
     val withOff = attachMeta(parted, pid.cast("string"),
-      offsets.map { case (p, o) => p.toString -> Seq(o) },
-      Seq("__off"), MaxLiteralEntries)
+      offsets.map { case (p, (o, c)) => p.toString -> Seq(o, c) },
+      Seq("__off", "__offc"), MaxLiteralEntries)
     val w0 = Window.partitionBy(pid).orderBy(ord: _*)
     val w = if (inclusive)
       w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     else w0.rowsBetween(Window.unboundedPreceding, -1)
+    // SQL null-frame mask: the window's value is NULL iff the frame holds
+    // zero non-null values — cross-partition prefix count + local frame
+    // count detects that exactly (including the empty exclusive frame of
+    // the first global row).
     withOff
       .withColumn(outCol,
-        comb(col("__off"), coalesce(aggF(col("__v")).over(w), lit(ident))))
-      .drop("__mid", "__off", "__v")
+        when(col("__offc") + count(col("__v")).over(w) === 0,
+          lit(null).cast("long"))
+          .otherwise(comb(col("__off"),
+            coalesce(aggF(col("__v")).over(w), lit(ident)))))
+      .drop("__mid", "__off", "__offc", "__v")
   }
 }

@@ -90,6 +90,14 @@ object BatchingOracles {
       |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  private val q134 =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER (
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS run_total
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q127_pack_chunks" -> q127,
     "q128_kfold"       -> q128,
@@ -97,5 +105,6 @@ object BatchingOracles {
     "q130_zscore"      -> q130,
     "q131_regr_trend"  -> q131,
     "q132_chi2"        -> q132,
-    "q133_rolling_3d"  -> q133)
+    "q133_rolling_3d"  -> q133,
+    "q134_running_total" -> q134)
 }

@@ -164,4 +164,25 @@ object BatchingQueries {
           * 10000) / 10000.0).as("avg_3d"))
       .orderBy("user_id", "event_id")
   }
+
+  /** q134 GLOBAL running total — the exact distributed twin of
+    * `sum(v) OVER (ORDER BY ..., ROWS UNBOUNDED PRECEDING)` with NO
+    * partition key, which Spark otherwise plans as a SinglePartition
+    * window (the whole table through one task — q27's per-key window
+    * can't express this and q29's funnel is the anti-pattern).
+    * [[graft.operators.Ranking.runningAgg]] range-partitions on the
+    * order, combines ONE aggregate per partition driver-side (metadata),
+    * and rebases per-partition windows — every partition stays parallel.
+    * This is the primitive a batch-assembly tape uses to cut a GLOBAL
+    * token stream (packChunks's single-giant-stratum escape hatch).
+    * floor() before the long cast: double→bigint casts truncate in
+    * Spark but round in DuckDB; floor is identical IEEE on both. */
+  def q134(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranking.runningAgg(
+        orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice")).as("v")),
+        orderCols = Seq("o_orderdate", "o_orderkey"), valueCol = "v",
+        fn = "sum", outCol = "run_total")
+      .select(col("o_orderkey"), col("run_total"))
+      .orderBy("o_orderkey")
 }

@@ -79,9 +79,11 @@ object CurationOracles {
   private val q110 =
     s"""WITH ${toksCte("WHERE doc_id < 100")},
        |$shCte,
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+       |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  FROM shf x JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b,
        |  round(inter / ca.n, 4) AS cont_a,

@@ -59,10 +59,13 @@ object CurationQueries {
     val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val factT = s"graft_orders_bkt$suffix"
     val dimT = s"graft_customer_bkt$suffix"
-    graft.sources.Lake.writeBucketed(
+    // ensureBucketed (memoized), not writeBucketed: the layout is
+    // pay-once-at-ingest, and the table name encodes the source dir so
+    // one JVM never aliases two datasets onto one memo entry.
+    graft.sources.Lake.ensureBucketed(
       orders(s, d).select(col("o_custkey").as("custkey"),
         col("o_totalprice")), factT, "custkey", 8)
-    graft.sources.Lake.writeBucketed(
+    graft.sources.Lake.ensureBucketed(
       customer(s, d).select(col("c_custkey").as("custkey"),
         col("c_nationkey")), dimT, "custkey", 8)
     graft.sources.Lake.readTable(s, factT).hint("merge")
@@ -138,20 +141,25 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  /** q110 asymmetric containment near-dup: pairs where one document's
-    * shingle set is largely CONTAINED in the other's —
-    * |A∩B|/|A| and |A∩B|/|B| — the sub-document-duplication signal that
-    * symmetric Jaccard (q47) under-scores when sizes differ. Candidates
-    * come from the same inverted-index shingle join (never all-pairs);
-    * ranking is on the ROUNDED max containment so float order can't
-    * drift the top-20 cut. */
-  def q110(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(
-      documents(s, d).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") < 100))
+  /** Asymmetric containment over a DF-CAPPED inverted index: shingles
+    * appearing in more than `dfCap` documents are dropped BEFORE the
+    * index self-joins — the r5-flagged scale fix. A stop-shingle in d
+    * docs would otherwise emit d² join rows while carrying zero
+    * containment signal (ubiquity is the opposite of evidence that one
+    * SPECIFIC document contains another); capping bounds every bucket's
+    * contribution at dfCap² and the denominators |A|,|B| count only the
+    * informative shingles, so both sides of the ratio live in the same
+    * capped universe. Returns one row per candidate pair:
+    * (a, b, cont_a=|A∩B|/|A|, cont_b=|A∩B|/|B|), rounded to 4dp. */
+  private[graft] def containmentPairs(docs: DataFrame,
+                                      dfCap: Int): DataFrame = {
+    val shAll = shingleRows(docs)
+    val keep = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val sh = shAll.join(keep, "s")
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("a", "s")
-      .join(sh.toDF("b", "s2"),
+    val inter = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s").as("s2")),
         col("s") === col("s2") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
@@ -161,10 +169,25 @@ object CurationQueries {
       .select(col("a"), col("b"),
         round(col("inter").cast("double") / col("na"), 4).as("cont_a"),
         round(col("inter").cast("double") / col("nb"), 4).as("cont_b"))
+  }
+
+  /** q110 asymmetric containment near-dup: pairs where one document's
+    * shingle set is largely CONTAINED in the other's —
+    * |A∩B|/|A| and |A∩B|/|B| — the sub-document-duplication signal that
+    * symmetric Jaccard (q47) under-scores when sizes differ. Candidates
+    * come from the df-capped inverted index ([[containmentPairs]], cap
+    * 20 here ≈ 20% of the 100-doc contract corpus — never all-pairs,
+    * never an uncapped hot-shingle bucket); ranking is on the ROUNDED
+    * max containment so float order can't drift the top-20 cut. The
+    * oracle applies the identical HAVING count(*) <= 20 gate, so the
+    * hash proves the capped semantics, not just the plan. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    containmentPairs(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 100), dfCap = 20)
       .withColumn("cont_max", greatest(col("cont_a"), col("cont_b")))
       .orderBy(col("cont_max").desc, col("a").asc, col("b").asc)
       .limit(20)
-  }
 
   /** q111 int8 embedding quantization: per-vector symmetric scale
     * (amax/127), elements quantized by the engine-portable
@@ -200,12 +223,26 @@ object CurationQueries {
     * [[graft.operators.Dedup.connectedComponents]]; the oracle recomputes
     * the same edges in SQL and closes them with a recursive CTE, so the
     * hash gate proves the ITERATIVE distributed clustering equals the
-    * declarative transitive closure. */
+    * declarative transitive closure.
+    *
+    * CAP-FREE BY CONTRACT, AUDIT-ONLY SCOPE: `maxBucketSize =
+    * Int.MaxValue` is required because the oracle's recursive CTE closes
+    * the COMPLETE band-collision edge set — a star-linked subset has the
+    * same connected components only when the components themselves are
+    * intact, which capping guarantees for CLUSTER MEMBERSHIP but not for
+    * the per-edge set the CTE hashes. This is the one uncapped LSH path
+    * in the inventory and it is scoped to the <100-doc audit contract;
+    * production clustering takes [[graft.operators.Dedup
+    * .minhashLshClusters]] with the default cap, which DedupSpec proves
+    * yields the SAME clusters on this corpus. (Star links keep a hot
+    * bucket CONNECTED when its members are mutually similar — the
+    * boilerplate-cluster case hot buckets actually are; the recall
+    * tradeoff for mixed buckets is documented at `candidatePairs`.) */
   def q113(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"))
     val edges = graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
-      threshold = 0.8, maxBucketSize = Int.MaxValue) // cap-free: see q58
+      threshold = 0.8, maxBucketSize = Int.MaxValue) // cap-free: see above
     val labels = graft.operators.Dedup.connectedComponents(edges)
       .toDF("doc_id", "cluster")
     docs.select(col("doc_id"))
@@ -329,22 +366,17 @@ object CurationQueries {
     * Jaccard (fraction of agreeing min-hashes — what incremental dedup
     * thresholds on, q103) against the TRUE shingle Jaccard, with the
     * error. Top-20 by true similarity. The audit that justifies the
-    * 8-hash estimate before trusting it at corpus scale. */
+    * 8-hash estimate before trusting it at corpus scale. Candidates come
+    * from [[graft.operators.Dedup.lshCandidates]] — the shared
+    * hot-capped banding, NOT an inline bucket self-join (the r5-flagged
+    * uncapped path): below the cap the pair set is identical to the
+    * plain band collision the oracle computes, above it a boilerplate
+    * band key star-links instead of exploding m². */
   def q118(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"))
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
-    val bandKey = (b: Int) => concat(
-      element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2))
-    val buckets = sigs.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = buckets.toDF("a", "band", "key")
-      .join(buckets.toDF("b", "band2", "key2"),
-        col("band") === col("band2") && col("key") === col("key2") &&
-          col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val pairs = graft.operators.Dedup.lshCandidates(sigs, "doc_id")
     val sh = docs
       .select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -427,8 +459,12 @@ object CurationQueries {
   def q112(s: SparkSession, d: String): DataFrame = {
     val dtl = documents(s, d)
       .select(col("lang"), size(expr(toks)).cast("double").as("n_tok"))
+    // materialize: the value column is a DERIVED tokenize projection —
+    // checkpoint the stacked stream once instead of re-tokenizing the
+    // corpus on every refinement pass (r5 advice item 7)
     graft.operators.Ranking.exactQuantilesByGroupScan(
-        dtl, "lang", Seq("n_tok" -> Seq(0.25, 0.5, 0.75)))
+        dtl, "lang", Seq("n_tok" -> Seq(0.25, 0.5, 0.75)),
+        materialize = true)
       .select(col("lang"),
         round(col("q_0_0"), 4).as("p25_tok"),
         round(col("q_0_1"), 4).as("p50_tok"),

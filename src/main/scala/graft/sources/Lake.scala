@@ -194,6 +194,29 @@ object Lake {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Names bucketed in THIS JVM — [[ensureBucketed]]'s memo. In-process
+    * only on purpose: a table left in the warehouse by a previous process
+    * may hold stale data, so a fresh JVM always rewrites. */
+  private val bucketedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Bucketing is a pay-ONCE-at-ingest layout: every subsequent join on
+    * the bucket key is exchange-free precisely because the shuffle was
+    * amortized into the write. Re-materializing identical buckets on
+    * every call (as a repeated query invocation would) re-pays the cost
+    * the layout exists to delete, so this face memoizes per (JVM, table):
+    * first call writes, later calls are a catalog lookup. Callers whose
+    * input for `table` can change within one JVM must use
+    * [[writeBucketed]] directly. */
+  def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
+                     buckets: Int): Unit =
+    if (!bucketedOnce.contains(table)) synchronized {
+      if (!bucketedOnce.contains(table)) {
+        writeBucketed(df, table, bucketCol, buckets)
+        bucketedOnce.add(table)
+      }
+    }
+
   /** Small-file compaction: rewrite a parquet directory's files into
     * ~`targetBytes` outputs. Streaming upserts and incremental batch
     * appends accrete thousands of tiny files per partition; at 100 TB
@@ -391,11 +414,18 @@ object Lake {
     // letting the swap replace touched buckets with just this batch
     val hasLayout = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket="))
+    // the empty bootstrap frame is ALL-NULLABLE, exactly like a
+    // read-back parquet table: union nullability (and therefore the
+    // written parquet schema + definition levels) must not depend on
+    // whether the target existed, or the first merge and every later
+    // rerun write byte-DIFFERENT files for identical content and
+    // idempotency audits (graft.Daily) can't use content hashes
     val existing =
       if (!hasLayout)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          incoming.schema)
+          org.apache.spark.sql.types.StructType(
+            incoming.schema.fields.map(_.copy(nullable = true))))
       else spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
     // latest-wins ordering: ts desc, then (with CDC) the tombstone flag
     // asc so an insert BEATS a tombstone carrying the same timestamp —

@@ -118,4 +118,56 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(byId == Map("x1" -> 99, "x2" -> 20, "x3" -> 30),
       s"continuous upsert must hold the newest snapshot per id: $byId")
   }
+
+  test("graft.Daily main: one execution date lands idempotently — the " +
+      "second invocation leaves the lake byte-identical") {
+    import java.nio.file.{Files, Paths}
+    val land = Files.createTempDirectory("graft_daily_land").toString
+    val lake = Files.createTempDirectory("graft_daily_lake").toString + "/posts"
+    def post(id: String, score: Int) =
+      s"""{"id":"$id","title":"t-$id","score":"$score","author":"a","created_utc":"1710000000"}"""
+    Files.writeString(Paths.get(land, "page-00000.jsonl"),
+      Seq(post("d1", 5), post("d2", 7), post("d3", 9))
+        .mkString("", "\n", "\n"))
+
+    // the main itself (arg parsing + run), embedded in the live session
+    Daily.main(Array("2024-03-09", land, lake))
+    def state(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(lake))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getPath.stripPrefix(lake) ->
+            md.digest(Files.readAllBytes(f.toPath)).map("%02x".format(_))
+              .mkString
+        }.toMap
+    }
+    val first = state()
+    assert(first.nonEmpty, "first run must land parquet buckets")
+    assert(spark.read.parquet(lake).count() == 3)
+
+    // the reference DAG's safety property: a scheduler rerun of the same
+    // execution date re-asserts the same (key, ts) facts — the merge
+    // must converge, not duplicate or churn
+    Daily.main(Array("2024-03-09", land, lake))
+    assert(spark.read.parquet(lake).count() == 3,
+      "rerun must not duplicate rows")
+    assert(state().values.toSeq.sorted == first.values.toSeq.sorted,
+      "rerun must leave the lake content byte-identical")
+
+    // a LATER date's landing dir with fresher metrics wins; the earlier
+    // rerun proved convergence, this proves the merge still moves forward
+    val land2 = Files.createTempDirectory("graft_daily_land2").toString
+    Files.writeString(Paths.get(land2, "page-00000.jsonl"),
+      post("d1", 99) + "\n")
+    Daily.main(Array("2024-03-10", land2, lake))
+    val scores = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Int]("score")).toMap
+    assert(scores == Map("d1" -> 99, "d2" -> 7, "d3" -> 9), s"got $scores")
+
+    intercept[IllegalArgumentException] { Daily.main(Array("nope")) }
+  }
 }

@@ -260,4 +260,29 @@ class DedupSpec extends AnyFunSuite {
       "perturbed near-identical vectors must be dropped")
     assert(ids.size == 50, "all originals survive")
   }
+
+  test("q113's cap-free contract: the default-capped path yields the " +
+      "same clusters and survivors on the audit corpus") {
+    // q113 runs minhashEdges cap-FREE to hash-match its recursive-CTE
+    // oracle (the complete edge set); this pins the production story:
+    // on the same corpus the DEFAULT cap (1000) produces identical
+    // cluster labels and identical dedup survivors, so the uncapped
+    // setting is an oracle-parity requirement, not a scale posture.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    def clusters(cap: Int) = {
+      val edges = Dedup.minhashEdges(docs, "doc_id", "text",
+        threshold = 0.8, maxBucketSize = cap)
+      Dedup.connectedComponents(edges).toDF("doc_id", "cluster")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(clusters(1000) == clusters(Int.MaxValue),
+      "capped and cap-free clustering must agree on the audit corpus")
+    def survivors(cap: Int) =
+      Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8,
+          maxBucketSize = cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors(1000) == survivors(Int.MaxValue),
+      "capped and cap-free dedup must keep the same documents")
+  }
 }

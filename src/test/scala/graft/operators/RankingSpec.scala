@@ -242,6 +242,55 @@ class RankingSpec extends AnyFunSuite {
       "the literal-map path")
   }
 
+  test("exactQuantilesByGroupScan: materialize=true is value-identical " +
+      "to the re-derive default") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def run(mat: Boolean) = Ranking.exactQuantilesByGroupScan(
+        li, "l_returnflag",
+        Seq("l_extendedprice" -> Seq(0.25, 0.5, 0.75)), materialize = mat)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(run(true) == run(false),
+      "checkpointing the stacked stream must not change any quantile")
+    // the checkpoint blocks are released before the call returns — the
+    // operator must not leak storage into the shared session
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore,
+      "materialized scan stream must be unpersisted on completion")
+  }
+
+  test("runningAgg matches the single-task window (sum/max/min × " +
+      "inclusive/exclusive, nulls, all-null partitions)") {
+    import spark.implicits._
+    // 200 rows over 8 range partitions (25 rows each): ids 1-10 are a
+    // leading all-null prefix (SQL yields NULL there), ids 50-120 are a
+    // null block wide enough that several ENTIRE range partitions
+    // aggregate to NULL — the r5-flagged getLong NPE shape.
+    val rows = (1L to 200L).map { k =>
+      val v: java.lang.Long =
+        if (k <= 10 || (k >= 50 && k <= 120)) null
+        else java.lang.Long.valueOf((k * 37 % 101) - 50)
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    for (fn <- Seq("sum", "max", "min"); inclusive <- Seq(true, false)) {
+      val w0 = Window.orderBy(col("k").asc)
+      val w = if (inclusive)
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.unboundedPreceding, -1)
+      val aggF: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        fn match { case "sum" => sum; case "max" => max; case _ => min }
+      val expected = df.select(col("k"), aggF(col("v")).over(w).as("want"))
+      val got = Ranking.runningAgg(df, Seq("k"), "v", fn, "got",
+        inclusive = inclusive, partitions = 8)
+      val joined = expected.join(got.select("k", "got"), "k")
+      assert(joined.count() == 200)
+      val bad = joined.filter(!(col("want") <=> col("got"))).count()
+      assert(bad == 0,
+        s"fn=$fn inclusive=$inclusive: $bad rows deviate from the window")
+    }
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))
