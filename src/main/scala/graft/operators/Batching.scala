@@ -95,4 +95,47 @@ object Batching {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Temperature-scaled dataset mixing at α = 0.5: stratum s keeps
+    * `floor(totalKeep · √n_s / Σ√n_s)` rows — the multilingual-pretraining
+    * rebalance that up-weights small sources relative to proportional
+    * sampling without flattening to uniform (p_s ∝ n_s^α; α=1 is
+    * proportional, α=0 uniform). Members are the stratum's smallest
+    * salted-md5 ids, so the selection is deterministic, engine-portable,
+    * and decorrelated from every other hash gate.
+    *
+    * α is FIXED at 0.5 on purpose: `sqrt` is IEEE-correctly-rounded on
+    * every platform, so both engines compute bit-identical shares,
+    * whereas a general `pow(n, α)` is not correctly rounded and a
+    * last-ulp disagreement could flip a floor() at a target boundary.
+    * The share arithmetic stays in EXACT integer space (fixed-point
+    * √n·10⁶ longs; one double division per stratum) — no float
+    * accumulation whose order could differ across engines.
+    *
+    * Scale shape: target derivation is a |strata|-sized aggregate +
+    * 1-row total; membership is one row_number window per stratum (one
+    * exchange). For strata too large to shuffle, derive the per-stratum
+    * hash CUTOFF from the target instead (the capTokens note applies). */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     totalKeep: Long): DataFrame = {
+    require(totalKeep > 0, "totalKeep must be positive")
+    val cnts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__sq", floor(sqrt(col("__n")) * 1000000.0).cast("long"))
+    // exact integer sum — order-free, no float accumulation
+    val tot = cnts.agg(sum(col("__sq")).as("__sqt"))
+    // share = floor(double(sq) · K / sqt): explicit double FIRST — a
+    // long·long product can overflow at corpus scale, and the two
+    // engines disagree on overflow (Spark wraps, DuckDB errors); the
+    // double path is the same two IEEE ops in the same order on both
+    val targets = cnts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(col("__sq").cast("double") * totalKeep / col("__sqt"))
+          .cast("long").as("__target"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hkey(idCol, "mix").asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), strataCol)
+      .filter(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
 }

@@ -581,8 +581,12 @@ object Ranking {
         outKeys.map(k0 => org.apache.spark.sql.types.StructField(
           k0, org.apache.spark.sql.types.DoubleType)))
     // the result is driver-assembled metadata — the checkpointed stream
-    // has served its last pass, release its blocks eagerly
-    matRows.foreach(_.unpersist(blocking = false))
+    // has served its last pass, release its blocks eagerly. NOT
+    // Dataset.unpersist: that only clears CacheManager entries, and a
+    // local checkpoint's blocks live in the block manager directly
+    // (the r6 RankingSpec leak gate caught exactly this).
+    matRows.foreach(
+      org.apache.spark.sql.graftbridge.releaseCheckpoint(_))
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1), schema)
   }

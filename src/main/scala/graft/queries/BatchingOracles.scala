@@ -98,6 +98,55 @@ object BatchingOracles {
       |    AS run_total
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  private val q135 =
+    s"""WITH t AS (SELECT doc_id, lang, $nToks AS nt, ${hkey("pack")} AS h
+       |  FROM documents),
+       |c AS (SELECT lang, nt,
+       |  coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t),
+       |g AS (SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS chunk, nt
+       |  FROM c)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
+       |  CAST(sum(nt) AS BIGINT) AS tokens,
+       |  floor(sum(nt) * 10000.0 / (count(DISTINCT chunk) * 2048)) /
+       |    10000.0 AS fill_rate
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val q137 =
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST((${nib("fold", 1)}*4096 + ${nib("fold", 2)}*256 +
+       |      ${nib("fold", 3)}*16 + ${nib("fold", 4)}) % 5 AS BIGINT) AS fold,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      list_filter(string_split(trim(text), ' '), x -> x <> ''))),
+       |      ' ')) AS fp
+       |  FROM documents)
+       |SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT fold) AS BIGINT) AS n_folds
+       |FROM f GROUP BY fp
+       |HAVING count(*) > 1 AND count(DISTINCT fold) > 1
+       |ORDER BY rep""".stripMargin
+
+  private val q138 =
+    s"""WITH c AS (SELECT source, count(*) AS n,
+       |    CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS sq
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT sum(sq) AS sqt FROM c),
+       |tg AS (SELECT source, n,
+       |    CAST(floor(CAST(sq AS DOUBLE) * 200 / sqt) AS BIGINT) AS target
+       |  FROM c, t),
+       |r AS (SELECT source, row_number() OVER (PARTITION BY source
+       |    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents),
+       |k AS (SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM r JOIN tg ON r.source = tg.source WHERE rn <= target
+       |  GROUP BY r.source)
+       |SELECT tg.source, CAST(tg.n AS BIGINT) AS n_total,
+       |  coalesce(k.n_kept, 0) AS n_kept
+       |FROM tg LEFT JOIN k ON tg.source = k.source
+       |ORDER BY tg.source""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q127_pack_chunks" -> q127,
     "q128_kfold"       -> q128,
@@ -106,5 +155,8 @@ object BatchingOracles {
     "q131_regr_trend"  -> q131,
     "q132_chi2"        -> q132,
     "q133_rolling_3d"  -> q133,
-    "q134_running_total" -> q134)
+    "q134_running_total" -> q134,
+    "q135_pack_efficiency" -> q135,
+    "q137_fold_leakage" -> q137,
+    "q138_temp_mix"    -> q138)
 }

@@ -185,4 +185,67 @@ object BatchingQueries {
         fn = "sum", outCol = "run_total")
       .select(col("o_orderkey"), col("run_total"))
       .orderBy("o_orderkey")
+
+  /** q135 packing-efficiency audit: q127's layout graded — per language,
+    * how full the 2048-token sequences actually are (`fill_rate` =
+    * tokens / (chunks·2048)). The number a batch-assembly pipeline
+    * watches: a low fill rate means wasted accelerator steps, a rate
+    * near 1 means the packing is tight. Same per-stratum window as
+    * q127; the audit itself is a group-sized rollup. Ratio emitted as a
+    * floor-truncated exact rational (q128's portability rule). */
+  def q135(s: SparkSession, d: String): DataFrame =
+    Batching.packChunks(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          expr(nToks).cast("long").as("nt")),
+        "lang", "doc_id", "nt", 2048L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("chunk")).as("n_chunks"),
+        sum(col("nt")).as("tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chunks"), col("tokens"),
+        (floor(col("tokens") * 10000.0 / (col("n_chunks") * 2048)) /
+          10000.0).as("fill_rate"))
+      .orderBy("lang")
+
+  /** q137 cross-split leakage audit: near-duplicate documents (equal
+    * bag-of-words fingerprint — md5 of the SORTED DISTINCT token set,
+    * which catches token-shuffled copies exact dedup misses) landing in
+    * DIFFERENT q128 folds. Split leakage is the eval-contamination
+    * failure a k-fold protocol must audit before trusting held-out
+    * metrics: a near-dup pair straddling train and eval folds leaks
+    * training signal. Fingerprint and fold are both NARROW projections;
+    * the only exchange is the fingerprint group. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(expr(
+        graft.operators.TextHashes.toks("text"))))))
+    Batching.kFold(documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", 5)
+      .select(col("doc_id"), col("fold"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"),
+        countDistinct(col("fold")).as("n_folds"))
+      .filter(col("n_docs") > 1 && col("n_folds") > 1)
+      .select(col("rep"), col("n_docs"), col("n_folds"))
+      .orderBy("rep")
+  }
+
+  /** q138 temperature-scaled mixing audit
+    * ([[Batching.temperatureMix]], α=0.5, 200 docs total): per source,
+    * corpus size vs rows actually kept. The α<1 rebalance up-weights
+    * small sources relative to proportional sampling — the standard
+    * multilingual-pretraining mix knob — and every kept/dropped decision
+    * replays identically on the oracle (portable hash order + exact
+    * fixed-point share arithmetic; see the operator doc for why α is
+    * pinned to the one IEEE-exact exponent). */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val kept = Batching.temperatureMix(docs, "source", "doc_id", 200L)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
 }

@@ -321,7 +321,19 @@ object CurationOracles {
       |WHERE inter / (ca.n + cb.n - inter) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  private val q136 =
+    s"""WITH ${toksCte("")},
+       |$shCte,
+       |first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+       |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (first_doc = sh.doc_id) AS BIGINT) AS n_first,
+       |  floor(count(*) FILTER (first_doc = sh.doc_id) * 10000.0 /
+       |    count(*)) / 10000.0 AS novelty
+       |FROM sh JOIN first USING (s)
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q136_novelty"        -> q136,
     "q120_prefix_join"    -> q120,
     "q119_quality_gate"   -> q119,
     "q116_salted_agg"     -> q116,

@@ -189,6 +189,27 @@ object CurationQueries {
       .orderBy(col("cont_max").desc, col("a").asc, col("b").asc)
       .limit(20)
 
+  /** q136 first-occurrence n-gram novelty: for every document, the
+    * fraction of its distinct 3-gram shingles whose FIRST appearance in
+    * doc_id order is this document — the "how much new content does
+    * this doc add" signal an incremental crawl ranks refresh candidates
+    * by (a boilerplate mirror scores ~0, fresh prose ~1). Two
+    * vocabulary-sized exchanges: shingle→min(doc_id), then the per-doc
+    * rollup of the joined index; never doc×doc. Ratio emitted as a
+    * floor-truncated exact rational (q128's portability rule). */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_first"))
+      .select(col("doc_id"), col("n_shingles"), col("n_first"),
+        (floor(col("n_first") * 10000.0 / col("n_shingles")) / 10000.0)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** q111 int8 embedding quantization: per-vector symmetric scale
     * (amax/127), elements quantized by the engine-portable
     * floor(x·127/amax + 0.5) — identical IEEE double math on both

@@ -16,4 +16,17 @@ package object graftbridge {
     * deliberate caller choice. */
   def isConfSet(spark: SparkSession, key: String): Boolean =
     spark.sessionState.conf.getAllConfs.contains(key)
+
+  /** Release the storage blocks behind a `localCheckpoint`-ed Dataset.
+    * `Dataset.unpersist` canNOT do this: it talks to the CacheManager
+    * (`.cache()` entries), while a local checkpoint persists its RDD
+    * directly in the block manager — the blocks otherwise linger until
+    * ContextCleaner GC. Walks the analyzed plan for `LogicalRDD` leaves
+    * (package-private, hence this bridge) and unpersists each. */
+  def releaseCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

@@ -61,6 +61,26 @@ class BatchingSpec extends AnyFunSuite {
     assert(a != c, "distinct salts must give distinct assignments")
   }
 
+  test("temperatureMix: alpha=0.5 up-weights small strata vs " +
+      "proportional, totals respect the budget, selection deterministic") {
+    import spark.implicits._
+    // 100 small-source docs vs 400 large: proportional K=50 would keep
+    // 10/40; sqrt shares keep floor(50/3)=16 / floor(100/3)=33
+    val docs = ((0L until 100L).map(i => (i, "small")) ++
+      (100L until 500L).map(i => (i, "large"))).toDF("doc_id", "source")
+    val kept = Batching.temperatureMix(docs, "source", "doc_id", 50L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("small" -> 16, "large" -> 33),
+      s"sqrt shares must rebalance the mix: $bySrc")
+    assert(kept.length <= 50, "total kept must respect the budget")
+    // rerun-deterministic: identical selection, not just identical counts
+    val again = Batching.temperatureMix(docs, "source", "doc_id", 50L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("pack window is per-stratum, never a global-order sort") {
     val plan = Batching.packChunks(
         docs.select(col("doc_id"), col("lang"), col("n_chars").as("nt")),

@@ -57,4 +57,27 @@ object BatchingProperties extends Properties("batching") {
       }.toSet
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  property("temperatureMix.equals-scalar-sqrt-share-selection") =
+    Prop.forAllNoShrink(corpusGen) { rows =>
+      import spark.implicits._
+      val keep = 20L
+      val df = rows.toDF("id", "strat", "nt")
+      val got = (if (rows.nonEmpty)
+          Batching.temperatureMix(df, "strat", "id", keep)
+            .select("id").as[Long].collect()
+        else Array.empty[Long]).toSet
+      // scalar twin: exact fixed-point sqrt shares, then the stratum's
+      // smallest salted-md5 ids up to its target
+      val bySt = rows.groupBy(_._2)
+      val sq = bySt.map { case (st, g) =>
+        st -> math.floor(math.sqrt(g.size.toDouble) * 1000000.0).toLong }
+      val sqt = sq.values.sum
+      val want: Set[Long] = bySt.flatMap { case (st, g) =>
+        val target = math.floor(sq(st).toDouble * keep / sqt).toLong
+        g.sortBy(r => (md5hex(s"mix:${r._1}"), r._1))
+          .take(target.toInt).map(_._1)
+      }.toSet
+      Prop(got == want) :| s"got=$got want=$want"
+    }
 }

@@ -252,4 +252,30 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q106_bucket_join") <= 400,
       "join must move zero data rows; only group-sized agg/sort partials")
   }
+
+  test("q134 global running total never plans a SinglePartition window") {
+    // the naive form funnels the whole table through one task; the
+    // runningAgg body must show range partitioning + pid-keyed windows
+    val plan = executedPlan("q134_running_total")
+    assert(!plan.contains("SinglePartition"),
+      s"global running agg must not serialize into one task:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"order must pin partitions via a range exchange:\n$plan")
+  }
+
+  test("q138 temperature mix broadcasts its targets and windows per stratum") {
+    val plan = executedPlan("q138_temp_mix")
+    assert(plan.contains("BroadcastExchange"),
+      s"|strata|-sized target table must broadcast, never shuffle the corpus side:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"membership window must key its one exchange on the stratum:\n$plan")
+  }
+
+  test("q110 containment df-cap keeps the candidate exchange bounded") {
+    // the r5-flagged uncapped self-join exploded on hot shingles; with
+    // the df<=20 gate the shuffle stays proportional to informative
+    // shingle volume (measured ~17k records at sf0.001; x4 headroom)
+    assert(shuffled("q110_containment") <= 70000,
+      "df cap must bound the inverted-index join's shuffle volume")
+  }
 }
