@@ -221,4 +221,63 @@ object Ann {
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Persist an IVF index: the assignment pass runs ONCE at build time
+    * and the inverted lists land parquet-PARTITIONED BY list id, so a
+    * later [[searchIndex]] scan of `nprobe` lists partition-prunes to
+    * exactly those directories — serve-time IO ∝ probed lists, never the
+    * corpus. The build-once/serve-many shape every standing ANN
+    * deployment uses ([[ivfSearch]] re-assigns per call, the right shape
+    * only for one-shot audits). Layout: `<path>/centroids` (cid `__cid`,
+    * vector `__cv`) + `<path>/lists` (id `__id`, vector `__vc`,
+    * partition column `__cid`). */
+  def saveIndex(candidates: DataFrame, candIdCol: String,
+                centroids: DataFrame, cidCol: String,
+                vecCol: String, path: String): Unit = {
+    ivfAssign(candidates, candIdCol, vecCol, centroids, cidCol, vecCol,
+        vecOut = "__vc")
+      .select(col(candIdCol).as("__id"), col("__vc"),
+        col(cidCol).as("__cid"))
+      .write.partitionBy("__cid").mode("overwrite")
+      .parquet(s"$path/lists")
+    centroids
+      .select(col(cidCol).as("__cid"),
+        Vectors.asDouble(col(vecCol)).as("__cv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[saveIndex]] artifact: value-identical to [[ivfSearch]]
+    * over the same corpus/centroids (asserted in AnnSpec) but the
+    * assignment cost is gone and the list scan carries a partition
+    * filter on the probed ids — the centroid table is the only thing
+    * read in full (broadcast-sized by construction). Output columns:
+    * (`probeIdCol`, `cand`, `sim`, `rank`). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  probes: DataFrame, probeIdCol: String, vecCol: String,
+                  nprobe: Int, k: Int, simScale: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"nprobe/k must be >= 1")
+    val c = spark.read.parquet(s"$path/centroids")
+    val wp = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("__psim").desc, col("__cid").asc)
+    val probeLists = probes
+      .select(col(probeIdCol), Vectors.asDouble(col(vecCol)).as("__vp"))
+      .crossJoin(broadcast(c))
+      .withColumn("__psim", Vectors.cosine(col("__vp"), col("__cv")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col(probeIdCol), col("__vp"), col("__cid"))
+    // the probed list ids are |probes|·nprobe values — metadata; inlined
+    // as a literal IN so the parquet scan partition-prunes statically
+    val probed = probeLists.select(col("__cid")).distinct()
+      .collect().map(_.get(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("__cid").isin(probed.toIndexedSeq: _*))
+    val wk = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col("cand").asc)
+    lists.join(broadcast(probeLists), "__cid")
+      .select(col(probeIdCol), col("__id").as("cand"),
+        round(Vectors.cosine(col("__vp"), col("__vc")), simScale).as("sim"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

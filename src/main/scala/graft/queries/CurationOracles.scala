@@ -332,8 +332,44 @@ object CurationOracles {
        |FROM sh JOIN first USING (s)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  private val q139 =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+       |q AS (SELECT vec_id, v,
+       |    list_transform(v,
+       |      x -> CAST(floor(x * 127.0 / nullif(amax, 0.0) + 0.5) AS DOUBLE)) AS qv
+       |  FROM m),
+       |probe AS (SELECT vec_id AS probe, v AS vp, qv AS qp FROM q
+       |  WHERE vec_id BETWEEN 4 AND 9),
+       |cand AS (SELECT vec_id AS cand, v AS vc, qv AS qc FROM q
+       |  WHERE vec_id >= 10),
+       |es AS (SELECT probe, cand, round(${cos("vp", "vc")}, 4) AS sim
+       |  FROM probe CROSS JOIN cand),
+       |etop AS (SELECT probe, cand FROM (
+       |    SELECT probe, cand,
+       |      row_number() OVER (PARTITION BY probe ORDER BY sim DESC, cand) AS rk
+       |    FROM es) WHERE rk <= 3),
+       |qs AS (SELECT probe, cand, round(${cos("qp", "qc")}, 4) AS sim
+       |  FROM probe CROSS JOIN cand),
+       |qtop AS (SELECT probe, cand FROM (
+       |    SELECT probe, cand,
+       |      row_number() OVER (PARTITION BY probe ORDER BY sim DESC, cand) AS rk
+       |    FROM qs) WHERE rk <= 3),
+       |hits AS (SELECT qt.probe, count(*) AS n
+       |  FROM qtop qt JOIN etop et ON qt.probe = et.probe AND qt.cand = et.cand
+       |  GROUP BY qt.probe)
+       |SELECT p.probe, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(h.n, 0) / 3.0, 4) AS recall
+       |FROM (SELECT DISTINCT probe FROM probe) p
+       |LEFT JOIN hits h ON p.probe = h.probe
+       |ORDER BY p.probe""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q136_novelty"        -> q136,
+    "q139_quant_recall"   -> q139,
     "q120_prefix_join"    -> q120,
     "q119_quality_gate"   -> q119,
     "q116_salted_agg"     -> q116,

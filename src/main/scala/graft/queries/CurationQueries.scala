@@ -348,6 +348,50 @@ object CurationQueries {
       .orderBy("probe")
   }
 
+  /** q139 quantized-index recall audit: brute-force top-3 neighbors by
+    * INT8-QUANTIZED cosine (q111's portable quantizer — the 4×-smaller
+    * vectors a memory-bound serving index stores) vs top-3 by exact
+    * float cosine, recall@3 per probe. Closes the compression loop the
+    * other two audits leave open: q111 prices the per-PAIR cosine error,
+    * q115 the IVF pruning loss — this one answers whether the quantized
+    * RANKING still finds the true neighbors, the number that justifies
+    * shipping int8. Probe set bounded (<6 probes) by the q115 audit
+    * contract; both rankings tie-break on rounded sim + id so the
+    * comparison is deterministic cross-engine. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("amax",
+        expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("qv",
+        expr("transform(v, x -> cast(floor(x * 127.0D / nullif(amax, 0D) + 0.5D) as double))"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("v").as("vp"), col("qv").as("qp"))
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand"), col("v").as("vc"), col("qv").as("qc"))
+    def top3(sim: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy(col("probe"))
+        .orderBy(col("sim").desc, col("cand").asc)
+      probes.crossJoin(cands)
+        .select(col("probe"), col("cand"), round(sim, 4).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe"), col("cand"))
+    }
+    val exact = top3(Vectors.cosine(col("vp"), col("vc")))
+    val quant = top3(Vectors.cosine(col("qp"), col("qc")))
+    val hits = quant.join(exact, Seq("probe", "cand"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("n_hit"))
+    probes.select(col("probe"))
+      .join(hits, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 3.0, 4)
+          .as("recall"))
+      .orderBy("probe")
+  }
+
   /** q116 salted aggregation equivalence: [[graft.operators.Skew
     * .saltedCountSum]] (two-phase count/sum through 8 salt buckets — a
     * hot key spreads across 8 reducers before the group-sized

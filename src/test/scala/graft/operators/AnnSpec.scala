@@ -165,4 +165,49 @@ class AnnSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(ids == Set(10L, 11L))
   }
+
+  test("persisted index: searchIndex equals ivfSearch, and the list " +
+      "scan partition-prunes to the probed lists") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    Ann.saveIndex(corpus, "id", cs, "cid", "embedding", path)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe"), r.getAs[Long](1),
+        r.getAs[Double]("sim"), r.getAs[Long]("rank"))).toSet
+    val live = Ann.ivfSearch(corpus, "id", probes, "probe",
+      cs, "cid", "embedding", nprobe = 2, k = 3)
+    val idx = Ann.searchIndex(spark, path, probes, "probe", "embedding",
+      nprobe = 2, k = 3)
+    assert(canon(idx) == canon(live),
+      "index-served search must be value-identical to the one-shot path")
+
+    // serve-time IO is partition-pruned: with one probe and nprobe=1 the
+    // list scan carries a static partition filter, and every row it
+    // actually reads comes from ONE list directory
+    val one = probes.orderBy("probe").limit(1)
+    val oneResult = Ann.searchIndex(spark, path, one, "probe",
+      "embedding", nprobe = 1, k = 3)
+    val plan = oneResult.queryExecution.executedPlan.toString
+    // the scan line renders as "PartitionFilters: [__cid IN (…)]" — the
+    // static pruning that makes serve-time IO ∝ probed lists
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("lists"))
+    assert(scanLine.exists(_.contains("__cid")),
+      s"probed-list IN filter must reach the parquet scan as a partition filter:\n$plan")
+    // and the candidates actually served all come from the one probed list
+    val servedLists = oneResult.join(
+        spark.read.parquet(s"$path/lists").select(col("__id").as("cand"),
+          col("__cid")), "cand")
+      .select("__cid").distinct().count()
+    assert(servedLists == 1,
+      "one probe at nprobe=1 must be served from exactly one inverted list")
+  }
 }
