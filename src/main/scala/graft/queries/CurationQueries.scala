@@ -193,14 +193,17 @@ object CurationQueries {
     * fraction of its distinct 3-gram shingles whose FIRST appearance in
     * doc_id order is this document — the "how much new content does
     * this doc add" signal an incremental crawl ranks refresh candidates
-    * by (a boilerplate mirror scores ~0, fresh prose ~1). Two
-    * vocabulary-sized exchanges: shingle→min(doc_id), then the per-doc
-    * rollup of the joined index; never doc×doc. Ratio emitted as a
+    * by (a boilerplate mirror scores ~0, fresh prose ~1). The
+    * first-occurrence label is a min() WINDOW over the shingle key, not
+    * an aggregate-plus-join-back: one shingle-keyed exchange serves the
+    * whole annotation (the join form pays that exchange twice plus the
+    * join), then a per-doc rollup; never doc×doc. Ratio emitted as a
     * floor-truncated exact rational (q128's portability rule). */
   def q136(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
-    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "s")
+    sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("first_doc") === col("doc_id"), 1)).as("n_first"))

@@ -24,6 +24,16 @@ object Lake {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a [[mergeInto]] table whose history includes SCHEMA DRIFT
+    * (merges that introduced new columns): buckets untouched since the
+    * drift still hold the narrow schema, and the default reader infers
+    * from ONE arbitrary file — this face merges footers so every column
+    * that ever landed is present, with old rows null-filled. Footer
+    * merging reads per-file metadata only (not data); tables without
+    * drift can keep the plain reader. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
@@ -426,7 +436,14 @@ object Lake {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
             incoming.schema.fields.map(_.copy(nullable = true))))
-      else spark.read.parquet(path).filter(col("__bucket").isin(touched: _*))
+      // mergeSchema: after a SCHEMA-DRIFT merge (a batch arrived with a
+      // new column) only the touched buckets carry the wider schema —
+      // default parquet inference picks one file's schema arbitrarily,
+      // so a later merge could silently DROP the new column from its
+      // union. Footer merging is per-file metadata cost, bounded here
+      // by the touched buckets.
+      else spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col("__bucket").isin(touched: _*))
     // latest-wins ordering: ts desc, then (with CDC) the tombstone flag
     // asc so an insert BEATS a tombstone carrying the same timestamp —
     // without the tiebreaker a same-ts delete+reinsert pair (common at

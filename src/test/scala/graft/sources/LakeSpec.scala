@@ -226,6 +226,54 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto absorbs schema drift: a new column lands, old rows " +
+      "null-fill, later merges never drop it") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val path = tmp("lake_drift") + "/table"
+    // wide key spread so several buckets stay untouched by the drift
+    Lake.mergeInto((1L to 20L).map(i => (i, t("10:00"), s"v$i"))
+      .toDF("key", "ts", "payload"), path, "key", "ts", numBuckets = 8)
+
+    // drift: one update arrives with a NEW column — only its bucket
+    // rewrites, every other bucket keeps the narrow file schema
+    Lake.mergeInto(Seq((7L, t("11:00"), "v7b", "extra"))
+      .toDF("key", "ts", "payload", "note"), path, "key", "ts",
+      numBuckets = 8)
+    val wide = Lake.readMerged(spark, path)
+    assert(wide.columns.contains("note"),
+      "the drift column must be visible through the merged reader")
+    val byKey = wide.collect()
+      .map(r => r.getAs[Long]("key") -> Option(r.getAs[String]("note")))
+      .toMap
+    assert(byKey(7L).contains("extra"))
+    assert(byKey(1L).isEmpty, "pre-drift rows null-fill the new column")
+    assert(wide.count() == 20)
+
+    // the regression this pins: a LATER narrow batch whose touched set
+    // spans BOTH a wide (post-drift) and a narrow bucket makes the
+    // existing-side read see MIXED file schemas — without merged
+    // footers the reader infers from one arbitrary file and can
+    // silently drop `note` from the wide bucket's surviving rows
+    val b7 = spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(8))).first().getInt(0)
+    val sibling = spark.range(1000, 1200)
+      .select(col("id"), pmod(hash(col("id")), lit(8)).as("b"))
+      .filter(col("b") === b7).first().getLong(0)
+    Lake.mergeInto(
+      Seq((1L, t("12:00"), "v1b"), (sibling, t("12:00"), "vs"))
+        .toDF("key", "ts", "payload"), path, "key", "ts", numBuckets = 8)
+    val after = Lake.readMerged(spark, path)
+    assert(after.columns.contains("note"),
+      "a narrow late batch must not erase the drifted column")
+    val k7 = after.filter(col("key") === 7L).collect().head
+    assert(k7.getAs[String]("note") == "extra",
+      "drifted values survive a mixed-schema bucket rewrite")
+    assert(after.filter(col("key") === 1L).collect()
+      .head.getAs[String]("payload") == "v1b")
+    assert(after.count() == 21)
+  }
+
   test("mergeInto CDC tombstones delete keys and reap fully-deleted buckets") {
     import spark.implicits._
     val path = tmp("lake_cdc")
