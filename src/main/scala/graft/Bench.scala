@@ -49,12 +49,16 @@ object Bench {
   private val gcOn =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") != "0"
 
-  private def resetState(spark: SparkSession): Unit = if (resetOn) {
-    try {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    } catch { case _: Throwable => () }
+  private def resetState(spark: SparkSession): Unit = {
+    if (resetOn) {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+    }
+    // independent toggles: GC=1 alone must actually run the GC
+    // diagnostic, not silently no-op behind the reset flag
     if (gcOn) System.gc()
   }
 

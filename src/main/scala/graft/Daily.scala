@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *    facts — latest-wins converges to the identical table instead of
   *    duplicating rows (the idempotency the reference DAG relies on).
   *
+  * CONTRACT: a date's landing directory is immutable once run — the
+  * standard scheduler assumption this idempotency rests on. If the
+  * landing data for an already-run date is CORRECTED, rerunning the
+  * same date ties the old and new row on (key, ts) and latest-wins
+  * picks arbitrarily; land corrections under a new execution date (or a
+  * dedicated revision field wired as the merge `tsCol`) instead.
+  *
   * Scale shape: the day's pages scan once (count is observed during the
   * merge's bucket-discovery pass, narrow), and the merge rewrites only
   * the key buckets the batch touches — daily cost is O(batch + touched

@@ -201,17 +201,8 @@ object Ann {
       centroids, cidCol, vecCol, vecOut = "__vc")
     val c = centroids.select(col(cidCol).as("__cid"),
       Vectors.asDouble(col(vecCol)).as("__cv"))
-    // probe batch ≪ corpus: a per-probe top-nprobe window here is cheap,
-    // and the result broadcasts into the list join below
-    val wp = Window.partitionBy(col(probeIdCol))
-      .orderBy(col("__psim").desc, col("__cid").asc)
-    val probeLists = probes
-      .select(col(probeIdCol), Vectors.asDouble(col(vecCol)).as("__vp"))
-      .crossJoin(broadcast(c))
-      .withColumn("__psim", Vectors.cosine(col("__vp"), col("__cv")))
-      .withColumn("__pr", row_number().over(wp))
-      .filter(col("__pr") <= nprobe)
-      .select(col(probeIdCol), col("__vp"), col("__cid").as(cidCol))
+    val probeLists = probeAssignments(probes, probeIdCol, vecCol, c, nprobe)
+      .withColumnRenamed("__cid", cidCol)
     val wk = Window.partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col(candIdCol).asc)
     val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
@@ -220,6 +211,26 @@ object Ann {
         round(Vectors.cosine(col("__vp"), col("__vc")), simScale).as("sim"))
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-probe top-`nprobe` list assignments `(probeIdCol, __vp, __cid)`
+    * — the shared probe-routing step of [[ivfSearch]] and
+    * [[searchIndex]] (one definition so the two can't drift). The probe
+    * batch is ≪ corpus by contract, so the per-probe window is cheap
+    * and the result broadcasts into the list join. `c` must carry
+    * (`__cid`, `__cv`). */
+  private def probeAssignments(probes: DataFrame, probeIdCol: String,
+                               vecCol: String, c: DataFrame,
+                               nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("__psim").desc, col("__cid").asc)
+    probes
+      .select(col(probeIdCol), Vectors.asDouble(col(vecCol)).as("__vp"))
+      .crossJoin(broadcast(c))
+      .withColumn("__psim", Vectors.cosine(col("__vp"), col("__cv")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col(probeIdCol), col("__vp"), col("__cid"))
   }
 
   /** Persist an IVF index: the assignment pass runs ONCE at build time
@@ -257,15 +268,12 @@ object Ann {
                   nprobe: Int, k: Int, simScale: Int = 4): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"nprobe/k must be >= 1")
     val c = spark.read.parquet(s"$path/centroids")
-    val wp = Window.partitionBy(col(probeIdCol))
-      .orderBy(col("__psim").desc, col("__cid").asc)
-    val probeLists = probes
-      .select(col(probeIdCol), Vectors.asDouble(col(vecCol)).as("__vp"))
-      .crossJoin(broadcast(c))
-      .withColumn("__psim", Vectors.cosine(col("__vp"), col("__cv")))
-      .withColumn("__pr", row_number().over(wp))
-      .filter(col("__pr") <= nprobe)
-      .select(col(probeIdCol), col("__vp"), col("__cid"))
+    // eager localCheckpoint: the assignment result is |probes|·nprobe
+    // rows and feeds BOTH the IN-list collect and the serve join —
+    // without it the probe scan + routing window would execute twice
+    // per search call (the repeated work this index face exists to cut)
+    val probeLists = probeAssignments(probes, probeIdCol, vecCol, c, nprobe)
+      .localCheckpoint(true)
     // the probed list ids are |probes|·nprobe values — metadata; inlined
     // as a literal IN so the parquet scan partition-prunes statically
     val probed = probeLists.select(col("__cid")).distinct()

@@ -49,12 +49,17 @@ object Multimodal {
   // the stub below now covers only compressed codecs (JPEG/MP3/H.264),
   // whose libraries are absent from this container.
 
-  /** PPM P6 parse: `(meta(width, height, "ppm"), per-pixel luminance in
-    * [-1, 1])`. Header = "P6", then whitespace-separated width, height,
-    * maxval ('#' comments skipped per spec), one whitespace byte, then
-    * raw RGB triplets. None when the payload isn't a well-formed P6. */
-  private[operators] def decodePpm(
-      b: Array[Byte]): Option[(AssetMeta, Array[Float])] = {
+  /** PPM P6 header parse: `(meta, payload offset, maxval)`. Header =
+    * "P6", then whitespace-separated width, height, maxval ('#' comments
+    * skipped per spec), one whitespace byte, then raw RGB triplets.
+    * None when the payload isn't a well-formed, COMPLETE P6 — every
+    * header field is untrusted input, so dimensions are range-checked
+    * and the pixel-count arithmetic runs in Long (an Int w·h·3 wraps for
+    * hostile dimensions, defeating the length guard and crashing where
+    * the contract is None → stub fallback). Header-only on purpose:
+    * [[parseMeta]] must not pay a per-pixel pass for metadata. */
+  private[operators] def ppmHeader(
+      b: Array[Byte]): Option[(AssetMeta, Int, Int)] = {
     if (b.length < 11 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def skipWs(): Unit = {
@@ -67,61 +72,86 @@ object Multimodal {
     }
     def int(): Int = {
       skipWs()
-      var v = 0; var any = false
-      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      var v = 0L; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' &&
+        v <= (1 << 24)) {
         v = v * 10 + (b(i) - '0'); i += 1; any = true
       }
-      if (any) v else -1
+      if (any && v <= (1 << 24)) v.toInt else -1
     }
     val (w, h, maxv) = (int(), int(), int())
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     i += 1 // the single whitespace byte after maxval
-    if (b.length - i < w * h * 3) return None
-    val lum = new Array[Float](w * h)
-    var p = 0
-    while (p < w * h) {
-      val o = i + p * 3
-      val s = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
-      lum(p) = s / (3.0f * maxv) * 2.0f - 1.0f
-      p += 1
-    }
-    Some((AssetMeta(w, h, "ppm"), lum))
+    if (b.length.toLong - i < w.toLong * h * 3) return None
+    Some((AssetMeta(w, h, "ppm"), i, maxv))
   }
 
-  /** WAV RIFF parse, PCM 16-bit little-endian: `(meta(n_samples,
-    * channels, "wav"), interleaved samples in [-1, 1))`. Walks the chunk
-    * list (fmt may precede data with LIST/fact chunks between). None for
-    * non-RIFF payloads or non-PCM16 encodings. */
-  private[operators] def decodeWav(
-      b: Array[Byte]): Option[(AssetMeta, Array[Float])] = {
+  /** PPM P6 full decode: `(meta, per-pixel luminance in [-1, 1])`. */
+  private[operators] def decodePpm(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    ppmHeader(b).map { case (meta, off, maxv) =>
+      val (w, h) = (meta.width, meta.height)
+      val lum = new Array[Float](w * h)
+      var p = 0
+      while (p < w * h) {
+        val o = off + p * 3
+        val s = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+        lum(p) = s / (3.0f * maxv) * 2.0f - 1.0f
+        p += 1
+      }
+      (meta, lum)
+    }
+
+  /** WAV RIFF header parse, PCM 16-bit little-endian: `(meta(n_samples,
+    * channels, "wav"), data offset, data length)`. Walks the chunk list
+    * (fmt may precede data with LIST/fact chunks between). None for
+    * non-RIFF payloads or non-PCM16 encodings — and the chunk SIZE
+    * field is untrusted input: the cursor advance runs in Long and must
+    * strictly grow, so a hostile size (0xFFFFFFF8 would advance by 0;
+    * 0x7FFFFFF0 would wrap an Int cursor negative) ends the walk as a
+    * malformed payload instead of hanging the task or throwing.
+    * Header-only: no per-sample work ([[parseMeta]]'s path). */
+  private[operators] def wavHeader(
+      b: Array[Byte]): Option[(AssetMeta, Int, Int)] = {
     def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var (i, channels, bits, fmt) = (12, 0, 0, 0)
+    var (channels, bits, fmt) = (0, 0, 0)
+    var i = 12L
     var data: Option[(Int, Int)] = None
     while (i + 8 <= b.length && (fmt == 0 || data.isEmpty)) {
-      val (id, size) = (tag(i), u32(i + 4).toInt)
+      val io = i.toInt
+      val (id, size) = (tag(io), u32(io + 4)) // size: unsigned, as Long
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        fmt = u16(i + 8); channels = u16(i + 10); bits = u16(i + 22)
+        fmt = u16(io + 8); channels = u16(io + 10); bits = u16(io + 22)
       } else if (id == "data")
-        data = Some((i + 8, math.min(size, b.length - i - 8)))
+        data = Some((io + 8, math.min(size, b.length - i - 8).toInt))
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (fmt != 1 || bits != 16 || channels < 1 || data.isEmpty) return None
+    if (fmt != 1 || bits != 16 || channels < 1 ||
+      data.forall(_._2 <= 0)) return None
     val (off, len) = data.get
     val n = len / 2
-    val out = new Array[Float](n)
-    var s = 0
-    while (s < n) {
-      val v = ((b(off + 2 * s) & 0xff) |
-        (b(off + 2 * s + 1) << 8)).toShort
-      out(s) = v / 32768.0f
-      s += 1
-    }
-    Some((AssetMeta(n / channels, channels, "wav"), out))
+    Some((AssetMeta(n / channels, channels, "wav"), off, len))
   }
+
+  /** WAV full decode: `(meta, interleaved samples in [-1, 1))`. */
+  private[operators] def decodeWav(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    wavHeader(b).map { case (meta, off, len) =>
+      val n = len / 2
+      val out = new Array[Float](n)
+      var s = 0
+      while (s < n) {
+        val v = ((b(off + 2 * s) & 0xff) |
+          (b(off + 2 * s + 1) << 8)).toShort
+        out(s) = v / 32768.0f
+        s += 1
+      }
+      (meta, out)
+    }
 
   /** Mean of each of `dim` contiguous signal segments (the fixed-width
     * feature a variable-length decoded signal folds into). */
@@ -151,14 +181,16 @@ object Multimodal {
     * for PPM / (samples-per-channel, channels, format) for WAV payloads;
     * other assets pass through untouched. The step between
     * [[readBinaryDir]] (which knows only file-level facts) and anything
-    * that trusts `meta`. Iterator-shaped like every decode stage. */
+    * that trusts `meta`. HEADER-ONLY parses — a metadata pass over a
+    * 100-TB corpus must cost O(header bytes), not a full per-pixel/
+    * per-sample decode per asset. Iterator-shaped like every stage. */
   def parseMeta(assets: Dataset[Asset]): Dataset[Asset] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
-      decodePpm(a.content).orElse(decodeWav(a.content)) match {
-        case Some((meta, _)) => a.copy(meta = meta)
-        case None            => a
+      ppmHeader(a.content).orElse(wavHeader(a.content)) match {
+        case Some((meta, _, _)) => a.copy(meta = meta)
+        case None               => a
       }
     })
   }

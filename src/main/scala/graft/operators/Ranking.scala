@@ -395,21 +395,16 @@ object Ranking {
     // expression (q112's tokenize projection). Cost: O(|rows|·|specs|)
     // executor storage for the duration of the call (released before
     // returning); the scan family's time-for-memory dial, now explicit.
-    val matRows = if (materialize)
-      Some(df.select(col(groupCol).as("__g"),
-          explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
-            struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
-          }: _*)).as("__e"))
-        .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
-        .filter(col("__v").isNotNull)
-        .localCheckpoint(true))
-    else None
-    def rows = matRows.getOrElse(df.select(col(groupCol).as("__g"),
+    val stream = df.select(col(groupCol).as("__g"),
         explode(array(specs.zipWithIndex.map { case ((c, _), ci) =>
           struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
         }: _*)).as("__e"))
       .select(col("__g"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
-      .filter(col("__v").isNotNull))
+      .filter(col("__v").isNotNull)
+    val matRows =
+      if (materialize) Some(stream.localCheckpoint(true)) else None
+    def rows = matRows.getOrElse(stream)
+    try {
     // pass 1: per (column, group) counts and the FINITE value range.
     // ±Infinity and NaN cannot live inside a half-open refinement
     // interval (nextUp(NaN) is NaN; an infinite bucket width breaks the
@@ -580,15 +575,16 @@ object Ranking {
       org.apache.spark.sql.types.StructField(groupCol, gType) +:
         outKeys.map(k0 => org.apache.spark.sql.types.StructField(
           k0, org.apache.spark.sql.types.DoubleType)))
-    // the result is driver-assembled metadata — the checkpointed stream
-    // has served its last pass, release its blocks eagerly. NOT
-    // Dataset.unpersist: that only clears CacheManager entries, and a
-    // local checkpoint's blocks live in the block manager directly
-    // (the r6 RankingSpec leak gate caught exactly this).
-    matRows.foreach(
-      org.apache.spark.sql.graftbridge.releaseCheckpoint(_))
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1), schema)
+    // the result is driver-assembled metadata — the checkpointed stream
+    // has served its last pass, so the blocks release on EVERY exit
+    // path (a failed refinement pass must not pin O(rows·specs) storage
+    // in the shared session). NOT Dataset.unpersist: that only clears
+    // CacheManager entries, and a local checkpoint's blocks live in the
+    // block manager directly (the r6 RankingSpec leak gate caught it).
+    } finally matRows.foreach(
+      org.apache.spark.sql.graftbridge.releaseCheckpoint(_))
   }
 
   /** EXACT distributed global-order running aggregate over an integral
