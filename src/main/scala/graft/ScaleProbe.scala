@@ -137,6 +137,18 @@ object ScaleProbe {
             graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
               threshold = 0.8))
         }),
+        // round 6: exact GLOBAL running total over the full orders table
+        // — the operator that replaces the SinglePartition window. The
+        // data exchange is the one range partition (∝ rows, unavoidable
+        // for a global order); what must NOT appear at 10× is a
+        // single-task stage or superlinear wall growth
+        "running_total_full" -> ((d: String) =>
+          graft.operators.Ranking.runningAgg(
+            Tables.orders(spark, d).select(col("o_orderkey"),
+              col("o_orderdate"),
+              floor(col("o_totalprice")).as("v")),
+            orderCols = Seq("o_orderdate", "o_orderkey"), valueCol = "v",
+            fn = "sum", outCol = "run_total")),
         // round 6: df-capped containment over the FULL corpus (the
         // declared q110 is doc_id-bounded). The r5-flagged shape was an
         // UNCAPPED inverted-index self-join — a stop-shingle in d docs

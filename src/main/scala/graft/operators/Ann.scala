@@ -268,16 +268,21 @@ object Ann {
                   nprobe: Int, k: Int, simScale: Int = 4): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"nprobe/k must be >= 1")
     val c = spark.read.parquet(s"$path/centroids")
-    // eager localCheckpoint: the assignment result is |probes|·nprobe
-    // rows and feeds BOTH the IN-list collect and the serve join —
-    // without it the probe scan + routing window would execute twice
-    // per search call (the repeated work this index face exists to cut)
-    val probeLists = probeAssignments(probes, probeIdCol, vecCol, c, nprobe)
-      .localCheckpoint(true)
-    // the probed list ids are |probes|·nprobe values — metadata; inlined
-    // as a literal IN so the parquet scan partition-prunes statically
-    val probed = probeLists.select(col("__cid")).distinct()
-      .collect().map(_.get(0))
+    // the routing result is |probes|·nprobe rows — metadata by the
+    // probe-batch contract — and feeds BOTH the IN-list and the serve
+    // join, so it is computed ONCE, collected, and re-shipped as a
+    // local frame: no second probe scan, and (unlike a localCheckpoint,
+    // whose blocks the returned frame would pin for the session's
+    // lifetime) nothing stays resident after the call
+    val routed = probeAssignments(probes, probeIdCol, vecCol, c, nprobe)
+    val probeRows = routed.collect()
+    val probeLists = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1),
+      routed.schema)
+    // probed list ids inlined as a literal IN so the parquet scan
+    // partition-prunes statically
+    val probed = probeRows
+      .map(r => r.get(r.fieldIndex("__cid"))).distinct
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("__cid").isin(probed.toIndexedSeq: _*))
     val wk = Window.partitionBy(col(probeIdCol))

@@ -130,8 +130,10 @@ object Multimodal {
         data = Some((io + 8, math.min(size, b.length - i - 8).toInt))
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (fmt != 1 || bits != 16 || channels < 1 ||
-      data.forall(_._2 <= 0)) return None
+    // an EMPTY data chunk is a legal zero-sample file (decodes to no
+    // samples), not a malformed payload; len can no longer be negative
+    // (size is unsigned and clamped to the remaining bytes)
+    if (fmt != 1 || bits != 16 || channels < 1 || data.isEmpty) return None
     val (off, len) = data.get
     val n = len / 2
     Some((AssetMeta(n / channels, channels, "wav"), off, len))

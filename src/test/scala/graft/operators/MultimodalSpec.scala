@@ -159,13 +159,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(Multimodal.decodeWav(wav(0xFFFFFFF8L)).isEmpty)
     assert(Multimodal.decodeWav(wav(0x7FFFFFF0L)).isEmpty)
-    // a data chunk whose declared size exceeds the payload clamps and
-    // (here) has zero real bytes -> rejected, not NegativeArraySize
-    val bb = java.nio.ByteBuffer.allocate(44)
+    // a VALID PCM16 header whose data chunk clamps to zero real bytes is
+    // a legal zero-sample file: Some(empty samples), never a crash and
+    // never a stub-fallback None (that would silently change features
+    // for real silence assets)
+    val bb = java.nio.ByteBuffer.allocate(64)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes); bb.putInt(36); bb.put("WAVE".getBytes)
-    bb.put("data".getBytes); bb.putInt(-8)
-    bb.put(new Array[Byte](20))
-    assert(Multimodal.decodeWav(bb.array()).isEmpty)
+    bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(100) // declares 100, 0 present
+    val empty = Multimodal.decodeWav(bb.array().take(44))
+    assert(empty.exists { case (meta, samples) =>
+      meta == Multimodal.AssetMeta(0, 1, "wav") && samples.isEmpty },
+      s"zero-sample WAV must parse, got $empty")
   }
 }

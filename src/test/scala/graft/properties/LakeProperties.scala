@@ -33,11 +33,18 @@ object LakeProperties extends Properties("lake") {
   private val seqGen: Gen[List[List[Op]]] =
     Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, batchGen))
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   property("mergeInto.equals-scalar-latest-wins-fold") =
     Prop.forAllNoShrink(seqGen) { batches =>
       import spark.implicits._
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lake_prop").toString + "/t"
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_prop").toString
+      val path = dir + "/t"
+      try {
       def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + i}%02d:00:00")
       batches.zipWithIndex.foreach { case (b, i) =>
         val df = b.map(o => (o.key, ts(i), o.payload, o.delete))
@@ -66,5 +73,6 @@ object LakeProperties extends Properties("lake") {
             .toMap
         else Map.empty[Long, String]
       Prop(got == expected) :| s"got=$got want=$expected batches=$batches"
+      } finally deleteRec(new java.io.File(dir))
     }
 }
