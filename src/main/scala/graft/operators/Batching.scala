@@ -27,8 +27,14 @@ object Batching {
 
   /** Uniform 16-bit integer from the first four md5 nibbles (same
     * `instr` arithmetic as [[Sampling]]'s rate gate — DuckDB-replicable
-    * verbatim, granularity 65536). */
+    * verbatim, granularity 65536). Salt/column land inside an expr()
+    * SQL string, so both are shape-restricted (no quote breakage, no
+    * expression smuggling). */
   private def hash16(idCol: String, salt: String): Column = {
+    require(salt.matches("[A-Za-z0-9_.:-]*"),
+      s"salt must be [A-Za-z0-9_.:-]*, got '$salt'")
+    require(idCol.matches("[A-Za-z0-9_]+"),
+      s"idCol must be a plain identifier, got '$idCol'")
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(concat('$salt:', cast($idCol as string))),$i,1)) - 1)"
     expr(s"${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}")

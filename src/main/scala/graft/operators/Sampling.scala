@@ -53,6 +53,12 @@ object Sampling {
     * the same trick the SimHash/fingerprint family uses, DuckDB-
     * replicable verbatim). */
   private def hashFrac(idCol: String, salt: String) = {
+    // both land inside an expr() SQL string: restrict to shapes that
+    // can't break parsing (a quote in the salt) or smuggle expressions
+    require(salt.matches("[A-Za-z0-9_.:-]*"),
+      s"salt must be [A-Za-z0-9_.:-]*, got '$salt'")
+    require(idCol.matches("[A-Za-z0-9_]+"),
+      s"idCol must be a plain identifier, got '$idCol'")
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(concat('$salt:', cast($idCol as string))),$i,1)) - 1)"
     expr(s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) / 65536.0")

@@ -109,8 +109,12 @@ object Sketches {
                     seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bytes = df.agg(count_min_sketch(col(valueCol), lit(eps),
-        lit(confidence), lit(seed)).as("cms"))
+    // cast to STRING before sketching: the readout side hashes the
+    // Seq[String] items through the string path, and a sketch built
+    // over (say) longs hashes a different byte stream — every lookup
+    // would return collision noise near 0 with no error
+    val bytes = df.agg(count_min_sketch(col(valueCol).cast("string"),
+        lit(eps), lit(confidence), lit(seed)).as("cms"))
       .first().getAs[Array[Byte]]("cms")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))

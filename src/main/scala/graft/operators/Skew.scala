@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * at runtime; these are the explicit forms for when the skew is known
   * (a handful of keys holding a large share of a 100 TB table) or when
   * the aggregation buffer itself is the bottleneck.
+  *
+  * INPUT CONTRACT: both salted forms derive the salt from
+  * (partition id, row position) — which a task RETRY reproduces only
+  * when the input recomputes deterministically in the same order.
+  * Direct file-source scans do (Spark replays the same splits in the
+  * same order — the q89/q116 shape); applying these operators
+  * DOWNSTREAM OF ANOTHER SHUFFLE does not (intra-partition order can
+  * differ across retries — the SPARK-23207 class), so a lost-executor
+  * recompute could re-salt rows already consumed by completed reducers.
+  * For shuffled inputs, pre-assign a stable row id and salt by
+  * `pmod(hash(id), n)` instead.
   */
 object Skew {
 
@@ -20,7 +31,8 @@ object Skew {
     * occupies saltBuckets reducers instead of one. Phase 2's input is at
     * most |keys| × saltBuckets rows — negligible. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
-                     saltBuckets: Int): DataFrame =
+                     saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
     df.select(key.as("k"), value.as("v"))
       .withColumn("__salt", pmod(spark_partition_id()
         + monotonically_increasing_id(), lit(saltBuckets)))
@@ -28,6 +40,7 @@ object Skew {
       .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("sum_v"))
+  }
 
   /** Salted broadcast-side replicated join for a skewed fact⋈dim join
     * where the dim is too large to broadcast whole but the skew lives in
@@ -39,6 +52,7 @@ object Skew {
     * flattens the skew (typically 8–32). */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     val replicatedDim = dim.withColumn("__salt",

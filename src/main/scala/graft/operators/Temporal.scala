@@ -46,15 +46,28 @@ object Temporal {
                direction: String = "backward"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    val reserved = Seq("__side", "__r", "__last")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoin reserves column names ${reserved.mkString("/")}")
+    require(!right.columns.filter(_ != tsCol).contains("ts") || tsCol == "ts",
+      "right must not carry a column named 'ts' alongside a different " +
+        s"tsCol ($tsCol): the payload struct would hold two 'ts' fields " +
+        "and the field reference becomes ambiguous")
     val rCols = right.columns.filter(c => c != keyCol && c != tsCol)
     val lCols = left.columns
+    // SQL equi-join semantics: NULL keys match nothing (the window
+    // would otherwise group all null-key rows into one partition and
+    // "match" them — rows DuckDB's ASOF JOIN never emits), and a null
+    // timestamp compares unknown on both sides — inner-join drops them
+    val left0 = left.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val right0 = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     // tag & align schemas: right rows carry the payload struct, left null
     val payload = struct((col(tsCol).as("ts") +: rCols.map(col)): _*)
-    val r = right.select(
+    val r = right0.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         payload.as("__r")) ++ lCols.filter(c => c != keyCol && c != tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val l = left.select(
+    val l = left0.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
         lit(null).cast(r.schema("__r").dataType).as("__r")) ++
         lCols.filter(c => c != keyCol && c != tsCol).map(col)): _*)
@@ -83,18 +96,23 @@ object Temporal {
     * bucket). Output: key, a, b, both ts. */
   def pairsWithin(events: DataFrame, keyCol: String, idCol: String,
                   tsCol: String, horizonSec: Long): DataFrame = {
+    require(horizonSec > 0, "horizonSec must be positive (pmod-by-zero " +
+      "errors under ANSI; a zero horizon should filter exact-ts equality)")
     val hUs = horizonSec * 1000000L
     // integer microseconds: deterministic bucket + delta math (float
     // epoch arithmetic would disagree with the oracle at boundaries).
     // Bucketing must be FLOOR division — double-divide + cast("long")
     // truncates toward zero, so pre-1970 (negative-epoch) timestamps
     // would land adjacent events in non-adjacent buckets and silently
-    // miss pairs. (x - pmod(x, h)) / h is exact integer floor division
-    // for every epoch sign.
-    val us = unix_micros(col(tsCol).cast("timestamp"))
+    // miss pairs. (x - pmod(x, h)) div h is exact integer floor division
+    // for every epoch sign — and `div` (long math) stays exact where
+    // the `/` operator's double cast would round above 2^53 (hostile/
+    // corrupt far-future timestamps).
     val e = events.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(tsCol).as("t"),
-        ((us - pmod(us, lit(hUs))) / hUs).cast("long").as("b"))
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .withColumn("b", expr(s"(__us - pmod(__us, ${hUs}L)) div ${hUs}L"))
+      .drop("__us")
     val probe = e.select(col("k"), col("id").as("a"), col("t").as("ta"),
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bp"))
     val build = e.toDF("k2", "b", "tb", "bb")
@@ -181,6 +199,8 @@ object Temporal {
     * Output: key, n_events, decayed — unrounded. */
   def decayedSum(events: DataFrame, keyCol: String, tsUsCol: String,
                  valueCol: String, halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive (zero yields " +
+      "silent NaN for every key; negative flips decay to amplification)")
     val wk = Window.partitionBy(col(keyCol))
     events
       .withColumn("__last", max(col(tsUsCol)).over(wk))
