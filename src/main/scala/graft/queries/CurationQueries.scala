@@ -193,23 +193,33 @@ object CurationQueries {
     * fraction of its distinct 3-gram shingles whose FIRST appearance in
     * doc_id order is this document — the "how much new content does
     * this doc add" signal an incremental crawl ranks refresh candidates
-    * by (a boilerplate mirror scores ~0, fresh prose ~1). The
-    * first-occurrence label is a min() WINDOW over the shingle key, not
-    * an aggregate-plus-join-back: one shingle-keyed exchange serves the
-    * whole annotation (the join form pays that exchange twice plus the
-    * join), then a per-doc rollup; never doc×doc. Ratio emitted as a
+    * by (a boilerplate mirror scores ~0, fresh prose ~1). Both sides
+    * aggregate BEFORE they meet: n_shingles is a per-doc count of the
+    * shingle feed, n_first counts the winners of a combiner-safe
+    * groupBy(s).agg(min(doc_id)) — a ubiquitous boilerplate shingle
+    * collapses map-side to one row per partition, so no shingle key
+    * ever owns a corpus-sized window partition or join bucket (the
+    * min-over-shingle WINDOW form has exactly that ceiling; the
+    * adversarial gate lives in RoundSevenProperties). The only join is
+    * doc_id-keyed between two doc-sized aggregates. Ratio emitted as a
     * floor-truncated exact rational (q128's portability rule). */
-  def q136(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
-    sh.withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy(col("s"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_first"))
-      .select(col("doc_id"), col("n_shingles"), col("n_first"),
-        (floor(col("n_first") * 10000.0 / col("n_shingles")) / 10000.0)
-          .as("novelty"))
+  def q136(s: SparkSession, d: String): DataFrame =
+    noveltyByDoc(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** q136 body over an arbitrary (doc_id, text) frame — factored so the
+    * adversarial hot-shingle gate (RoundSevenProperties) can drive it
+    * with a planted 1000-doc boilerplate shingle. */
+  private[graft] def noveltyByDoc(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first0"))
+    perDoc.join(firsts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_first0"), lit(0L)).as("n_first"),
+        (floor(coalesce(col("n_first0"), lit(0L)) * 10000.0
+          / col("n_shingles")) / 10000.0).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -271,6 +271,15 @@ class PlanContractSpec extends AnyFunSuite {
       s"membership window must key its one exchange on the stratum:\n$plan")
   }
 
+  test("q136 novelty never windows the shingle key (r6 hot-key fix)") {
+    // min(doc_id) OVER (PARTITION BY s) put every row of a hot shingle
+    // into one task; the aggregate+join-back body has no Window at all
+    // and its only join is doc_id-keyed between doc-sized aggregates
+    val plan = executedPlan("q136_novelty")
+    assert(!plan.contains("Window"),
+      s"novelty must aggregate+join-back, never window the shingle key:\n$plan")
+  }
+
   test("q110 containment df-cap keeps the candidate exchange bounded") {
     // the r5-flagged uncapped self-join exploded on hot shingles; with
     // the df<=20 gate the shuffle stays proportional to informative
