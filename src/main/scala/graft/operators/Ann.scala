@@ -233,6 +233,15 @@ object Ann {
       .select(col(probeIdCol), col("__vp"), col("__cid"))
   }
 
+  /** Commit-marker filename for a persisted index. Written LAST by
+    * [[saveIndex]] (after both data directories), deleted FIRST on
+    * rebuild — [[searchIndex]] refuses an unmarked index, so a crash
+    * (or reader racing a rebuild) between the two directory writes can
+    * never serve new lists against stale centroids. Content records the
+    * storage format (`quantized=`) so the serve path picks the matching
+    * scorer without a caller-supplied flag that could drift. */
+  private val IndexMarker = "_graft_index_committed"
+
   /** Persist an IVF index: the assignment pass runs ONCE at build time
     * and the inverted lists land parquet-PARTITIONED BY list id, so a
     * later [[searchIndex]] scan of `nprobe` lists partition-prunes to
@@ -240,33 +249,84 @@ object Ann {
     * corpus. The build-once/serve-many shape every standing ANN
     * deployment uses ([[ivfSearch]] re-assigns per call, the right shape
     * only for one-shot audits). Layout: `<path>/centroids` (cid `__cid`,
-    * vector `__cv`) + `<path>/lists` (id `__id`, vector `__vc`,
-    * partition column `__cid`). */
+    * vector `__cv`) + `<path>/lists` (id `__id`, partition column
+    * `__cid`, and either `__vc` array<double> or — with
+    * `quantize = true` — `__vq` array<tinyint> + `__scale` double, the
+    * q111 symmetric int8 quantizer: 8× narrower elements, and cosine is
+    * scale-invariant so serving never multiplies the scale back (it is
+    * stored for reconstruction/debug only). The recall cost of the
+    * quantized ranking is exactly what q139 audits.) The
+    * [[IndexMarker]] commit file is deleted before and written after
+    * the two directory writes, so readers never see a torn index. */
   def saveIndex(candidates: DataFrame, candIdCol: String,
                 centroids: DataFrame, cidCol: String,
-                vecCol: String, path: String): Unit = {
-    ivfAssign(candidates, candIdCol, vecCol, centroids, cidCol, vecCol,
-        vecOut = "__vc")
+                vecCol: String, path: String,
+                quantize: Boolean = false): Unit = {
+    val spark = candidates.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, IndexMarker)
+    // invalidate FIRST: from here to the final rename the index is
+    // formally uncommitted and searchIndex refuses it
+    if (fs.exists(marker)) fs.delete(marker, false)
+    val assigned = ivfAssign(candidates, candIdCol, vecCol,
+        centroids, cidCol, vecCol, vecOut = "__vc")
       .select(col(candIdCol).as("__id"), col("__vc"),
         col(cidCol).as("__cid"))
-      .write.partitionBy("__cid").mode("overwrite")
+    val listRows =
+      if (!quantize) assigned
+      else assigned
+        .withColumn("__amax",
+          expr("aggregate(__vc, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+        .withColumn("__vq", expr(
+          "transform(__vc, x -> cast(floor(x * 127.0D / nullif(__amax, 0D) + 0.5D) as tinyint))"))
+        .select(col("__id"), col("__vq"),
+          (col("__amax") / 127.0d).as("__scale"), col("__cid"))
+    listRows.write.partitionBy("__cid").mode("overwrite")
       .parquet(s"$path/lists")
     centroids
       .select(col(cidCol).as("__cid"),
         Vectors.asDouble(col(vecCol)).as("__cv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // commit: tmp + rename (the Lake.mergeInto manifest discipline)
+    val tmp = new org.apache.hadoop.fs.Path(root, IndexMarker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v1 quantized=$quantize"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(
+        s"could not commit index marker at $marker")
   }
 
   /** Search a [[saveIndex]] artifact: value-identical to [[ivfSearch]]
     * over the same corpus/centroids (asserted in AnnSpec) but the
     * assignment cost is gone and the list scan carries a partition
     * filter on the probed ids — the centroid table is the only thing
-    * read in full (broadcast-sized by construction). Output columns:
-    * (`probeIdCol`, `cand`, `sim`, `rank`). */
+    * read in full (broadcast-sized by construction). Refuses an index
+    * without the [[IndexMarker]] commit file (mid-build or torn). On a
+    * `quantize = true` index the probe vectors go through the SAME q111
+    * quantizer and ranking runs on int8-vs-int8 cosine — bit-compatible
+    * with q139's audit ranking. Output columns: (`probeIdCol`, `cand`,
+    * `sim`, `rank`). */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   probes: DataFrame, probeIdCol: String, vecCol: String,
                   nprobe: Int, k: Int, simScale: Int = 4): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"nprobe/k must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, IndexMarker)
+    require(fs.exists(marker),
+      s"index at $path has no commit marker ($IndexMarker) — it is " +
+        "mid-build, torn, or pre-dates the commit protocol; rebuild " +
+        "with saveIndex")
+    val quantized = {
+      val in = fs.open(marker)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.contains("quantized=true")
+    }
     val c = spark.read.parquet(s"$path/centroids")
     // the routing result is |probes|·nprobe rows — metadata by the
     // probe-batch contract — and feeds BOTH the IN-list and the serve
@@ -283,13 +343,39 @@ object Ann {
     // partition-prunes statically
     val probed = probeRows
       .map(r => r.get(r.fieldIndex("__cid"))).distinct
-    val lists = spark.read.parquet(s"$path/lists")
+    // partition-column type inference would coerce numeric-LOOKING
+    // string centroid ids ("01", "1e3") to int/double and silently
+    // break both the IN filter and the probe join — pin __cid to the
+    // centroid table's dtype via an explicit read schema (partition
+    // values are then parsed as that type, and the typed literals
+    // above still prune statically)
+    val inferred = spark.read.parquet(s"$path/lists").schema
+    val cidType = c.schema("__cid").dataType
+    val listSchema = org.apache.spark.sql.types.StructType(
+      inferred.map(f =>
+        if (f.name == "__cid") f.copy(dataType = cidType) else f))
+    val lists = spark.read.schema(listSchema).parquet(s"$path/lists")
       .filter(col("__cid").isin(probed.toIndexedSeq: _*))
+    val scored =
+      if (!quantized)
+        lists.join(broadcast(probeLists), "__cid")
+          .select(col(probeIdCol), col("__id").as("cand"),
+            round(Vectors.cosine(col("__vp"), col("__vc")), simScale)
+              .as("sim"))
+      else
+        lists.join(broadcast(probeLists
+            .withColumn("__pamax",
+              expr("aggregate(__vp, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+            .withColumn("__qp", expr(
+              "transform(__vp, x -> cast(floor(x * 127.0D / nullif(__pamax, 0D) + 0.5D) as double))"))),
+            "__cid")
+          .select(col(probeIdCol), col("__id").as("cand"),
+            round(Vectors.cosine(col("__qp"),
+              expr("transform(__vq, x -> cast(x as double))")), simScale)
+              .as("sim"))
     val wk = Window.partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col("cand").asc)
-    lists.join(broadcast(probeLists), "__cid")
-      .select(col(probeIdCol), col("__id").as("cand"),
-        round(Vectors.cosine(col("__vp"), col("__vc")), simScale).as("sim"))
+    scored
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)
   }

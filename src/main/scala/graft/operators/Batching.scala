@@ -125,7 +125,12 @@ object Batching {
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
                      totalKeep: Long): DataFrame = {
     require(totalKeep > 0, "totalKeep must be positive")
-    val cnts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // a NULL stratum can never be selected (the membership equi-join
+    // below skips null keys), so letting it into the counts would
+    // silently shrink every real stratum's target by the null share —
+    // null rows are excluded from BOTH the budget and the output
+    val rows = df.filter(col(strataCol).isNotNull)
+    val cnts = rows.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__sq", floor(sqrt(col("__n")) * 1000000.0).cast("long"))
     // exact integer sum — order-free, no float accumulation
     val tot = cnts.agg(sum(col("__sq")).as("__sqt"))
@@ -139,7 +144,7 @@ object Batching {
           .cast("long").as("__target"))
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hkey(idCol, "mix").asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
+    rows.withColumn("__rn", row_number().over(w))
       .join(broadcast(targets), strataCol)
       .filter(col("__rn") <= col("__target"))
       .drop("__rn", "__target")

@@ -210,22 +210,33 @@ object Lake {
   private val bucketedOnce =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-table-name write locks for [[ensureBucketed]] — a Lake-wide
+    * lock would serialize bucketed writes of UNRELATED tables behind
+    * one monitor. */
+  private val bucketedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Bucketing is a pay-ONCE-at-ingest layout: every subsequent join on
     * the bucket key is exchange-free precisely because the shuffle was
     * amortized into the write. Re-materializing identical buckets on
     * every call (as a repeated query invocation would) re-pays the cost
     * the layout exists to delete, so this face memoizes per (JVM, table):
-    * first call writes, later calls are a catalog lookup. Callers whose
-    * input for `table` can change within one JVM must use
-    * [[writeBucketed]] directly. */
+    * first call writes, later calls are a catalog lookup. The memo is
+    * re-validated against the catalog on every call — a table dropped
+    * (or a switched warehouse) mid-JVM triggers a rewrite instead of a
+    * later readTable failure. Callers whose input for `table` can
+    * change within one JVM must use [[writeBucketed]] directly. */
   def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
-                     buckets: Int): Unit =
-    if (!bucketedOnce.contains(table)) synchronized {
-      if (!bucketedOnce.contains(table)) {
+                     buckets: Int): Unit = {
+    val lock = bucketedLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      if (!bucketedOnce.contains(table)
+          || !df.sparkSession.catalog.tableExists(table)) {
         writeBucketed(df, table, bucketCol, buckets)
         bucketedOnce.add(table)
       }
     }
+  }
 
   /** Small-file compaction: rewrite a parquet directory's files into
     * ~`targetBytes` outputs. Streaming upserts and incremental batch

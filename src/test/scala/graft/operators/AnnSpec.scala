@@ -210,4 +210,91 @@ class AnnSpec extends AnyFunSuite {
     assert(servedLists == 1,
       "one probe at nprobe=1 must be served from exactly one inverted list")
   }
+
+  test("searchIndex refuses an index without the commit marker") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_torn").toString
+    val corpus = Seq((10L, Array(0.9f, 0.1f, 0.0f))).toDF("id", "v")
+    Ann.saveIndex(corpus, "id", cents.toDF("cid", "v"), "cid", "v", path)
+    // simulate a crash between the two directory writes: the marker is
+    // gone, the data dirs look plausible — serving must refuse, not
+    // silently route against a possibly-torn pairing
+    assert(new java.io.File(path, "_graft_index_committed").delete())
+    val probes = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("pid", "v")
+    val err = intercept[IllegalArgumentException] {
+      Ann.searchIndex(spark, path, probes, "pid", "v", nprobe = 1, k = 1)
+    }
+    assert(err.getMessage.contains("commit marker"))
+  }
+
+  test("numeric-looking STRING centroid ids survive the partition round-trip") {
+    // partition-column type inference would read __cid="01" back as the
+    // int 1 and the centroid join would silently drop every candidate;
+    // the explicit read schema pins the centroid table's string dtype
+    val scents = Seq(("01", Array(1.0f, 0.0f, 0.0f)),
+      ("2", Array(0.0f, 1.0f, 0.0f))).toDF("cid", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_strcid").toString
+    Ann.saveIndex(cands.toDF("id", "v"), "id", scents, "cid", "v", path)
+    val probes = Seq((1L, Array(0.95f, 0.05f, 0.0f))).toDF("pid", "v")
+    val got = Ann.searchIndex(spark, path, probes, "pid", "v",
+        nprobe = 1, k = 10)
+      .select("cand").as[Long].collect().toSet
+    assert(got == Set(10L, 11L),
+      s"string-cid list ('01') must serve its x-cluster candidates: $got")
+  }
+
+  test("quantized index: recall@3 on q139's probes equals q139's audit, " +
+      "and the lists are ~4x smaller than float storage") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    // ONE centroid => every probe scans the whole corpus, so the
+    // quantized serve ranking is exactly q139's brute-force quantized
+    // ranking (same rounding, same cand-asc tie-break)
+    val onec = e.filter(col("vec_id") === 0)
+      .select(lit(0L).as("cid"), col("embedding"))
+    val qPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_q").toString
+    val fPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_f").toString
+    Ann.saveIndex(corpus, "id", onec, "cid", "embedding", qPath,
+      quantize = true)
+    Ann.saveIndex(corpus, "id", onec, "cid", "embedding", fPath)
+    val served = Ann.searchIndex(spark, qPath, probes, "probe",
+        "embedding", nprobe = 1, k = 3)
+      .select(col("probe"), col("cand"))
+    // exact float top-3 (q139's etop): the recall reference
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe")).orderBy(col("sim").desc, col("cand").asc)
+    val exact = probes.select(col("probe"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("vp"))
+      .crossJoin(corpus.select(col("id").as("cand"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("vc")))
+      .select(col("probe"), col("cand"),
+        round(graft.functions.Vectors.cosine(col("vp"), col("vc")), 4)
+          .as("sim"))
+      .withColumn("rk", row_number().over(wB)).filter(col("rk") <= 3)
+      .select(col("probe"), col("cand"))
+    val servedRecall = served.join(exact, Seq("probe", "cand"))
+      .groupBy("probe").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val audit = graft.queries.CurationQueries.q139(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit.keySet.forall(p =>
+        servedRecall.getOrElse(p, 0L) == audit(p)),
+      s"quantized-index recall must equal the q139 audit: " +
+        s"served=$servedRecall audit=$audit")
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(dir, "lists"))
+    }
+    val (qb, fb) = (bytes(qPath), bytes(fPath))
+    assert(qb * 3 < fb,
+      s"int8 lists must be ~4x smaller than float lists: $qb vs $fb")
+  }
 }

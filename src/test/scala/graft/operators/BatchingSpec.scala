@@ -81,6 +81,25 @@ class BatchingSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("temperatureMix: NULL strata are excluded from the budget, " +
+      "not silently charged against it") {
+    import spark.implicits._
+    // 100 null-stratum rows next to 100+400 real ones: nulls can never
+    // be selected (equi-join semantics), so the real strata must split
+    // the SAME 16/33 the all-non-null corpus gets — the unfixed form
+    // counted the null stratum into the sqrt-share total and shrank
+    // every real target
+    val docs = ((0L until 100L).map(i => (i, Option("small"))) ++
+      (100L until 500L).map(i => (i, Option("large"))) ++
+      (500L until 600L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val bySrc = Batching.temperatureMix(docs, "source", "doc_id", 50L)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("small" -> 16L, "large" -> 33L),
+      s"null stratum must not dilute real targets: $bySrc")
+  }
+
   test("pack window is per-stratum, never a global-order sort") {
     val plan = Batching.packChunks(
         docs.select(col("doc_id"), col("lang"), col("n_chars").as("nt")),

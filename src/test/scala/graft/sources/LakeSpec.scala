@@ -406,6 +406,23 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBucketed re-validates its memo against the catalog") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Lake.ensureBucketed(df, "bkt_memo_check", "k", 4)
+    assert(spark.catalog.tableExists("bkt_memo_check"))
+    // drop behind the memo's back (a warehouse wipe / session switch):
+    // the next ensure call must notice and rewrite, not skip on the
+    // JVM-local memo and leave readTable to fail
+    spark.sql("DROP TABLE bkt_memo_check")
+    Lake.ensureBucketed(df, "bkt_memo_check", "k", 4)
+    try {
+      assert(spark.catalog.tableExists("bkt_memo_check"),
+        "memo hit must not skip the write after a catalog drop")
+      assert(Lake.readTable(spark, "bkt_memo_check").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_memo_check")
+  }
+
   test("compact folds small files, preserves the data, skips compact dirs") {
     val dir = tmp("lake_compact") + "/t"
     val src = events.select("event_id", "user_id", "value")
