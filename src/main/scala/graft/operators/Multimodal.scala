@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * task streams through its partition without materializing it — the
   * distributed shape a real decoder plugs into.
   *
-  * The decode boundary is REAL for codec-free formats: PPM (P6) and WAV
-  * (PCM s16le) parse header+payload with plain byte arithmetic
-  * ([[decodePpm]]/[[decodeWav]] — checked against checked-in fixture
-  * files end-to-end through `binaryFile` ingest). STUB BOUNDARY: only
-  * COMPRESSED codecs (JPEG/MP3/H.264) fall back to `decodeStub`'s
-  * deterministic fake features, because their libraries are absent from
-  * this container; swapping the stub for a JNI/codec call is a
+  * The decode boundary is REAL for JDK-decodable formats: PPM (P6) and
+  * WAV (PCM s16le) parse header+payload with plain byte arithmetic, and
+  * PNG (8-bit RGB/grayscale, the most common image format a real corpus
+  * carries) decodes through `java.util.zip.Inflater` — zlib ships with
+  * the JDK, so no external codec is needed
+  * ([[decodePpm]]/[[decodeWav]]/[[decodePng]] — checked against
+  * checked-in fixture files end-to-end through `binaryFile` ingest).
+  * STUB BOUNDARY: only codecs whose libraries are absent from this
+  * container (JPEG/MP3/H.264) fall back to `decodeStub`'s deterministic
+  * fake features; swapping the stub for a JNI/codec call is a
   * one-function change and every Spark-side shape stays identical.
   */
 object Multimodal {
@@ -155,6 +158,158 @@ object Multimodal {
       (meta, out)
     }
 
+  /** PNG signature + IHDR parse: `(meta(width, height, "png"),
+    * bytesPerPixel)`. Supports the JDK-decodable profile: 8-bit depth,
+    * color type 0 (grayscale) or 2 (RGB truecolor), compression 0,
+    * filter method 0, no interlace — the compressed payload is plain
+    * zlib, so [[decodePng]] needs only `java.util.zip.Inflater`.
+    * Header-only ([[parseMeta]]'s O(header-bytes) path). Every field is
+    * untrusted: dimensions are range-checked (≤ 2²⁴, Long math) before
+    * any size arithmetic. */
+  private[operators] def pngHeader(
+      b: Array[Byte]): Option[(AssetMeta, Int)] = {
+    if (b.length < 33) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != (sig(i) & 0xff)) return None; i += 1 }
+    def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u32(8) != 13L ||
+      new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+    val (w, h) = (u32(16), u32(20))
+    if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24)) return None
+    val (depth, color) = (b(24) & 0xff, b(25) & 0xff)
+    if (depth != 8 || (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 ||
+      (b(28) & 0xff) != 0) return None
+    val bpp = color match { case 0 => 1; case 2 => 3; case _ => return None }
+    Some((AssetMeta(w.toInt, h.toInt, "png"), bpp))
+  }
+
+  /** Paeth predictor (PNG filter type 4): the neighbor (left, above,
+    * upper-left) closest to a+b−c, ties resolved left → above →
+    * upper-left per spec. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG full decode via JDK zlib — no codec library: walk the chunk
+    * list (lengths are untrusted: Long cursor, a chunk that doesn't fit
+    * the remaining bytes ends the parse as malformed, so a truncated
+    * IDAT or a lying 0xFFFFFFFF length can't wrap or hang), inflate the
+    * concatenated IDAT stream with `java.util.zip.Inflater`, unfilter
+    * rows (all five filter types), fold to per-pixel luminance in
+    * [-1, 1] (the [[decodePpm]] convention, so image features are
+    * format-independent).
+    *
+    * Lying-IHDR guard: the raw size h·(1+w·bpp) must not exceed the
+    * deflate expansion bound (1032× the compressed bytes, the zlib
+    * worst case) — a hostile header claiming 2²⁴×2²⁴ against a
+    * 100-byte IDAT is rejected BEFORE the output buffer is allocated.
+    * An inflate that ends short (truncated stream) or long (more real
+    * output than the header promised) returns None, matching the WAV
+    * hardening standard. */
+  private[operators] def decodePng(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    pngHeader(b).flatMap { case (meta, bpp) =>
+      val (w, h) = (meta.width, meta.height)
+      def u32(o: Int): Long = ((b(o) & 0xffL) << 24) |
+        ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) |
+        (b(o + 3) & 0xffL)
+      // ---- chunk walk: collect IDAT, require IEND ----------------------
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 33L // 8 sig + 12 IHDR framing + 13 IHDR data
+      var seenEnd = false
+      var bad = false
+      while (!seenEnd && !bad) {
+        if (i + 8 > b.length) bad = true
+        else {
+          val io = i.toInt
+          val len = u32(io)
+          val typ = new String(b, io + 4, 4, "US-ASCII")
+          if (len > b.length.toLong - i - 12) bad = true // data+crc must fit
+          else {
+            if (typ == "IDAT") idat.write(b, io + 8, len.toInt)
+            else if (typ == "IEND") seenEnd = true
+            i += 12 + len // len >= 0: strictly positive advance
+          }
+        }
+      }
+      val comp = idat.toByteArray
+      val stride = 1L + w.toLong * bpp
+      val expected = h.toLong * stride
+      val inflated =
+        if (bad || comp.isEmpty ||
+          expected > math.max(1L << 20, comp.length * 1032L) ||
+          expected > Int.MaxValue) None
+        else {
+          // ---- inflate -------------------------------------------------
+          val raw = new Array[Byte](expected.toInt)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(comp)
+          try {
+            var got = 0
+            var stuck = false
+            while (got < raw.length && !inf.finished() && !stuck) {
+              val n = inf.inflate(raw, got, raw.length - got)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+                stuck = true // truncated/underrun stream
+              got += n
+            }
+            // overlong output = header lied small: reject, don't truncate
+            val over = !stuck && got == raw.length && !inf.finished() &&
+              inf.inflate(new Array[Byte](1)) > 0
+            if (stuck || over || got < raw.length) None else Some(raw)
+          } catch {
+            case _: java.util.zip.DataFormatException => None
+          } finally inf.end()
+        }
+      // ---- unfilter + luminance ---------------------------------------
+      inflated.flatMap { r0 =>
+        val rb = w * bpp
+        val lum = new Array[Float](w * h)
+        val prior = new Array[Int](rb)
+        val cur = new Array[Int](rb)
+        var r = 0
+        var ok = true
+        while (ok && r < h) {
+          val off = r * stride.toInt
+          val ft = r0(off) & 0xff
+          if (ft > 4) ok = false
+          else {
+            var x = 0
+            while (x < rb) {
+              val v = r0(off + 1 + x) & 0xff
+              val a = if (x >= bpp) cur(x - bpp) else 0
+              val up = if (r > 0) prior(x) else 0
+              val ul = if (x >= bpp && r > 0) prior(x - bpp) else 0
+              cur(x) = (ft match {
+                case 0 => v
+                case 1 => v + a
+                case 2 => v + up
+                case 3 => v + ((a + up) >> 1)
+                case _ => v + paeth(a, up, ul)
+              }) & 0xff
+              x += 1
+            }
+            var p = 0
+            while (p < w) {
+              val o = p * bpp
+              val s =
+                if (bpp == 3) (cur(o) + cur(o + 1) + cur(o + 2)) / (3.0f * 255f)
+                else cur(o) / 255.0f
+              lum(r * w + p) = s * 2.0f - 1.0f
+              p += 1
+            }
+            System.arraycopy(cur, 0, prior, 0, rb)
+            r += 1
+          }
+        }
+        if (ok) Some((meta, lum)) else None
+      }
+    }
+
   /** Mean of each of `dim` contiguous signal segments (the fixed-width
     * feature a variable-length decoded signal folds into). */
   private def segmentMeans(signal: Array[Float], dim: Int): Array[Float] = {
@@ -175,7 +330,7 @@ object Multimodal {
   /** Dispatch: real parse for self-describing codec-free payloads,
     * deterministic stub otherwise. */
   private def decode(content: Array[Byte], dim: Int): Array[Float] =
-    decodePpm(content).orElse(decodeWav(content))
+    decodePng(content).orElse(decodePpm(content)).orElse(decodeWav(content))
       .map { case (_, signal) => segmentMeans(signal, dim) }
       .getOrElse(decodeStub(content, dim))
 
@@ -190,9 +345,11 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
-      ppmHeader(a.content).orElse(wavHeader(a.content)) match {
-        case Some((meta, _, _)) => a.copy(meta = meta)
-        case None               => a
+      pngHeader(a.content).map(_._1)
+        .orElse(ppmHeader(a.content).map(_._1))
+        .orElse(wavHeader(a.content).map(_._1)) match {
+        case Some(meta) => a.copy(meta = meta)
+        case None       => a
       }
     })
   }

@@ -130,6 +130,141 @@ class MultimodalSpec extends AnyFunSuite {
       s"segment means must be the true sample amplitudes: ${f.toSeq}")
   }
 
+  // ---- PNG: build a valid stream in-test so every filter type is hit ----
+
+  /** Minimal PNG encoder (test-side forward filters): `rows` =
+    * unfiltered pixel bytes per row, `filters(r)` = the filter type to
+    * encode row r with. Exercises [[Multimodal.decodePng]]'s unfilter
+    * against independently-computed filtered bytes. */
+  private def buildPng(w: Int, h: Int, colorType: Int,
+                       rows: Array[Array[Int]],
+                       filters: Array[Int]): Array[Byte] = {
+    val bpp = if (colorType == 2) 3 else 1
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = t.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until h) {
+      val ft = filters(r)
+      raw.write(ft)
+      for (x <- 0 until w * bpp) {
+        val v = rows(r)(x)
+        val a = if (x >= bpp) rows(r)(x - bpp) else 0
+        val b = if (r > 0) rows(r - 1)(x) else 0
+        val c = if (x >= bpp && r > 0) rows(r - 1)(x - bpp) else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 => v - paeth(a, b, c)
+        }
+        raw.write(f & 0xff)
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val buf = new Array[Byte](raw.size() * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("REAL decode: checked-in PNG fixture through binaryFile ingest — " +
+      "true width/height via JDK zlib, no codec library") {
+    // fixture.png: 8-bit RGB 4x2, each row two white then two black
+    // pixels — the same image as fixture.ppm, so luminance features
+    // must be format-independent
+    val assets = Multimodal.parseMeta(
+      Multimodal.readBinaryDir(spark, mediaDir, glob = "*.png"))
+    val a = assets.collect().head
+    assert(a.meta == Multimodal.AssetMeta(4, 2, "png"),
+      s"parsed IHDR must carry the REAL dimensions: ${a.meta}")
+    val f = Multimodal.extractFeaturesBatched(assets, dim = 4)
+      .collect().head.features
+    assert(f.corresponds(Array(1.0f, -1.0f, 1.0f, -1.0f))(
+        (x, y) => math.abs(x - y) < 1e-6),
+      s"PNG luminance must equal the PPM fixture's: ${f.toSeq}")
+  }
+
+  test("PNG unfilter reconstructs all five filter types, RGB and grayscale") {
+    // a 3x5 grayscale ramp encoded with one row per filter type — the
+    // decoder must invert sub/up/average/paeth exactly
+    val g = Array(
+      Array(10, 20, 30), Array(40, 60, 80), Array(90, 120, 150),
+      Array(130, 170, 210), Array(200, 225, 250))
+    val png = buildPng(3, 5, colorType = 0, g, Array(0, 1, 2, 3, 4))
+    val got = Multimodal.decodePng(png)
+    assert(got.isDefined, "all-filters grayscale PNG must decode")
+    val (meta, lum) = got.get
+    assert(meta == Multimodal.AssetMeta(3, 5, "png"))
+    val expect = g.flatten.map(v => v / 255.0f * 2.0f - 1.0f)
+    assert(lum.corresponds(expect)((x, y) => math.abs(x - y) < 1e-6),
+      s"unfiltered luminance drifted: ${lum.toSeq} vs ${expect.toSeq}")
+    // RGB with paeth on every row after the first
+    val rgb = Array(
+      Array(255, 0, 0, 0, 255, 0), Array(0, 0, 255, 255, 255, 255))
+    val png2 = buildPng(2, 2, colorType = 2, rgb, Array(1, 4))
+    val (m2, l2) = Multimodal.decodePng(png2).get
+    assert(m2 == Multimodal.AssetMeta(2, 2, "png"))
+    val e2 = Array(255 / (3f * 255), 255 / (3f * 255),
+      255 / (3f * 255), 765 / (3f * 255)).map(_ * 2f - 1f)
+    assert(l2.corresponds(e2)((x, y) => math.abs(x - y) < 1e-6),
+      s"RGB paeth row drifted: ${l2.toSeq}")
+  }
+
+  test("hostile PNG: truncated IDAT, lying IHDR, lying chunk length, " +
+      "unsupported profiles — all None, never crash or misdecode") {
+    val good = buildPng(3, 3, colorType = 0,
+      Array.fill(3)(Array(1, 2, 3)), Array(0, 0, 0))
+    assert(Multimodal.decodePng(good).isDefined)
+    // truncated IDAT: the cut chunk no longer fits its declared length
+    assert(Multimodal.decodePng(good.dropRight(20)).isEmpty,
+      "truncated stream must be malformed, not short-decoded")
+    // lying IHDR dims: 2^24 x 2^24 against a tiny IDAT must be rejected
+    // by the deflate-expansion bound BEFORE allocating the raw buffer
+    val lying = good.clone()
+    val bb = java.nio.ByteBuffer.allocate(8).putInt(1 << 24).putInt(1 << 24)
+    System.arraycopy(bb.array(), 0, lying, 16, 8)
+    assert(Multimodal.decodePng(lying).isEmpty,
+      "lying dims must fail the expansion bound, never allocate")
+    // dims lying SMALL (inflate yields more than promised) also rejected
+    val small = buildPng(3, 3, colorType = 0,
+      Array.fill(3)(Array(1, 2, 3)), Array(0, 0, 0))
+    val bb2 = java.nio.ByteBuffer.allocate(4).putInt(1)
+    System.arraycopy(bb2.array(), 0, small, 20, 4) // height := 1
+    assert(Multimodal.decodePng(small).isEmpty,
+      "overlong inflate output must be rejected, not truncated")
+    // chunk length 0xFFFFFFFF: unsigned Long walk ends as malformed
+    val hugeLen = good.clone()
+    java.util.Arrays.fill(hugeLen, 33, 37, 0xff.toByte)
+    assert(Multimodal.decodePng(hugeLen).isEmpty)
+    // unsupported profiles stay on the stub path: palette / 16-bit
+    assert(Multimodal.pngHeader(buildPng(2, 2, colorType = 0,
+      Array.fill(2)(Array(0, 0)), Array(0, 0))
+      .updated(25, 3.toByte)).isEmpty, "palette PNG is not decodable")
+    assert(Multimodal.pngHeader(buildPng(2, 2, colorType = 0,
+      Array.fill(2)(Array(0, 0)), Array(0, 0))
+      .updated(24, 16.toByte)).isEmpty, "16-bit PNG is not decodable")
+  }
+
   test("decode dispatch: malformed magic bytes fall back to the stub, " +
       "never crash") {
     assert(Multimodal.decodePpm("P6 not really".getBytes).isEmpty)
