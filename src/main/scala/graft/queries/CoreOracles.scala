@@ -215,8 +215,8 @@ object CoreOracles {
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice, 1) AS price_r1,
         |  abs(l_discount - 0.05) AS disc_dist,
-        |  ceil(l_quantity) AS qty_ceil,
-        |  floor(l_quantity) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS DOUBLE) AS qty_ceil,
+        |  CAST(floor(l_quantity) AS DOUBLE) AS qty_floor,
         |  l_linenumber % 3 AS ln_mod3,
         |  round(sqrt(l_quantity), 4) AS qty_sqrt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,

@@ -13,25 +13,61 @@ class TablesSqlSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** Driver-compare canon: columns sorted by name, rows as strings. */
-  private def canon(df: DataFrame): Seq[String] =
-    df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
-      .collect().map(_.toString).toSeq
+  /** Driver-compare canon: columns sorted by name, rows as sorted
+    * strings (the inventory's ORDER BY columns can tie, and the two
+    * faces may emit tied rows in different orders). Two type-metadata
+    * normalizations mirror what the driver's own compare does: Decimal
+    * → double (Spark parses `10000.0` literals as DECIMAL where both
+    * the DataFrame API and DuckDB compute in double) and
+    * session-timezone timestamp → TIMESTAMP_NTZ (Spark's `date_trunc`
+    * returns LTZ where the API and DuckDB carry NTZ — same wall-clock
+    * instant under the UTC test session). */
+  private def canon(df: DataFrame): Seq[String] = {
+    val typed = df.select(df.schema.fields.map(f => f.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        col(f.name).cast("double").as(f.name)
+      case org.apache.spark.sql.types.TimestampType =>
+        col(f.name).cast("timestamp_ntz").as(f.name)
+      case _ => col(f.name)
+    }).toIndexedSeq: _*)
+    typed.select(typed.columns.sorted.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
 
-  // portable-ANSI inventory queries: scan+topk, shuffle join, broadcast
-  // join, multi-agg group, HAVING gate, distinct-count
-  private val sqlRunnable = Seq("q04_topk", "q11_join_inner",
-    "q12_join_broadcast", "q20_agg_group", "q21_agg_having",
-    "q22_count_distinct")
-
-  test("oracle SQL strings run verbatim over registered views and match " +
-      "the DataFrame inventory results") {
+  test("SQL face sweep: every Spark-runnable oracle string matches the " +
+      "DataFrame inventory, and the runnable subset is measured") {
     Tables.registerViews(spark, dir)
-    sqlRunnable.foreach { name =>
-      val viaSql = canon(spark.sql(SparkEntry.oracleSql(name)))
-      val viaApi = canon(SparkEntry.queries(name)(spark, dir))
-      assert(viaSql == viaApi, s"$name: SQL face deviates from the API")
+    var runnable = 0
+    val unrunnable = scala.collection.mutable.Buffer[String]()
+    val mismatches = scala.collection.mutable.Buffer[String]()
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      // parse + analyze + execute under Spark; dialect-specific oracle
+      // SQL (DuckDB list_* functions, bare FILTER(cond), etc.) drops
+      // out here and is counted, never silently skipped
+      val viaSql =
+        try {
+          val df = spark.sql(sql)
+          df.schema // force analysis
+          Some(canon(df))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      viaSql match {
+        case None => unrunnable += name
+        case Some(rows) =>
+          runnable += 1
+          if (rows != canon(SparkEntry.queries(name)(spark, dir)))
+            mismatches += name
+      }
     }
+    info(s"Spark-runnable oracle SQL: $runnable/" +
+      s"${SparkEntry.oracleSql.size}; dialect-bound: " +
+      s"${unrunnable.size} (${unrunnable.take(20).mkString(", ")}…)")
+    assert(mismatches.isEmpty,
+      s"runnable oracle SQL must match the DataFrame face: $mismatches")
+    // the measured dual-face coverage — a drop below this means either
+    // new queries shipped DuckDB-only SQL that could have been portable,
+    // or a dialect regression crept into existing strings
+    assert(runnable >= 60,
+      s"Spark-runnable oracle coverage regressed: $runnable")
   }
 
   test("every lake table is queryable as a view, including the " +
