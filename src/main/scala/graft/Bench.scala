@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints a detailed JSON line with per-query
-  * median seconds (n=3 sweeps), then a compact total-only JSON line as
-  * the LAST stdout line (tail-window parsers see the compact one).
+  * trimmed-mean seconds (n=5 sweeps, min/max dropped), then a compact
+  * total-only JSON line as the LAST stdout line (tail-window parsers
+  * see the compact one).
   *
   * A short untimed warm-up executes each query once at the smallest scale
   * factor so the timed pass measures query execution, not JVM/codegen/
@@ -104,22 +105,33 @@ object Bench {
       resetState(spark)
       if (ok) dt else -1.0
     }
-    // n timed passes, per-query MEDIAN: sub-second queries swing 2-4x
-    // run-to-run (GC, page cache) and a single sample can't separate a
-    // plan regression from noise. Passes interleave whole sweeps (not
+    // n timed passes, per-query TRIMMED MEAN (min and max dropped):
+    // sub-second queries swing 2-4x run-to-run (GC, page cache) and a
+    // single sample can't separate a plan regression from noise — and
+    // round 6 measured a ~10% spread between two same-inventory
+    // median-of-3 TOTALS, wider than the regressions the 2x gate should
+    // catch, so the protocol is now 5 sweeps with the extremes discarded
+    // (averaging the middle 3 uses more of the data than a bare median
+    // while staying robust to one GC-hit and one suspiciously-cold/warm
+    // outlier per query). Passes interleave whole sweeps (not
     // back-to-back repeats) so cache warmth is comparable across queries.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val samples = (1 to runs).map(_ => names.map(n => n -> timeOne(n)).toMap)
-    def median(xs: Seq[Double]): Double = {
+    def trimmedMean(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      // below 4 samples there is nothing to trim symmetrically: median
+      val kept =
+        if (s.size >= 4) s.slice(1, s.size - 1)
+        else if (s.size % 2 == 1) Seq(s(s.size / 2))
+        else s.slice(s.size / 2 - 1, s.size / 2 + 1)
+      kept.sum / kept.size
     }
     val results = names.map { n =>
       val all = samples.map(_(n))
-      // ANY failed sweep marks the query failed (-1): medianing only the
-      // successful runs would report an intermittently-crashing query as
-      // a healthy-looking time
-      n -> (if (all.exists(_ < 0)) -1.0 else median(all))
+      // ANY failed sweep marks the query failed (-1): aggregating only
+      // the successful runs would report an intermittently-crashing
+      // query as a healthy-looking time
+      n -> (if (all.exists(_ < 0)) -1.0 else trimmedMean(all))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

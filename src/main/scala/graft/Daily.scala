@@ -45,6 +45,39 @@ object Daily {
       obs.get("rows").asInstanceOf[Long]
     }
 
+  /** Catch-up for MISSED execution dates through the STREAMING face:
+    * each date's landing directory becomes a `graft-paged` readStream
+    * stamped with its execution date (exactly [[run]]'s batch), the
+    * stamped streams union, and ONE `Trigger.AvailableNow` invocation
+    * of [[graft.streaming.StreamingOps.upsertStreamPartitioned]] drains
+    * them in bounded micro-batches — whose `foreachBatch` body IS
+    * `Lake.mergeInto`, the SAME merge the scheduled [[run]] calls. One
+    * code path, two cadences: a backlog of missed days and a normal
+    * scheduled day cannot drift because there is nothing separate to
+    * drift (PipelineEndToEndSpec asserts the drain is byte-identical
+    * to sequential [[run]] calls).
+    *
+    * Latest-wins over the date-stamped merge timestamp makes the drain
+    * order-insensitive: whether the drain lands two dates in one
+    * micro-batch or several, a key's newest execution date wins, which
+    * is exactly where sequential daily runs converge. Blocks until the
+    * backlog is fully merged. */
+  def backfill(spark: SparkSession, dates: Seq[(String, String)],
+               lakePath: String, checkpoint: String): Unit = {
+    require(dates.nonEmpty, "backfill needs at least one (date, dir)")
+    val stamped = dates.map { case (date, pagedDir) =>
+      graft.ingest.RedditIngest.fromPagedStream(spark, pagedDir)
+        .withColumn("snapshot_ts", to_timestamp(lit(date), "yyyy-MM-dd"))
+    }
+    val q = graft.streaming.StreamingOps.upsertStreamPartitioned(
+      stamped.reduce(_ unionByName _), keyCol = "id",
+      sinkPath = lakePath, checkpoint = checkpoint,
+      tsCol = "snapshot_ts",
+      trigger =
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>")

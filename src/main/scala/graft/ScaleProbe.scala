@@ -158,6 +158,25 @@ object ScaleProbe {
           graft.queries.CurationQueries.containmentPairs(
             Tables.documents(spark, d).select("doc_id", "text"),
             dfCap = 20)),
+        // round 7: first-occurrence novelty over the full corpus WITH a
+        // planted ubiquitous shingle — every doc gets the same
+        // boilerplate prefix, so one 3-gram's df equals |corpus|. The
+        // r6-flagged shape windowed the raw shingle key and the planted
+        // key would own a corpus-sized single partition (one straggler
+        // task); the aggregate+join-back form must collapse it map-side,
+        // so the shuffle ratio tracks doc growth, never the hot key
+        "novelty_hot_full" -> ((d: String) =>
+          graft.queries.CurationQueries.noveltyByDoc(
+            Tables.documents(spark, d).select(col("doc_id"),
+              concat(lit("the common boilerplate prefix "), col("text"))
+                .as("text")))),
+        // round 7: cross-fold leakage audit over the full corpus —
+        // replica texts are identical, so every base doc becomes a
+        // mult-sized near-dup fingerprint family straddling folds: the
+        // fingerprint exchange must stay partial-aggregated
+        // (group-sized), not fan out with family size
+        "fold_leakage_full" -> ((d: String) =>
+          SparkEntry.queries("q137_fold_leakage")(spark, d)),
         // IVF over the FULL embeddings table: the assignment pass (the
         // part that scales with the corpus) must stay a broadcast join +
         // partial-agg argmax, probes a fixed query batch
