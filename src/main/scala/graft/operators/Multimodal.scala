@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * distributed shape a real decoder plugs into.
   *
   * The decode boundary is REAL for JDK-decodable formats: PPM (P6) and
-  * WAV (PCM s16le) parse header+payload with plain byte arithmetic, and
-  * PNG (8-bit RGB/grayscale, the most common image format a real corpus
-  * carries) decodes through `java.util.zip.Inflater` — zlib ships with
-  * the JDK, so no external codec is needed
-  * ([[decodePpm]]/[[decodeWav]]/[[decodePng]] — checked against
-  * checked-in fixture files end-to-end through `binaryFile` ingest).
-  * STUB BOUNDARY: only codecs whose libraries are absent from this
-  * container (JPEG/MP3/H.264) fall back to `decodeStub`'s deterministic
+  * WAV (PCM s16le) parse header+payload with plain byte arithmetic, PNG
+  * (8-bit RGB/grayscale) decodes through `java.util.zip.Inflater`, and
+  * JPEG — the most common image format a real corpus carries — through
+  * the JDK's own `javax.imageio` reader (java.desktop module); none of
+  * these needs an external codec library
+  * ([[decodePpm]]/[[decodeWav]]/[[decodePng]]/[[decodeJpeg]] — checked
+  * against checked-in fixture files end-to-end through `binaryFile`
+  * ingest). STUB BOUNDARY: only codecs absent from both the container
+  * and the JDK (MP3/H.264) fall back to `decodeStub`'s deterministic
   * fake features; swapping the stub for a JNI/codec call is a
   * one-function change and every Spark-side shape stays identical.
   */
@@ -185,6 +186,85 @@ object Multimodal {
     Some((AssetMeta(w.toInt, h.toInt, "png"), bpp))
   }
 
+  /** JPEG marker-walk header parse: `(meta(width, height, "jpeg"),
+    * componentCount)` from the first SOFn frame header. Header-only —
+    * SOF precedes the entropy-coded scan (SOS), so the walk costs
+    * O(header bytes), never touches compressed data. Every field is
+    * untrusted: segment lengths are bounds-checked against the payload
+    * (a lying length ends the parse as malformed, no wrap/hang), and
+    * dimensions are capped (JPEG's own ceiling is 65535; total pixels
+    * ≤ 2²⁴ so the decoder below cannot be tricked into a giant
+    * allocation by a hostile frame header). */
+  private[operators] def jpegHeader(
+      b: Array[Byte]): Option[(AssetMeta, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    // SOFn = C0..CF minus C4 (DHT), C8 (JPG extension), CC (DAC)
+    def isSof(m: Int) =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    var o = 2
+    while (o + 1 < b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val m = b(o + 1) & 0xff
+      if (m == 0xff) { o += 1 }                       // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { o += 2 } // standalone
+      else {
+        if (o + 4 > b.length) return None
+        val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        if (len < 2 || o + 2 + len > b.length) return None
+        if (isSof(m)) {
+          if (len < 8) return None
+          val h = ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff)
+          val w = ((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff)
+          val comps = b(o + 9) & 0xff
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+          return Some((AssetMeta(w, h, "jpeg"), comps))
+        }
+        if (m == 0xda) return None                    // SOS before any SOF
+        o += 2 + len
+      }
+    }
+    None
+  }
+
+  /** JPEG full decode via the JDK's built-in `javax.imageio` reader —
+    * java.desktop ships with the JDK, so like [[decodePng]]'s zlib this
+    * needs NO external codec library. [[jpegHeader]] gates the call:
+    * dimensions are validated and capped BEFORE ImageIO allocates the
+    * raster, so a hostile frame header cannot force a giant buffer, and
+    * the decoded image's dimensions must equal the header's (a reader
+    * that "repaired" a lying header is treated as malformed). Truncated
+    * or corrupt entropy data surfaces as an ImageIO exception or null →
+    * None, the same fallback contract as PPM/WAV/PNG. Output is
+    * per-pixel luminance in [-1, 1] (the shared convention, so image
+    * features stay format-independent). */
+  private[operators] def decodeJpeg(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    jpegHeader(b).flatMap { case (meta, _) =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth != meta.width ||
+          img.getHeight != meta.height) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Float](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / (3.0f * 255f)
+              lum(y * w + x) = s * 2.0f - 1.0f
+              x += 1
+            }
+            y += 1
+          }
+          Some((meta, lum))
+        }
+      } catch { case _: java.io.IOException | _: RuntimeException => None }
+    }
+
   /** Paeth predictor (PNG filter type 4): the neighbor (left, above,
     * upper-left) closest to a+b−c, ties resolved left → above →
     * upper-left per spec. */
@@ -330,7 +410,8 @@ object Multimodal {
   /** Dispatch: real parse for self-describing codec-free payloads,
     * deterministic stub otherwise. */
   private def decode(content: Array[Byte], dim: Int): Array[Float] =
-    decodePng(content).orElse(decodePpm(content)).orElse(decodeWav(content))
+    decodePng(content).orElse(decodeJpeg(content))
+      .orElse(decodePpm(content)).orElse(decodeWav(content))
       .map { case (_, signal) => segmentMeans(signal, dim) }
       .getOrElse(decodeStub(content, dim))
 
@@ -346,6 +427,7 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
       pngHeader(a.content).map(_._1)
+        .orElse(jpegHeader(a.content).map(_._1))
         .orElse(ppmHeader(a.content).map(_._1))
         .orElse(wavHeader(a.content).map(_._1)) match {
         case Some(meta) => a.copy(meta = meta)
@@ -354,9 +436,10 @@ object Multimodal {
     })
   }
 
-  /** ??? real decode for COMPRESSED codecs (JPEG/MP3/H.264) — requires
-    * codec libraries absent from this environment; PPM/WAV payloads take
-    * the real [[decodePpm]]/[[decodeWav]] path above. Deterministic
+  /** ??? real decode for the remaining COMPRESSED codecs (MP3/H.264) —
+    * requires codec libraries absent from both this container AND the
+    * JDK; image payloads take the real [[decodePng]]/[[decodeJpeg]]/
+    * [[decodePpm]] paths and WAV audio [[decodeWav]] above. Deterministic
     * stand-in: per-dimension rolling hash over the payload bytes, scaled
     * to [-1, 1]. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {

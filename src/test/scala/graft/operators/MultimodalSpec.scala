@@ -310,4 +310,69 @@ class MultimodalSpec extends AnyFunSuite {
       meta == Multimodal.AssetMeta(0, 1, "wav") && samples.isEmpty },
       s"zero-sample WAV must parse, got $empty")
   }
+
+  // ---- JPEG: JDK javax.imageio decode (java.desktop, no external codec) --
+
+  private def jpegFixture: Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(getClass.getResource("/media/fixture.jpg").toURI)
+        .getPath))
+
+  test("REAL decode: checked-in JPEG fixture through binaryFile ingest — " +
+      "true width/height from SOF, luminance via the JDK's own reader") {
+    // fixture.jpg: 32x8 quality-1.0 JPEG, left 16 columns white, right 16
+    // black. dim=16 segments = half a row each, so features alternate
+    // bright/dark; lossy-codec tolerance is loose but sign-separating
+    val assets = Multimodal.parseMeta(
+      Multimodal.readBinaryDir(spark, mediaDir, glob = "*.jpg"))
+    val a = assets.collect().head
+    assert(a.meta == Multimodal.AssetMeta(32, 8, "jpeg"),
+      s"parsed SOF must carry the REAL dimensions: ${a.meta}")
+    val f = Multimodal.extractFeaturesBatched(assets, dim = 16)
+      .collect().head.features
+    assert(f.zipWithIndex.forall { case (v, i) =>
+        if (i % 2 == 0) v > 0.7f else v < -0.7f },
+      s"JPEG segment luminance must alternate white/black halves: ${f.toSeq}")
+  }
+
+  test("hostile JPEG: truncated entropy data, lying SOF dims, garbage " +
+      "markers — all None, never crash or giant-allocate") {
+    val good = jpegFixture
+    assert(Multimodal.decodeJpeg(good).isDefined)
+    // truncated mid-scan: ImageIO's error (or partial null) becomes None
+    assert(Multimodal.decodeJpeg(good.dropRight(good.length / 3)).isEmpty,
+      "truncated stream must be malformed, not short-decoded")
+    // lying SOF dims: 2^15 x 2^15 against the tiny scan is rejected by
+    // the pixel cap BEFORE any raster allocation
+    def sofAt(b: Array[Byte]): Int = {
+      var o = 2
+      while (!((b(o) & 0xff) == 0xff && (b(o + 1) & 0xff) == 0xc0)) {
+        o += 2 + (((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff))
+      }
+      o
+    }
+    val lying = good.clone()
+    val sof = sofAt(lying)
+    lying(sof + 5) = 0x80.toByte; lying(sof + 6) = 0 // height := 32768
+    lying(sof + 7) = 0x80.toByte; lying(sof + 8) = 0 // width  := 32768
+    assert(Multimodal.jpegHeader(lying).isEmpty &&
+      Multimodal.decodeJpeg(lying).isEmpty,
+      "lying SOF dims must fail the pixel cap, never allocate")
+    // zero width is malformed, not a zero-length decode
+    val zeroW = good.clone()
+    zeroW(sofAt(zeroW) + 7) = 0; zeroW(sofAt(zeroW) + 8) = 0
+    assert(Multimodal.decodeJpeg(zeroW).isEmpty)
+    // SOI followed by a non-marker byte: malformed walk, None
+    assert(Multimodal.decodeJpeg(
+      Array(0xff, 0xd8, 0x12, 0x34).map(_.toByte)).isEmpty)
+    // a segment length pointing past the payload ends the walk as
+    // malformed (no wrap, no hang)
+    val overLen = good.take(sofAt(good) + 2) ++ Array(0x7f.toByte, 0xff.toByte)
+    assert(Multimodal.decodeJpeg(overLen).isEmpty)
+    // wrong magic entirely: the PNG fixture is not a JPEG
+    assert(Multimodal.decodeJpeg(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        new java.io.File(getClass.getResource("/media/fixture.png").toURI)
+          .getPath))).isEmpty)
+  }
 }
