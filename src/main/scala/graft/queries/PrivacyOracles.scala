@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.operators.Privacy
+
+/** DuckDB oracles for [[PrivacyQueries]]. The PII planting CTE mirrors
+  * `synthDocs` exactly; the regex patterns are interpolated from the
+  * SAME [[Privacy]] constants the Spark side compiles (single source of
+  * truth — a pattern edit cannot desynchronize the gate). DuckDB's
+  * `regexp_replace` needs the explicit 'g' flag to match Spark's
+  * replace-all; counts come from `len(regexp_extract_all(...))`. */
+object PrivacyOracles {
+
+  private val em = Privacy.EmailPattern
+  private val ip = Privacy.Ipv4Pattern
+  private val ph = Privacy.PhonePattern
+
+  private val synth =
+    s"""WITH synth AS (SELECT doc_id, source,
+       |  text
+       |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+       |       || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+       |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |     ELSE '' END AS text
+       |  FROM documents)""".stripMargin
+
+  // NOTE: `synth` is concatenated AFTER stripMargin, never interpolated
+  // into another stripMargin template — its `|| CASE` continuation lines
+  // begin with whitespace+`|`, which a second stripMargin would eat
+  // (turning SQL concat into bitwise-or).
+  private val q140 = synth + "\n" +
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '${Privacy.EmailToken}', 'g'),
+       |    '$ip', '${Privacy.IpToken}', 'g'),
+       |    '$ph', '${Privacy.PhoneToken}', 'g')) AS scrub_md5
+       |FROM synth ORDER BY doc_id""".stripMargin
+
+  private val q141 = synth + ",\n" +
+    s"""det AS (SELECT source,
+       |  len(regexp_extract_all(text, '$em')) AS n_email,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ip,
+       |  len(regexp_extract_all(text, '$ph')) AS n_phone
+       |FROM synth)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_email > 0 OR n_ip > 0 OR n_phone > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(sum(n_email) AS BIGINT) AS total_email,
+       |  CAST(sum(n_ip) AS BIGINT) AS total_ip,
+       |  CAST(sum(n_phone) AS BIGINT) AS total_phone
+       |FROM det GROUP BY source ORDER BY source""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q140_pii_scrub" -> q140,
+    "q141_pii_audit" -> q141)
+}
