@@ -78,9 +78,12 @@ object Daily {
     q.awaitTermination()
   }
 
+  /** CLI: the scheduled single-date run, or the missed-days drain —
+    * {{{
+    * graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>
+    * graft.Daily backfill <lakePath> <checkpointDir> <date>=<dir> [<date>=<dir> ...]
+    * }}} */
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>")
     // reuse a live session when embedded (tests, notebooks); only a
     // session this main created gets stopped on exit
     val pre = SparkSession.getActiveSession
@@ -95,9 +98,25 @@ object Daily {
       s.sparkContext.setLogLevel("WARN")
       s
     }
-    try {
-      val n = run(spark, args(0), args(1), args(2))
-      println(s"""{"task":"daily","date":"${args(0)}","rows":$n}""")
+    try args.toList match {
+      case "backfill" :: lakePath :: checkpoint :: specs if specs.nonEmpty =>
+        val dates = specs.map { sp =>
+          sp.split("=", 2) match {
+            case Array(date, dir) if date.nonEmpty && dir.nonEmpty =>
+              date -> dir
+            case _ => throw new IllegalArgumentException(
+              s"bad backfill spec '$sp' (want date=dir)")
+          }
+        }
+        backfill(spark, dates, lakePath, checkpoint)
+        println(s"""{"task":"backfill","dates":${dates.size}}""")
+      case date :: pagedDir :: lakePath :: Nil if date != "backfill" =>
+        val n = run(spark, date, pagedDir, lakePath)
+        println(s"""{"task":"daily","date":"$date","rows":$n}""")
+      case _ => throw new IllegalArgumentException(
+        "usage: graft.Daily <yyyy-MM-dd> <pagedLandingDir> <lakePath>\n" +
+          "     | graft.Daily backfill <lakePath> <checkpointDir> " +
+          "<date>=<dir> [<date>=<dir> ...]")
     } finally if (pre.isEmpty) spark.stop()
   }
 }

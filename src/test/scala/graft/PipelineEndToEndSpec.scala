@@ -222,5 +222,17 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(state(bfLake) == state(seqLake),
       "one AvailableNow drain must leave the lake byte-identical to " +
         "sequential Daily.run calls (same merge code path)")
+
+    // the CLI verb drives the same drain (orchestrators shell out)
+    val cliLake = Files.createTempDirectory("graft_bf_cli").toString + "/posts"
+    val cliCkpt = Files.createTempDirectory("graft_bf_cckpt").toString
+    Daily.main(Array("backfill", cliLake, cliCkpt,
+      s"2024-03-09=$land1", s"2024-03-10=$land2"))
+    assert(state(cliLake) == state(seqLake),
+      "CLI backfill verb must produce the same lake")
+    intercept[IllegalArgumentException] {
+      Daily.main(Array("backfill", cliLake, cliCkpt, "no-equals-sign"))
+    }
+    intercept[IllegalArgumentException] { Daily.main(Array("backfill")) }
   }
 }
