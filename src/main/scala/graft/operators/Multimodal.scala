@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
   * The decode boundary is REAL for JDK-decodable formats: PPM (P6) and
   * WAV (PCM s16le) parse header+payload with plain byte arithmetic, PNG
   * (8-bit RGB/grayscale) decodes through `java.util.zip.Inflater`, and
-  * JPEG — the most common image format a real corpus carries — through
-  * the JDK's own `javax.imageio` reader (java.desktop module); none of
-  * these needs an external codec library
-  * ([[decodePpm]]/[[decodeWav]]/[[decodePng]]/[[decodeJpeg]] — checked
-  * against checked-in fixture files end-to-end through `binaryFile`
-  * ingest). STUB BOUNDARY: only codecs absent from both the container
-  * and the JDK (MP3/H.264) fall back to `decodeStub`'s deterministic
-  * fake features; swapping the stub for a JNI/codec call is a
-  * one-function change and every Spark-side shape stays identical.
+  * JPEG/GIF/BMP — JPEG being the most common image format a real corpus
+  * carries — through the JDK's own `javax.imageio` readers
+  * (java.desktop module); none of these needs an external codec library
+  * ([[decodePpm]]/[[decodeWav]]/[[decodePng]]/[[decodeJpeg]]/
+  * [[decodeGif]]/[[decodeBmp]] — checked against checked-in fixture
+  * files end-to-end through `binaryFile` ingest). STUB BOUNDARY: only
+  * codecs absent from both the container and the JDK (MP3/H.264) fall
+  * back to `decodeStub`'s deterministic fake features; swapping the
+  * stub for a JNI/codec call is a one-function change and every
+  * Spark-side shape stays identical.
   */
 object Multimodal {
 
@@ -227,43 +228,88 @@ object Multimodal {
     None
   }
 
-  /** JPEG full decode via the JDK's built-in `javax.imageio` reader —
-    * java.desktop ships with the JDK, so like [[decodePng]]'s zlib this
-    * needs NO external codec library. [[jpegHeader]] gates the call:
+  /** Shared `javax.imageio` decode tail for compressed image formats
+    * the JDK itself can read (JPEG/GIF/BMP — java.desktop ships with
+    * the JDK, so like [[decodePng]]'s zlib this needs NO external
+    * codec library). A format-specific header parse gates the call:
     * dimensions are validated and capped BEFORE ImageIO allocates the
-    * raster, so a hostile frame header cannot force a giant buffer, and
-    * the decoded image's dimensions must equal the header's (a reader
-    * that "repaired" a lying header is treated as malformed). Truncated
-    * or corrupt entropy data surfaces as an ImageIO exception or null →
-    * None, the same fallback contract as PPM/WAV/PNG. Output is
-    * per-pixel luminance in [-1, 1] (the shared convention, so image
-    * features stay format-independent). */
+    * raster, so a hostile header cannot force a giant buffer, and the
+    * decoded image's dimensions must equal the header's (a reader that
+    * "repaired" a lying header is treated as malformed). Truncated or
+    * corrupt payload surfaces as an ImageIO exception or null → None,
+    * the same fallback contract as PPM/WAV/PNG. Output is per-pixel
+    * luminance in [-1, 1] (the shared convention, so image features
+    * stay format-independent). Animated GIFs decode as their FIRST
+    * frame (the thumbnail contract). */
+  private def imageIoDecode(b: Array[Byte],
+                            meta: AssetMeta): Option[(AssetMeta, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth != meta.width ||
+        img.getHeight != meta.height) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lum = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / (3.0f * 255f)
+            lum(y * w + x) = s * 2.0f - 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        Some((meta, lum))
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** JPEG full decode: [[jpegHeader]]-gated [[imageIoDecode]]. */
   private[operators] def decodeJpeg(
       b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
-    jpegHeader(b).flatMap { case (meta, _) =>
-      try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        if (img == null || img.getWidth != meta.width ||
-          img.getHeight != meta.height) None
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val lum = new Array[Float](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                (rgb & 0xff)) / (3.0f * 255f)
-              lum(y * w + x) = s * 2.0f - 1.0f
-              x += 1
-            }
-            y += 1
-          }
-          Some((meta, lum))
-        }
-      } catch { case _: java.io.IOException | _: RuntimeException => None }
-    }
+    jpegHeader(b).flatMap { case (meta, _) => imageIoDecode(b, meta) }
+
+  /** GIF signature + logical-screen-descriptor parse: 6-byte magic
+    * (`GIF87a`/`GIF89a`), then u16-LE canvas width/height. Header-only;
+    * dimensions capped like [[jpegHeader]]. */
+  private[operators] def gifHeader(b: Array[Byte]): Option[AssetMeta] = {
+    if (b.length < 10) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) None
+    else Some(AssetMeta(w, h, "gif"))
+  }
+
+  /** GIF full decode (first frame): [[gifHeader]]-gated
+    * [[imageIoDecode]]. */
+  private[operators] def decodeGif(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    gifHeader(b).flatMap(imageIoDecode(b, _))
+
+  /** BMP signature + DIB-header parse: `BM`, u32-LE DIB header size at
+    * offset 14 (≥ 40 = BITMAPINFOHEADER family), i32-LE width/height at
+    * 18/22 (negative height = top-down row order; the magnitude is the
+    * pixel height, which is what ImageIO reports back). Header-only;
+    * dimensions capped like [[jpegHeader]]. */
+  private[operators] def bmpHeader(b: Array[Byte]): Option[AssetMeta] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (i32(14) < 40) return None // BITMAPCOREHEADER not supported
+    val w = i32(18)
+    val h = math.abs(i32(22).toLong)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) None
+    else Some(AssetMeta(w, h.toInt, "bmp"))
+  }
+
+  /** BMP full decode: [[bmpHeader]]-gated [[imageIoDecode]]. */
+  private[operators] def decodeBmp(
+      b: Array[Byte]): Option[(AssetMeta, Array[Float])] =
+    bmpHeader(b).flatMap(imageIoDecode(b, _))
 
   /** Paeth predictor (PNG filter type 4): the neighbor (left, above,
     * upper-left) closest to a+b−c, ties resolved left → above →
@@ -411,6 +457,7 @@ object Multimodal {
     * deterministic stub otherwise. */
   private def decode(content: Array[Byte], dim: Int): Array[Float] =
     decodePng(content).orElse(decodeJpeg(content))
+      .orElse(decodeGif(content)).orElse(decodeBmp(content))
       .orElse(decodePpm(content)).orElse(decodeWav(content))
       .map { case (_, signal) => segmentMeans(signal, dim) }
       .getOrElse(decodeStub(content, dim))
@@ -428,6 +475,8 @@ object Multimodal {
     assets.mapPartitions(_.map { a =>
       pngHeader(a.content).map(_._1)
         .orElse(jpegHeader(a.content).map(_._1))
+        .orElse(gifHeader(a.content))
+        .orElse(bmpHeader(a.content))
         .orElse(ppmHeader(a.content).map(_._1))
         .orElse(wavHeader(a.content).map(_._1)) match {
         case Some(meta) => a.copy(meta = meta)
