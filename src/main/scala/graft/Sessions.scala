@@ -12,9 +12,14 @@ object Sessions {
   /** Confs every graft session needs:
     *  - UTC so timestamp math matches the naive-UTC oracle;
     *  - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (events.ts)
-    *    read as raw longs for [[Tables.events]] to convert.
+    *    read as raw longs for [[Tables.events]] to convert;
+    *  - `escapedStringLiterals` so SQL string literals keep backslashes
+    *    verbatim (Hive/DuckDB behavior) — regex patterns like `\b`/`\d`
+    *    in the shared-dialect oracle strings ([[SqlCompat]]) would
+    *    otherwise be eaten by Spark's nonstandard escape processing.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parser.escapedStringLiterals", "true")
 }

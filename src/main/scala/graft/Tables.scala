@@ -61,8 +61,10 @@ object Tables {
     * loaders, because a temp view IS the loader's logical plan, not a
     * materialization. Idempotent (createOrReplace), so re-pointing a
     * session at a different scale dir is one call. */
-  def registerViews(s: SparkSession, sfDir: String): Unit =
+  def registerViews(s: SparkSession, sfDir: String): Unit = {
+    SqlCompat.register(s)
     all.foreach { case (name, load) =>
       load(s, sfDir).createOrReplaceTempView(name)
     }
+  }
 }

@@ -17,6 +17,30 @@ package object graftbridge {
   def isConfSet(spark: SparkSession, key: String): Boolean =
     spark.sessionState.conf.getAllConfs.contains(key)
 
+  /** Register a session-scoped SQL function backed by a native Catalyst
+    * expression builder (the same mechanism Spark's own builtins use —
+    * full codegen, no UDF serialization). Session registry entries shadow
+    * builtins of the same name, which [[graft.SqlCompat]] exploits for
+    * arity-dispatching overrides (`datediff`, `regexp_replace`). */
+  def registerSqlFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new catalyst.expressions.ExpressionInfo("graft.SqlCompat", name),
+      builder)
+  }
+
+  /** The builtin builder for `name`, for compat overrides that delegate
+    * non-compat arities back to Spark's own implementation. */
+  def builtinSqlBuilder(name: String): Seq[Expression] => Expression = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    FunctionRegistry.builtin
+      .lookupFunctionBuilder(FunctionIdentifier(name))
+      .getOrElse(throw new IllegalArgumentException(s"no builtin $name"))
+  }
+
   /** Release the storage blocks behind a `localCheckpoint`-ed Dataset.
     * `Dataset.unpersist` canNOT do this: it talks to the CacheManager
     * (`.cache()` entries), while a local checkpoint persists its RDD

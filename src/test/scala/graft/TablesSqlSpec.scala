@@ -60,7 +60,7 @@ class TablesSqlSpec extends AnyFunSuite {
     }
     info(s"Spark-runnable oracle SQL: $runnable/" +
       s"${SparkEntry.oracleSql.size}; dialect-bound: " +
-      s"${unrunnable.size} (${unrunnable.take(20).mkString(", ")}…)")
+      s"${unrunnable.size} (${unrunnable.mkString(", ")})")
     assert(mismatches.isEmpty,
       s"runnable oracle SQL must match the DataFrame face: $mismatches")
     // the measured dual-face coverage — a drop below this means either
