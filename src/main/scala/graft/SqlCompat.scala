@@ -76,6 +76,7 @@ object SqlCompat {
     "json_keys" -> { c => JsonObjectKeys(c(0)) },
     "len" -> { c => Size(c(0)) },
     "list" -> { c => CollectList(c(0)) },
+    "list_concat" -> { c => Concat(c) },
     "list_contains" -> { c => ArrayContains(c(0), c(1)) },
     "list_distinct" -> { c => ArrayDistinct(c(0)) },
     "list_dot_product" -> { c =>

@@ -13,10 +13,10 @@ object BatchingOracles {
     "len(list_filter(string_split(trim(text), ' '), x -> x <> ''))"
 
   private def hkey(salt: String) =
-    s"md5('$salt:' || CAST(doc_id AS VARCHAR))"
+    s"md5('$salt:' || CAST(doc_id AS STRING))"
 
   private def nib(salt: String, i: Int) =
-    s"(instr('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)),$i,1)) - 1)"
+    s"(instr('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS STRING)),$i,1)) - 1)"
 
   private val q127 =
     s"""WITH t AS (SELECT doc_id, lang, $nToks AS nt, ${hkey("pack")} AS h
@@ -137,7 +137,7 @@ object BatchingOracles {
        |    CAST(floor(CAST(sq AS DOUBLE) * 200 / sqt) AS BIGINT) AS target
        |  FROM c, t),
        |r AS (SELECT source, row_number() OVER (PARTITION BY source
-       |    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |    ORDER BY md5('mix:' || CAST(doc_id AS STRING)), doc_id) AS rn
        |  FROM documents),
        |k AS (SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept
        |  FROM r JOIN tg ON r.source = tg.source WHERE rn <= target

@@ -208,7 +208,7 @@ object CoreOracles {
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
         |  CAST(day(o_orderdate) AS BIGINT) AS dom,
         |  date_trunc('month', o_orderdate) AS month_start,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS od_str
+        |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS od_str
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
 
     "q32_math_funcs" ->
@@ -233,15 +233,15 @@ object CoreOracles {
     "q34_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
-        |  CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS qty_str,
-        |  CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+        |  CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING) AS qty_str,
+        |  CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS STRING) AS price_str,
         |  l_returnflag = 'R' AS is_return
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     "q35_array_ops" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |  round(CAST(list_extract(embedding, 1) AS DOUBLE), 4) AS e1,
         |  label
         |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
 
@@ -291,7 +291,7 @@ object CoreOracles {
 
     "q43_similarity" ->
       """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |pairs AS (
         |  SELECT p.vec_id AS probe, c.vec_id AS cand,
         |    round(list_dot_product(p.v, c.v) /
@@ -340,7 +340,7 @@ object CoreOracles {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q66_string_agg" ->
-      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 

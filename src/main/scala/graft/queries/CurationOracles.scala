@@ -18,15 +18,21 @@ object CurationOracles {
     s"""t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
        |  FROM documents $pred)""".stripMargin
 
-  /** Shared CTE: distinct word 3-gram shingles (requires t). */
+  /** Shared CTE: distinct word 3-gram shingles (requires t). Two-step
+    * (unnest-in-SELECT positions + 1-based list_extract) so the text
+    * parses on both engines — Spark has no lateral `unnest(...) AS u(i)`. */
   private val shCte =
-    """sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-      |  FROM t, unnest(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3)""".stripMargin
+    """shix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2) AS s
+      |  FROM shix)""".stripMargin
 
   /** Shared CTE fragment: per-doc token positions (requires t). */
   private val posCte =
-    """p AS (SELECT doc_id, u.i AS pos, toks[i] AS tok
-      |  FROM t, unnest(range(1, len(toks)+1)) AS u(i) WHERE len(toks) >= 2)""".stripMargin
+    """pix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+      |  FROM t WHERE len(toks) >= 2),
+      |p AS (SELECT doc_id, i AS pos, list_extract(toks, i) AS tok FROM pix)""".stripMargin
 
   private val q106 =
     """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -163,8 +169,9 @@ object CurationOracles {
   private val q114 =
     s"""WITH ${toksCte("")},
        |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-       |p AS (SELECT doc_id, u.i AS pos, toks[i] AS tok
-       |  FROM t2, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |pix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |  FROM t2),
+       |p AS (SELECT doc_id, i AS pos, list_extract(toks, i) AS tok FROM pix),
        |uni AS (SELECT tok, count(*) AS c1 FROM p GROUP BY tok),
        |bg AS (SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS c2
        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
@@ -285,7 +292,7 @@ object CurationOracles {
     s"""WITH ${toksCte("")},
        |base AS (SELECT doc_id, len(toks) AS n_tok,
        |    len(list_distinct(toks)) AS nd,
-       |    len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS n_stop
+       |    len(list_filter(toks, x -> list_contains(list_value('the','a','of','to','and','in','is'), x))) AS n_stop
        |  FROM t WHERE len(toks) >= 1),
        |$posCte,
        |bgc AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS n
@@ -326,8 +333,8 @@ object CurationOracles {
        |$shCte,
        |first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-       |  CAST(count(*) FILTER (first_doc = sh.doc_id) AS BIGINT) AS n_first,
-       |  floor(count(*) FILTER (first_doc = sh.doc_id) * 10000.0 /
+       |  CAST(count(*) FILTER (WHERE first_doc = sh.doc_id) AS BIGINT) AS n_first,
+       |  floor(count(*) FILTER (WHERE first_doc = sh.doc_id) * 10000.0 /
        |    count(*)) / 10000.0 AS novelty
        |FROM sh JOIN first USING (s)
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin

@@ -41,16 +41,18 @@ object ExtendedOracles {
     """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
       |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
       |act AS (SELECT DISTINCT e.user_id, f.cohort_day,
-      |    CAST(datediff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset
+      |    CAST((epoch_us(CAST(e.day AS TIMESTAMP))
+      |      - epoch_us(CAST(f.cohort_day AS TIMESTAMP))) / 86400000000 AS BIGINT) AS day_offset
       |  FROM e JOIN f ON e.user_id = f.user_id)
-      |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
       |FROM act GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset LIMIT 100""".stripMargin
 
   private val q81 =
     """SELECT o_custkey, o_orderkey,
       |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-      |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    ORDER BY CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 86400000000 AS BIGINT)
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -72,7 +74,7 @@ object ExtendedOracles {
   private val q84 =
     """SELECT event_id,
       |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_num,
-      |  array_to_string(regexp_extract_all(props, '\d+'), ',') AS all_nums
+      |  array_to_string(regexp_extract_all(props, '\d+', 0), ',') AS all_nums
       |FROM events ORDER BY event_id LIMIT 200""".stripMargin
 
   private val q85 =
@@ -82,25 +84,28 @@ object ExtendedOracles {
       |SELECT doc_id,
       |  CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
-      |  list_sort(list_transform(toks, x -> upper(x)))[1] AS first_upper,
+      |  list_extract(list_sort(list_transform(toks, x -> upper(x))), 1) AS first_upper,
       |  list_contains(toks, 'the') AS has_the
       |FROM t ORDER BY doc_id""".stripMargin
 
   private val q86 =
     """WITH t AS (SELECT doc_id,
       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-      |  FROM documents WHERE doc_id < 20)
-      |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[i] AS tok
-      |FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-      |ORDER BY doc_id, pos""".stripMargin
+      |  FROM documents WHERE doc_id < 20),
+      |ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+      |  FROM t WHERE len(toks) >= 1)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, list_extract(toks, i) AS tok
+      |FROM ix ORDER BY doc_id, pos""".stripMargin
 
   private val q87 =
     """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
-      |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |sp AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+      |spine AS (SELECT CAST(d AS DATE) AS day FROM sp),
       |types AS (SELECT DISTINCT event_type FROM e),
       |actual AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2)
-      |SELECT s.day, t.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+      |SELECT CAST(s.day AS TIMESTAMP) AS day, t.event_type,
+      |  CAST(coalesce(a.n, 0) AS BIGINT) AS n
       |FROM spine s CROSS JOIN types t
       |LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
       |ORDER BY s.day, t.event_type""".stripMargin
@@ -152,7 +157,7 @@ object ExtendedOracles {
       |  split_part(p_type, ' ', 1) AS type_head,
       |  CAST(levenshtein(p_brand, split_part(p_type, ' ', 1)) AS BIGINT) AS lev,
       |  reverse(p_brand) AS brand_rev,
-      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
       |  repeat('*', p_size % 5) AS stars,
       |  translate(p_brand, '#', '-') AS brand_tr
       |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin
@@ -187,26 +192,37 @@ object ExtendedOracles {
       |FROM s WHERE nxt - k > 1
       |ORDER BY gap_start LIMIT 100""".stripMargin
 
+  // ids16 = the first 16 position-ordered ids, assembled engine-portably:
+  // one max(CASE) per position (unique per (doc,pos)) packed into a list,
+  // trailing NULLs filtered — no ORDER BY-inside-aggregate dialect needed
+  private val idsAt16 = (1 to 16)
+    .map(p => s"max(CASE WHEN pos = $p THEN id END)").mkString(", ")
+
   private val q96 =
-    """WITH t AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-      |  FROM documents WHERE doc_id < 50),
-      |tok AS (SELECT doc_id, u.i AS pos, toks[i] AS token
-      |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)),
-      |vocab AS (SELECT token,
-      |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
-      |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
-      |  GROUP BY token),
-      |enc AS (SELECT tok.doc_id, list(coalesce(v.tok_id, 0) ORDER BY tok.pos) AS ids
-      |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
-      |  GROUP BY tok.doc_id)
-      |-- row-complete: token-less docs keep a (0, '') row, mirroring the
-      |-- operator's empty-ids re-attachment
-      |SELECT t.doc_id,
-      |  CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
-      |  coalesce(array_to_string(e.ids[1:least(len(e.ids),16)], ','), '') AS ids16
-      |FROM t LEFT JOIN enc e ON t.doc_id = e.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |tix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |  FROM t WHERE len(toks) >= 1),
+       |tok AS (SELECT doc_id, i AS pos, list_extract(toks, i) AS token FROM tix),
+       |vocab AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT doc_id, token FROM
+       |    (SELECT doc_id, unnest(toks) AS token FROM t))
+       |  GROUP BY token),
+       |joined AS (SELECT tok.doc_id, tok.pos, coalesce(v.tok_id, 0) AS id
+       |  FROM tok LEFT JOIN vocab v ON tok.token = v.token),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_filter(list_value($idsAt16),
+       |    x -> x IS NOT NULL), ',') AS ids16
+       |  FROM joined GROUP BY doc_id)
+       |-- row-complete: token-less docs keep a (0, '') row, mirroring the
+       |-- operator's empty-ids re-attachment
+       |SELECT t.doc_id,
+       |  CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(e.ids16, '') AS ids16
+       |FROM t LEFT JOIN enc e ON t.doc_id = e.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   // q64's oracle verbatim — q97 is the distributed rewrite of the same
   // exact contract, and must hash-match it
@@ -244,27 +260,33 @@ object ExtendedOracles {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private val q101 =
-    """WITH tr AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-      |  FROM documents WHERE doc_id < 50),
-      |vocab AS (SELECT token,
-      |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
-      |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tr)
-      |  GROUP BY token),
-      |te AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-      |  FROM documents WHERE doc_id BETWEEN 50 AND 99),
-      |tok AS (SELECT doc_id, u.i AS pos, toks[i] AS token
-      |  FROM te, unnest(range(1, len(toks)+1)) AS u(i)),
-      |enc AS (SELECT tok.doc_id, list(coalesce(v.tok_id, 0) ORDER BY tok.pos) AS ids
-      |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
-      |  GROUP BY tok.doc_id)
-      |SELECT te.doc_id,
-      |  CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
-      |  CAST(coalesce(len(list_filter(e.ids, x -> x = 0)), 0) AS BIGINT) AS n_unk,
-      |  coalesce(array_to_string(e.ids[1:least(len(e.ids),16)], ','), '') AS ids16
-      |FROM te LEFT JOIN enc e ON te.doc_id = e.doc_id
-      |ORDER BY te.doc_id""".stripMargin
+    s"""WITH tr AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |vocab AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT doc_id, token FROM
+       |    (SELECT doc_id, unnest(toks) AS token FROM tr))
+       |  GROUP BY token),
+       |te AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id BETWEEN 50 AND 99),
+       |tix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |  FROM te WHERE len(toks) >= 1),
+       |tok AS (SELECT doc_id, i AS pos, list_extract(toks, i) AS token FROM tix),
+       |joined AS (SELECT tok.doc_id, tok.pos, coalesce(v.tok_id, 0) AS id
+       |  FROM tok LEFT JOIN vocab v ON tok.token = v.token),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN id = 0 THEN 1 END) AS BIGINT) AS n_unk,
+       |  array_to_string(list_filter(list_value($idsAt16),
+       |    x -> x IS NOT NULL), ',') AS ids16
+       |  FROM joined GROUP BY doc_id)
+       |SELECT te.doc_id,
+       |  CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(e.n_unk, 0) AS BIGINT) AS n_unk,
+       |  coalesce(e.ids16, '') AS ids16
+       |FROM te LEFT JOIN enc e ON te.doc_id = e.doc_id
+       |ORDER BY te.doc_id""".stripMargin
 
   private val q102 =
     """SELECT event_type,
@@ -290,9 +312,11 @@ object ExtendedOracles {
        |t AS (SELECT side, doc_id,
        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
        |  FROM corp),
+       |shix AS (SELECT side, doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |  FROM t WHERE len(toks) >= 3),
        |sh AS (SELECT DISTINCT side, doc_id,
-       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-       |  FROM t, unnest(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3),
+       |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2) AS s
+       |  FROM shix),
        |m AS (SELECT side, doc_id, $mins FROM sh GROUP BY 1, 2),
        |bk AS ($bandsU),
        |vsx AS (SELECT DISTINCT bi.doc_id
@@ -323,7 +347,7 @@ object ExtendedOracles {
   private val q104 =
     """WITH r AS (SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY lang
-      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
       |  FROM documents WHERE lang IN ('en', 'de', 'fr'))
       |SELECT doc_id, lang FROM r
       |WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
@@ -331,7 +355,7 @@ object ExtendedOracles {
 
   private val q105 = {
     def nib(i: Int) =
-      s"(instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)),$i,1)) - 1)"
+      s"(instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS STRING)),$i,1)) - 1)"
     s"""SELECT doc_id, source FROM documents
        |WHERE source IN ('src0', 'src1', 'src2')
        |  AND (${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) / 65536.0

@@ -10,10 +10,16 @@ object PipelineOracles {
     s"""t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
        |  FROM documents $pred)""".stripMargin
 
-  /** Shared CTE: distinct word 3-gram shingles (requires t). */
+  /** Shared CTE: distinct word 3-gram shingles (requires t). Two-step
+    * (positions via unnest-in-SELECT, then 1-based list_extract) so the
+    * same text parses on both engines — Spark has no lateral
+    * `unnest(...) AS u(i)` table alias. */
   private val shCte =
-    """sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-      |  FROM t, unnest(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3)""".stripMargin
+    """shix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2) AS s
+      |  FROM shix)""".stripMargin
 
   private val q46 = {
     val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
@@ -40,13 +46,14 @@ object PipelineOracles {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
     val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
     val bitSums = (0 until 16)
-      .map(b => s"sum(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .map(b => s"sum(CASE WHEN (hv & ${1 << b}) <> 0 THEN 1 ELSE -1 END) AS s$b")
       .mkString(", ")
     val sig = (0 until 16)
       .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""WITH ${toksCte("WHERE doc_id < 100")},
-       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |tok AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(toks) AS tok FROM t)),
        |h AS (SELECT doc_id, $hv AS hv FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
@@ -59,7 +66,7 @@ object PipelineOracles {
     cosSql.replace("%A", a).replace("%B", b)
 
   private val q49 =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings WHERE vec_id < 100)
        |SELECT x.vec_id AS a, y.vec_id AS b,
        |  round(${cos("x.v", "y.v")}, 4) AS sim
@@ -70,7 +77,7 @@ object PipelineOracles {
     s"""WITH ${toksCte("")},
        |f AS (SELECT t.doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tok,
-       |  len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS n_stop,
+       |  len(list_filter(toks, x -> list_contains(list_value('the','a','of','to','and','in','is'), x))) AS n_stop,
        |  d.lang
        |  FROM t JOIN documents d ON d.doc_id = t.doc_id)
        |SELECT doc_id, n_tok, round(n_stop / n_tok, 4) AS stop_ratio, lang,
@@ -95,7 +102,7 @@ object PipelineOracles {
   private val q52 =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS re_tokens,
       |  CAST(length(replace(trim(text), ' ', '')) AS BIGINT) AS n_char,
       |  CAST(ceil(length(replace(trim(text), ' ', '')) / 4.0) AS BIGINT) AS bpe_est
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
@@ -111,9 +118,9 @@ object PipelineOracles {
 
   private val q54 = {
     val bucket = Seq(1, 17, 33, 49)
-      .map(i => s"(CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
+      .map(i => s"(CASE WHEN CAST(list_extract(embedding, $i) AS DOUBLE) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |  $bucket AS bucket FROM embeddings),
        |pairs AS (
        |  SELECT p.vec_id AS probe, p.bucket AS bucket, c.vec_id AS cand,
@@ -161,16 +168,19 @@ object PipelineOracles {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5(tok),$i,1)) - 1)"
     val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
     val bitSums = (0 until 16)
-      .map(b => s"sum(CASE WHEN (hv // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .map(b => s"sum(CASE WHEN (hv & ${1 << b}) <> 0 THEN 1 ELSE -1 END) AS s$b")
       .mkString(", ")
     val sig = (0 until 16)
       .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
+    // band key only discriminates equality — the masked nibble (sg & mask)
+    // partitions identically to (sg // div) % 16 and shares both dialects
     val bands = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, (sg // ${1L << (4 * b)}) % 16 AS key FROM sig")
+      .map(b => s"SELECT doc_id, $b AS band, (sg & ${15L << (4 * b)}) AS key FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH ${toksCte("WHERE doc_id < 200")},
-       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |tok AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(toks) AS tok FROM t)),
        |h AS (SELECT doc_id, $hv AS hv FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sg FROM bits),
@@ -187,11 +197,11 @@ object PipelineOracles {
 
   private val q60 = {
     def key(dims: Seq[Int]) = dims
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .map(i => s"(CASE WHEN list_extract(embedding, $i) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
     val k0 = key(Seq(1, 9, 17, 25, 33, 41, 49, 57))
     val k1 = key(Seq(5, 13, 21, 29, 37, 45, 53, 61))
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |  $k0 AS k0, $k1 AS k1 FROM embeddings),
        |bk AS (SELECT vec_id, 0 AS band, k0 AS key FROM e
        |  UNION ALL SELECT vec_id, 1, k1 FROM e),
@@ -207,12 +217,14 @@ object PipelineOracles {
 
   private val q71 =
     s"""WITH ${toksCte("WHERE doc_id < 100")},
-       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |cix AS (SELECT doc_id, toks, n,
+       |  unnest(generate_series(0, greatest(CAST(ceil((n - 5) / 15.0) AS BIGINT), 1) - 1)) AS i
+       |  FROM f)
        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-       |  array_to_string(toks[CAST(i AS INT)*15+1 : CAST(i AS INT)*15+20], ' ') AS chunk_text,
+       |  array_to_string(array_slice(toks, CAST(i AS INT)*15+1, CAST(i AS INT)*15+20), ' ') AS chunk_text,
        |  CAST(n AS BIGINT) AS n_tokens
-       |FROM f, unnest(range(0, greatest(CAST(ceil((n - 5) / 15.0) AS BIGINT), 1))) AS u(i)
-       |ORDER BY doc_id, chunk_idx""".stripMargin
+       |FROM cix ORDER BY doc_id, chunk_idx""".stripMargin
 
   private val q72 =
     """SELECT doc_id,
@@ -223,7 +235,7 @@ object PipelineOracles {
   private val q73 =
     s"""WITH ${toksCte("WHERE doc_id < 300")},
        |k AS (SELECT doc_id,
-       |  list_filter(toks, x -> NOT list_contains(['the','a','of','to','and','in','is'], x)) AS kept
+       |  list_filter(toks, x -> NOT list_contains(list_value('the','a','of','to','and','in','is'), x)) AS kept
        |  FROM t)
        |SELECT doc_id, array_to_string(kept, ' ') AS text,
        |  CAST(len(kept) AS BIGINT) AS n_kept
@@ -237,8 +249,8 @@ object PipelineOracles {
 
   private val q75 =
     """WITH s AS (SELECT doc_id,
-      |  CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 12 THEN 'train'
-      |       WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 14 THEN 'val'
+      |  CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 <= 12 THEN 'train'
+      |       WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 <= 14 THEN 'val'
       |       ELSE 'test' END AS split
       |  FROM documents)
       |SELECT split, CAST(count(*) AS BIGINT) AS n,

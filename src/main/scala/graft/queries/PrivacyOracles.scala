@@ -18,12 +18,12 @@ object PrivacyOracles {
     s"""WITH synth AS (SELECT doc_id, source,
        |  text
        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
-       |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |       || CAST(doc_id AS STRING) || '@example.com' ELSE '' END
        |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
-       |       || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END
+       |       || CAST(doc_id % 200 AS STRING) || '.0.1' ELSE '' END
        |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
-       |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-       |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'
+       |       || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
        |     ELSE '' END AS text
        |  FROM documents)""".stripMargin
 
@@ -33,9 +33,9 @@ object PrivacyOracles {
   // (turning SQL concat into bitwise-or).
   private val q140 = synth + "\n" +
     s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
-       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$em', 0)) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ip', 0)) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$ph', 0)) AS BIGINT) AS n_phone,
        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
        |    '$em', '${Privacy.EmailToken}', 'g'),
        |    '$ip', '${Privacy.IpToken}', 'g'),
@@ -44,9 +44,9 @@ object PrivacyOracles {
 
   private val q141 = synth + ",\n" +
     s"""det AS (SELECT source,
-       |  len(regexp_extract_all(text, '$em')) AS n_email,
-       |  len(regexp_extract_all(text, '$ip')) AS n_ip,
-       |  len(regexp_extract_all(text, '$ph')) AS n_phone
+       |  len(regexp_extract_all(text, '$em', 0)) AS n_email,
+       |  len(regexp_extract_all(text, '$ip', 0)) AS n_ip,
+       |  len(regexp_extract_all(text, '$ph', 0)) AS n_phone
        |FROM synth)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN n_email > 0 OR n_ip > 0 OR n_phone > 0

@@ -65,8 +65,12 @@ class TablesSqlSpec extends AnyFunSuite {
       s"runnable oracle SQL must match the DataFrame face: $mismatches")
     // the measured dual-face coverage — a drop below this means either
     // new queries shipped DuckDB-only SQL that could have been portable,
-    // or a dialect regression crept into existing strings
-    assert(runnable >= 60,
+    // or a dialect regression crept into existing strings. Round 8 raised
+    // coverage to 137/141 via SqlCompat + shared-dialect rewrites; the
+    // remaining 4 are structurally Spark-unparseable (DuckDB ASOF JOIN
+    // ×2, a RECURSIVE CTE with UNION-fixpoint semantics) or blocked on
+    // a genuinely divergent builtin — floor pinned just below measured.
+    assert(runnable >= 135,
       s"Spark-runnable oracle coverage regressed: $runnable")
   }
 
