@@ -160,6 +160,221 @@ object Multimodal {
       (meta, out)
     }
 
+  /** MP3 frame-header walk (MPEG-1 Layer III, the overwhelmingly common
+    * profile): `meta(samplesPerChannel, channels, "mp3")` — the WAV
+    * convention for audio (width = samples per channel, so duration =
+    * width / sampleRate). Skips a leading ID3v2 tag (syncsafe size),
+    * then walks 0xFFEx sync'd frames, deriving each frame's byte length
+    * from its own bitrate/samplerate fields (144·bitrate/rate +
+    * padding) and counting 1152 samples per frame. REQUIRES ≥ 2
+    * consecutive valid frames — a lone sync word inside random bytes is
+    * a false positive, not an MP3. Every header field is untrusted:
+    * free-format (bitrate idx 0) and bad (15) indexes, reserved
+    * version/layer bits, and a frame length overrunning the payload all
+    * end the walk; a walk that never strictly advances cannot loop.
+    * Header-only — O(frames), never touches coefficient data
+    * ([[parseMeta]]'s path; full PCM decode needs a synthesis
+    * filterbank, the documented codec stub boundary below). */
+  private[operators] def mp3Header(b: Array[Byte]): Option[AssetMeta] = {
+    // MPEG-1 Layer III bitrates (kbps) and sample rates by table index
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, -1)
+    val rates = Array(44100, 48000, 32000, -1)
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 10-byte header + syncsafe (7-bit-per-byte) payload size
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + sz
+      if (i < 0 || i >= b.length) return None
+    }
+    var frames = 0
+    var channels = 0
+    var ok = true
+    while (ok && i + 4 <= b.length) {
+      val h1 = b(i) & 0xff; val h2 = b(i + 1) & 0xff
+      val h3 = b(i + 2) & 0xff; val h4 = b(i + 3) & 0xff
+      // sync (11 bits) + version 11 (MPEG-1) + layer 01 (III)
+      if (h1 != 0xff || (h2 & 0xfe) != 0xfa) ok = false
+      else {
+        val br = kbps((h3 >> 4) & 0xf); val sr = rates((h3 >> 2) & 0x3)
+        if (br <= 0 || sr <= 0) ok = false
+        else {
+          val pad = (h3 >> 1) & 1
+          val flen = 144 * br * 1000 / sr + pad
+          if (flen <= 4 || i + flen > b.length) ok = false
+          else {
+            frames += 1
+            channels = if (((h4 >> 6) & 0x3) == 3) 1 else 2
+            i += flen
+          }
+        }
+      }
+    }
+    // must consume the WHOLE payload (a trailing 128-byte ID3v1 "TAG"
+    // block is the one legal tail) — best-effort prefix parses over
+    // arbitrary binary would turn random data into fake audio metadata
+    val cleanEnd = i == b.length ||
+      (b.length - i == 128 && b(i) == 'T' && b(i + 1) == 'A' &&
+        b(i + 2) == 'G')
+    if (frames >= 2 && cleanEnd)
+      Some(AssetMeta(frames * 1152, channels, "mp3"))
+    else None
+  }
+
+  /** H.264 (Annex B) SPS parse: `meta(width, height, "h264")` from the
+    * first sequence-parameter-set NAL. Finds the 00 00 01 start code,
+    * strips emulation-prevention bytes (00 00 03 → 00 00), then reads
+    * the SPS with an exp-Golomb bit reader: profile/level, the
+    * high-profile chroma/scaling-list branch (skipped list-by-list per
+    * spec), pic-order-cnt branches, then width/height in macroblocks
+    * and the frame-cropping rectangle (crop units follow 4:2:0 /
+    * chroma_format_idc). Every field is untrusted: ue() values are
+    * capped, the bit reader returns None at end-of-data instead of
+    * throwing, and dimensions are range-checked (≤ 2²⁴ pixels).
+    * Header-only — the entropy-coded slice data is never touched (full
+    * pixel decode = CABAC + motion compensation, the documented codec
+    * stub boundary below). */
+  private[operators] def h264Header(b: Array[Byte]): Option[AssetMeta] = {
+    // locate an SPS NAL (type 7) after a 00 00 01 start code
+    var s = -1
+    var i = 0
+    while (s < 0 && i + 3 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 &&
+        (b(i + 3) & 0x1f) == 7) s = i + 4
+      else i += 1
+    }
+    if (s < 0) return None
+    // NAL payload to next start code, emulation-prevention stripped
+    var e = s
+    while (e + 2 < b.length &&
+      !(b(e) == 0 && b(e + 1) == 0 && b(e + 2) <= 1)) e += 1
+    if (e + 2 >= b.length) e = b.length
+    val rbsp = new java.io.ByteArrayOutputStream()
+    var z = 0
+    var j = s
+    while (j < e) {
+      val v = b(j) & 0xff
+      if (!(z >= 2 && v == 3)) rbsp.write(v)
+      z = if (v == 0) z + 1 else 0
+      j += 1
+    }
+    val r = rbsp.toByteArray
+    var bit = 0
+    def u(n: Int): Option[Int] = {
+      if (bit + n > r.length * 8) None
+      else {
+        var v = 0
+        var k = 0
+        while (k < n) {
+          v = (v << 1) | ((r(bit >> 3) >> (7 - (bit & 7))) & 1)
+          bit += 1; k += 1
+        }
+        Some(v)
+      }
+    }
+    def ue(): Option[Int] = {
+      var zeros = 0
+      while (bit < r.length * 8 &&
+        ((r(bit >> 3) >> (7 - (bit & 7))) & 1) == 0 && zeros <= 24) {
+        zeros += 1; bit += 1
+      }
+      if (zeros > 24 || bit >= r.length * 8) None
+      else u(zeros + 1).map(_ - 1)
+    }
+    def se(): Option[Int] = ue().map(k =>
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2)
+    def skipScalingList(size: Int): Boolean = {
+      var (last, next, ok, idx) = (8, 8, true, 0)
+      while (ok && idx < size && next != 0) {
+        se() match {
+          case Some(d) => next = (last + d + 256) % 256
+            if (next != 0) last = next
+          case None => ok = false
+        }
+        idx += 1
+      }
+      ok
+    }
+    val parsed = for {
+      profile <- u(8)
+      _ <- u(8) // constraint flags + reserved
+      _ <- u(8) // level_idc
+      _ <- ue() // seq_parameter_set_id
+      chroma <-
+        if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+            134, 135).contains(profile)) {
+          for {
+            cf <- ue()
+            _ <- if (cf == 3) u(1) else Some(0) // separate_colour_plane
+            _ <- ue() // bit_depth_luma_minus8
+            _ <- ue() // bit_depth_chroma_minus8
+            _ <- u(1) // qpprime_y_zero_transform_bypass
+            sm <- u(1)
+            _ <- if (sm == 1) {
+              val n = if (cf != 3) 8 else 12
+              var ok = true
+              var k = 0
+              while (ok && k < n) {
+                u(1) match {
+                  case Some(1) => ok = skipScalingList(if (k < 6) 16 else 64)
+                  case Some(_) => ()
+                  case None => ok = false
+                }
+                k += 1
+              }
+              if (ok) Some(0) else None
+            } else Some(0)
+          } yield cf
+        } else Some(1) // baseline/main/extended imply 4:2:0
+      _ <- ue() // log2_max_frame_num_minus4
+      poc <- ue()
+      _ <- poc match {
+        case 0 => ue()
+        case 1 => for {
+          _ <- u(1); _ <- se(); _ <- se()
+          n <- ue()
+          ok <- {
+            var k = 0
+            var good = n <= 256
+            while (good && k < n) { good = se().isDefined; k += 1 }
+            if (good) Some(0) else None
+          }
+        } yield ok
+        case _ => Some(0)
+      }
+      _ <- ue() // max_num_ref_frames
+      _ <- u(1) // gaps_in_frame_num_value_allowed
+      wMbs <- ue()
+      hUnits <- ue()
+      frameOnly <- u(1)
+      _ <- if (frameOnly == 0) u(1) else Some(0) // mb_adaptive
+      _ <- u(1) // direct_8x8_inference
+      crop <- u(1)
+      offs <- if (crop == 1) for {
+        l <- ue(); rr <- ue(); t <- ue(); bo <- ue()
+      } yield (l, rr, t, bo)
+      else Some((0, 0, 0, 0))
+    } yield {
+      val (cl, cr, ct, cb) = offs
+      val (cux, cuy) = chroma match {
+        case 0 => (1, 2 - frameOnly)               // monochrome
+        case 2 => (2, 1 * (2 - frameOnly))         // 4:2:2
+        case 3 => (1, 1 * (2 - frameOnly))         // 4:4:4
+        case _ => (2, 2 * (2 - frameOnly))         // 4:2:0
+      }
+      val w = (wMbs + 1) * 16 - cux * (cl + cr)
+      val h = (2 - frameOnly) * (hUnits + 1) * 16 - cuy * (ct + cb)
+      (w, h)
+    }
+    parsed match {
+      case Some((w, h))
+        if w > 0 && h > 0 && w.toLong * h <= (1L << 24) =>
+        Some(AssetMeta(w, h, "h264"))
+      case _ => None
+    }
+  }
+
   /** PNG signature + IHDR parse: `(meta(width, height, "png"),
     * bytesPerPixel)`. Supports the JDK-decodable profile: 8-bit depth,
     * color type 0 (grayscale) or 2 (RGB truecolor), compression 0,
@@ -478,19 +693,24 @@ object Multimodal {
         .orElse(gifHeader(a.content))
         .orElse(bmpHeader(a.content))
         .orElse(ppmHeader(a.content).map(_._1))
-        .orElse(wavHeader(a.content).map(_._1)) match {
+        .orElse(wavHeader(a.content).map(_._1))
+        .orElse(mp3Header(a.content))
+        .orElse(h264Header(a.content)) match {
         case Some(meta) => a.copy(meta = meta)
         case None       => a
       }
     })
   }
 
-  /** ??? real decode for the remaining COMPRESSED codecs (MP3/H.264) —
-    * requires codec libraries absent from both this container AND the
-    * JDK; image payloads take the real [[decodePng]]/[[decodeJpeg]]/
-    * [[decodePpm]] paths and WAV audio [[decodeWav]] above. Deterministic
-    * stand-in: per-dimension rolling hash over the payload bytes, scaled
-    * to [-1, 1]. */
+  /** ??? real PIXEL/PCM decode for the remaining COMPRESSED codecs
+    * (MP3/H.264) — the synthesis filterbank / CABAC+motion-compensation
+    * stages need codec libraries absent from both this container AND
+    * the JDK. Their METADATA is real ([[mp3Header]]/[[h264Header]]
+    * parse actual frame headers / the SPS, feeding [[parseMeta]]);
+    * image payloads take the real [[decodePng]]/[[decodeJpeg]]/
+    * [[decodePpm]] paths and WAV audio [[decodeWav]] above.
+    * Deterministic stand-in for the signal itself: per-dimension
+    * rolling hash over the payload bytes, scaled to [-1, 1]. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0

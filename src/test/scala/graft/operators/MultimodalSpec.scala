@@ -375,4 +375,70 @@ class MultimodalSpec extends AnyFunSuite {
         new java.io.File(getClass.getResource("/media/fixture.png").toURI)
           .getPath))).isEmpty)
   }
+
+  // ---- MP3 / H.264: REAL header metadata (codec-free), stubbed signal --
+
+  private def mediaBytes(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new java.io.File(getClass.getResource(s"/media/$name").toURI)
+        .getPath))
+
+  test("REAL metadata: checked-in MP3 fixture — frame walk yields true " +
+      "sample count and channels through parseMeta") {
+    // fixture.mp3: ID3v2 tag (20-byte payload) + 4 MPEG-1 Layer III
+    // frames, 128 kbps 44.1 kHz mono -> 4*1152 samples per channel
+    val assets = Multimodal.parseMeta(
+      Multimodal.readBinaryDir(spark, mediaDir, glob = "*.mp3",
+        kind = "audio"))
+    val a = assets.collect().head
+    assert(a.meta == Multimodal.AssetMeta(4608, 1, "mp3"),
+      s"MP3 frame walk must carry real samples/channels: ${a.meta}")
+  }
+
+  test("REAL metadata: checked-in H.264 fixture — SPS parse yields true " +
+      "dimensions through parseMeta") {
+    // fixture.h264: Annex B SPS (baseline, 4 MBs x 3 map units, no
+    // crop) + PPS + fake IDR -> 64x48
+    val assets = Multimodal.parseMeta(
+      Multimodal.readBinaryDir(spark, mediaDir, glob = "*.h264",
+        kind = "video"))
+    val a = assets.collect().head
+    assert(a.meta == Multimodal.AssetMeta(64, 48, "h264"),
+      s"SPS parse must carry real dimensions: ${a.meta}")
+  }
+
+  test("hostile MP3/H.264 headers: false syncs, lying sizes, truncation " +
+      "all return None, never hang (untrusted-payload contract)") {
+    val mp3 = mediaBytes("fixture.mp3")
+    // a single valid frame amid garbage: the >=2-consecutive-frames
+    // guard rejects false positives
+    assert(Multimodal.mp3Header(mp3.take(10 + 20 + 417)).isEmpty,
+      "one frame must not be enough")
+    // truncated mid-frame: frame length overruns payload -> None
+    assert(Multimodal.mp3Header(mp3.dropRight(7)).isEmpty)
+    // ID3 size pointing past the payload
+    val lyingId3 = mp3.clone(); lyingId3(9) = 0x7f.toByte
+    lyingId3(8) = 0x7f.toByte; lyingId3(7) = 0x7f.toByte
+    assert(Multimodal.mp3Header(lyingId3.take(64)).isEmpty)
+    // free-format (bitrate idx 0) and reserved (15) indexes are rejected
+    for (idx <- Seq(0x00, 0xf0)) {
+      val f = mp3.clone(); f(30 + 2) = idx.toByte // first frame's byte 3
+      assert(Multimodal.mp3Header(f).isEmpty)
+    }
+    // sync word inside random bytes: never a parse, never a hang
+    val junk = Array.tabulate[Byte](2048)(i => (i * 31).toByte)
+    junk(100) = 0xff.toByte; junk(101) = 0xfb.toByte
+    assert(Multimodal.mp3Header(junk).isEmpty)
+
+    val h264 = mediaBytes("fixture.h264")
+    // truncated inside the SPS: bit reader must return None, not throw
+    assert(Multimodal.h264Header(h264.take(7)).isEmpty)
+    // no start code at all
+    assert(Multimodal.h264Header(Array.fill[Byte](64)(0x55)).isEmpty)
+    // NAL type is PPS only (drop the SPS): no dimensions to parse
+    assert(Multimodal.h264Header(h264.drop(10)).isEmpty)
+    // the WAV fixture is not an H.264 stream
+    assert(Multimodal.h264Header(mediaBytes("fixture.wav")).isEmpty)
+    assert(Multimodal.mp3Header(mediaBytes("fixture.wav")).isEmpty)
+  }
 }
