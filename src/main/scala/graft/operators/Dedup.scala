@@ -106,19 +106,41 @@ object Dedup {
                             threshold: Double, bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int): DataFrame = {
     val docs = shingleDocs(corpus, idCol, textCol)
+    // FAMILY COLLAPSE (round 8): docs with IDENTICAL shingle sets are
+    // interchangeable under Jaccard — intra-family similarity is exactly
+    // 1 and similarity to any third doc is identical member-to-member —
+    // so the pipeline runs over one representative (min id) per family
+    // and re-attaches members as rep→member star edges afterwards. The
+    // transitive closure (CC clusters) AND the pairwise-domination
+    // relation over the emitted edges are PROVABLY equal to the
+    // all-members graph's, while a replicated corpus (m identical copies
+    // per doc — the SCALE_PROBE shape, and real crawl dumps) generates
+    // O(reps²-bounded) verified work plus O(m) family edges instead of
+    // O((m·reps)²) candidate/verify pairs.
+    val fam = docs.withColumn("__fh",
+      md5(to_json(struct(array_sort(col("__sh")).as("s")))))
+    val famRep = fam.groupBy(col("__fh"))
+      .agg(min(col("__id")).as("__rep"))
+    val members = fam.select(col("__id"), col("__fh"))
+      .join(famRep, "__fh")
+    val famEdges = members.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("__id").as("b"))
+    val repDocs = docs.join(
+      famRep.select(col("__rep").as("__id")), "__id")
     // signatures and band keys through the SAME construction the
     // persisted store uses ([[minhashSignatures]]/[[sigBuckets]]) — one
     // key scheme, so batch and incremental dedup can never drift apart
-    val sigs = docs.select(col("__id"),
+    val sigs = repDocs.select(col("__id"),
       sigFromShingles(bands * rowsPerBand).as("mh"))
     val buckets = sigBuckets(sigs, "__id", bands, rowsPerBand)
-    candidatePairs(buckets, maxBucketSize)
-      .join(docs.toDF("a", "__sha"), "a")
-      .join(docs.toDF("b", "__shb"), Seq("b"))
+    val repEdges = candidatePairs(buckets, maxBucketSize)
+      .join(repDocs.toDF("a", "__sha"), "a")
+      .join(repDocs.toDF("b", "__shb"), Seq("b"))
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
       .filter(col("__inter") /
         (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
       .select(col("a"), col("b"))
+    repEdges.union(famEdges)
   }
 
   /** Per-doc distinct word-3-gram shingle sets `(__id, __sh)`; docs

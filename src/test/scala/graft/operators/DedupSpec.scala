@@ -85,6 +85,40 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.count(_ >= 5000) == 19, "the 19 distinct docs survive")
   }
 
+  test("family collapse: m identical copies emit O(m) edges (rep star), " +
+      "clusters and survivors unchanged") {
+    import spark.implicits._
+    // 50 identical copies of each of 5 distinct texts: verified work
+    // runs over the 5 representatives only; every other member attaches
+    // by ONE rep->member edge, so the edge count is exactly linear —
+    // the all-members graph would carry 5 * C(50,2) = 6125 intra-family
+    // pairs before any rep-level edge.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val corpus = spark.range(0, 50).crossJoin(docs)
+      .select((col("doc_id") + col("id") * 100).as("doc_id"), col("text"))
+    val edges = Dedup.minhashEdges(corpus, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = Int.MaxValue).collect()
+    // each family: 49 rep->member star edges; rep-level cross-text edges
+    // only if two of the 5 base texts are near-dups (none are here)
+    assert(edges.length == 5 * 49,
+      s"family star must be linear in members: ${edges.length} edges")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashEdges(corpus, "doc_id", "text", threshold = 0.8,
+        maxBucketSize = Int.MaxValue)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every copy of base doc d clusters to the family minimum (= d)
+    for (d <- 0L until 5L; k <- 0L until 50L if k > 0)
+      assert(clusters(d + k * 100) == d,
+        s"member ${d + k * 100} must label to family min $d")
+    // pairwise-domination face: exactly the 5 family minima survive
+    val kept = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.8,
+      maxBucketSize = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 5L).toSet,
+      s"one survivor per identical-text family: $kept")
+  }
+
   test("hot-bucket star linking samples K centers, stays linear") {
     import spark.implicits._
     // one oversized bucket of ids 1..5, cap 3, K=2 centers: every
