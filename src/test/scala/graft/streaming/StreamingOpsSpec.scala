@@ -342,6 +342,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sigIds == Set(10L, 12L, 21L))
   }
 
+  test("continuous NEAR-dup serving equals the batch q103 path: planted " +
+      "near-dups of stored docs are condemned by signatures alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    val (sig, sink, ckpt) = (s"$root/sigs", s"$root/sink", s"$root/ckpt")
+    // 30 stored docs, 40 unique tokens each (disjoint vocabularies, so
+    // cross-doc Jaccard is 0); a near-dup that edits ONE token keeps
+    // J = (s-2)/(s+2) = 36/40 = 0.9 over word-3-gram shingle sets
+    def text(d: Int) = (0 until 40).map(j => s"w${d}_$j").mkString(" ")
+    def nearDup(d: Int) = // last token edited -> NEAR, not exact
+      ((0 until 39).map(j => s"w${d}_$j") :+ "zzz").mkString(" ")
+    val corpus = (0 until 30).map(d => (d.toLong, text(d)))
+    val increment = (60 until 70).map(d => (d.toLong, text(d))) ++
+      Seq((9003L, nearDup(3)), (9007L, nearDup(7)),     // vs store
+        (9100L, text(80)), (9101L, nearDup(80)))         // within batch
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupDocStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", sig, sink, ckpt)
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    mem.addData(increment: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the batch q103 path on the SAME data: store = signatures of the
+    // batch-0 survivors, increment dedups against it
+    val store = graft.operators.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sink/batch=0"), "doc_id", "text")
+    val expected = graft.operators.Dedup.minhashIncremental(
+        increment.toDF("doc_id", "text"), "doc_id", "text", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val streamed = spark.read.parquet(s"$sink/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream must equal the batch incremental path: $streamed vs $expected")
+    // the planted near-dups of STORED docs are gone (signature-estimated
+    // Jaccard over the store — corpus text never re-read), the planted
+    // within-batch near-dup keeps only its smaller id, and the 10
+    // genuinely-new docs all survive
+    assert(!streamed.contains(9003L) && !streamed.contains(9007L),
+      s"near-dups of stored docs must be condemned by signatures: $streamed")
+    assert(streamed.contains(9100L) && !streamed.contains(9101L),
+      "within-batch near-dup pair keeps the smaller id only")
+    assert((60L until 70L).forall(streamed.contains),
+      s"novel docs must all survive: $streamed")
+  }
+
   test("dedup backlog drain: AvailableNow processes a landed corpus batch-by-batch, then stops") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dedup_drain").toString
