@@ -55,6 +55,17 @@ object Ranking {
     * with no join operator at all. */
   private val MaxLiteralEntries = 10000
 
+  /** First-pass coarse-bin width for [[exactQuantilesByGroupScan]]: top
+    * bits of the sortable double image. 13 (sign + exponent + 1
+    * mantissa bit) is the MINIMUM that isolates -Inf / finite / +Inf /
+    * NaN into distinct bins; 16 adds three more mantissa bits — 16
+    * bins per octave, so even a narrow-range column (small-integer
+    * quantities spanning two octaves) spreads over dozens of bins and
+    * each bin's row count lands under the collect cap in ONE pass.
+    * Occupied bins stay bounded by the data's exponent spread × 16
+    * (hundreds at most in practice). */
+  private val FirstPassBinBits = 16
+
   /** Attach driver-computed per-key metadata columns (`outCols`) to
     * `df`, keyed by the string expression `keyExpr`: literal-map lookup
     * below `maxLiteral` entries, broadcast equi-join above (see
@@ -405,31 +416,43 @@ object Ranking {
       if (materialize) Some(stream.localCheckpoint(true)) else None
     def rows = matRows.getOrElse(stream)
     try {
-    // pass 1: per (column, group) counts and the FINITE value range.
-    // ±Infinity and NaN cannot live inside a half-open refinement
-    // interval (nextUp(NaN) is NaN; an infinite bucket width breaks the
-    // index math), but they have well-defined positions in the sort
-    // order Spark and DuckDB share (-Inf < finite < +Inf < NaN), so
-    // their per-group COUNTS place every rank in a region directly.
-    // The group key also comes back as SPARK's string cast (`__gs`) —
+    // pass 1 (FUSED stats + coarse bracketing, round 8): per (column,
+    // group, coarse-bin) count/min/max, where the bin is the top
+    // FirstPassBinBits bits of the order-preserving IEEE-754 bit image
+    // of the value ([[graft.functions.DoubleSortableBits]]). The
+    // binning is MONOTONE and data-independent — no prior min/max
+    // needed — so this one scan yields (a) exact per-group counts, with
+    // ±Inf and NaN isolated in their own bins (13 top bits are exactly
+    // enough to separate -Inf / finite / +Inf / NaN, reproducing the
+    // sort order's regions without special-case arithmetic), and
+    // (b) for every target rank, the ≤ half-exponent-wide bin holding
+    // it: offset/rowsIn/interval come straight from the bin prefix
+    // sums. Typical value distributions therefore SKIP the dedicated
+    // refinement round and resolve on the next (distinct-value) pass —
+    // two scans total instead of three-plus — while pathological spans
+    // fall through to the same refinement loop as before. Driver
+    // state: occupied bins × groups; occupancy is bounded by the
+    // data's exponent spread (≤ 2^13, tens in practice) — the same
+    // metadata class as the per-group stats row this pass replaces.
+    // The group key also comes back as SPARK's string cast (`__gsv`) —
     // driver-side String.valueOf disagrees with cast() for timestamps
     // (trailing ".0") and nulls, which would silently empty the joins.
-    val isFin = col("__v") > Double.NegativeInfinity &&
-      col("__v") < Double.PositiveInfinity // NaN sorts above +Inf: excluded
-    val stats = rows
-      .groupBy(col("__ci"), col("__g"), col("__g").cast("string").as("__gsv"))
-      .agg(count(lit(1)).as("n"),
-        min(when(isFin, col("__v"))).as("mn"),
-        max(when(isFin, col("__v"))).as("mx"),
-        count(when(col("__v") === Double.NegativeInfinity, 1)).as("nneg"),
-        count(when(col("__v") === Double.PositiveInfinity, 1)).as("npos"),
-        count(when(isnan(col("__v")), 1)).as("nnan"))
+    val binCol = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.toColumn(
+        graft.functions.DoubleSortableBits(
+          org.apache.spark.sql.graftbridge.toExpression(col("__v")))),
+      64 - FirstPassBinBits)
+    val binned = rows
+      .groupBy(col("__ci"), col("__g"), col("__g").cast("string").as("__gsv"),
+        binCol.as("__b"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("mn"),
+        max(col("__v")).as("mx"))
       .collect()
-      .map(r => (r.getInt(0), r.get(1)) ->
-        (r.getString(2), r.getLong(3),
-          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
-          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
-          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+      .map(r => (r.getInt(0), r.get(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val perCg = binned.groupBy(t => (t._1, t._2))
+    val cgN: Map[(Int, Any), Long] =
+      perCg.map { case (k, bins) => k -> bins.map(_._5).sum }
     // one target per distinct needed rank: quantile p needs the values
     // at ranks floor(t)+1 and ceil(t)+1, t = (n-1)p — dedup'd per group
     case class Target(tid: Int, ci: Int, g: Any, gs: String, rank: Long,
@@ -439,26 +462,28 @@ object Ranking {
                       var stuck: Boolean, // bucketing can't split further
                       var value: Option[Double])
     var nextTid = 0
-    val targets = stats.toSeq.flatMap {
-      case ((ci, g), (gs, n, mn, mx, nNeg, nPos, nNan)) =>
-        val nFin = n - nNeg - nPos - nNan
-        val ranks = specs(ci)._2.flatMap { p =>
-          val t = (n - 1) * p
-          Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
-        }.distinct
-        ranks.map { r =>
-          val t = Target(nextTid, ci, g, gs, r, mn, Math.nextUp(mx),
-            nNeg, nFin, stuck = false, None)
-          nextTid += 1
-          // region classification by the shared sort order: only ranks
-          // inside the finite run need the refinement search at all
-          if (r <= nNeg) t.value = Some(Double.NegativeInfinity)
-          else if (r > nNeg + nFin + nPos) t.value = Some(Double.NaN)
-          else if (r > nNeg + nFin) t.value = Some(Double.PositiveInfinity)
-          // single finite value (or trivially small run): no search
-          else if (mn == mx) t.value = Some(mn)
-          t
-        }
+    val targets = perCg.toSeq.flatMap { case ((ci, g), binRows) =>
+      val gs = binRows.head._3
+      // bin ids ascend with value (top bits of a monotone image)
+      val sorted = binRows.sortBy(_._4)
+      val n = cgN((ci, g))
+      val ranks = specs(ci)._2.flatMap { p =>
+        val t = (n - 1) * p
+        Seq(math.floor(t).toLong + 1, math.ceil(t).toLong + 1)
+      }.distinct
+      ranks.map { r =>
+        // prefix-walk to the bin holding rank r (r <= n by construction)
+        var acc = 0L
+        var k = 0
+        while (acc + sorted(k)._5 < r) { acc += sorted(k)._5; k += 1 }
+        val (_, _, _, _, nb, mnb, mxb) = sorted(k)
+        val t = Target(nextTid, ci, g, gs, r, mnb, Math.nextUp(mxb),
+          acc, nb, stuck = false, None)
+        nextTid += 1
+        if (mnb.isNaN) t.value = Some(Double.NaN)  // the all-NaN bin
+        else if (mnb == mxb) t.value = Some(mnb)   // one distinct (incl ±Inf)
+        t
+      }
     }
     val gType = df.schema(groupCol).dataType
     def active = targets.filter(t => t.value.isEmpty && t.rowsIn > collectCap)
@@ -546,12 +571,12 @@ object Ranking {
     }
     // assemble: q = vlo + frac * (vhi - vlo), one output row per group
     val byKey = targets.map(t => (t.ci, t.g, t.rank) -> t.value.get).toMap
-    val groups = stats.keySet.map(_._2)
+    val groups = cgN.keySet.map(_._2)
     val outRows = groups.toSeq.map { g =>
       val qs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
         ps.map { p =>
-          stats.get((ci, g)) match {
-            case Some((_, n, _, _, _, _, _)) =>
+          cgN.get((ci, g)) match {
+            case Some(n) =>
               val t = (n - 1) * p
               val lo = byKey((ci, g, math.floor(t).toLong + 1))
               val hi = byKey((ci, g, math.ceil(t).toLong + 1))
