@@ -242,6 +242,17 @@ object Ann {
     * scorer without a caller-supplied flag that could drift. */
   private val IndexMarker = "_graft_index_committed"
 
+  /** Whether the index at `path` carries a commit marker — the
+    * publishable-artifact predicate ([[graft.sources.Catalog
+    * .publishIndex]] refuses to advertise a torn/mid-build index). */
+  def indexCommitted(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), IndexMarker)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
+  }
+
   /** Persist an IVF index: the assignment pass runs ONCE at build time
     * and the inverted lists land parquet-PARTITIONED BY list id, so a
     * later [[searchIndex]] scan of `nprobe` lists partition-prunes to

@@ -105,7 +105,6 @@ object Dedup {
   private def verifiedPairs(corpus: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int): DataFrame = {
-    val docs = shingleDocs(corpus, idCol, textCol)
     // FAMILY COLLAPSE (round 8): docs with IDENTICAL shingle sets are
     // interchangeable under Jaccard — intra-family similarity is exactly
     // 1 and similarity to any third doc is identical member-to-member —
@@ -117,30 +116,46 @@ object Dedup {
     // per doc — the SCALE_PROBE shape, and real crawl dumps) generates
     // O(reps²-bounded) verified work plus O(m) family edges instead of
     // O((m·reps)²) candidate/verify pairs.
-    val fam = docs.withColumn("__fh",
-      md5(to_json(struct(array_sort(col("__sh")).as("s")))))
-    val famRep = fam.groupBy(col("__fh"))
-      .agg(min(col("__id")).as("__rep"))
-    val members = fam.select(col("__id"), col("__fh"))
-      .join(famRep, "__fh")
-    val famEdges = members.filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("__id").as("b"))
-    val repDocs = docs.join(
-      famRep.select(col("__rep").as("__id")), "__id")
-    // signatures and band keys through the SAME construction the
-    // persisted store uses ([[minhashSignatures]]/[[sigBuckets]]) — one
-    // key scheme, so batch and incremental dedup can never drift apart
-    val sigs = repDocs.select(col("__id"),
-      sigFromShingles(bands * rowsPerBand).as("mh"))
-    val buckets = sigBuckets(sigs, "__id", bands, rowsPerBand)
-    val repEdges = candidatePairs(buckets, maxBucketSize)
-      .join(repDocs.toDF("a", "__sha"), "a")
-      .join(repDocs.toDF("b", "__shb"), Seq("b"))
-      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
-      .filter(col("__inter") /
-        (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
-      .select(col("a"), col("b"))
-    repEdges.union(famEdges)
+    //
+    // Cost shape: ONE tokenize pass computes (id, family-hash,
+    // signature) into a COMPACT checkpointed frame (~300 B/doc — no
+    // shingle arrays); the family stage and banding read those blocks,
+    // and verification joins the shingle sets lazily for CANDIDATE
+    // pairs only — the same three corpus tokenize passes the
+    // pre-family-collapse operator paid (one for signatures, two for
+    // the verify joins). The SMALL verified-edge result is pinned so
+    // the intermediate blocks release before returning (the
+    // Ranking.releaseCheckpoint discipline).
+    val docs = shingleDocs(corpus, idCol, textCol)
+    // signatures through the SAME construction the persisted store
+    // uses ([[minhashSignatures]]/[[sigBuckets]]) — one key scheme, so
+    // batch and incremental dedup can never drift apart
+    val sigKeyC = docs.select(col("__id"),
+        md5(to_json(struct(array_sort(col("__sh")).as("s")))).as("__fh"),
+        sigFromShingles(bands * rowsPerBand).as("mh"))
+      .localCheckpoint(true)
+    try {
+      val famRep = sigKeyC.groupBy(col("__fh"))
+        .agg(min(col("__id")).as("__rep"))
+      val famEdges = sigKeyC.select(col("__id"), col("__fh"))
+        .join(famRep, "__fh")
+        .filter(col("__id") =!= col("__rep"))
+        .select(col("__rep").as("a"), col("__id").as("b"))
+      val repSigs = sigKeyC.join(
+        famRep.select(col("__rep").as("__id")), "__id")
+      val buckets = sigBuckets(
+        repSigs.select(col("__id"), col("mh")), "__id", bands, rowsPerBand)
+      val repEdges = candidatePairs(buckets, maxBucketSize)
+        .join(docs.toDF("a", "__sha"), "a")
+        .join(docs.toDF("b", "__shb"), Seq("b"))
+        .withColumn("__inter",
+          size(array_intersect(col("__sha"), col("__shb"))))
+        .filter(col("__inter") /
+          (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
+        .select(col("a"), col("b"))
+      repEdges.union(famEdges).localCheckpoint(true)
+    } finally
+      org.apache.spark.sql.graftbridge.releaseCheckpoint(sigKeyC)
   }
 
   /** Per-doc distinct word-3-gram shingle sets `(__id, __sh)`; docs

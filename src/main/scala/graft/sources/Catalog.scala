@@ -86,6 +86,92 @@ object Catalog {
   def table(spark: SparkSession, db: String, name: String): DataFrame =
     spark.table(s"`$db`.`$name`")
 
+  /** Publish a BUCKETED table into the persistent catalog — the
+    * co-located-join layout ([[Lake.writeBucketed]]'s contract) as a
+    * durable artifact: bucket spec + sort order live in the metastore,
+    * so a FRESH JVM's joins on `bucketCol` plan shuffle-free without
+    * anyone re-declaring the layout. Managed (bucketed data must live
+    * where its bucket metadata says) — drop + rewrite declaratively,
+    * with the same orphaned-location reap as the session-local face. */
+  def publishBucketed(spark: SparkSession, df: DataFrame, db: String,
+                      table: String, bucketCol: String,
+                      buckets: Int): Unit = {
+    require(!db.contains("`") && !table.contains("`"),
+      s"invalid identifier: $db.$table")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${db.toLowerCase(java.util.Locale.ROOT)}.db/" +
+        table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Catalog manifest table for persisted ANN indexes. */
+  private val IndexManifest = "ann_indexes"
+
+  /** Publish a [[graft.operators.Ann.saveIndex]] artifact into the
+    * catalog: persistent path-based VIEWs over the index's two parquet
+    * directories (`<name>_lists`, `<name>_centroids` — views list the
+    * path at query time, so a rebuild under the same path can never
+    * serve stale partition metadata) plus a row in the `ann_indexes`
+    * manifest table mapping `name -> path`, which
+    * [[searchIndexByName]] resolves. Refuses an uncommitted index —
+    * the same marker discipline as the serve path, enforced at publish
+    * time so the catalog never advertises a torn artifact. */
+  def publishIndex(spark: SparkSession, path: String, db: String,
+                   name: String): Unit = {
+    require(!db.contains("`") && !name.contains("`") && !path.contains("'"),
+      s"invalid identifier: $db.$name at $path")
+    require(graft.operators.Ann.indexCommitted(spark, path),
+      s"index at $path has no commit marker — publish after saveIndex")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP VIEW IF EXISTS `$db`.`${name}_lists`")
+    spark.sql(s"CREATE VIEW `$db`.`${name}_lists` AS " +
+      s"SELECT * FROM parquet.`$path/lists`")
+    spark.sql(s"DROP VIEW IF EXISTS `$db`.`${name}_centroids`")
+    spark.sql(s"CREATE VIEW `$db`.`${name}_centroids` AS " +
+      s"SELECT * FROM parquet.`$path/centroids`")
+    // manifest upsert: tiny metadata table, read-modify-write by name
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$IndexManifest` " +
+      "(name STRING, path STRING) USING parquet")
+    val kept = spark.table(s"`$db`.`$IndexManifest`")
+      .filter(org.apache.spark.sql.functions.col("name") =!= name)
+      .collect().toSeq
+    val rows = kept :+ org.apache.spark.sql.Row(name, path)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        spark.table(s"`$db`.`$IndexManifest`").schema)
+      .write.mode("overwrite").insertInto(s"`$db`.`$IndexManifest`")
+  }
+
+  /** Serve a published index BY CATALOG NAME: resolve the path through
+    * the `ann_indexes` manifest, then delegate to
+    * [[graft.operators.Ann.searchIndex]] (which re-validates the commit
+    * marker and picks the stored format). The always-on ANN face: a
+    * fresh JVM needs only the catalog home and the index name. */
+  def searchIndexByName(spark: SparkSession, db: String, name: String,
+                        probes: DataFrame, probeIdCol: String,
+                        vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val path = spark.table(s"`$db`.`$IndexManifest`")
+      .filter(org.apache.spark.sql.functions.col("name") === name)
+      .collect() match {
+      case Array(r) => r.getString(r.fieldIndex("path"))
+      case Array()  => throw new IllegalArgumentException(
+        s"no index named $name in catalog $db")
+      case many     => throw new IllegalStateException(
+        s"manifest holds ${many.length} rows for $name — corrupt")
+    }
+    graft.operators.Ann.searchIndex(spark, path, probes, probeIdCol,
+      vecCol, nprobe, k)
+  }
+
   /** CLI face — two verbs so CatalogSpec can drive publish and query
     * from SEPARATE JVMs (persistence across a restart is the claim):
     * {{{
@@ -104,7 +190,50 @@ object Catalog {
         println((0 until r.length).map(r.get(_).toString)
           .mkString("CATALOG_ROW|", "|", ""))
       } finally spark.stop()
+    // durable bucketed layout: <table> from sfDir, bucketed on
+    // <bucketCol> into <buckets>, published as graft.<table>_bucketed
+    case "bucketed" :: home :: sfDir :: table :: bucketCol ::
+        buckets :: Nil =>
+      val spark = session(home)
+      try {
+        val load = Tables.all.toMap.apply(table)
+        publishBucketed(spark, load(spark, sfDir), "graft",
+          s"${table}_bucketed", bucketCol, buckets.toInt)
+      } finally spark.stop()
+    // durable ANN face: train + save an IVF index over embeddings,
+    // then publish views + manifest entry under graft.<name>
+    case "index_publish" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try {
+        import org.apache.spark.sql.functions.col
+        val e = Tables.embeddings(spark, sfDir)
+        val cands = e.filter(col("vec_id") >= 10)
+        val cents = graft.operators.Ann.trainCentroids(
+          cands, "vec_id", "embedding", k = 4, iters = 3)
+        val path = s"$home/idx_$name"
+        graft.operators.Ann.saveIndex(cands, "vec_id", cents, "cid",
+          "embedding", path)
+        publishIndex(spark, path, "graft", name)
+      } finally spark.stop()
+    // serve BY NAME from a fresh JVM: probes = embeddings 4..9
+    case "index_search" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try {
+        import org.apache.spark.sql.functions.col
+        val probes = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id").between(4, 9))
+        searchIndexByName(spark, "graft", name, probes, "vec_id",
+            "embedding", nprobe = 2, k = 3)
+          .orderBy(col("vec_id"), col("rank"))
+          .collect().foreach { r =>
+            println((0 until r.length).map(r.get(_).toString)
+              .mkString("CATALOG_ROW|", "|", ""))
+          }
+      } finally spark.stop()
     case _ => sys.error(
-      "usage: Catalog publish <home> <sfDir> [db] | Catalog sql <home> <query>")
+      "usage: Catalog publish <home> <sfDir> [db] | Catalog sql <home> <query>" +
+        " | Catalog bucketed <home> <sfDir> <table> <bucketCol> <buckets>" +
+        " | Catalog index_publish <home> <sfDir> <name>" +
+        " | Catalog index_search <home> <sfDir> <name>")
   }
 }

@@ -81,4 +81,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows(outQ2) == Seq(s"$countB"),
       s"repointed count: ${rows(outQ2)} != $countB")
   }
+
+  test("durable bucketed table + ANN index: published by one JVM, " +
+      "bucket metadata and by-name index serving visible to a FRESH one") {
+    assume(classesDir.isDirectory, "compiled classes dir missing")
+    val home = java.nio.file.Files
+      .createTempDirectory("graft_catalog_extras").toString
+    val sf = "/root/testdata/sf0.001"
+
+    // bucketed layout published once...
+    val (rcB, outB) = fork("bucketed", home, sf, "orders", "o_custkey", "8")
+    assert(rcB == 0, s"bucketed publish failed:\n${outB.takeRight(3000)}")
+    // ...a fresh JVM sees the rows AND the bucket spec (the part a
+    // plain parquet dir loses — it lives only in the metastore)
+    val (rcQ, outQ) = fork("sql", home,
+      "SELECT count(*) FROM graft.orders_bucketed")
+    assert(rcQ == 0, outQ.takeRight(3000))
+    val expected = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows(outQ) == Seq(s"$expected"), s"bucketed rows: ${rows(outQ)}")
+    // the createtab_stmt cell is multi-line: assert on the raw fork
+    // output (the CATALOG_ROW prefix only lands on its first line)
+    val (rcD, outD) = fork("sql", home,
+      "SHOW CREATE TABLE graft.orders_bucketed")
+    assert(rcD == 0, outD.takeRight(3000))
+    assert(outD.contains("CLUSTERED BY (o_custkey)") &&
+      outD.contains("INTO 8 BUCKETS"),
+      s"fresh JVM must see the bucket spec:\n${outD.takeRight(1500)}")
+
+    // ANN index trained + saved + published by one JVM...
+    val (rcI, outI) = fork("index_publish", home, sf, "emb")
+    assert(rcI == 0, s"index publish failed:\n${outI.takeRight(3000)}")
+    // ...served BY CATALOG NAME from a fresh JVM
+    val (rcS, outS) = fork("index_search", home, sf, "emb")
+    assert(rcS == 0, s"by-name search failed:\n${outS.takeRight(3000)}")
+    val served = rows(outS)
+    assert(served.length == 6 * 3,
+      s"6 probes x top-3 expected, got ${served.length}: $served")
+    // the manifest + views are real catalog objects
+    val (rcM, outM) = fork("sql", home,
+      "SELECT name, (SELECT count(*) FROM graft.emb_lists), " +
+        "(SELECT count(*) FROM graft.emb_centroids) FROM graft.ann_indexes")
+    assert(rcM == 0, outM.takeRight(3000))
+    val m = rows(outM)
+    assert(m.length == 1 && m.head.startsWith("emb|"),
+      s"manifest row: $m")
+    val Array(_, nLists, nCents) = m.head.split('|')
+    assert(nCents.toLong == 4 && nLists.toLong > 0,
+      s"views must read the index dirs: lists=$nLists cents=$nCents")
+  }
 }
