@@ -80,7 +80,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q64,q103 — comma-separated prefixes for a
+    // focused dev loop; unset = the full inventory (driver contract)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // Untimed warm-up at the smallest sf: JIT + codegen + parquet footers.
     val warmDir = "/root/testdata/sf0.001"
     val warmSf =

@@ -537,12 +537,13 @@ object CurationQueries {
   def q112(s: SparkSession, d: String): DataFrame = {
     val dtl = documents(s, d)
       .select(col("lang"), size(expr(toks)).cast("double").as("n_tok"))
-    // materialize: the value column is a DERIVED tokenize projection —
-    // checkpoint the stacked stream once instead of re-tokenizing the
-    // corpus on every refinement pass (r5 advice item 7)
+    // NOT materialized (round 8): the fused first-pass bracketing cut
+    // the scan to TWO passes, and checkpointing the stacked stream
+    // (write + read-back) now costs more than one extra narrow
+    // tokenize — the r5 materialize advice was right at 4+ passes,
+    // wrong at 2 (measured both ways at sf0.1)
     graft.operators.Ranking.exactQuantilesByGroupScan(
-        dtl, "lang", Seq("n_tok" -> Seq(0.25, 0.5, 0.75)),
-        materialize = true)
+        dtl, "lang", Seq("n_tok" -> Seq(0.25, 0.5, 0.75)))
       .select(col("lang"),
         round(col("q_0_0"), 4).as("p25_tok"),
         round(col("q_0_1"), 4).as("p50_tok"),
