@@ -374,7 +374,56 @@ object CurationOracles {
        |LEFT JOIN hits h ON p.probe = h.probe
        |ORDER BY p.probe""".stripMargin
 
+  /** Shared bag-of-words fingerprint fragment (q137's construction). */
+  private val fpExpr =
+    """md5(array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split(trim(text), ' '), x -> x <> ''))), ' '))""".stripMargin
+
+  private val q142 =
+    """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ix AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e),
+      |d AS (SELECT CAST(i AS BIGINT) AS dim, list_extract(v, i) AS x FROM ix)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(x), 4) AS mean_x,
+      |  round(stddev_samp(x), 4) AS sd_x,
+      |  round(min(x), 4) AS min_x,
+      |  round(max(x), 4) AS max_x
+      |FROM d GROUP BY dim ORDER BY dim""".stripMargin
+
+  private val q143 =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    $fpExpr AS fp
+       |  FROM documents),
+       |g AS (SELECT fp, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    min(lang) AS lang_a, max(lang) AS lang_b
+       |  FROM t GROUP BY fp)
+       |SELECT rep, n_docs, n_langs, lang_a, lang_b,
+       |  n_langs > 1 AS mislabel_risk
+       |FROM g WHERE n_docs > 1 ORDER BY rep""".stripMargin
+
+  private val q144 =
+    s"""WITH t AS (SELECT doc_id,
+       |    $fpExpr AS fp
+       |  FROM documents),
+       |f AS (SELECT fp, min(doc_id) AS first_id FROM t GROUP BY fp),
+       |mx AS (SELECT max(doc_id) AS max_id FROM t),
+       |j AS (SELECT t.doc_id,
+       |    CASE WHEN t.doc_id = f.first_id THEN 1 ELSE 0 END AS novel
+       |  FROM t JOIN f ON t.fp = f.fp),
+       |b AS (SELECT CAST(floor(10.0 * doc_id / (max_id + 1)) AS BIGINT) AS decile,
+       |    novel
+       |  FROM j, mx)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(novel) AS BIGINT) AS n_novel,
+       |  floor(sum(novel) * 10000.0 / count(*)) / 10000.0 AS novelty_rate
+       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q142_embed_dims"     -> q142,
+    "q143_dup_lang_audit" -> q143,
+    "q144_novelty_curve"  -> q144,
     "q136_novelty"        -> q136,
     "q139_quant_recall"   -> q139,
     "q120_prefix_join"    -> q120,

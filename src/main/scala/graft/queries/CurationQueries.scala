@@ -550,4 +550,86 @@ object CurationQueries {
         round(col("q_0_2"), 4).as("p75_tok"))
       .orderBy("lang")
   }
+
+  /** Bag-of-words content fingerprint — q137's exact construction
+    * (md5 of the space-joined sorted distinct token set), shared so the
+    * leakage, label-consistency, and novelty audits can never drift
+    * onto different notions of "same content". */
+  private def bagFingerprint =
+    md5(concat_ws(" ", array_sort(array_distinct(expr(toks)))))
+
+  /** q142 embedding-dimension health audit: per-dimension mean / spread
+    * / range over the whole corpus — the collapse/anisotropy check every
+    * embedding pipeline runs before trusting cosine distances (a
+    * dimension with ~zero variance carries no signal; one with a huge
+    * |mean| relative to its spread makes cosine similarity saturate).
+    * Unit-norm embeddings make whole-VECTOR norms a vacuous audit, so
+    * the per-dimension marginal is the informative read. Shape:
+    * posexplode (narrow, 64× rows) into a 64-GROUP hash aggregate —
+    * partial aggregation reduces map-side, the exchange carries 64 rows
+    * per partition regardless of corpus size. */
+  def q142(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(Vectors.asDouble(col("embedding")))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean_x"),
+        round(stddev_samp(col("x")), 4).as("sd_x"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"))
+      .orderBy("dim")
+
+  /** q143 duplicate-family label-consistency audit: exact-content
+    * families (same bag-of-words fingerprint) whose members disagree on
+    * the `lang` label — the standard mislabel/contamination signal a
+    * language-filtered corpus build checks before per-language mixing
+    * (a duplicated doc carrying two langs means at least one label is
+    * wrong, and language-stratified dedup would silently keep both).
+    * One fingerprint exchange; the family aggregate emits min/max lang
+    * as the witness pair. Families of 1 are noise and drop. */
+  def q143(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), bagFingerprint.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("lang")).as("lang_a"),
+        max(col("lang")).as("lang_b"))
+      .filter(col("n_docs") > 1)
+      .select(col("rep"), col("n_docs"), col("n_langs"),
+        col("lang_a"), col("lang_b"),
+        (col("n_langs") > 1).as("mislabel_risk"))
+      .orderBy("rep")
+
+  /** q144 corpus novelty curve: fraction of FIRST-OCCURRENCE content per
+    * doc_id decile — the marginal-value-of-more-data read (a crawl whose
+    * late deciles are mostly re-observed fingerprints has stopped adding
+    * information; the curve's tail is the stop signal for collection).
+    * First occurrence = min(doc_id) per fingerprint (q136's novelty
+    * discipline at document granularity); deciles are arithmetic on the
+    * max id (one scalar broadcast), so the whole query is the
+    * fingerprint exchange + a 10-row aggregate. Rate is
+    * floor-truncated (engine-portable exact rational). */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), bagFingerprint.as("fp"))
+    val firsts = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    docs.join(firsts, "fp")
+      .withColumn("novel",
+        (col("doc_id") === col("first_id")).cast("int"))
+      .crossJoin(broadcast(
+        documents(s, d).agg(max(col("doc_id")).as("max_id"))))
+      .select(floor(lit(10.0) * col("doc_id") / (col("max_id") + 1))
+        .cast("long").as("decile"), col("novel"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("novel")).cast("long").as("n_novel"),
+        (floor(sum(col("novel")) * 10000.0 / count(lit(1))) / 10000.0)
+          .as("novelty_rate"))
+      .orderBy("decile")
+  }
 }
