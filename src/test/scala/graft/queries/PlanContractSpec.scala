@@ -287,4 +287,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q110_containment") <= 70000,
       "df cap must bound the inverted-index join's shuffle volume")
   }
+
+  test("q142 embedding-dim audit exchanges 64 groups, not 64x rows") {
+    // posexplode fans 100 vectors to 6400 rows, but partial aggregation
+    // must shrink the exchange to |dims| x partitions partials plus the
+    // 64 sort rows — never the exploded stream
+    assert(shuffled("q142_embed_dims") <= 64 * 40L,
+      "per-dim stats must partial-aggregate below the exchange")
+  }
+
+  test("q144 novelty curve: fingerprint exchange + 10-row decile agg") {
+    // fingerprint groupBy + join-back (both on fp — one partitioning,
+    // reused) + max-id scalar + 10-group aggregate; the bound is
+    // ~2x docs + partials, far under any per-token/shingle explosion
+    assert(shuffled("q144_novelty_curve") <= 4000,
+      "novelty curve must shuffle doc-level fingerprints only")
+  }
 }

@@ -389,6 +389,47 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"novel docs must all survive: $streamed")
   }
 
+  test("PII scrub runs on an unbounded stream: stateless codegen'd " +
+      "columns, per-batch output equals the batch scrub") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Privacy's scrub/stats are pure narrow Column expressions, so the
+    // SAME calls compose onto a streaming frame with no state, no
+    // watermark, no foreachBatch — the shape that scales to an
+    // unbounded firehose (cost = the scan) — and must produce exactly
+    // the batch pass's bytes
+    val rows = Seq(
+      (1L, "contact me at alice@example.com today"),
+      (2L, "server 10.1.2.3 and backup 192.168.0.1"),
+      (3L, "call 555-123-4567 or visit bob@test.org at 8.8.8.8"),
+      (4L, "no pii here at all"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = graft.operators.Privacy.scrub(
+      graft.operators.Privacy.stats(
+        mem.toDF().toDF("doc_id", "text"), "text"), "text")
+    val q = streamed.writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pii_stream")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    val expected = graft.operators.Privacy.scrub(
+        graft.operators.Privacy.stats(
+          rows.toDF("doc_id", "text"), "text"), "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"stream scrub must equal batch scrub:\n$got\nvs\n$expected")
+    assert(got(0)._2.contains("<EMAIL>") && got(1)._2.contains("<IP>") &&
+      got(2)._2.contains("<PHONE>") && got(3)._2 == "no pii here at all")
+  }
+
   test("dedup backlog drain: AvailableNow processes a landed corpus batch-by-batch, then stops") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dedup_drain").toString
