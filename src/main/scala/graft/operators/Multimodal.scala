@@ -774,6 +774,80 @@ object Multimodal {
       .toDF("asset_id", "frame_idx", "frame")
   }
 
+  /** Offsets of the REAL media units inside a payload — H.264 NAL
+    * units (00 00 01 / 00 00 00 01 start codes) for video, MPEG-1
+    * Layer III frames (the [[mp3Header]] walk, ID3v2 skipped) for
+    * audio; None when the payload carries neither structure. Byte
+    * offsets only: O(payload) scan, no decode. */
+  private[operators] def unitOffsets(b: Array[Byte]): Option[Seq[Int]] = {
+    // H.264 Annex B: every start-code position begins a NAL unit
+    val nals = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+        nals += (if (i >= 1 && b(i - 1) == 0) i - 1 else i)
+        i += 3
+      } else i += 1
+    }
+    if (nals.length >= 2) return Some(nals.toSeq)
+    // MP3: reuse the validated frame walk (≥2 consecutive frames)
+    if (mp3Header(b).isDefined) {
+      var j = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        j = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      val frames = scala.collection.mutable.ArrayBuffer[Int]()
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320, -1)
+      val rates = Array(44100, 48000, 32000, -1)
+      var ok = true
+      while (ok && j + 4 <= b.length) {
+        val h2 = b(j + 1) & 0xff; val h3 = b(j + 2) & 0xff
+        if ((b(j) & 0xff) != 0xff || (h2 & 0xfe) != 0xfa) ok = false
+        else {
+          val br = kbps((h3 >> 4) & 0xf); val sr = rates((h3 >> 2) & 0x3)
+          if (br <= 0 || sr <= 0) ok = false
+          else {
+            val flen = 144 * br * 1000 / sr + ((h3 >> 1) & 1)
+            if (flen <= 4 || j + flen > b.length) ok = false
+            else { frames += j; j += flen }
+          }
+        }
+      }
+      Some(frames.toSeq)
+    } else None
+  }
+
+  /** [[frameSample]] at REAL media-unit boundaries: every `every`-th
+    * H.264 NAL unit (video) or MP3 frame (audio), one row per sampled
+    * unit — the shape a decode stage actually wants (a fixed-byte chunk
+    * slices mid-unit and every downstream decoder must re-synchronize).
+    * Payloads without a recognized unit structure fall back to
+    * [[frameSample]]'s fixed-size chunking with `fallbackBytes`, so the
+    * stage is total over mixed corpora. Same iterator-shaped
+    * `mapPartitions` contract as every other stage. */
+  def unitSample(assets: Dataset[Asset], every: Int,
+                 fallbackBytes: Int = 4096): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      unitOffsets(a.content) match {
+        case Some(offs) =>
+          val bounds = offs :+ a.content.length
+          offs.indices.collect {
+            case k if k % every == 0 =>
+              (a.asset_id, k,
+                java.util.Arrays.copyOfRange(a.content, bounds(k),
+                  bounds(k + 1)))
+          }
+        case None =>
+          a.content.grouped(fallbackBytes).zipWithIndex
+            .collect { case (chunk, idx) if idx % every == 0 =>
+              (a.asset_id, idx, chunk) }.toSeq
+      }
+    }.toDF("asset_id", "unit_idx", "unit")
+  }
+
   /** Metadata-level resize: pure column expressions (no payload touch) —
     * the cheap path a planner should prefer when only metadata is read. */
   def resizeMeta(assets: Dataset[Asset], w: Int, h: Int): DataFrame =

@@ -407,6 +407,43 @@ class MultimodalSpec extends AnyFunSuite {
       s"SPS parse must carry real dimensions: ${a.meta}")
   }
 
+  test("unit sampling splits at REAL media boundaries: H.264 NALs and " +
+      "MP3 frames, fixed chunks only as fallback") {
+    import spark.implicits._
+    val h264 = mediaBytes("fixture.h264")
+    val mp3 = mediaBytes("fixture.mp3")
+    val assets = Seq(
+      Multimodal.Asset(1L, "video", h264, Multimodal.AssetMeta(0, 0, "h264")),
+      Multimodal.Asset(2L, "audio", mp3, Multimodal.AssetMeta(0, 0, "mp3")),
+      Multimodal.Asset(3L, "image", Array.fill[Byte](100)(7),
+        Multimodal.AssetMeta(0, 0, "raw"))).toDS()
+    val units = Multimodal.unitSample(assets, every = 1, fallbackBytes = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2))).groupBy(_._1)
+    // fixture.h264 = SPS + PPS + IDR: three NAL units, each beginning
+    // with its own start code, concatenation re-forms the payload
+    val nals = units(1L).sortBy(_._2).map(_._3)
+    assert(nals.length == 3, s"3 NAL units expected, got ${nals.length}")
+    assert(nals.forall(u => u.take(4).sameElements(
+      Array[Byte](0, 0, 0, 1))), "every unit must start at a start code")
+    assert(nals.flatten.sameElements(h264), "units must tile the payload")
+    assert((nals(0)(4) & 0x1f) == 7 && (nals(1)(4) & 0x1f) == 8 &&
+      (nals(2)(4) & 0x1f) == 5, "SPS, PPS, IDR in stream order")
+    // fixture.mp3 = ID3v2 + 4 frames of 417 bytes: four units, each
+    // sync'd at 0xFFFB
+    val frames = units(2L).sortBy(_._2).map(_._3)
+    assert(frames.length == 4, s"4 MP3 frames expected, got ${frames.length}")
+    assert(frames.take(3).forall(_.length == 417))
+    assert(frames.forall(f => (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xfb),
+      "every unit must begin at a frame sync")
+    // unstructured payload: fixed-chunk fallback (100 bytes / 40 = 3)
+    assert(units(3L).length == 3)
+    // every=2 takes units 0 and 2
+    val sampled = Multimodal.unitSample(assets.filter(_.asset_id == 1L),
+      every = 2).collect().map(_.getInt(1)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
   test("hostile MP3/H.264 headers: false syncs, lying sizes, truncation " +
       "all return None, never hang (untrusted-payload contract)") {
     val mp3 = mediaBytes("fixture.mp3")
