@@ -257,7 +257,46 @@ object PipelineOracles {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  private val q145 =
+    s"""WITH ${toksCte("")},
+       |ux AS (SELECT unnest(toks) AS token FROM t),
+       |c AS (SELECT token, count(*) AS c FROM ux GROUP BY token),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+       |  FROM c),
+       |top AS (SELECT c, rank FROM r WHERE rank <= 200),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c)
+       |SELECT n_types, CAST(count(*) AS BIGINT) AS n_top,
+       |  round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+       |  round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_icept
+       |FROM top, ty GROUP BY n_types""".stripMargin
+
+  private val q146 = {
+    def n(sp: String) =
+      s"CAST(coalesce(sum(CASE WHEN split = '$sp' THEN n END), 0) AS BIGINT)"
+    def share(sp: String) =
+      s"coalesce(max(CASE WHEN split = '$sp' THEN share END), 0.0)"
+    s"""WITH s AS (SELECT lang,
+       |    CASE WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 <= 12 THEN 'train'
+       |         WHEN instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 <= 14 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |cell AS (SELECT lang, split, count(*) AS n FROM s GROUP BY 1, 2),
+       |tot AS (SELECT split, count(*) AS nt FROM s GROUP BY split),
+       |j AS (SELECT lang, cell.split AS split, n,
+       |    floor(n * 10000.0 / nt) / 10000.0 AS share
+       |  FROM cell JOIN tot ON cell.split = tot.split)
+       |SELECT lang,
+       |  ${n("train")} AS n_train, ${n("val")} AS n_val,
+       |  ${n("test")} AS n_test,
+       |  ${share("train")} AS train_share,
+       |  ${share("val")} AS val_share,
+       |  ${share("test")} AS test_share
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q145_zipf_fit"      -> q145,
+    "q146_split_shift"   -> q146,
     "q58_dedup_corpus"   -> q58,
     "q59_simhash_near"   -> q59,
     "q60_embed_dedup"    -> q60,

@@ -316,6 +316,64 @@ object PipelineQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("split")
 
+  /** q145 Zipf rank-frequency fit: log-log regression of term frequency
+    * against frequency rank over the top-200 vocabulary — the classic
+    * corpus-health diagnostic (natural language sits near slope −1; a
+    * much flatter slope flags templated/machine text, a much steeper
+    * one a degenerate vocabulary). Occurrence counts aggregate to
+    * |vocab|; ranking is [[graft.operators.Ranking.exactRowNumber]]
+    * (range-partitioned — no single-task global window even at web-
+    * scale vocabularies); the regression runs over 200 rows of
+    * metadata. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(explode(expr(
+        graft.operators.TextHashes.toks("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.Ranking.exactRowNumber(
+      occ.withColumn("__negc", -col("c")), Seq("__negc", "token"),
+      rankCol = "rank")
+    ranked.filter(col("rank") <= 200)
+      .crossJoin(broadcast(occ.agg(count(lit(1)).cast("long").as("n_types"))))
+      .groupBy(col("n_types"))
+      .agg(count(lit(1)).cast("long").as("n_top"),
+        round(expr("regr_slope(ln(c), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(c), ln(rank))"), 4).as("zipf_icept"))
+      .select(col("n_types"), col("n_top"), col("zipf_slope"),
+        col("zipf_icept"))
+  }
+
+  /** q146 split distribution-shift audit: per-language document counts
+    * and within-split shares across q75's deterministic train/val/test
+    * assignment — the eval-hygiene check that a hash split did not
+    * concentrate a language into one side (a val set whose language mix
+    * drifts from train measures the wrong thing). Shares are
+    * floor-truncated exact rationals; two group-sized aggregates and
+    * one split-keyed join, nothing row-scale crosses the wire. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val sp = graft.operators.TextPipeline
+      .hashSplit(documents(s, d), "doc_id")
+      .select(col("lang"), col("split"))
+    val cell = sp.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    val tot = sp.groupBy(col("split")).agg(count(lit(1)).as("nt"))
+    def nOf(sp0: String) = coalesce(
+      sum(when(col("split") === sp0, col("n"))), lit(0L))
+      .cast("long")
+    def shareOf(sp0: String) = coalesce(
+      max(when(col("split") === sp0, col("share"))), lit(0.0))
+    cell.join(tot, "split")
+      .withColumn("share",
+        floor(col("n") * lit(10000.0) / col("nt")) / lit(10000.0))
+      .groupBy(col("lang"))
+      .agg(nOf("train").as("n_train"), nOf("val").as("n_val"),
+        nOf("test").as("n_test"),
+        shareOf("train").as("train_share"),
+        shareOf("val").as("val_share"),
+        shareOf("test").as("test_share"))
+      .orderBy("lang")
+  }
+
   /** q76 TF-IDF: term frequency × inverse document frequency over the
     * bounded corpus — the classic retrieval/feature weight, composed
     * from one occurrence aggregation and the q74 vocabulary join. IDF's
