@@ -100,12 +100,15 @@ object SqlCompat {
     },
     "quantile_cont" -> { c => new Percentile(c(0), c(1)) },
     "regexp_replace" -> { c =>
+      // only the DuckDB global flag is intercepted; every other 4-arg
+      // form (Spark's own integer `position` arg in particular) and
+      // arity delegates to the builtin so the override never narrows
+      // Spark's native surface
       if (c.size == 4) c(3) match {
         case Literal(g, StringType) if g != null && g.toString == "g" =>
           RegExpReplace(c(0), c(1), c(2))
-        case _ => throw new IllegalArgumentException(
-          "compat regexp_replace options support only 'g'")
-      } else RegExpReplace(c(0), c(1), c(2))
+        case _ => builtinSqlBuilder("regexp_replace")(c)
+      } else builtinSqlBuilder("regexp_replace")(c)
     },
     "string_split" -> { c => StringSplit(c(0), quoted(c(1)), Literal(-1)) },
     "unnest" -> { c => Explode(c(0)) },

@@ -31,18 +31,21 @@ case class DoubleSortableBits(child: Expression) extends UnaryExpression {
         child.dataType.simpleString)
 
   override def nullSafeEval(v: Any): Any = {
-    // doubleToLongBits (not Raw): canonicalizes every NaN payload so all
-    // NaNs share one bin
-    val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+    // `+ 0.0d` canonicalizes -0.0 to +0.0 (SQL comparisons treat them as
+    // equal, so they must share a bin) and leaves every other value —
+    // including NaN and ±Inf — unchanged. doubleToLongBits (not Raw):
+    // canonicalizes every NaN payload so all NaNs share one bin.
+    val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double] + 0.0d)
     if (b < 0) ~b else b ^ java.lang.Long.MIN_VALUE
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"""(java.lang.Double.doubleToLongBits($v) < 0L
-         |  ? ~java.lang.Double.doubleToLongBits($v)
-         |  : java.lang.Double.doubleToLongBits($v) ^ java.lang.Long.MIN_VALUE)
-       """.stripMargin.replace('\n', ' '))
+    nullSafeCodeGen(ctx, ev, v => {
+      val bits = ctx.freshName("bits")
+      s"""long $bits = java.lang.Double.doubleToLongBits($v + 0.0d);
+         |${ev.value} = ($bits < 0L) ? ~$bits : ($bits ^ java.lang.Long.MIN_VALUE);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): DoubleSortableBits = copy(child = newChild)

@@ -104,7 +104,8 @@ object Dedup {
     * [[minhashLshClusters]] derive from. */
   private def verifiedPairs(corpus: DataFrame, idCol: String, textCol: String,
                             threshold: Double, bands: Int, rowsPerBand: Int,
-                            maxBucketSize: Int): DataFrame = {
+                            maxBucketSize: Int,
+                            materialize: Boolean = true): DataFrame = {
     // FAMILY COLLAPSE (round 8): docs with IDENTICAL shingle sets are
     // interchangeable under Jaccard — intra-family similarity is exactly
     // 1 and similarity to any third doc is identical member-to-member —
@@ -130,10 +131,19 @@ object Dedup {
     // signatures through the SAME construction the persisted store
     // uses ([[minhashSignatures]]/[[sigBuckets]]) — one key scheme, so
     // batch and incremental dedup can never drift apart
-    val sigKeyC = docs.select(col("__id"),
+    val sigKeyRaw = docs.select(col("__id"),
         md5(to_json(struct(array_sort(col("__sh")).as("s")))).as("__fh"),
         sigFromShingles(bands * rowsPerBand).as("mh"))
-      .localCheckpoint(true)
+    // materialize=false → a fully LAZY, recomputable plan with ZERO
+    // pinned blocks (the multi-referenced signature subtree recomputes
+    // inside the caller's one action); true → one tokenize pass into a
+    // compact checkpoint, released before returning, with the SMALL
+    // edge result pinned instead — callers that finish consuming it
+    // in-operator (the cluster face) release it, callers that return
+    // lazy plans over it must release via
+    // `graftbridge.releaseCheckpoint` once their action has run.
+    val sigKeyC =
+      if (materialize) sigKeyRaw.localCheckpoint(true) else sigKeyRaw
     try {
       val famRep = sigKeyC.groupBy(col("__fh"))
         .agg(min(col("__id")).as("__rep"))
@@ -153,8 +163,9 @@ object Dedup {
         .filter(col("__inter") /
           (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
         .select(col("a"), col("b"))
-      repEdges.union(famEdges).localCheckpoint(true)
-    } finally
+      val out = repEdges.union(famEdges)
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize)
       org.apache.spark.sql.graftbridge.releaseCheckpoint(sigKeyC)
   }
 
@@ -245,7 +256,8 @@ object Dedup {
                          threshold: Double = 0.8,
                          bands: Int = 4, rowsPerBand: Int = 2,
                          maxBucketSize: Int = 1000,
-                         reprPerBucket: Int = 16): DataFrame = {
+                         reprPerBucket: Int = 16,
+                         materialize: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     existingSigs.select(size(col("mh"))).head(1).foreach { r =>
       require(r.getInt(0) == numHashes,
@@ -255,8 +267,14 @@ object Dedup {
     }
     // the increment's signatures feed two faces below: pin ONE
     // computation instead of re-tokenizing and re-hashing per reference
-    val incSigs = minhashSignatures(increment, idCol, textCol,
-      bands, rowsPerBand).localCheckpoint(true)
+    // (materialize=false skips the pin — zero session residue, the
+    // subtree recomputes inside the caller's single action; the
+    // materialize=true result plan references these blocks, so callers
+    // release the RESULT with graftbridge.releaseCheckpoint post-action)
+    val incSigsRaw = minhashSignatures(increment, idCol, textCol,
+      bands, rowsPerBand)
+    val incSigs =
+      if (materialize) incSigsRaw.localCheckpoint(true) else incSigsRaw
     val incBuckets = sigBuckets(incSigs, idCol, bands, rowsPerBand)
     // prune the store's band rows to keys the increment touches, THEN
     // cap hot keys (representative choice is per-key, so pruning first
@@ -286,7 +304,7 @@ object Dedup {
     // within the increment: exact-Jaccard verification, smaller id
     // survives, hot buckets star-link — minhashLsh's semantics exactly
     val withinInc = verifiedPairs(increment, idCol, textCol, threshold,
-        bands, rowsPerBand, maxBucketSize)
+        bands, rowsPerBand, maxBucketSize, materialize)
       .select(col("b").as("__id"))
     val dominated = vsExisting.union(withinInc).distinct()
     increment.join(dominated.withColumnRenamed("__id", idCol),
@@ -351,9 +369,10 @@ object Dedup {
   def minhashEdges(corpus: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8,
                    bands: Int = 4, rowsPerBand: Int = 2,
-                   maxBucketSize: Int = 1000): DataFrame =
+                   maxBucketSize: Int = 1000,
+                   materialize: Boolean = true): DataFrame =
     verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
-      maxBucketSize)
+      maxBucketSize, materialize)
 
   /** UNVERIFIED LSH candidate pairs `(a, b)`, a < b, from a signature
     * table — the raw band-collision set before any Jaccard check,
@@ -369,13 +388,22 @@ object Dedup {
     candidatePairs(sigBuckets(sigs, idCol, bands, rowsPerBand),
       maxBucketSize)
 
+  /** Pairwise-domination MinHash-LSH dedup. `materialize = true`
+    * (default) runs the signature pass once into a checkpoint and
+    * returns a plan over the pinned verified edges — fastest, but the
+    * edge blocks stay pinned until the caller releases the RESULT via
+    * `org.apache.spark.sql.graftbridge.releaseCheckpoint` after its
+    * consuming action; `false` returns a fully lazy, recomputable plan
+    * with zero pinned state (the right mode for fire-and-forget query
+    * faces run repeatedly in a shared session). */
   def minhashLsh(corpus: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8,
                  bands: Int = 4, rowsPerBand: Int = 2,
-                 maxBucketSize: Int = 1000): DataFrame = {
+                 maxBucketSize: Int = 1000,
+                 materialize: Boolean = true): DataFrame = {
     val dominated =
       verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
-        maxBucketSize)
+        maxBucketSize, materialize)
       .select(col("b").as("__id")).distinct()
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
@@ -524,10 +552,13 @@ object Dedup {
     require(frontierN == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "raise maxIter for deeper component chains")
-    // pin the result and release the loop's cache: callers get a
-    // truncated-lineage frame, not a view over our persisted state
+    // pin the result and release the loop's state — the round cache AND
+    // the symmetric-edge checkpoint (2·|edges| blocks that would
+    // otherwise outlive the call): callers get a truncated-lineage
+    // frame, not a view over our persisted state
     val out = labels.localCheckpoint(true)
     prevCache.unpersist()
+    org.apache.spark.sql.graftbridge.releaseCheckpoint(sym)
     out
   }
 
@@ -544,9 +575,16 @@ object Dedup {
                          ccMaxIter: Int = 20): DataFrame = {
     val verified = verifiedPairs(corpus, idCol, textCol, threshold, bands,
       rowsPerBand, maxBucketSize)
-    val dominated = connectedComponents(verified, ccMaxIter)
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as(idCol))
+    // CC materializes its own symmetric-edge checkpoint in its first
+    // action, after which the verified-edge blocks have served their
+    // last read — release them here (this face consumes the edges
+    // in-operator, so it can; the lazy-returning faces document the
+    // caller-side release contract instead)
+    val dominated =
+      try connectedComponents(verified, ccMaxIter)
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as(idCol))
+      finally org.apache.spark.sql.graftbridge.releaseCheckpoint(verified)
     corpus.join(dominated, Seq(idCol), "left_anti")
   }
 

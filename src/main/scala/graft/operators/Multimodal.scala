@@ -828,6 +828,10 @@ object Multimodal {
     * `mapPartitions` contract as every other stage. */
   def unitSample(assets: Dataset[Asset], every: Int,
                  fallbackBytes: Int = 4096): DataFrame = {
+    // fail fast on the driver: `k % every` with every = 0 would throw
+    // ArithmeticException inside executor tasks on both paths
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(fallbackBytes >= 1, s"fallbackBytes must be >= 1, got $fallbackBytes")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.flatMap { a =>

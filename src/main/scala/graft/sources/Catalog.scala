@@ -127,7 +127,11 @@ object Catalog {
     * time so the catalog never advertises a torn artifact. */
   def publishIndex(spark: SparkSession, path: String, db: String,
                    name: String): Unit = {
-    require(!db.contains("`") && !name.contains("`") && !path.contains("'"),
+    // path lands inside backtick-quoted `parquet.`…`` references below,
+    // so a backtick in it would escape the quoted identifier and break
+    // or redirect the CREATE VIEW — reject it like the quote
+    require(!db.contains("`") && !name.contains("`") &&
+        !path.contains("'") && !path.contains("`"),
       s"invalid identifier: $db.$name at $path")
     require(graft.operators.Ann.indexCommitted(spark, path),
       s"index at $path has no commit marker — publish after saveIndex")

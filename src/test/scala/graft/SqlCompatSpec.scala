@@ -63,6 +63,9 @@ class SqlCompatSpec extends AnyFunSuite {
     assert(one("""SELECT array_to_string(json_keys('{"a":1,"b":2}'), ',')""") == "a,b")
     assert(one("SELECT regexp_replace('a1b2', '[0-9]', 'x', 'g')") == "axbx")
     assert(one("SELECT regexp_replace('a1b2', '[0-9]', 'x')") == "axbx")
+    // Spark's OWN 4-arg form (integer start position) must delegate to
+    // the builtin, not die in the compat override
+    assert(one("SELECT regexp_replace('a1b2', '[0-9]', 'x', 3)") == "a1bx")
     assert(one("SELECT xor(5, 3)") == 6)
     // escapedStringLiterals carries \b through to the regex engine
     assert(one("""SELECT len(regexp_extract_all('call 555-123-4567 now',

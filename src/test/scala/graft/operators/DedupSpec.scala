@@ -53,6 +53,29 @@ class DedupSpec extends AnyFunSuite {
     assert(realOnly.count() == 39)
   }
 
+  test("materialize=false LSH path: identical result, zero session residue") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val lazyIds = Dedup.minhashLsh(planted, "doc_id", "text",
+        threshold = 0.8, materialize = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // <= not ==: ContextCleaner may asynchronously reap entries pinned
+    // by EARLIER tests during this one — only growth is a leak
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "the lazy face must pin no blocks in the shared session")
+    val pinnedIds = Dedup.minhashLsh(planted, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lazyIds == pinnedIds,
+      "recompute and checkpoint modes must keep the same survivors")
+    // the cluster face consumes the edges in-operator: after its action,
+    // only the CC label checkpoint (the result's basis) may remain
+    val b2 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashLshClusters(planted, "doc_id", "text", threshold = 0.8)
+      .count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= b2 + 1,
+      "cluster dedup must release the edge + symmetric-edge checkpoints")
+  }
+
   test("simhash dedup drops identical-signature docs only") {
     val out = Dedup.simhash(planted, "doc_id", "text")
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet

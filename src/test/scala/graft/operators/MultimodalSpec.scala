@@ -442,6 +442,14 @@ class MultimodalSpec extends AnyFunSuite {
     val sampled = Multimodal.unitSample(assets.filter(_.asset_id == 1L),
       every = 2).collect().map(_.getInt(1)).sorted
     assert(sampled.toSeq == Seq(0, 2))
+    // invalid strides fail fast on the driver, not as an
+    // ArithmeticException inside executor tasks
+    intercept[IllegalArgumentException] {
+      Multimodal.unitSample(assets, every = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.unitSample(assets, every = 1, fallbackBytes = 0)
+    }
   }
 
   test("hostile MP3/H.264 headers: false syncs, lying sizes, truncation " +

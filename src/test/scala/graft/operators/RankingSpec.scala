@@ -217,6 +217,35 @@ class RankingSpec extends AnyFunSuite {
       s"null group must not be dropped: $gotNull")
   }
 
+  test("quantile scan: -0.0 and +0.0 share a bin (SQL equality)") {
+    import spark.implicits._
+    // SQL comparisons treat -0.0 == 0.0, so the sortable-bits coarse
+    // binning must too: with them split, a -0.0 row is counted in the
+    // prefix-sum offset AND re-matched by `__v >= 0.0` refinement
+    // filters, skewing ranks that land inside the zero run's tail
+    val df = Seq(-0.0, -0.0, 0.0, 0.0, 1.0, 2.0).map(("g", _)).toDF("g", "v")
+    for (cap <- Seq(1, 1000)) {
+      val got = Ranking.exactQuantilesByGroupScan(df, "g",
+          Seq("v" -> Seq(0.0, 0.25, 0.5, 0.75, 1.0)), buckets = 4,
+          collectCap = cap)
+        .head()
+      val want = df.agg(
+          expr("percentile(v, array(0.0, 0.25, 0.5, 0.75, 1.0))")).head()
+        .getSeq[Double](0)
+      (1 to 5).foreach { i =>
+        assert(got.getDouble(i) == want(i - 1),
+          s"cap=$cap q${i - 1}: ${got.getDouble(i)} vs ${want(i - 1)}")
+      }
+    }
+    // the bit image itself must map the two zeros to ONE key
+    val bits = Seq(-0.0, 0.0).toDF("v")
+      .select(org.apache.spark.sql.graftbridge.toColumn(
+        graft.functions.DoubleSortableBits(
+          org.apache.spark.sql.graftbridge.toExpression(col("v")))))
+      .collect().map(_.getLong(0)).distinct
+    assert(bits.length == 1, s"-0.0 and +0.0 bits differ: ${bits.toSeq}")
+  }
+
   test("rank metadata above the literal-map cap broadcast-joins instead") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     // force the fallback: cap 0 means even this cardinality must join
