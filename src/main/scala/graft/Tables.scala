@@ -21,25 +21,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions should carry
-    * `spark.sql.legacy.parquet.nanosAsLong=true` from construction
-    * ([[Sessions.configure]] — all in-repo mains/tests do); for a
-    * caller-built session that missed it (the driver contract lets any
-    * session invoke `SparkEntry.queries`), the loader idempotently
-    * fills in the missing conf rather than failing the scan. The raw
-    * nanos convert to a microsecond TIMESTAMP_NTZ — the same truncation
-    * DuckDB applies, so oracle parity holds. */
+  /** `events.ts` normalizes to microsecond TIMESTAMP_NTZ whatever the
+    * parquet physical type is — the generator has shipped it as both
+    * TIMESTAMP(NANOS) (rounds ≤8) and TIMESTAMP(MICROS, not adjusted
+    * to UTC) (round 9), and a loader pinned to one layout breaks the
+    * moment the data refreshes:
+    *  - NANOS rejects Spark's vectorized reader outright, so sessions
+    *    carry `spark.sql.legacy.parquet.nanosAsLong=true` from
+    *    construction ([[Sessions.configure]] — all in-repo mains/tests
+    *    do; the loader idempotently fills it for caller-built sessions
+    *    that missed it, and only when genuinely unset — an explicit
+    *    caller choice, even "false", is respected) and the raw long
+    *    nanos truncate to micros — the same truncation DuckDB applies;
+    *  - MICROS arrives as a timestamp already (NTZ under the default
+    *    inference; cast is then a no-op normalization).
+    * Either way downstream sees the identical TIMESTAMP_NTZ column, so
+    * oracle parity holds across data layouts. */
   def events(s: SparkSession, d: String): DataFrame = {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
-    // fill in ONLY when genuinely unset (getOption would report the
-    // registered default): an explicit caller choice — even "false" —
-    // is respected; they get the reader's own error, not an override
     if (!org.apache.spark.sql.graftbridge.isConfSet(s, k))
       s.conf.set(k, "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

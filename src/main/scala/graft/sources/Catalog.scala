@@ -68,12 +68,19 @@ object Catalog {
     Tables.all.collect { case (name, _) if name != "events" =>
       external(name, s"$sfDir/$name.parquet")
     }
-    // events: the raw scan needs nanosAsLong (Sessions.configure sets it
-    // on every in-repo session; the loader back-fills for foreign ones)
+    // events: the ts normalization must match Tables.events for BOTH
+    // generator layouts — long nanos (rounds ≤8; the raw scan then
+    // needs nanosAsLong, which Sessions.configure sets on every
+    // in-repo session and the loader back-fills for foreign ones) and
+    // micros timestamp (round 9+; plain NTZ cast)
     external("events_raw", s"$sfDir/events.parquet")
-    val cols = spark.table(s"`$db`.`events_raw`").columns.map {
-      case "ts" =>
+    val raw = spark.table(s"`$db`.`events_raw`")
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val cols = raw.columns.map {
+      case "ts" if tsIsLong =>
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz) as ts"
+      case "ts" => "cast(ts as timestamp_ntz) as ts"
       case c => s"`$c`"
     }
     spark.sql(s"DROP VIEW IF EXISTS `$db`.`events`")
