@@ -38,14 +38,21 @@ object CurationQueries {
     s"transform(slice($toksRef, 1, size($toksRef)-1), (x, i) -> concat(x, ' ', element_at($toksRef, i + 2)))"
 
   /** Distinct (doc_id, shingle) pairs of word 3-grams — the inverted-index
-    * feed. Explode the single-level transform (never a nested form), then
-    * distinct: one narrow pass + one exchange on the shingle. */
+    * feed. Per-doc dedup happens NARROWLY (`array_distinct` before the
+    * explode): a document's shingles all live in its one input row, so
+    * the row-level `distinct()` the r8 shape paid — a full
+    * (doc_id, s)-keyed exchange of every pair — bought nothing the
+    * array form doesn't. ZERO exchanges here; consumers' own keyed
+    * aggregates (all partial-agged) are the only shuffles, which is
+    * what took the novelty_hot probe's shuffle ratio from ×12 at ×10
+    * data down to tracking the data (round 9). The explode stays a
+    * direct generator expression (never a pre-built array column — the
+    * q47 InferFiltersFromGenerate regression). */
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(expr(TextHashes.shingleTransform("toks"))).as("s"))
-      .distinct()
+        explode(expr(TextHashes.shingleSet("toks"))).as("s"))
 
   /** q106 co-located bucketed join: orders and customer land bucketed by
     * custkey ([[graft.sources.Lake.writeBucketed]], 8 buckets, catalog
@@ -208,12 +215,21 @@ object CurationQueries {
 
   /** q136 body over an arbitrary (doc_id, text) frame — factored so the
     * adversarial hot-shingle gate (RoundSevenProperties) can drive it
-    * with a planted 1000-doc boilerplate shingle. */
+    * with a planted 1000-doc boilerplate shingle. Round 9: n_shingles
+    * is now fully NARROW (`size(shingleSet)` on the un-exploded row —
+    * zero exchange, where the r8 form re-shuffled the exploded feed by
+    * doc_id), and the only pair-volume exchange left is the
+    * partial-agged groupBy(s).min — whose map-side combine is exactly
+    * what caps the hot key. */
   private[graft] def noveltyByDoc(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+    val base = docs.select(col("doc_id"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val perDoc = base.select(col("doc_id"),
+      size(expr(TextHashes.shingleSet("toks"))).cast("long")
+        .as("n_shingles"))
+    val firsts = base.select(col("doc_id"),
+        explode(expr(TextHashes.shingleSet("toks"))).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first0"))
     perDoc.join(firsts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
