@@ -216,6 +216,39 @@ object Dedup {
       .select(col("__id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** SERVING-layout signature index: one row per (doc, band) with the
+    * band key flattened to a single join column `bkey` = "band|key"
+    * (band-scoped equality ≡ bkey equality) and the doc's FULL
+    * signature carried INLINE — so incremental serving verifies
+    * agreement right on the joined row instead of joining back to the
+    * signature table. This is the layout [[writeSigIndex]] lands
+    * bucketed: every per-batch serving join/window then runs on the
+    * store's bucket partitioning with ZERO store-side exchange. */
+  def sigIndexRows(sigs: DataFrame, idCol: String,
+                   bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      concat((lit(s"$b|") +: (0 until rowsPerBand).map(r =>
+        element_at(col("mh"), b * rowsPerBand + r + 1))): _*).as(s"b$b"))
+    sigs.select(col(idCol).as("__id"), col("mh"),
+        explode(array(bandCols: _*)).as("bkey"))
+      .select(col("bkey"), col("__id"), col("mh"))
+  }
+
+  /** Land a signature table as the band-key-BUCKETED serving index
+    * (the q106 pay-once-at-ingest discipline applied to the dedup
+    * store): [[sigIndexRows]] bucketed by `bkey` and file-sorted by
+    * (bkey, __id), so [[minhashIncrementalIndexed]]'s semi-join prune,
+    * representative-cap window, and candidate join all reuse the scan's
+    * hash partitioning — the store is never re-shuffled at serving
+    * time, which is the difference between O(batch) and O(store) work
+    * per daily increment against a 100-TB corpus. */
+  def writeSigIndex(sigs: DataFrame, idCol: String, table: String,
+                    buckets: Int = 8,
+                    bands: Int = 4, rowsPerBand: Int = 2): Unit =
+    graft.sources.Lake.writeBucketed(
+      sigIndexRows(sigs, idCol, bands, rowsPerBand), table, "bkey",
+      buckets, sortCols = Seq("bkey", "__id"))
+
   /** INCREMENTAL MinHash near-dedup: drop every `increment` doc that
     * near-duplicates the EXISTING corpus (represented only by its
     * [[minhashSignatures]] table — no corpus text is touched) or a
@@ -265,6 +298,37 @@ object Dedup {
           s"bands*rowsPerBand = $numHashes — the store must be read with " +
           "the hash layout it was written with")
     }
+    minhashIncrementalIndexed(increment, idCol, textCol,
+      sigIndexRows(existingSigs, idCol, bands, rowsPerBand),
+      threshold, bands, rowsPerBand, maxBucketSize, reprPerBucket,
+      materialize)
+  }
+
+  /** [[minhashIncremental]] against a store already in the SERVING
+    * layout ([[sigIndexRows]] — ideally the bucketed table
+    * [[writeSigIndex]] lands, whose scan partitioning the whole store
+    * side of this plan then reuses: semi-join prune, representative
+    * window, and candidate join all run WITHOUT re-exchanging the
+    * store; only batch-sized increment rows ever move). The inline
+    * signatures also delete the r8 shape's two join-backs (candidate
+    * pairs → increment sigs → store sigs): agreement is verified
+    * directly on the joined row, so a pair matched in several bands
+    * verifies redundantly (8 string equalities) instead of paying a
+    * pair-distinct exchange — strictly cheaper at every scale. */
+  def minhashIncrementalIndexed(increment: DataFrame, idCol: String,
+                                textCol: String, index: DataFrame,
+                                threshold: Double = 0.8,
+                                bands: Int = 4, rowsPerBand: Int = 2,
+                                maxBucketSize: Int = 1000,
+                                reprPerBucket: Int = 16,
+                                materialize: Boolean = true): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    index.select(size(col("mh"))).head(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"signature index carries ${r.getInt(0)} min-hashes per doc but " +
+          s"bands*rowsPerBand = $numHashes — the index must be read with " +
+          "the hash layout it was written with")
+    }
     // the increment's signatures feed two faces below: pin ONE
     // computation instead of re-tokenizing and re-hashing per reference
     // (materialize=false skips the pin — zero session residue, the
@@ -275,30 +339,25 @@ object Dedup {
       bands, rowsPerBand)
     val incSigs =
       if (materialize) incSigsRaw.localCheckpoint(true) else incSigsRaw
-    val incBuckets = sigBuckets(incSigs, idCol, bands, rowsPerBand)
+    val incRows = sigIndexRows(incSigs, idCol, bands, rowsPerBand)
     // prune the store's band rows to keys the increment touches, THEN
     // cap hot keys (representative choice is per-key, so pruning first
     // changes nothing but the shuffle size)
-    val exTouched = sigBuckets(existingSigs, idCol, bands, rowsPerBand)
-      .join(incBuckets.select(col("band"), col("key")).distinct(),
-        Seq("band", "key"), "left_semi")
-    val wB = Window.partitionBy(col("band"), col("key"))
-      .orderBy(col("__id").asc)
+    val exTouched = index
+      .join(incRows.select(col("bkey")).distinct(), Seq("bkey"), "left_semi")
+    val wB = Window.partitionBy(col("bkey")).orderBy(col("__id").asc)
     val exRepr = exTouched
       .withColumn("__rk", row_number().over(wB))
       .filter(col("__rk") <= reprPerBucket)
-      .select(col("__id").as("__ex"), col("band"), col("key"))
+      .select(col("bkey"), col("__id").as("__ex"), col("mh").as("__mhe"))
     val agree = (a: Column, b: Column) =>
       size(filter(zip_with(a, b, (x, y) => x === y), m => m)) /
         lit(numHashes.toDouble)
     // vs existing: ANY similar existing doc condemns the increment doc
     // (the stored corpus is canonical — it already survived dedup)
-    val vsExisting = incBuckets
-      .join(exRepr, Seq("band", "key"))
-      .select(col("__id"), col("__ex")).distinct()
-      .join(incSigs.select(col(idCol).as("__id"), col("mh").as("__mhi")), "__id")
-      .join(existingSigs.select(col(idCol).as("__ex"), col("mh").as("__mhe")),
-        "__ex")
+    val vsExisting = incRows
+      .select(col("bkey"), col("__id"), col("mh").as("__mhi"))
+      .join(exRepr, Seq("bkey"))
       .filter(agree(col("__mhi"), col("__mhe")) >= threshold)
       .select(col("__id"))
     // within the increment: exact-Jaccard verification, smaller id

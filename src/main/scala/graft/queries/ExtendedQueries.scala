@@ -370,22 +370,33 @@ object ExtendedQueries {
       .orderBy("event_type")
 
   /** q103 incremental corpus dedup ([[graft.operators.Dedup
-    * .minhashIncremental]]): the signature store is built from docs
-    * 0–59, the increment is docs 60–99 plus planted copies of docs 0–2
-    * under new ids — the copies must be condemned by the STORE alone
-    * (their source text is never re-read), while increment docs that
-    * near-duplicate nothing survive. Signature-estimated Jaccard at
+    * .minhashIncrementalIndexed]]): the signature store is built from
+    * docs 0–59 and landed ONCE as the band-key-BUCKETED serving index
+    * ([[graft.operators.Dedup.writeSigIndex]] — the q106
+    * pay-once-at-ingest discipline); the increment is docs 60–99 plus
+    * planted copies of docs 0–2 under new ids — the copies must be
+    * condemned by the STORE alone (their source text is never re-read),
+    * while increment docs that near-duplicate nothing survive. The
+    * serving plan re-shuffles NOTHING on the store side (the scan's
+    * bucket partitioning feeds the prune, the representative window,
+    * and the candidate join — PlanContractSpec pins it); per-batch
+    * work is O(batch + matched buckets), the shape that serves a daily
+    * increment against a 100-TB corpus. Signature-estimated Jaccard at
     * 8 hashes: ≥ 0.8 means ≥ 7 of 8 min-hashes agree. */
   def q103(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val existing = docs.filter(col("doc_id") < 60)
-    val sigs = graft.operators.Dedup.minhashSignatures(
-      existing, "doc_id", "text")
+    val tbl = s"graft_sig_idx${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Lake.ensureTable(s, tbl) {
+      graft.operators.Dedup.writeSigIndex(
+        graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 60), "doc_id", "text"),
+        "doc_id", tbl)
+    }
     val increment = docs.filter(col("doc_id").between(60, 99))
       .unionByName(docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    graft.operators.Dedup.minhashIncremental(
-        increment, "doc_id", "text", sigs)
+    graft.operators.Dedup.minhashIncrementalIndexed(
+        increment, "doc_id", "text", s.table(tbl))
       .select(col("doc_id"))
       .orderBy("doc_id")
   }

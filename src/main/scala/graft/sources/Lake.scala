@@ -183,7 +183,7 @@ object Lake {
     * in overwrite mode — so the stale registration AND any orphaned
     * location are reaped before writing. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // drops the managed location too when the table IS registered
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -194,9 +194,14 @@ object Lake {
       table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    // sortCols extends the per-bucket-file sort beyond the bucket key
+    // (e.g. (bkey, __id) for the dedup signature index, whose serving
+    // window orders by id within a band key) — default keeps the
+    // original bucket-key sort
+    val sorted = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sorted.head, sorted.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }
@@ -227,12 +232,21 @@ object Lake {
     * later readTable failure. Callers whose input for `table` can
     * change within one JVM must use [[writeBucketed]] directly. */
   def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
-                     buckets: Int): Unit = {
+                     buckets: Int, sortCols: Seq[String] = Nil): Unit =
+    ensureTable(df.sparkSession, table) {
+      writeBucketed(df, table, bucketCol, buckets, sortCols)
+    }
+
+  /** [[ensureBucketed]]'s pay-once memo generalized to CUSTOM bucketed
+    * writers (e.g. `Dedup.writeSigIndex`, whose layout derivation lives
+    * with the dedup operator, not here): run `write` once per
+    * (JVM, table), re-validated against the catalog on every call. */
+  def ensureTable(spark: SparkSession, table: String)(write: => Unit): Unit = {
     val lock = bucketedLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       if (!bucketedOnce.contains(table)
-          || !df.sparkSession.catalog.tableExists(table)) {
-        writeBucketed(df, table, bucketCol, buckets)
+          || !spark.catalog.tableExists(table)) {
+        write
         bucketedOnce.add(table)
       }
     }
