@@ -303,4 +303,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q144_novelty_curve") <= 4000,
       "novelty curve must shuffle doc-level fingerprints only")
   }
+
+  test("q103 serving plan never re-shuffles the signature store (r9)") {
+    // the bucketed index table is the 100-TB contract: the store scan
+    // must carry its bucket layout, the touched-key prune must stream
+    // the store through a broadcast semi join, and NO exchange may key
+    // on the store's own bkey attribute — the representative-cap window
+    // and candidate join both reuse the scan's partitioning. The
+    // increment side may exchange freely (it is batch-sized).
+    val plan = executedPlan("q103_dedup_incr")
+    val scanRe =
+      ("FileScan parquet spark_catalog\\.default\\.graft_sig_idx" +
+        "[^\\[]*\\[bkey#(\\d+)").r
+    val scan = scanRe.findFirstMatchIn(plan)
+    assert(scan.isDefined,
+      s"q103 must serve from the bucketed graft_sig_idx table:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"the signature-index scan must use its bucket layout:\n$plan")
+    val storeBkey = s"bkey#${scan.get.group(1)}"
+    assert(!plan.contains(s"Exchange hashpartitioning($storeBkey") &&
+      !plan.contains(s"Exchange rangepartitioning($storeBkey"),
+      s"the store side must never re-shuffle on $storeBkey:\n$plan")
+    assert(("BroadcastHashJoin \\[" + storeBkey + "\\][^\\n]*LeftSemi").r
+        .findFirstIn(plan).isDefined,
+      s"the touched-key prune must stream the store (broadcast semi):\n$plan")
+  }
 }
