@@ -16,10 +16,16 @@ object Sessions {
     *  - `escapedStringLiterals` so SQL string literals keep backslashes
     *    verbatim (Hive/DuckDB behavior) — regex patterns like `\b`/`\d`
     *    in the shared-dialect oracle strings ([[SqlCompat]]) would
-    *    otherwise be eaten by Spark's nonstandard escape processing.
+    *    otherwise be eaten by Spark's nonstandard escape processing;
+    *  - the graft extensions (custom expressions on the SQL face plus
+    *    the [[graft.plans.GraftSqlParser]] dialect bridge — ASOF JOIN
+    *    and UNION-fixpoint recursion; a parser can only be injected at
+    *    session construction, which is why this lives here and not in
+    *    the live-session `install`).
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parser.escapedStringLiterals", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 }

@@ -15,8 +15,11 @@ import graft.functions.{ArrayCosineSim, ArrayDotProduct}
   *    is ignored by getOrCreate once a session exists)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // dialect bridge: ASOF JOIN + UNION-fixpoint recursion ([[GraftSqlParser]])
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

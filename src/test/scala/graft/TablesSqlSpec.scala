@@ -65,12 +65,14 @@ class TablesSqlSpec extends AnyFunSuite {
       s"runnable oracle SQL must match the DataFrame face: $mismatches")
     // the measured dual-face coverage — a drop below this means either
     // new queries shipped DuckDB-only SQL that could have been portable,
-    // or a dialect regression crept into existing strings. Round 8 raised
-    // coverage to 137/141 via SqlCompat + shared-dialect rewrites; the
-    // remaining 4 are structurally Spark-unparseable (DuckDB ASOF JOIN
-    // ×2, a RECURSIVE CTE with UNION-fixpoint semantics) or blocked on
-    // a genuinely divergent builtin — floor pinned just below measured.
-    assert(runnable >= 135,
+    // or a dialect regression crept into existing strings. Round 9
+    // closed the board to 146/146: the GraftSqlParser dialect bridge
+    // ([[graft.plans.GraftSqlParser]]) rewrites DuckDB ASOF JOIN to the
+    // per-left-row rank-1 plan and executes UNION-fixpoint RECURSIVE
+    // CTEs as an exact parse-time delta iteration — floor pinned just
+    // below measured so one genuinely-divergent future builtin doesn't
+    // block a round.
+    assert(runnable >= 144,
       s"Spark-runnable oracle coverage regressed: $runnable")
   }
 
