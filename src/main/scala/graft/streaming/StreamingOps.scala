@@ -285,6 +285,47 @@ object StreamingOps {
     ()
   }
 
+  /** Continuous ANN serving — the STREAMING face of
+    * [[graft.operators.Ann.searchIndex]] (batch contract q79/q115):
+    * each micro-batch of query vectors probes the COMMITTED IVF index
+    * and lands its top-k neighbors in the sink. The index is read-only
+    * here (build/refresh stays [[graft.operators.Ann.saveIndex]]'s
+    * job — the commit marker protocol means a concurrent rebuild is
+    * either invisible or complete, never torn), so each batch is pure
+    * probe-side work: centroid routing over the batch, a
+    * partition-pruned scan of the `nprobe` touched lists, top-k per
+    * probe. Exactly-once by the same per-batch-directory overwrite
+    * discipline as [[dedupDocStream]]: a replayed batch rewrites its
+    * own `batch=<id>` output instead of appending duplicates. */
+  def annServeStream(probes: DataFrame, probeIdCol: String, vecCol: String,
+                     indexPath: String, sinkPath: String, checkpoint: String,
+                     nprobe: Int, k: Int,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = probes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        annServeBatch(batch.toDF(), bid, probeIdCol, vecCol, indexPath,
+          sinkPath, nprobe, k)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** One micro-batch of [[annServeStream]] — separated so tests can
+    * drive replay deterministically. An empty batch writes nothing
+    * (searchIndex's probe-batch collect would otherwise plan an empty
+    * IN-list scan for no output). */
+  private[streaming] def annServeBatch(batch: DataFrame, batchId: Long,
+                                       probeIdCol: String, vecCol: String,
+                                       indexPath: String, sinkPath: String,
+                                       nprobe: Int, k: Int): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Ann.searchIndex(batch.sparkSession, indexPath,
+        batch, probeIdCol, vecCol, nprobe, k)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   /** Backfill drain: run [[upsertStreamPartitioned]] under
     * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
     * merged — the bounded-catch-up entry point (a skipped-backlog

@@ -9,6 +9,8 @@ import graft.TestSpark
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class Pv(probe: Long, embedding: Array[Float])
+
 /** §2.4 streaming suite over MemoryStream (no oracle — DuckDB can't replay
   * streams): tumbling/sliding/session windows, watermark late-data drop,
   * stateful dedup. Deterministic via processAllAvailable(). */
@@ -548,5 +550,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table.size == 40)
     assert(table(7L) == ("click", 99.0))
     assert(table(8L) == ("view", 8.0))
+  }
+
+  test("annServeStream: micro-batched probes return exactly the batch " +
+      "searchIndex results, replay rewrites not appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString
+    val (idx, sink, ckpt) = (s"$base/idx", s"$base/sink", s"$base/ck")
+    graft.operators.Ann.saveIndex(corpus, "id", cs, "cid", "embedding", idx)
+    val allProbes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val rows = allProbes.as[Pv].collect().sortBy(_.probe)
+    val (b1, b2) = rows.splitAt(3)
+    val mem = MemoryStream[Pv]
+    val q = StreamingOps.annServeStream(mem.toDF(), "probe", "embedding",
+      idx, sink, ckpt, nprobe = 2, k = 3)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val batchDirs = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(batchDirs.length >= 2,
+      s"two drains must land two batch directories, got ${batchDirs.toSeq}")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe", "cand", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val expect = graft.operators.Ann.searchIndex(spark, idx, allProbes,
+      "probe", "embedding", nprobe = 2, k = 3)
+    assert(canon(spark.read.parquet(sink)) == canon(expect),
+      "streamed top-k must be value-identical to the one-shot searchIndex")
+    // replay: re-running a batch id rewrites its directory, never dups
+    StreamingOps.annServeBatch(b1.toIndexedSeq.toDF(), 0L, "probe",
+      "embedding", idx, sink, nprobe = 2, k = 3)
+    assert(canon(spark.read.parquet(sink)) == canon(expect),
+      "a replayed batch must rewrite its own directory idempotently")
   }
 }
