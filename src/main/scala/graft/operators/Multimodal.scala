@@ -759,6 +759,35 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-dup for media assets — the bridge between the two
+    * mature stacks (round-9 ask #5): decoded SIGNAL features
+    * ([[extractFeatures]] — luminance/PCM segment means, so the vector
+    * depends on the pixels, not the container bytes) flow into the
+    * embedding dedup operator ([[Dedup.embeddingCosine]], sign-bucketed
+    * cosine LSH). Re-encoded copies (a PNG and a BMP of the SAME
+    * pixels) decode to identical feature vectors → same LSH bucket →
+    * cosine 1 → the larger asset_id is condemned, exactly like
+    * near-dup text; genuinely different media land in different sign
+    * buckets or fail verification and all survive.
+    *
+    * Bands split the feature vector's odd/even positions (every band
+    * sees the whole signal's span, so a crop/shift perturbation
+    * degrades both bands equally rather than blinding one). Scale shape
+    * is embeddingCosine's: per-band bucket exchange + verified
+    * candidate joins, hot buckets star-capped — never all-pairs.
+    * Compressed-codec kinds (MP3/H.264) ride the documented
+    * deterministic stand-in features, so their "perceptual" equality is
+    * byte-level until a real codec lands (the honest boundary at
+    * [[decodeStub]]). */
+  def nearDupAssets(assets: Dataset[Asset], dim: Int = 16,
+                    threshold: Double = 0.99,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    require(dim >= 2, s"banding needs >= 2 feature dims, got $dim")
+    val bands = Seq((1 to dim by 2).toSeq, (2 to dim by 2).toSeq)
+    Dedup.embeddingCosine(extractFeatures(assets, dim).toDF(),
+      "asset_id", "features", threshold, bands, maxBucketSize)
+  }
+
   /** Frame sampling for `video` assets: every k-th fixed-size chunk of the
     * payload (stand-in for every k-th decoded frame), exploded to one row
     * per sampled frame. */

@@ -486,4 +486,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.h264Header(mediaBytes("fixture.wav")).isEmpty)
     assert(Multimodal.mp3Header(mediaBytes("fixture.wav")).isEmpty)
   }
+
+  /** Minimal 24bpp BMP encoder (bottom-up rows, BGR, 4-byte row
+    * padding): the SECOND container for the same pixels, so the
+    * perceptual near-dup test can re-encode without any codec lib. */
+  private def buildBmp(w: Int, h: Int,
+                       rows: Array[Array[Int]]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (r <- (h - 1) to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        // rows carry RGB triples; BMP stores BGR
+        buf.put(rows(r)(x * 3 + 2).toByte)
+        buf.put(rows(r)(x * 3 + 1).toByte)
+        buf.put(rows(r)(x * 3).toByte)
+      }
+      (w * 3 until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("perceptual near-dup: PNG and BMP re-encodings of the same " +
+      "pixels collapse to one survivor, distinct images all survive") {
+    import spark.implicits._
+    val w = 4; val h = 2
+    def img(pattern: Int => Int): Array[Array[Int]] =
+      Array.tabulate(h)(r => Array.tabulate(w * 3)(i => pattern(r * w + i / 3)))
+    // image A: two white then two black per row; B: inverted; C: checker
+    val imgA = img(p => if (p % 4 < 2) 255 else 0)
+    val imgB = img(p => if (p % 4 < 2) 0 else 255)
+    val imgC = img(p => if (p % 2 == 0) 255 else 0)
+    val meta = Multimodal.AssetMeta(0, 0, "bin")
+    val assets = Seq(
+      Multimodal.Asset(1L, "image",
+        buildPng(w, h, 2, imgA, Array(0, 1)), meta),
+      Multimodal.Asset(2L, "image", buildBmp(w, h, imgA), meta), // re-encode of 1
+      Multimodal.Asset(3L, "image",
+        buildPng(w, h, 2, imgB, Array(2, 4)), meta),
+      Multimodal.Asset(4L, "image", buildBmp(w, h, imgC), meta)
+    ).toDS()
+    // sanity: the two containers decode to the SAME feature vector
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+      .map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(feats(1L) == feats(2L),
+      s"PNG and BMP of the same pixels must yield identical features: " +
+        s"${feats(1L)} vs ${feats(2L)}")
+    assert(feats(1L) != feats(3L), "distinct pixels, distinct features")
+    val survivors = Multimodal.nearDupAssets(assets, dim = 8,
+        threshold = 0.99)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 4L),
+      s"the BMP re-encode must collapse onto the PNG (smallest id), " +
+        s"distinct fixtures survive: $survivors")
+  }
 }
