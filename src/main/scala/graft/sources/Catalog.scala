@@ -102,7 +102,7 @@ object Catalog {
     * with the same orphaned-location reap as the session-local face. */
   def publishBucketed(spark: SparkSession, df: DataFrame, db: String,
                       table: String, bucketCol: String,
-                      buckets: Int): Unit = {
+                      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(!db.contains("`") && !table.contains("`"),
       s"invalid identifier: $db.$table")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
@@ -113,12 +113,96 @@ object Catalog {
         table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    val sorted = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sorted.head, sorted.tail: _*)
       .format("parquet")
       .saveAsTable(s"`$db`.`$table`")
   }
+
+  /** Catalog manifest table for published dedup signature stores. */
+  private val DedupManifest = "dedup_stores"
+
+  /** Publish a MinHash signature table as a DURABLE serving index (the
+    * round-9 q103 layout — [[graft.operators.Dedup.sigIndexRows]]
+    * band rows, bucketed by `bkey`, file-sorted (bkey, __id)) plus a
+    * row in the `dedup_stores` manifest mapping `name -> table`, which
+    * [[dedupIncrementalByName]] resolves. A fresh JVM then serves
+    * incremental dedup with the store side exchange-free — the bucket
+    * spec lives in the metastore, not in anyone's code. */
+  def publishSigStore(spark: SparkSession, sigs: DataFrame, db: String,
+                      name: String, buckets: Int = 8): Unit = {
+    require(!db.contains("`") && !name.contains("`"),
+      s"invalid identifier: $db.$name")
+    val table = s"${name}_sig_idx"
+    publishBucketed(spark,
+      graft.operators.Dedup.sigIndexRows(sigs, "doc_id"),
+      db, table, "bkey", buckets, sortCols = Seq("bkey", "__id"))
+    upsertManifest(spark, db, DedupManifest, name, s"$db.$table")
+  }
+
+  /** Incremental near-dedup BY CATALOG NAME: resolve the signature
+    * store through the `dedup_stores` manifest, then delegate to
+    * [[graft.operators.Dedup.minhashIncrementalIndexed]]. The always-on
+    * dedup face: a fresh JVM needs only the catalog home and the store
+    * name (CatalogSpec proves it across processes). */
+  def dedupIncrementalByName(spark: SparkSession, db: String, name: String,
+                             increment: DataFrame, idCol: String,
+                             textCol: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val table = resolveManifest(spark, db, DedupManifest, name)
+    graft.operators.Dedup.minhashIncrementalIndexed(
+      increment, idCol, textCol, spark.table(table), threshold)
+  }
+
+  /** Publish a STREAMING SINK directory (per-batch `batch=<id>` parquet
+    * subdirs — [[graft.streaming.StreamingOps.dedupDocStream]]'s sink
+    * and signature store, [[graft.streaming.StreamingOps.annServeStream]]'s
+    * results) as a persistent VIEW: views list the path at query time,
+    * so batches the stream lands AFTER publishing are visible without
+    * re-registration or partition repair — the property an always-on
+    * analyst face over a live stream needs. */
+  def publishStreamSink(spark: SparkSession, path: String, db: String,
+                        name: String): Unit = {
+    require(!db.contains("`") && !name.contains("`") &&
+        !path.contains("'") && !path.contains("`"),
+      s"invalid identifier: $db.$name at $path")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP VIEW IF EXISTS `$db`.`$name`")
+    spark.sql(s"CREATE VIEW `$db`.`$name` AS " +
+      s"SELECT * FROM parquet.`$path`")
+  }
+
+  /** Tiny name→target manifest upsert shared by the ANN and dedup
+    * faces: read-modify-write of a metadata-sized parquet table. */
+  private def upsertManifest(spark: SparkSession, db: String,
+                             manifest: String, name: String,
+                             target: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$manifest` " +
+      "(name STRING, path STRING) USING parquet")
+    val kept = spark.table(s"`$db`.`$manifest`")
+      .filter(org.apache.spark.sql.functions.col("name") =!= name)
+      .collect().toSeq
+    val rows = kept :+ org.apache.spark.sql.Row(name, target)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        spark.table(s"`$db`.`$manifest`").schema)
+      .write.mode("overwrite").insertInto(s"`$db`.`$manifest`")
+  }
+
+  private def resolveManifest(spark: SparkSession, db: String,
+                              manifest: String, name: String): String =
+    spark.table(s"`$db`.`$manifest`")
+      .filter(org.apache.spark.sql.functions.col("name") === name)
+      .collect() match {
+      case Array(r) => r.getString(r.fieldIndex("path"))
+      case Array()  => throw new IllegalArgumentException(
+        s"no entry named $name in catalog manifest $db.$manifest")
+      case many     => throw new IllegalStateException(
+        s"manifest holds ${many.length} rows for $name — corrupt")
+    }
 
   /** Catalog manifest table for persisted ANN indexes. */
   private val IndexManifest = "ann_indexes"
@@ -150,16 +234,7 @@ object Catalog {
     spark.sql(s"CREATE VIEW `$db`.`${name}_centroids` AS " +
       s"SELECT * FROM parquet.`$path/centroids`")
     // manifest upsert: tiny metadata table, read-modify-write by name
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$IndexManifest` " +
-      "(name STRING, path STRING) USING parquet")
-    val kept = spark.table(s"`$db`.`$IndexManifest`")
-      .filter(org.apache.spark.sql.functions.col("name") =!= name)
-      .collect().toSeq
-    val rows = kept :+ org.apache.spark.sql.Row(name, path)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        spark.table(s"`$db`.`$IndexManifest`").schema)
-      .write.mode("overwrite").insertInto(s"`$db`.`$IndexManifest`")
+    upsertManifest(spark, db, IndexManifest, name, path)
   }
 
   /** Serve a published index BY CATALOG NAME: resolve the path through
@@ -170,15 +245,7 @@ object Catalog {
   def searchIndexByName(spark: SparkSession, db: String, name: String,
                         probes: DataFrame, probeIdCol: String,
                         vecCol: String, nprobe: Int, k: Int): DataFrame = {
-    val path = spark.table(s"`$db`.`$IndexManifest`")
-      .filter(org.apache.spark.sql.functions.col("name") === name)
-      .collect() match {
-      case Array(r) => r.getString(r.fieldIndex("path"))
-      case Array()  => throw new IllegalArgumentException(
-        s"no index named $name in catalog $db")
-      case many     => throw new IllegalStateException(
-        s"manifest holds ${many.length} rows for $name — corrupt")
-    }
+    val path = resolveManifest(spark, db, IndexManifest, name)
     graft.operators.Ann.searchIndex(spark, path, probes, probeIdCol,
       vecCol, nprobe, k)
   }
@@ -210,6 +277,40 @@ object Catalog {
         val load = Tables.all.toMap.apply(table)
         publishBucketed(spark, load(spark, sfDir), "graft",
           s"${table}_bucketed", bucketCol, buckets.toInt)
+      } finally spark.stop()
+    // streaming sink directory published as an always-current view
+    case "sink_publish" :: home :: path :: name :: Nil =>
+      val spark = session(home)
+      try publishStreamSink(spark, path, "graft", name)
+      finally spark.stop()
+    // durable dedup face: signature store from docs 0-59 published as
+    // the bucketed serving index under graft.<name>
+    case "dedup_publish" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        publishSigStore(spark,
+          graft.operators.Dedup.minhashSignatures(
+            docs.filter(col("doc_id") < 60), "doc_id", "text"),
+          "graft", name)
+      } finally spark.stop()
+    // serve incremental dedup BY NAME from a fresh JVM against the
+    // q103 increment (docs 60-99 + planted copies of 0-2)
+    case "dedup_incr" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val increment = docs.filter(col("doc_id").between(60, 99))
+          .unionByName(docs.filter(col("doc_id") < 3)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        dedupIncrementalByName(spark, "graft", name, increment,
+            "doc_id", "text")
+          .select(col("doc_id")).orderBy("doc_id")
+          .collect().foreach(r => println(s"CATALOG_ROW|${r.getLong(0)}"))
       } finally spark.stop()
     // durable ANN face: train + save an IVF index over embeddings,
     // then publish views + manifest entry under graft.<name>

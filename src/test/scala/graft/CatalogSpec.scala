@@ -129,4 +129,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(nCents.toLong == 4 && nLists.toLong > 0,
       s"views must read the index dirs: lists=$nLists cents=$nCents")
   }
+
+  test("durable dedup store: published by one JVM, incremental dedup " +
+      "served BY CATALOG NAME from a FRESH one (r9)") {
+    assume(classesDir.isDirectory, "compiled classes dir missing")
+    val home = java.nio.file.Files
+      .createTempDirectory("graft_catalog_dedup").toString
+    val sf = "/root/testdata/sf0.001"
+    val (rcP, outP) = fork("dedup_publish", home, sf, "docs")
+    assert(rcP == 0, s"dedup store publish failed:\n${outP.takeRight(3000)}")
+    val (rcS, outS) = fork("dedup_incr", home, sf, "docs")
+    assert(rcS == 0, s"by-name dedup failed:\n${outS.takeRight(3000)}")
+    val survivors = rows(outS).map(_.toLong)
+    // the catalog-served result must equal the in-process operator on
+    // the same signature store (q103's semantics)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val increment = docs.filter(col("doc_id").between(60, 99))
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val expected = graft.operators.Dedup.minhashIncremental(
+        increment, "doc_id", "text",
+        graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 60), "doc_id", "text"))
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == expected,
+      s"catalog-name serving must equal the operator face: " +
+        s"got ${survivors.take(8)}..., want ${expected.take(8)}...")
+    // planted copies were condemned by the STORE alone
+    assert(!survivors.exists(_ >= 10000),
+      s"planted copies of docs 0-2 must be condemned: $survivors")
+    // the bucket spec is durable metadata, visible to a fresh JVM
+    val (rcD, outD) = fork("sql", home,
+      "SHOW CREATE TABLE graft.docs_sig_idx")
+    assert(rcD == 0, outD.takeRight(3000))
+    assert(outD.contains("CLUSTERED BY (bkey)"),
+      s"fresh JVM must see the serving-index bucket spec:\n" +
+        outD.takeRight(1200))
+
+    // streaming-sink view: batches landed AFTER publishing are visible
+    // (views list the path at query time — no partition repair)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_catalog_sink").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$sink/batch=0")
+    val (rcV, outV) = fork("sink_publish", home, sink, "stream_sink")
+    assert(rcV == 0, s"sink publish failed:\n${outV.takeRight(3000)}")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"$sink/batch=1") // lands AFTER the publish
+    val (rcC, outC) = fork("sql", home,
+      "SELECT count(*) FROM graft.stream_sink")
+    assert(rcC == 0, outC.takeRight(3000))
+    assert(rows(outC) == Seq("3"),
+      s"post-publish batches must be visible through the view: " +
+        rows(outC))
+  }
 }
