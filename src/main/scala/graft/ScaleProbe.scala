@@ -80,7 +80,7 @@ object ScaleProbe {
     // they scan whole tables, so the replicas actually hit them), plus
     // the corpus-level dedup operator over the FULL documents table
     // (q58's contract query is doc_id-bounded and would not scale)
-    val probes: Seq[(String, String => DataFrame)] =
+    val probesAll: Seq[(String, String => DataFrame)] =
       Seq("q11_join_inner", "q20_agg_group", "q38_upsert_latest",
         "q39_topk_group", "q44_multi_join_agg", "q80_cohort",
         // the shipped quantile face (histogram-refinement scan)
@@ -191,6 +191,13 @@ object ScaleProbe {
               col("embedding")), "cid",
             "embedding", nprobe = 2, k = 3)
         }))
+    // SPARK_GRAFT_PROBE_ONLY=q97,novelty — comma-separated prefixes to
+    // focus a probe run (the mult=30 sweep targets the ×4-5 club
+    // without paying a full-inventory replication pass); unset = all
+    val onlyP = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val probes = probesAll.filter { case (n, _) =>
+      onlyP.forall(_.exists(n.startsWith)) }
     // warm both directories so timings compare steady-state plans
     probes.foreach { case (_, f) =>
       try noop(f(baseDir)) catch { case _: Throwable => () }
@@ -218,9 +225,13 @@ object ScaleProbe {
     val json =
       s"""{"metric":"scale_probe","mult":$mult,"base":"$baseDir","queries":$body}"""
     println(json)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scale_probe.json"), json + "\n")
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("scale_probe.json"), json + "\n")
+      // per-mult copy so a 10x and a 30x run in one round don't clobber
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"scale_probe_m$mult.json"), json + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
