@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -116,11 +116,17 @@ object GraftSqlParser {
     case other => other.children.flatMap(relationAliases).toSet
   }
 
-  /** Rewrite every marker-tagged join into the as-of shape. */
+  /** Rewrite every marker-tagged join into the as-of shape. Inner
+    * (DuckDB's default: unmatched left rows drop) and LEFT OUTER
+    * (unmatched left rows keep with null right columns) both rewrite;
+    * the outer form works because the rank window orders candidate
+    * timestamps NULLS LAST, so the null-padded row ranks first exactly
+    * when a left row has no candidate. */
   private[plans] def rewriteAsofPlan(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if conjuncts(cond).exists(isMarker) =>
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftOuter) &&
+            conjuncts(cond).exists(isMarker) =>
         val conds = conjuncts(cond).filterNot(isMarker)
         val rightNames = relationAliases(right)
         def ofRight(e: Expression): Boolean = e match {
@@ -154,18 +160,22 @@ object GraftSqlParser {
           case None =>
             // no recognizable as-of inequality — degrade to the plain
             // join the text already demoted to
-            Join(left, right, Inner, conds.reduceOption(And), hint)
+            Join(left, right, jt, conds.reduceOption(And), hint)
           case Some((rightTs, dir)) =>
             val lid = Alias(MonotonicallyIncreasingID(), "__asof_lid")()
             val leftT = Project(Seq(UnresolvedStar(None), lid), left)
             val joined =
-              Join(leftT, right, Inner, conds.reduceOption(And), hint)
+              Join(leftT, right, jt, conds.reduceOption(And), hint)
+            // NULLS LAST in BOTH directions: under LeftOuter the
+            // null-padded candidate must rank first only when a left
+            // row has no real match (ascending would default nulls
+            // first and shadow genuine matches)
             val rn = Alias(
               WindowExpression(
                 UnresolvedFunction("row_number", Nil, isDistinct = false),
                 WindowSpecDefinition(
                   Seq(UnresolvedAttribute("__asof_lid")),
-                  Seq(SortOrder(rightTs, dir, dir.defaultNullOrdering, Nil)),
+                  Seq(SortOrder(rightTs, dir, NullsLast, Nil)),
                   UnspecifiedFrame)),
               "__asof_rn")()
             Filter(

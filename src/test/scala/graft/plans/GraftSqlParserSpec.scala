@@ -38,6 +38,17 @@ class GraftSqlParserSpec extends AnyFunSuite {
       s"(1,10)→15 is the only at-or-after match: $got")
   }
 
+  test("LEFT ASOF JOIN keeps unmatched left rows with null right " +
+      "columns, matches stay rank-1") {
+    val got = rows(
+      """SELECT l.k, l.ts, r.ts AS rts, r.v
+        |FROM l_asof l LEFT ASOF JOIN r_asof r
+        |ON l.k = r.k AND r.ts <= l.ts""".stripMargin)
+    assert(got == Set(
+      Seq(1, 10, 9, "a"), Seq(1, 20, 15, "b"), Seq(2, 5, null, null)),
+      s"left form pads unmatched rows instead of dropping: $got")
+  }
+
   test("non-ASOF SQL passes through the parser untouched") {
     assert(rows("SELECT 'asof' AS s").head == Seq("asof"))
     // a plain join with an inequality is NOT rewritten (no marker)
