@@ -32,18 +32,25 @@ object Temporal {
   /** As-of join: for each `left` row, the single nearest `right` row on
     * the same `keyCol` — the most recent with `right.ts <= left.ts` when
     * `direction = "backward"` (default), or the earliest with
-    * `right.ts >= left.ts` when `direction = "forward"` (inner: left rows
-    * with no matching right row are dropped). `right` must be unique per
-    * (key, ts) — pre-aggregate if it isn't; ties between a left and
-    * right row at the SAME ts match (right sorts first).
+    * `right.ts >= left.ts` when `direction = "forward"`. Inner by
+    * default (left rows with no matching right row drop — DuckDB ASOF
+    * JOIN's default); `keepUnmatched = true` gives LEFT semantics:
+    * unmatched left rows — including null-key/null-ts rows, which match
+    * nothing — keep with null `r_*` columns, matching DuckDB's
+    * `ASOF LEFT JOIN` row for row (q147's oracle). `right` must be
+    * unique per (key, ts) — pre-aggregate if it isn't; ties between a
+    * left and right row at the SAME ts match (right sorts first).
     *
     * Columns: left's columns plus `right`'s non-key/ts columns prefixed
     * `r_`, and `r_ts`. Both directions are the same union-scan shape —
     * forward only flips the window's time ordering, so the cost model
-    * (one exchange + one sorted pass) is identical. */
+    * (one exchange + one sorted pass) is identical; the left form only
+    * drops the final null filter and unions the (typically tiny)
+    * null-key/ts residue back, so it prices the same. */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               keepUnmatched: Boolean = false): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val reserved = Seq("__side", "__r", "__last")
@@ -78,12 +85,30 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
+    val matchFilter =
+      if (keepUnmatched) lit(true) else col("__last").isNotNull
+    val joined = r.unionByName(l)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__last").isNotNull)
+      .filter(col("__side") === 1 && matchFilter)
       .select(
         (lCols.map(col) :+ col("__last.ts").as(s"r_$tsCol")) ++
           rCols.map(c => col(s"__last.$c").as(s"r_$c")): _*)
+    if (!keepUnmatched) joined
+    else {
+      // null-key/null-ts left rows match nothing but survive the LEFT
+      // form — they were pre-filtered from the window input (they would
+      // otherwise pool into one null partition), so union them back
+      // with a null payload
+      val residue = left
+        .filter(col(keyCol).isNull || col(tsCol).isNull)
+        .select(
+          (lCols.map(col) :+
+            lit(null).cast(right.schema(tsCol).dataType)
+              .as(s"r_$tsCol")) ++
+            rCols.map(c => lit(null).cast(right.schema(c).dataType)
+              .as(s"r_$c")): _*)
+      joined.unionByName(residue)
+    }
   }
 
   /** Ordered pairs of rows on the same key whose timestamps differ by at

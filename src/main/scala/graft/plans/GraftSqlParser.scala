@@ -84,19 +84,22 @@ object GraftSqlParser {
 
   // ---------------------------------------------------------------- ASOF
 
-  private val asofRe =
-    java.util.regex.Pattern.compile("(?is)\\bASOF\\s+JOIN\\s+(.+?)\\s+ON\\s+")
+  private val asofRe = java.util.regex.Pattern.compile(
+    "(?is)\\bASOF\\s+((?:LEFT\\s+)(?:OUTER\\s+)?)?JOIN\\s+(.+?)\\s+ON\\s+")
 
-  /** `A ASOF JOIN B ON cond` → `A JOIN B ON '<marker>' = '<marker>' AND
-    * cond` — the marker survives parsing as a literal equality conjunct
-    * and tags exactly the joins [[rewriteAsofPlan]] must transform.
-    * Constraint (documented, asserted by the regex shape): the right
-    * side is a named relation or aliased relation, not a parenthesized
-    * subquery containing `ON`. */
+  /** `A ASOF [LEFT [OUTER]] JOIN B ON cond` → `A [LEFT] JOIN B ON
+    * '<marker>' = '<marker>' AND cond` — the marker survives parsing as
+    * a literal equality conjunct and tags exactly the joins
+    * [[rewriteAsofPlan]] must transform (DuckDB writes the outer
+    * variant `ASOF LEFT JOIN`; the `LEFT ASOF JOIN` order also works —
+    * `ASOF JOIN` then matches with LEFT already in place). Constraint
+    * (documented, asserted by the regex shape): the right side is a
+    * named relation or aliased relation, not a parenthesized subquery
+    * containing `ON`. */
   private[plans] def rewriteAsofText(sql: String): String =
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("asof")) sql
     else asofRe.matcher(sql)
-      .replaceAll(s"JOIN $$1 ON '$MarkerLit' = '$MarkerLit' AND ")
+      .replaceAll(s"$$1JOIN $$2 ON '$MarkerLit' = '$MarkerLit' AND ")
 
   private def isMarker(e: Expression): Boolean = e match {
     case EqualTo(Literal(a, _), Literal(b, _)) =>

@@ -95,8 +95,22 @@ object TemporalOracles {
       |    AS decayed
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q61 with DuckDB's LEFT variant: unmatched clicks keep, null view
+  // columns — the same text runs on Spark through the GraftSqlParser
+  // ASOF bridge's outer form
+  private val q147 =
+    """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT event_id AS click_id, user_id, ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.click_id, c.user_id, c.ts AS click_ts,
+      |       v.ts AS view_ts, v.view_id
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY click_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q61_asof_join"   -> q61,
+    "q147_asof_left"  -> q147,
     "q62_pairs_range" -> q62,
     "q63_sessionize"  -> q63,
     "q64_percentiles" -> q64,

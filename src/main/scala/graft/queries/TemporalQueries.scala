@@ -158,4 +158,26 @@ object TemporalQueries {
         round(col("n_converted").cast("double") / col("n_signups"), 4))
       .orderBy("cohort_day")
   }
+
+  /** q147 LEFT as-of join (round 9): q61's attribution primitive with
+    * KEEP-unmatched semantics — clicks with no view at-or-before them
+    * survive with null view columns (the unattributed-traffic read an
+    * attribution report needs alongside the matched rows; inner as-of
+    * silently drops exactly the cohort being measured). Same union+
+    * window plan, same single user_id exchange — the left form only
+    * skips the final null filter; vs DuckDB's native ASOF LEFT JOIN. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    Temporal.asofJoin(clicks, views, "user_id", "ts",
+        keepUnmatched = true)
+      .select(col("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("r_ts").as("view_ts"),
+        col("r_view_id").as("view_id"))
+      .orderBy("click_id")
+  }
 }

@@ -50,6 +50,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Map(100L -> 11L, 101L -> 11L, 102L -> 20L))
   }
 
+  test("asofJoin keepUnmatched: LEFT semantics — unmatched and " +
+      "null-key left rows survive with null right columns") {
+    val clicks = Seq(
+      (java.lang.Long.valueOf(1L), ts("10:30"), 100L), // matched -> 10:00
+      (java.lang.Long.valueOf(2L), ts("09:00"), 102L), // before any view -> kept, nulls
+      (null.asInstanceOf[java.lang.Long], ts("12:00"), 104L)) // null key -> kept, nulls
+      .toDF("user_id", "ts", "click_id")
+    val views = Seq(
+      (1L, ts("10:00"), 10L), (2L, ts("12:00"), 20L))
+      .toDF("user_id", "ts", "view_id")
+    val out = Temporal.asofJoin(clicks, views, "user_id", "ts",
+        keepUnmatched = true)
+      .select("click_id", "r_view_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(100L -> Some(10L), 102L -> None, 104L -> None),
+      s"left form keeps every click: $out")
+    // inner form drops exactly the unmatched two
+    val inner = Temporal.asofJoin(clicks, views, "user_id", "ts")
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(inner == Set(100L))
+  }
+
   test("pairsWithin finds cross-bin pairs and respects the bound exactly") {
     val ev = Seq(
       (1L, 1L, ts("10:00")),

@@ -49,6 +49,17 @@ class GraftSqlParserSpec extends AnyFunSuite {
       s"left form pads unmatched rows instead of dropping: $got")
   }
 
+  test("DuckDB keyword order ASOF LEFT JOIN rewrites to the same " +
+      "left form") {
+    val got = rows(
+      """SELECT l.k, l.ts, r.ts AS rts
+        |FROM l_asof l ASOF LEFT JOIN r_asof r
+        |ON l.k = r.k AND r.ts <= l.ts""".stripMargin)
+    assert(got == Set(
+      Seq(1, 10, 9), Seq(1, 20, 15), Seq(2, 5, null)),
+      s"ASOF LEFT JOIN (DuckDB order) must pad unmatched rows: $got")
+  }
+
   test("non-ASOF SQL passes through the parser untouched") {
     assert(rows("SELECT 'asof' AS s").head == Seq("asof"))
     // a plain join with an inequality is NOT rewritten (no marker)
