@@ -100,6 +100,14 @@ class PlanContractSpec extends AnyFunSuite {
       s"forward asofJoin must stay union+window, never a theta join:\n$plan")
   }
 
+  test("q147 LEFT as-of prices like the inner form: union+window, " +
+      "zero joins (r9)") {
+    val plan = executedPlan("q147_asof_left")
+    assert(!plan.contains("Join"),
+      s"keepUnmatched must not reintroduce a join (the left form only " +
+        s"drops the null filter + unions the null-key residue):\n$plan")
+  }
+
   test("q79 IVF search never plans a cartesian product against the corpus") {
     // centroids and probe lists broadcast; the corpus side may only meet
     // them through BroadcastNestedLoopJoin-free broadcast hash joins or
