@@ -304,6 +304,29 @@ object Dedup {
       materialize)
   }
 
+  /** Width-validation memo for serving indexes: the check needs a
+    * (tiny) Spark job, and a per-batch serving loop re-reading the SAME
+    * catalog table would otherwise pay that job on every call. Keyed by
+    * the index plan's semantic hash — a different table, path, or
+    * subquery re-validates; a re-read of the same relation doesn't. A
+    * mismatch never memoizes (every call keeps failing loudly). */
+  private val indexWidthOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+
+  private def validateIndexWidth(index: DataFrame, numHashes: Int): Unit = {
+    val key = (org.apache.spark.sql.graftbridge.semanticHash(index),
+      numHashes)
+    if (indexWidthOk.contains(key)) return
+    index.select(size(col("mh"))).head(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"signature index carries ${r.getInt(0)} min-hashes per doc but " +
+          s"bands*rowsPerBand = $numHashes — the index must be read with " +
+          "the hash layout it was written with")
+    }
+    indexWidthOk.add(key)
+    ()
+  }
+
   /** [[minhashIncremental]] against a store already in the SERVING
     * layout ([[sigIndexRows]] — ideally the bucketed table
     * [[writeSigIndex]] lands, whose scan partitioning the whole store
@@ -323,12 +346,7 @@ object Dedup {
                                 reprPerBucket: Int = 16,
                                 materialize: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    index.select(size(col("mh"))).head(1).foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"signature index carries ${r.getInt(0)} min-hashes per doc but " +
-          s"bands*rowsPerBand = $numHashes — the index must be read with " +
-          "the hash layout it was written with")
-    }
+    validateIndexWidth(index, numHashes)
     // the increment's signatures feed two faces below: pin ONE
     // computation instead of re-tokenizing and re-hashing per reference
     // (materialize=false skips the pin — zero session residue, the

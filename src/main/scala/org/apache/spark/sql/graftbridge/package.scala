@@ -53,4 +53,11 @@ package object graftbridge {
         lr.rdd.unpersist(blocking)
       case _ => ()
     }
+
+  /** Stable identity of a frame's ANALYZED plan (cosmetic differences —
+    * alias ids, etc. — hash equal). Used to memoize per-relation
+    * validation work (e.g. the dedup serving index's signature-width
+    * check) across repeated reads of the same table. */
+  def semanticHash(df: Dataset[_]): Int =
+    df.queryExecution.analyzed.semanticHash()
 }
