@@ -150,8 +150,16 @@ object Bench {
     // ratio far from 1.0 means the machine drifted, not the code; judge
     // and driver read it straight from the JSON instead of
     // reconstructing it from per-round prose.
+    // Widened in round 10 (judge ask): the original three are all
+    // narrow pure-CPU scans, so drift in the shuffle and window
+    // families went uncorrected — the r8→r9 "9% regression" was
+    // exactly that blind spot (a same-window interleaved A/B of r8
+    // code vs r9 code showed per-query ratios ≈1.00; the delta lived
+    // in the measurement windows). q11 (shuffle join) and q27
+    // (window agg) extend the controls across the execution families.
     val controlNames =
-      Seq("q01_scan_project", "q30_str_funcs", "q99_null_battery")
+      Seq("q01_scan_project", "q11_join_inner", "q27_window_running",
+        "q30_str_funcs", "q99_null_battery")
     val controlsJson = {
       val prior = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])

@@ -23,9 +23,14 @@ object Sessions {
     *    session construction, which is why this lives here and not in
     *    the live-session `install`).
     */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.parser.escapedStringLiterals", "true")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = b
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parser.escapedStringLiterals", "true")
+    // Diagnostic kill-switch (perf triage): SPARK_GRAFT_NO_EXTENSIONS=1
+    // builds a vanilla session so extension overhead can be A/B'd.
+    if (sys.env.getOrElse("SPARK_GRAFT_NO_EXTENSIONS", "0") != "0") base
+    else base.config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  }
 }
