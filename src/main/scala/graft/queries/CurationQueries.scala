@@ -215,27 +215,59 @@ object CurationQueries {
 
   /** q136 body over an arbitrary (doc_id, text) frame — factored so the
     * adversarial hot-shingle gate (RoundSevenProperties) can drive it
-    * with a planted 1000-doc boilerplate shingle. Round 9: n_shingles
-    * is now fully NARROW (`size(shingleSet)` on the un-exploded row —
-    * zero exchange, where the r8 form re-shuffled the exploded feed by
-    * doc_id), and the only pair-volume exchange left is the
-    * partial-agged groupBy(s).min — whose map-side combine is exactly
-    * what caps the hot key. */
+    * with a planted 1000-doc boilerplate shingle.
+    *
+    * Round 10: SINGLE-scan, JOIN-free, via a sentinel shingle. The r9
+    * shape deleted the pairs-sized exchange but paid a second full
+    * tokenize+shingle scan for the per-doc denominator, plus a
+    * doc-keyed join of the two branches. Here each doc prepends one
+    * SENTINEL entry `'#' || doc_id || '#' || n_shingles` to its
+    * distinct-shingle array before the explode. A sentinel can never
+    * equal a real shingle (word 3-grams always contain two
+    * token-separator spaces; the sentinel has none) and is unique per
+    * doc, so after `groupBy(s).agg(min(doc_id))` every doc wins
+    * exactly its own sentinel plus its genuinely-novel shingles —
+    * one more doc-keyed partial agg yields `n_first = count-1`, the
+    * sentinel string hands back the `n_shingles` denominator, and the
+    * r9 left join (two doc-keyed exchanges + SMJ) disappears with the
+    * second scan. The hot-key cap is unchanged: a ubiquitous
+    * boilerplate shingle still collapses map-side in the min-combiner,
+    * and sentinels add exactly one row per doc. The generator
+    * expression stays inline over the `toks` projection (never a
+    * pre-built array column) per the InferFiltersFromGenerate trap
+    * documented at [[PipelineQueries.q47]].
+    *
+    * Two load-bearing encoding details. (1) The denominator rides
+    * INSIDE the sentinel string, not in a struct beside the doc_id:
+    * `min(struct(doc_id, n_shingles))` has a non-mutable aggregation
+    * buffer, which demotes the shingle agg to SortAggregate and
+    * full-sorts the exploded pair-volume feed by shingle string
+    * (measured 8.9 s at sf0.1 vs sub-second for this form) — the
+    * aggregate must stay `min(doc_id)` over a long buffer so
+    * HashAggregate + map-side combine apply. (2) A winner row is the
+    * group's sentinel iff it contains NO space, so the doc-level agg
+    * recovers `n_shingles` with one `instr`+`substring_index` over
+    * winner rows only. */
   private[graft] def noveltyByDoc(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), expr(toks).as("toks"))
+    val sh = TextHashes.shingleSet("toks")
+    docs.select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 3)
-    val perDoc = base.select(col("doc_id"),
-      size(expr(TextHashes.shingleSet("toks"))).cast("long")
-        .as("n_shingles"))
-    val firsts = base.select(col("doc_id"),
-        explode(expr(TextHashes.shingleSet("toks"))).as("s"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""concat(
+             |  array(concat('#', cast(doc_id as string), '#',
+             |               cast(size($sh) as string))),
+             |  $sh)""".stripMargin)).as("s"))
       .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first0"))
-    perDoc.join(firsts, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(expr("instr(s, ' ')") === 0,
+          expr("cast(substring_index(s, '#', -1) as bigint)")))
+          .as("n_shingles"))
       .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_first0"), lit(0L)).as("n_first"),
-        (floor(coalesce(col("n_first0"), lit(0L)) * 10000.0
-          / col("n_shingles")) / 10000.0).as("novelty"))
+        (col("cnt") - 1).as("n_first"),
+        (floor((col("cnt") - 1) * 10000.0 / col("n_shingles")) / 10000.0)
+          .as("novelty"))
       .orderBy("doc_id")
   }
 
