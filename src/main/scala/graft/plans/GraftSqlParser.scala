@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar, UnresolvedStarExceptOrReplace}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.trees.Origin
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Dialect-bridging SQL parser: the two constructs the shared oracle
@@ -72,13 +73,24 @@ object GraftSqlParser {
 
   /** Safety rails for the parse-time fixpoint iteration: recursion
     * depth (matches Spark's own cteRecursionLevelLimit default) and the
-    * working-set row cap for the driver-collected state — beyond either
-    * the analyst is running graph computation at data scale and should
-    * use the operator face ([[graft.operators.Dedup.connectedComponents]]
-    * and friends), which iterates distributed with per-round
-    * checkpoints instead of a collected relation. */
+    * row threshold up to which the working set iterates DRIVER-SIDE (a
+    * collected LinkedHashSet — the fast path for the analyst-sized
+    * closures recursive SQL is written for). Beyond the threshold the
+    * iteration ESCALATES to a distributed DataFrame delta loop
+    * ([[runDistributed]]) instead of erroring: `except`-computed new
+    * deltas, one `localCheckpoint` per round released as the loop
+    * advances, final state landed as a self-contained parquet-backed
+    * view — the same shape `Dedup.connectedComponents` runs, minus its
+    * frontier optimization (generic step SQL can reference the FULL
+    * accumulated state, so semi-naive frontier pruning is not sound
+    * here). Overridable per session via `graft.sql.recursion.maxRows`
+    * (tests shrink it; an analyst session can raise it). */
   val RecursionMaxIter = 100
   val RecursionMaxRows = 2000000
+
+  private[plans] def maxDriverRows(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.sql.recursion.maxRows")
+      .map(_.toInt).getOrElse(RecursionMaxRows)
 
   private val MarkerLit = "__graft_asof__"
 
@@ -98,8 +110,21 @@ object GraftSqlParser {
     * containing `ON`. */
   private[plans] def rewriteAsofText(sql: String): String =
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("asof")) sql
-    else asofRe.matcher(sql)
-      .replaceAll(s"$$1JOIN $$2 ON '$MarkerLit' = '$MarkerLit' AND ")
+    else {
+      val out = asofRe.matcher(sql)
+        .replaceAll(s"$$1JOIN $$2 ON '$MarkerLit' = '$MarkerLit' AND ")
+      // the rewrite synthesizes __asof_lid/__asof_rn; a query already
+      // using those names would silently shadow or be shadowed by the
+      // helpers — refuse up front (Temporal.asofJoin reserves its
+      // helper names the same way)
+      if (out ne sql) Seq("__asof_lid", "__asof_rn").foreach { h =>
+        if (sql.contains(h)) throw new ParseException(Option(sql), Origin(),
+          "PARSE_SYNTAX_ERROR", Map("error" -> s"'$h'",
+            "hint" -> (": the name is reserved by the ASOF JOIN rewrite;" +
+              " rename the column/alias")))
+      }
+      out
+    }
 
   private def isMarker(e: Expression): Boolean = e match {
     case EqualTo(Literal(a, _), Literal(b, _)) =>
@@ -161,9 +186,19 @@ object GraftSqlParser {
         }
         ordering match {
           case None =>
-            // no recognizable as-of inequality — degrade to the plain
-            // join the text already demoted to
-            Join(left, right, jt, conds.reduceOption(And), hint)
+            // no recognizable as-of ordering conjunct: degrading to the
+            // plain join the text demoted to would return EVERY
+            // candidate row instead of the nearest one — silent wrong
+            // results vs DuckDB's ASOF. Fail loudly instead, naming the
+            // clause and the qualification requirement (the matcher
+            // needs the inequality's right-table side written
+            // table-qualified, e.g. `r.ts <= l.ts`).
+            throw new ParseException(None, Origin(), "PARSE_SYNTAX_ERROR",
+              Map("error" -> s"ASOF JOIN ON ${conds.map(_.sql).mkString(" AND ")}",
+                "hint" -> (": no as-of ordering conjunct recognized — " +
+                  "write exactly one inequality comparing a TABLE-" +
+                  "QUALIFIED right-side timestamp against the left " +
+                  "(e.g. r.ts <= l.ts)")))
           case Some((rightTs, dir)) =>
             val lid = Alias(MonotonicallyIncreasingID(), "__asof_lid")()
             val leftT = Project(Seq(UnresolvedStar(None), lid), left)
@@ -181,9 +216,16 @@ object GraftSqlParser {
                   Seq(SortOrder(rightTs, dir, NullsLast, Nil)),
                   UnspecifiedFrame)),
               "__asof_rn")()
-            Filter(
+            val ranked = Filter(
               EqualTo(UnresolvedAttribute("__asof_rn"), Literal(1)),
               Project(Seq(UnresolvedStar(None), rn), joined))
+            // SELECT * above this join must see a.* ++ b.* exactly
+            // (DuckDB's ASOF output) — star-except drops the two
+            // synthesized helpers; qualified references (l.x, r.v)
+            // still resolve because expanded attributes keep their
+            // qualifiers through the Project
+            Project(Seq(UnresolvedStarExceptOrReplace(None,
+              Seq(Seq("__asof_lid"), Seq("__asof_rn")), None)), ranked)
         }
     }
 
@@ -355,40 +397,150 @@ object GraftSqlParser {
     s"$head$kw${outDefs.mkString(", ")}$tail"
   }
 
+  /** Per-invocation view-name counter: two concurrent queries in ONE
+    * session recursing through a same-named CTE must not clobber each
+    * other's working state (the session-global temp-view namespace is
+    * the shared resource). */
+  private val fixpointSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Value-equality canonicalization for driver-side row dedup:
+    * `Row.equals` compares `Array[Byte]` (binary) and nested arrays BY
+    * REFERENCE, so a recursive CTE over binary columns would never
+    * converge (every round "adds" the same rows). Arrays map to Seqs
+    * (value equality), recursively through nested rows and maps. */
+  private def canonValue(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case a: Array[_] => a.toSeq.map(canonValue)
+    case s: Seq[_] => s.map(canonValue)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(canonValue)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => canonValue(k) -> canonValue(x) }.toMap
+    case other => other
+  }
+
+  /** The recursive step must produce the base relation's schema — a
+    * silent positional mismatch would corrupt the working set (driver
+    * mode) or fail deep inside `union`/`except` (distributed mode)
+    * with an error naming neither the CTE nor the contract. */
+  private def checkStepSchema(df: org.apache.spark.sql.DataFrame,
+                              base: StructType, name: String): Unit = {
+    val got = df.schema
+    require(got.length == base.length &&
+        got.fields.zip(base.fields).forall { case (a, b) =>
+          a.dataType.sql == b.dataType.sql },
+      s"recursive CTE '$name': step produces (${got.map(f =>
+        s"${f.name} ${f.dataType.sql}").mkString(", ")}) but the base " +
+        s"relation is (${base.map(f =>
+          s"${f.name} ${f.dataType.sql}").mkString(", ")}) — the " +
+        "recursive member must match the base schema positionally")
+  }
+
   /** One delta iteration to fixpoint; returns the temp-view name
     * holding the converged relation. `prefixDefs` = the WITH list
     * before the recursive member (earlier recursive members already
-    * replaced by their views, so chained recursion works). */
+    * replaced by their views, so chained recursion works).
+    *
+    * Two execution modes behind one contract:
+    *  - **driver** (working set ≤ [[maxDriverRows]]): rows collect into
+    *    a canonicalized-key LinkedHashSet; each round publishes a
+    *    LocalRelation-backed view (self-contained, zero pinned blocks).
+    *  - **distributed** (escalation — the base alone, or any
+    *    mid-iteration working set, crosses the threshold): the
+    *    accumulated driver rows seed a DataFrame state and the loop
+    *    continues as `delta = step EXCEPT state` (null-safe, binary-by-
+    *    value — SQL set semantics), `state = state ∪ delta`, one
+    *    `localCheckpoint` per round released as the loop advances. On
+    *    convergence the state lands as parquet under a temp dir and the
+    *    view reads THAT — self-contained like the LocalRelation, so
+    *    every loop checkpoint releases before returning. Oversized
+    *    `WITH RECURSIVE` thereby degrades to distributed execution
+    *    instead of erroring; truly data-scale graph iteration still
+    *    belongs on the operator face (`Dedup.connectedComponents`),
+    *    which additionally prunes converged regions per round. */
   private def runFixpoint(spark: org.apache.spark.sql.SparkSession,
                           prefixDefs: Seq[String], base: String,
                           step: String, name: String): String = {
-    val view = s"__graft_recursive_$name"
+    val view = s"__graft_recursive_${name}_${fixpointSeq.incrementAndGet()}"
+    val maxRows = maxDriverRows(spark)
     val prefix =
       if (prefixDefs.isEmpty) "" else s"WITH ${prefixDefs.mkString(", ")} "
     def run(q: String) = spark.sql(s"$prefix$q")
     val baseDf = run(s"SELECT * FROM ($base) __graft_rec_base")
     val schema = baseDf.schema
-    val seen = scala.collection.mutable.LinkedHashSet[org.apache.spark.sql.Row]()
+    val stepSql = replaceWord(step, name, view)
+    def stepDf() = {
+      val df = run(s"SELECT * FROM ($stepSql) __graft_rec_step")
+      checkStepSchema(df, schema, name)
+      df
+    }
+
+    // ---- distributed continuation (also the oversized-base entry).
+    // Each round re-derives `state UNION step` FROM THE PUBLISHED VIEW
+    // (fresh analysis — re-unioning the prior round's Dataset objects
+    // trips Catalyst's Union constraint rewrite on shared attribute
+    // ids); UNION-distinct subsumes the delta's left-anti (SQL set
+    // semantics: null-safe, binary-by-value), and convergence is a
+    // fixed row count — the round's single action, counted off the
+    // round's one localCheckpoint, released as the loop advances.
+    def runDistributed(state0: org.apache.spark.sql.DataFrame,
+                       itDone: Int): String = {
+      def release(df: org.apache.spark.sql.DataFrame): Unit =
+        org.apache.spark.sql.graftbridge.releaseCheckpoint(df)
+      var state = state0.distinct().localCheckpoint(true)
+      var n = state.count()
+      var it = itDone
+      var converged = false
+      while (!converged && it < RecursionMaxIter) {
+        state.createOrReplaceTempView(view)
+        if (it == itDone) checkStepSchema(stepDf(), schema, name)
+        val next = run(s"SELECT * FROM $view UNION " +
+          s"SELECT * FROM ($stepSql) __graft_rec_step").localCheckpoint(true)
+        val n2 = next.count()
+        if (n2 == n) { converged = true; release(next) }
+        else { release(state); state = next; n = n2 }
+        it += 1
+      }
+      require(converged,
+        s"recursive CTE '$name' did not converge within " +
+          s"$RecursionMaxIter iterations")
+      // land the fixpoint self-contained: the view must outlive this
+      // parse (the rewritten query executes AFTER we return), and a
+      // view over the loop's checkpoint would pin those blocks forever
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_recursive_$name").toString
+      state.write.mode("overwrite").parquet(dir)
+      release(state)
+      spark.read.parquet(dir).createOrReplaceTempView(view)
+      view
+    }
+
+    // ---- driver-side fast path
+    val seenKeys = scala.collection.mutable.HashSet[Seq[Any]]()
+    val rowsBuf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     def add(rows: Array[org.apache.spark.sql.Row]): Int = {
-      val before = seen.size
-      rows.foreach(seen += _)
-      require(seen.size <= RecursionMaxRows,
-        s"recursive CTE '$name' exceeded $RecursionMaxRows rows — use " +
-          "the distributed operator face (e.g. graft.operators.Dedup" +
-          ".connectedComponents) for data-scale iteration")
-      seen.size - before
+      var added = 0
+      rows.foreach { r =>
+        if (seenKeys.add(r.toSeq.map(canonValue))) { rowsBuf += r; added += 1 }
+      }
+      added
     }
     def publish(): Unit = spark.createDataFrame(
-      java.util.Arrays.asList(seen.toSeq: _*), schema)
+      java.util.Arrays.asList(rowsBuf.toSeq: _*), schema)
       .createOrReplaceTempView(view)
-    add(baseDf.collect())
-    val stepSql = replaceWord(step, name, view)
+    def stateDf() = spark.createDataFrame(
+      java.util.Arrays.asList(rowsBuf.toSeq: _*), schema)
+
+    val baseRows = baseDf.limit(maxRows + 1).collect()
+    if (baseRows.length > maxRows) return runDistributed(baseDf, 0)
+    add(baseRows)
     var it = 0
     var grew = true
     while (grew && it < RecursionMaxIter) {
       publish()
-      grew = add(run(s"SELECT * FROM ($stepSql) __graft_rec_step")
-        .collect()) > 0
+      val stepRows = stepDf().limit(maxRows + 1).collect()
+      if (stepRows.length > maxRows || {
+            grew = add(stepRows) > 0; seenKeys.size > maxRows })
+        return runDistributed(stateDf().union(stepDf()), it)
       it += 1
     }
     require(!grew,

@@ -60,6 +60,40 @@ class GraftSqlParserSpec extends AnyFunSuite {
       s"ASOF LEFT JOIN (DuckDB order) must pad unmatched rows: $got")
   }
 
+  test("ASOF JOIN output carries no helper columns under SELECT *") {
+    val df = spark.sql(
+      """SELECT * FROM l_asof l ASOF JOIN r_asof r
+        |ON l.k = r.k AND r.ts <= l.ts""".stripMargin)
+    assert(!df.columns.exists(c => c == "__asof_lid" || c == "__asof_rn"),
+      s"helpers leaked into SELECT *: ${df.columns.mkString(",")}")
+    // a.* ++ b.* exactly, DuckDB's ASOF output shape
+    assert(df.columns.toSeq == Seq("k", "ts", "k", "ts", "v"))
+    assert(df.count() == 2)
+  }
+
+  test("ASOF JOIN with no recognizable ordering conjunct fails loudly " +
+      "instead of returning every candidate") {
+    // unqualified right timestamp: ofRight can't see it — silent
+    // degradation to a plain join would return 3 rows for (1,*)
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(
+        """SELECT l.k FROM l_asof l ASOF JOIN r_asof r
+          |ON l.k = r.k""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("ordering conjunct"),
+      s"error must name the contract: ${e.getMessage}")
+  }
+
+  test("queries already using the reserved ASOF helper names are " +
+      "rejected up front") {
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(
+        """SELECT l.k AS __asof_lid FROM l_asof l ASOF JOIN r_asof r
+          |ON l.k = r.k AND r.ts <= l.ts""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("non-ASOF SQL passes through the parser untouched") {
     assert(rows("SELECT 'asof' AS s").head == Seq("asof"))
     // a plain join with an inequality is NOT rewritten (no marker)
@@ -84,6 +118,58 @@ class GraftSqlParserSpec extends AnyFunSuite {
         |SELECT u, min(v) AS mv FROM reach GROUP BY u""".stripMargin)
     assert(got == Set(Seq(1, 1), Seq(2, 1), Seq(3, 1), Seq(5, 6)),
       s"closure of the cycle must reach every member: $got")
+  }
+
+  test("recursive CTE over BINARY columns converges (value equality, " +
+      "not Array[Byte] reference equality)") {
+    // Row.equals compares binary by reference — the old working set
+    // re-added identical byte arrays every round and never converged
+    val got = rows(
+      """WITH RECURSIVE be(u, v, tag) AS (
+        |  SELECT u, v, cast('x' as binary) AS tag
+        |  FROM VALUES (1, 2), (2, 3) AS t(u, v)),
+        |reach(u, v, tag) AS (
+        |  SELECT u, v, tag FROM be
+        |  UNION
+        |  SELECT r.u, e.v, e.tag FROM reach r JOIN be e ON r.v = e.u)
+        |SELECT u, count(*) AS n FROM reach GROUP BY u""".stripMargin)
+    assert(got == Set(Seq(1, 2L), Seq(2, 1L)),
+      s"binary-carrying closure must converge exactly: $got")
+  }
+
+  test("oversized WITH RECURSIVE escalates to the distributed delta " +
+      "loop instead of erroring") {
+    // shrink the driver threshold so the closure (8 rows working set)
+    // crosses it mid-iteration — the same SQL text must now run
+    // distributed and produce the identical fixpoint
+    spark.conf.set("graft.sql.recursion.maxRows", "3")
+    try {
+      val got = rows(
+        """WITH RECURSIVE e(u, v) AS (
+          |  SELECT * FROM VALUES (1, 2), (2, 3), (3, 1), (5, 6) AS t(u, v)),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM e
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+          |SELECT u, min(v) AS mv FROM reach GROUP BY u""".stripMargin)
+      assert(got == Set(Seq(1, 1), Seq(2, 1), Seq(3, 1), Seq(5, 6)),
+        s"distributed fixpoint must equal the driver one: $got")
+    } finally spark.conf.unset("graft.sql.recursion.maxRows")
+  }
+
+  test("a recursive step whose schema diverges from the base fails " +
+      "with an error naming the CTE and both schemas") {
+    val e = intercept[Exception] {
+      rows(
+        """WITH RECURSIVE r2(n) AS (
+          |  SELECT 1 AS n
+          |  UNION
+          |  SELECT cast(n AS string) FROM r2 WHERE n < 3)
+          |SELECT * FROM r2""".stripMargin)
+    }
+    assert(e.getMessage.contains("r2") &&
+        e.getMessage.contains("base relation"),
+      s"schema-contract error must be self-explanatory: ${e.getMessage}")
   }
 
   test("UNION ALL recursion is left to Spark (only UNION-fixpoint " +
