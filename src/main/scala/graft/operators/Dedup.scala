@@ -106,34 +106,7 @@ object Dedup {
                             threshold: Double, bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int,
                             materialize: Boolean = true): DataFrame = {
-    // FAMILY COLLAPSE (round 8): docs with IDENTICAL shingle sets are
-    // interchangeable under Jaccard — intra-family similarity is exactly
-    // 1 and similarity to any third doc is identical member-to-member —
-    // so the pipeline runs over one representative (min id) per family
-    // and re-attaches members as rep→member star edges afterwards. The
-    // transitive closure (CC clusters) AND the pairwise-domination
-    // relation over the emitted edges are PROVABLY equal to the
-    // all-members graph's, while a replicated corpus (m identical copies
-    // per doc — the SCALE_PROBE shape, and real crawl dumps) generates
-    // O(reps²-bounded) verified work plus O(m) family edges instead of
-    // O((m·reps)²) candidate/verify pairs.
-    //
-    // Cost shape: ONE tokenize pass computes (id, family-hash,
-    // signature) into a COMPACT checkpointed frame (~300 B/doc — no
-    // shingle arrays); the family stage and banding read those blocks,
-    // and verification joins the shingle sets lazily for CANDIDATE
-    // pairs only — the same three corpus tokenize passes the
-    // pre-family-collapse operator paid (one for signatures, two for
-    // the verify joins). The SMALL verified-edge result is pinned so
-    // the intermediate blocks release before returning (the
-    // Ranking.releaseCheckpoint discipline).
     val docs = shingleDocs(corpus, idCol, textCol)
-    // signatures through the SAME construction the persisted store
-    // uses ([[minhashSignatures]]/[[sigBuckets]]) — one key scheme, so
-    // batch and incremental dedup can never drift apart
-    val sigKeyRaw = docs.select(col("__id"),
-        md5(to_json(struct(array_sort(col("__sh")).as("s")))).as("__fh"),
-        sigFromShingles(bands * rowsPerBand).as("mh"))
     // materialize=false → a fully LAZY, recomputable plan with ZERO
     // pinned blocks (the multi-referenced signature subtree recomputes
     // inside the caller's one action); true → one tokenize pass into a
@@ -142,31 +115,74 @@ object Dedup {
     // in-operator (the cluster face) release it, callers that return
     // lazy plans over it must release via
     // `graftbridge.releaseCheckpoint` once their action has run.
+    val sigKeyRaw = sigKey(docs, bands * rowsPerBand)
     val sigKeyC =
       if (materialize) sigKeyRaw.localCheckpoint(true) else sigKeyRaw
-    try {
-      val famRep = sigKeyC.groupBy(col("__fh"))
-        .agg(min(col("__id")).as("__rep"))
-      val famEdges = sigKeyC.select(col("__id"), col("__fh"))
-        .join(famRep, "__fh")
-        .filter(col("__id") =!= col("__rep"))
-        .select(col("__rep").as("a"), col("__id").as("b"))
-      val repSigs = sigKeyC.join(
-        famRep.select(col("__rep").as("__id")), "__id")
-      val buckets = sigBuckets(
-        repSigs.select(col("__id"), col("mh")), "__id", bands, rowsPerBand)
-      val repEdges = candidatePairs(buckets, maxBucketSize)
-        .join(docs.toDF("a", "__sha"), "a")
-        .join(docs.toDF("b", "__shb"), Seq("b"))
-        .withColumn("__inter",
-          size(array_intersect(col("__sha"), col("__shb"))))
-        .filter(col("__inter") /
-          (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
-        .select(col("a"), col("b"))
-      val out = repEdges.union(famEdges)
-      if (materialize) out.localCheckpoint(true) else out
-    } finally if (materialize)
+    try verifiedPairsFrom(docs, sigKeyC, threshold, bands, rowsPerBand,
+      maxBucketSize, materialize)
+    finally if (materialize)
       org.apache.spark.sql.graftbridge.releaseCheckpoint(sigKeyC)
+  }
+
+  /** The increment/corpus `(id, family-hash, signature)` frame — ONE
+    * tokenize+hash pass over `docs`, through the SAME signature
+    * construction the persisted store uses
+    * ([[minhashSignatures]]/[[sigBuckets]]) — one key scheme, so batch
+    * and incremental dedup can never drift apart. */
+  private def sigKey(docs: DataFrame, numHashes: Int): DataFrame =
+    docs.select(col("__id"),
+      md5(to_json(struct(array_sort(col("__sh")).as("s")))).as("__fh"),
+      sigFromShingles(numHashes).as("mh"))
+
+  /** Family collapse + banding + verification over a PRECOMPUTED
+    * `(docs, sigKey)` pair — the shared tail of [[verifiedPairs]] and
+    * [[minhashIncrementalIndexed]] (round 10: the incremental face
+    * previously re-tokenized the increment inside its within-increment
+    * stage; both faces now feed off one signature pass).
+    *
+    * FAMILY COLLAPSE (round 8): docs with IDENTICAL shingle sets are
+    * interchangeable under Jaccard — intra-family similarity is exactly
+    * 1 and similarity to any third doc is identical member-to-member —
+    * so the pipeline runs over one representative (min id) per family
+    * and re-attaches members as rep→member star edges afterwards. The
+    * transitive closure (CC clusters) AND the pairwise-domination
+    * relation over the emitted edges are PROVABLY equal to the
+    * all-members graph's, while a replicated corpus (m identical copies
+    * per doc — the SCALE_PROBE shape, and real crawl dumps) generates
+    * O(reps²-bounded) verified work plus O(m) family edges instead of
+    * O((m·reps)²) candidate/verify pairs.
+    *
+    * Cost shape: the family stage and banding read the compact sigKey
+    * frame (~300 B/doc — no shingle arrays); verification joins the
+    * shingle sets lazily for CANDIDATE pairs only (two more tokenize
+    * passes over `docs` — the same count the pre-family-collapse
+    * operator paid). The SMALL verified-edge result is pinned under
+    * `materialize` so the intermediate blocks release before returning
+    * (the Ranking.releaseCheckpoint discipline). */
+  private def verifiedPairsFrom(docs: DataFrame, sigKeyC: DataFrame,
+                                threshold: Double, bands: Int,
+                                rowsPerBand: Int, maxBucketSize: Int,
+                                materialize: Boolean): DataFrame = {
+    val famRep = sigKeyC.groupBy(col("__fh"))
+      .agg(min(col("__id")).as("__rep"))
+    val famEdges = sigKeyC.select(col("__id"), col("__fh"))
+      .join(famRep, "__fh")
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("__id").as("b"))
+    val repSigs = sigKeyC.join(
+      famRep.select(col("__rep").as("__id")), "__id")
+    val buckets = sigBuckets(
+      repSigs.select(col("__id"), col("mh")), "__id", bands, rowsPerBand)
+    val repEdges = candidatePairs(buckets, maxBucketSize)
+      .join(docs.toDF("a", "__sha"), "a")
+      .join(docs.toDF("b", "__shb"), Seq("b"))
+      .withColumn("__inter",
+        size(array_intersect(col("__sha"), col("__shb"))))
+      .filter(col("__inter") /
+        (size(col("__sha")) + size(col("__shb")) - col("__inter")) >= threshold)
+      .select(col("a"), col("b"))
+    val out = repEdges.union(famEdges)
+    if (materialize) out.localCheckpoint(true) else out
   }
 
   /** Per-doc distinct word-3-gram shingle sets `(__id, __sh)`; docs
@@ -244,10 +260,15 @@ object Dedup {
     * per daily increment against a 100-TB corpus. */
   def writeSigIndex(sigs: DataFrame, idCol: String, table: String,
                     buckets: Int = 8,
-                    bands: Int = 4, rowsPerBand: Int = 2): Unit =
+                    bands: Int = 4, rowsPerBand: Int = 2): Unit = {
     graft.sources.Lake.writeBucketed(
       sigIndexRows(sigs, idCol, bands, rowsPerBand), table, "bkey",
       buckets, sortCols = Seq("bkey", "__id"))
+    // the table name survives the rewrite, so a serving loop's memoized
+    // width OK would too — and a layout change would then slip past the
+    // check and silently null-pad agreement terms
+    invalidateWidthMemo()
+  }
 
   /** INCREMENTAL MinHash near-dedup: drop every `increment` doc that
     * near-duplicates the EXISTING corpus (represented only by its
@@ -309,9 +330,21 @@ object Dedup {
     * catalog table would otherwise pay that job on every call. Keyed by
     * the index plan's semantic hash — a different table, path, or
     * subquery re-validates; a re-read of the same relation doesn't. A
-    * mismatch never memoizes (every call keeps failing loudly). */
+    * mismatch never memoizes (every call keeps failing loudly), and a
+    * REWRITE never serves stale OKs: [[writeSigIndex]] (and the catalog
+    * publish face) call [[invalidateWidthMemo]], because a re-landed
+    * table keeps its name — and therefore its semantic hash — while its
+    * layout may change. Size-bounded: past [[WidthMemoMax]] entries the
+    * memo clears wholesale (re-validation is one tiny job; an unbounded
+    * key set in a long-lived serving JVM is a leak). */
   private val indexWidthOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+
+  private val WidthMemoMax = 1024
+
+  /** Drop every memoized width OK — call after anything rewrites a
+    * serving index in place (same name/path, possibly new layout). */
+  def invalidateWidthMemo(): Unit = indexWidthOk.clear()
 
   private def validateIndexWidth(index: DataFrame, numHashes: Int): Unit = {
     val key = (org.apache.spark.sql.graftbridge.semanticHash(index),
@@ -323,6 +356,7 @@ object Dedup {
           s"bands*rowsPerBand = $numHashes — the index must be read with " +
           "the hash layout it was written with")
     }
+    if (indexWidthOk.size >= WidthMemoMax) indexWidthOk.clear()
     indexWidthOk.add(key)
     ()
   }
@@ -347,17 +381,21 @@ object Dedup {
                                 materialize: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     validateIndexWidth(index, numHashes)
-    // the increment's signatures feed two faces below: pin ONE
-    // computation instead of re-tokenizing and re-hashing per reference
-    // (materialize=false skips the pin — zero session residue, the
-    // subtree recomputes inside the caller's single action; the
-    // materialize=true result plan references these blocks, so callers
-    // release the RESULT with graftbridge.releaseCheckpoint post-action)
-    val incSigsRaw = minhashSignatures(increment, idCol, textCol,
+    // ONE tokenize+hash pass feeds BOTH faces — the vs-store band rows
+    // AND the within-increment family/band stages (round 10: the r9
+    // shape paid a second full signature pass + checkpoint inside
+    // verifiedPairs). materialize=false skips the pin — zero session
+    // residue, the shared subtree recomputes inside the caller's single
+    // action; the materialize=true result plan references these blocks,
+    // so callers release the RESULT with graftbridge.releaseCheckpoint
+    // post-action.
+    val docs = shingleDocs(increment, idCol, textCol)
+    val sigKeyRaw = sigKey(docs, numHashes)
+    val sigKeyC =
+      if (materialize) sigKeyRaw.localCheckpoint(true) else sigKeyRaw
+    val incRows = sigIndexRows(
+      sigKeyC.select(col("__id").as(idCol), col("mh")), idCol,
       bands, rowsPerBand)
-    val incSigs =
-      if (materialize) incSigsRaw.localCheckpoint(true) else incSigsRaw
-    val incRows = sigIndexRows(incSigs, idCol, bands, rowsPerBand)
     // prune the store's band rows to keys the increment touches, THEN
     // cap hot keys (representative choice is per-key, so pruning first
     // changes nothing but the shuffle size)
@@ -379,11 +417,30 @@ object Dedup {
       .filter(agree(col("__mhi"), col("__mhe")) >= threshold)
       .select(col("__id"))
     // within the increment: exact-Jaccard verification, smaller id
-    // survives, hot buckets star-link — minhashLsh's semantics exactly
-    val withinInc = verifiedPairs(increment, idCol, textCol, threshold,
-        bands, rowsPerBand, maxBucketSize, materialize)
+    // survives, hot buckets star-link — minhashLsh's semantics exactly,
+    // fed from the SAME signature pass as the vs-store face. No
+    // separate edge pin: the DOMINATED set pins below, in one job.
+    val withinInc = verifiedPairsFrom(docs, sigKeyC, threshold,
+        bands, rowsPerBand, maxBucketSize, materialize = false)
       .select(col("b").as("__id"))
-    val dominated = vsExisting.union(withinInc).distinct()
+    // no distinct before the anti join: LeftAnti tolerates duplicate
+    // build-side keys, and deduping first would EXCHANGE the dominated
+    // set once extra for nothing (r10 — one fewer stage per serve)
+    val dominatedRaw = vsExisting.union(withinInc)
+    // PIN the dominated set (r10): a daily increment is typically a
+    // UNION (new slice + backfill), and Catalyst pushes LeftAnti
+    // through Union by DUPLICATING the build side per branch — lazy,
+    // that re-runs the whole serving pipeline once per branch (measured
+    // 2x on q103's two-branch increment); pinned, the duplicate is a
+    // scan of one batch-sized RDD. Pinning here also retires the
+    // signature checkpoint immediately — the caller releases only the
+    // RESULT post-action.
+    val dominated =
+      if (materialize) {
+        val d = dominatedRaw.localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.releaseCheckpoint(sigKeyC)
+        d
+      } else dominatedRaw
     increment.join(dominated.withColumnRenamed("__id", idCol),
       Seq(idCol), "left_anti")
   }
@@ -478,10 +535,12 @@ object Dedup {
                  bands: Int = 4, rowsPerBand: Int = 2,
                  maxBucketSize: Int = 1000,
                  materialize: Boolean = true): DataFrame = {
+    // no distinct: LeftAnti tolerates duplicate build-side keys, and
+    // deduping costs an extra exchange of the same rows (r10)
     val dominated =
       verifiedPairs(corpus, idCol, textCol, threshold, bands, rowsPerBand,
         maxBucketSize, materialize)
-      .select(col("b").as("__id")).distinct()
+      .select(col("b").as("__id"))
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -544,7 +603,7 @@ object Dedup {
       .join(sigs.toDF("a", "siga"), "a")
       .join(sigs.toDF("b", "sigb"), Seq("b"))
       .filter(bit_count(expr("siga ^ sigb")) <= k)
-      .select(col("b").as("__id")).distinct()
+      .select(col("b").as("__id"))  // LeftAnti dedups; distinct = extra exchange
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -697,7 +756,7 @@ object Dedup {
       .join(vecs.toDF("a", "__va"), "a")
       .join(vecs.toDF("b", "__vb"), Seq("b"))
       .filter(sim >= threshold)
-      .select(col("b").as("__id")).distinct()
+      .select(col("b").as("__id"))  // LeftAnti dedups; distinct = extra exchange
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 }

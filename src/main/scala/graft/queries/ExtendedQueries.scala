@@ -395,6 +395,10 @@ object ExtendedQueries {
     val increment = docs.filter(col("doc_id").between(60, 99))
       .unionByName(docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    // materialize stays TRUE (r10 A/B at sf0.1, n=5 trimmed: lazy
+    // 3.83s vs pinned 1.25s — the shared signature subtree is
+    // referenced ~4x, and re-planning + re-executing it per reference
+    // costs far more than the one checkpoint job it saves)
     graft.operators.Dedup.minhashIncrementalIndexed(
         increment, "doc_id", "text", s.table(tbl))
       .select(col("doc_id"))

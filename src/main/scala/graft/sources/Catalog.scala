@@ -127,34 +127,86 @@ object Catalog {
   /** Publish a MinHash signature table as a DURABLE serving index (the
     * round-9 q103 layout — [[graft.operators.Dedup.sigIndexRows]]
     * band rows, bucketed by `bkey`, file-sorted (bkey, __id)) plus a
-    * row in the `dedup_stores` manifest mapping `name -> table`, which
-    * [[dedupIncrementalByName]] resolves. A fresh JVM then serves
-    * incremental dedup with the store side exchange-free — the bucket
-    * spec lives in the metastore, not in anyone's code. */
+    * row in the `dedup_stores` manifest recording the table AND its
+    * HASH LAYOUT (`id_col`, `bands`, `rows_per_band`), which
+    * [[dedupIncrementalByName]] resolves — serving never assumes a
+    * layout, so a store published with a non-default id column or band
+    * geometry round-trips instead of failing the width check at serve
+    * time. A fresh JVM then serves incremental dedup with the store
+    * side exchange-free — bucket spec and layout live in the
+    * metastore, not in anyone's code. */
   def publishSigStore(spark: SparkSession, sigs: DataFrame, db: String,
-                      name: String, buckets: Int = 8): Unit = {
+                      name: String, buckets: Int = 8,
+                      idCol: String = "doc_id",
+                      bands: Int = 4, rowsPerBand: Int = 2): Unit = {
     require(!db.contains("`") && !name.contains("`"),
       s"invalid identifier: $db.$name")
     val table = s"${name}_sig_idx"
     publishBucketed(spark,
-      graft.operators.Dedup.sigIndexRows(sigs, "doc_id"),
+      graft.operators.Dedup.sigIndexRows(sigs, idCol, bands, rowsPerBand),
       db, table, "bkey", buckets, sortCols = Seq("bkey", "__id"))
-    upsertManifest(spark, db, DedupManifest, name, s"$db.$table")
+    // the rewrite keeps the table name (and so its memoized width OK)
+    // while possibly changing the layout — stale OKs must die with it
+    graft.operators.Dedup.invalidateWidthMemo()
+    upsertDedupManifest(spark, db, name, s"$db.$table", idCol, bands,
+      rowsPerBand)
   }
 
   /** Incremental near-dedup BY CATALOG NAME: resolve the signature
-    * store through the `dedup_stores` manifest, then delegate to
-    * [[graft.operators.Dedup.minhashIncrementalIndexed]]. The always-on
-    * dedup face: a fresh JVM needs only the catalog home and the store
-    * name (CatalogSpec proves it across processes). */
+    * store AND its recorded hash layout through the `dedup_stores`
+    * manifest, then delegate to
+    * [[graft.operators.Dedup.minhashIncrementalIndexed]] with that
+    * layout. The always-on dedup face: a fresh JVM needs only the
+    * catalog home and the store name (CatalogSpec proves it across
+    * processes). */
   def dedupIncrementalByName(spark: SparkSession, db: String, name: String,
                              increment: DataFrame, idCol: String,
                              textCol: String,
                              threshold: Double = 0.8): DataFrame = {
-    val table = resolveManifest(spark, db, DedupManifest, name)
+    val row = resolveDedupManifest(spark, db, name)
     graft.operators.Dedup.minhashIncrementalIndexed(
-      increment, idCol, textCol, spark.table(table), threshold)
+      increment, idCol, textCol, spark.table(row.table), threshold,
+      bands = row.bands, rowsPerBand = row.rowsPerBand)
   }
+
+  private case class DedupStoreRow(table: String, idCol: String,
+                                   bands: Int, rowsPerBand: Int)
+
+  /** The dedup manifest carries layout columns beyond the shared
+    * (name, path) shape, so it gets its own upsert/resolve pair —
+    * same read-modify-write-by-name discipline as [[upsertManifest]]. */
+  private def upsertDedupManifest(spark: SparkSession, db: String,
+                                  name: String, target: String,
+                                  idCol: String, bands: Int,
+                                  rowsPerBand: Int): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$DedupManifest` " +
+      "(name STRING, path STRING, id_col STRING, bands INT, " +
+      "rows_per_band INT) USING parquet")
+    val kept = spark.table(s"`$db`.`$DedupManifest`")
+      .filter(org.apache.spark.sql.functions.col("name") =!= name)
+      .collect().toSeq
+    val rows = kept :+ org.apache.spark.sql.Row(name, target, idCol,
+      bands, rowsPerBand)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        spark.table(s"`$db`.`$DedupManifest`").schema)
+      .write.mode("overwrite").insertInto(s"`$db`.`$DedupManifest`")
+  }
+
+  private def resolveDedupManifest(spark: SparkSession, db: String,
+                                   name: String): DedupStoreRow =
+    spark.table(s"`$db`.`$DedupManifest`")
+      .filter(org.apache.spark.sql.functions.col("name") === name)
+      .collect() match {
+      case Array(r) => DedupStoreRow(r.getString(r.fieldIndex("path")),
+        r.getString(r.fieldIndex("id_col")), r.getInt(r.fieldIndex("bands")),
+        r.getInt(r.fieldIndex("rows_per_band")))
+      case Array()  => throw new IllegalArgumentException(
+        s"no entry named $name in catalog manifest $db.$DedupManifest")
+      case many     => throw new IllegalStateException(
+        s"manifest holds ${many.length} rows for $name — corrupt")
+    }
 
   /** Publish a STREAMING SINK directory (per-batch `batch=<id>` parquet
     * subdirs — [[graft.streaming.StreamingOps.dedupDocStream]]'s sink

@@ -232,6 +232,37 @@ class DedupSpec extends AnyFunSuite {
       s"empty store: only the internal dup drops: $solo")
   }
 
+  test("serving-index width check re-validates after an in-JVM rewrite " +
+      "of the same table") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").filter(col("doc_id") < 20)
+    val tbl = "dedupspec_width_memo"
+    Dedup.writeSigIndex(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id", tbl)
+    val inc = Seq((9000L, "a perfectly unique paragraph about migrating " +
+      "songbirds crossing high mountain passes at night")).toDF("doc_id", "text")
+    // first serve memoizes the 4x2 width OK for this table
+    assert(Dedup.minhashIncrementalIndexed(inc, "doc_id", "text",
+      spark.table(tbl)).count() == 1)
+    // rewrite the SAME table with a 2x2 layout: the semantic hash is
+    // unchanged, so a stale memo would skip the check and silently
+    // null-dilute agreement — the rewrite must invalidate it
+    Dedup.writeSigIndex(
+      Dedup.minhashSignatures(docs, "doc_id", "text",
+        bands = 2, rowsPerBand = 2),
+      "doc_id", tbl, bands = 2, rowsPerBand = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalIndexed(inc, "doc_id", "text",
+        spark.table(tbl)).count()
+    }
+    assert(e.getMessage.contains("min-hashes"),
+      s"stale-layout serve must fail the width check: ${e.getMessage}")
+    // the rewritten layout serves fine
+    assert(Dedup.minhashIncrementalIndexed(inc, "doc_id", "text",
+      spark.table(tbl), bands = 2, rowsPerBand = 2).count() == 1)
+  }
+
   test("connectedComponents: min label per component, deep chains converge, delta rounds shrink") {
     import spark.implicits._
     // two components: a 12-node chain (tests iteration depth + lineage
