@@ -513,6 +513,62 @@ class MultimodalSpec extends AnyFunSuite {
     buf.array()
   }
 
+  /** Minimal mono s16le WAV encoder — the audio counterpart of
+    * [[buildBmp]], so perceptual robustness tests can synthesize
+    * volume-scaled / resampled copies without a codec lib. */
+  private def buildWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("perceptual near-dup is volume- and resampling-invariant for " +
+      "audio: scaled/upsampled WAV copies collapse, distinct clips survive") {
+    import spark.implicits._
+    // clip A: positive-biased slow sine (features well away from zero,
+    // so sign-LSH buckets are stable under small perturbations)
+    val n = 1600
+    def aAt(i: Int): Double = 0.5 + 0.3 * math.sin(2 * math.Pi * i / n)
+    val clipA = Array.tabulate(n)(i => (aAt(i) * 32767).toShort)
+    // volume-scaled copy: every sample halved — segment means halve,
+    // the feature VECTOR direction is unchanged (cosine ≈ 1)
+    val halfVol = clipA.map(s => (s / 2).toShort)
+    // 2x-resampled copy: every sample duplicated — each segment covers
+    // the same audio span, so segment means are exactly preserved
+    val upsampled = clipA.flatMap(s => Array(s, s))
+    // distinct clip B: a ramp (different sign pattern entirely)
+    val clipB = Array.tabulate(n)(i => ((0.8 - 1.6 * i / n) * 32767).toShort)
+    // distinct clip C: inverted modulation — SAME all-positive sign
+    // bucket as A, so it becomes an LSH candidate and must be rejected
+    // by the cosine verification, not by bucketing luck
+    val clipC = Array.tabulate(n)(i =>
+      ((0.5 - 0.3 * math.sin(2 * math.Pi * i / n)) * 32767).toShort)
+    val meta = Multimodal.AssetMeta(0, 0, "bin")
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", buildWav(clipA), meta),
+      Multimodal.Asset(2L, "audio", buildWav(halfVol), meta),
+      Multimodal.Asset(3L, "audio", buildWav(upsampled), meta),
+      Multimodal.Asset(10L, "audio", buildWav(clipB), meta),
+      Multimodal.Asset(11L, "audio", buildWav(clipC), meta)
+    ).toDS()
+    // the invariance lives in the decoded-PCM features (segment means),
+    // not in byte equality: the three A-family payloads are all
+    // byte-distinct yet must land within cosine 0.99 of each other
+    val survivors = Multimodal.nearDupAssets(assets, dim = 16,
+        threshold = 0.99)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 10L, 11L),
+      s"volume-scaled (2) and resampled (3) copies must collapse onto " +
+        s"clip A (1); the ramp (10) and inverted clip (11) survive: " +
+        s"$survivors")
+  }
+
   test("perceptual near-dup: PNG and BMP re-encodings of the same " +
       "pixels collapse to one survivor, distinct images all survive") {
     import spark.implicits._
