@@ -22,7 +22,14 @@ object Verify {
     }
     if (root.exists()) rm(root)
     root.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q148,q15 — comma-separated name prefixes
+    // for a focused local differential run (tools/compare.py skips
+    // queries with no dump); unset = the full inventory (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

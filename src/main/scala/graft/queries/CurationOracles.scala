@@ -420,7 +420,90 @@ object CurationOracles {
        |  floor(sum(novel) * 10000.0 / count(*)) / 10000.0 AS novelty_rate
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
 
+  // q150 = q113's recursive-CTE clustering + q128's salted-md5 nibble
+  // arithmetic on the CLUSTER id — fold membership engine-exact
+  private val q150 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
+      .mkString("\n  UNION ALL ")
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5('fold:' || CAST(cluster AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH RECURSIVE ${toksCte("WHERE doc_id < 100")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT a, b FROM shared
+       |  JOIN cnt ca ON ca.doc_id = a
+       |  JOIN cnt cb ON cb.doc_id = b
+       |  WHERE inter / (ca.n + cb.n - inter) >= 0.8),
+       |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |lbl AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+       |res AS (
+       |  SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+       |  LEFT JOIN lbl l ON l.u = d.doc_id)
+       |SELECT doc_id, cluster,
+       |  CAST((${nib(1)} * 16 + ${nib(2)}) % 3 AS BIGINT) AS fold
+       |FROM res ORDER BY doc_id""".stripMargin
+  }
+
+  // q151's oracle IS the all-pairs brute force: the Spark face's
+  // rarest-shingle pruning must be hash-indistinguishable from it
+  // (lossless, q120's discipline). Space-padded instr = token-boundary
+  // containment on the normalized token text.
+  private val q151 =
+    s"""WITH ${toksCte("")},
+       |n AS (SELECT doc_id, array_to_string(toks, ' ') AS norm,
+       |    CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+       |SELECT a.doc_id AS contained, b.doc_id AS container,
+       |  a.n_toks AS n_toks_contained, b.n_toks AS n_toks_container
+       |FROM n a JOIN n b ON a.doc_id <> b.doc_id
+       |WHERE a.n_toks >= 3
+       |  AND instr(' ' || b.norm || ' ', ' ' || a.norm || ' ') > 0
+       |ORDER BY 1, 2""".stripMargin
+
+  // q152: same positional-unnest bigram derivation as q114; ln is
+  // natural log in BOTH dialects (DuckDB log() is log10 — avoided)
+  private val q152 =
+    s"""WITH ${toksCte("")},
+       |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |pix AS (SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - 1)) AS i FROM t2),
+       |bgr AS (SELECT doc_id,
+       |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bg,
+       |    list_extract(toks, i) AS w1
+       |  FROM pix),
+       |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgr GROUP BY 1),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bgr GROUP BY 1),
+       |tok AS (SELECT unnest(toks) AS w FROM t),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+       |sc AS (SELECT b.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + vv.v)) AS ll
+       |  FROM bgr b JOIN c2 ON c2.bg = b.bg
+       |  JOIN c1 ON c1.w1 = b.w1 CROSS JOIN vv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(sum(ll) / count(*), 4) AS avg_ll
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q150_cluster_fold"   -> q150,
+    "q151_substring_dup"  -> q151,
+    "q152_lm_score"       -> q152,
     "q142_embed_dims"     -> q142,
     "q143_dup_lang_audit" -> q143,
     "q144_novelty_curve"  -> q144,

@@ -680,4 +680,119 @@ object CurationQueries {
           .as("novelty_rate"))
       .orderBy("decile")
   }
+
+  /** q150 leakage-free fold assignment: q128's k-fold split is
+    * hash-random per DOCUMENT, so near-duplicate pairs straddle folds
+    * (q137 audits exactly that leak); here the split key is the
+    * near-dup CLUSTER — q113's connected components over verified LSH
+    * edges — hashed with q128's portable salted-md5, so every member
+    * of a cluster lands in the same fold by construction. This is the
+    * split a dedup-aware training pipeline actually ships: eval folds
+    * stay clean without dropping the duplicates.
+    *
+    * Plan: q113's shapes end-to-end (band-key candidate join, exact
+    * verification, frontier-only delta iteration) + a NARROW fold
+    * projection — the fold adds zero exchanges. The oracle re-derives
+    * the clusters with the same recursive CTE q113 pins and the same
+    * md5 nibble arithmetic, so fold membership is engine-exact. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val edges = graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = Int.MaxValue) // q113's cap-free gate
+    val labels = graft.operators.Dedup.connectedComponents(edges)
+      .toDF("doc_id", "cluster")
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('fold:', cast(cluster as string))),$i,1)) - 1)"
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"))
+      .withColumn("fold",
+        expr(s"cast((${nib(1)} * 16 + ${nib(2)}) % 3 as bigint)"))
+      .orderBy("doc_id")
+  }
+
+  /** q151 exact sub-document duplication: pairs where one document's
+    * whole TOKEN STREAM appears contiguously inside another's — the
+    * quote/mirror/boilerplate-page case that shingle-set containment
+    * (q110) only scores approximately. Semantics are token-boundary
+    * substring on the normalized (single-space-joined) token text;
+    * matching is space-padded so `"b c" ⊂ "a b c d"` matches while
+    * `"at scan" ⊄ "cat scans"` cannot.
+    *
+    * LOSSLESS at scale (q120's discipline, not LSH): a contained doc's
+    * shingles are ALL shingles of its container, so joining each
+    * containee's single RAREST shingle (min (df, s) — a total order,
+    * deterministic) against the corpus inverted index yields a
+    * candidate superset — candidates ∝ the rarest shingle's df, never
+    * all-pairs — and exact padded-`instr` verification filters it.
+    * The oracle IS the all-pairs brute force, so the driver hash gate
+    * proves the pruning lossless, the property a hard dedup contract
+    * needs. Containees need ≥ 3 tokens (a shingle must exist — stated
+    * in both faces); containers then have ≥ 3 by implication. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val norm = documents(s, d)
+      .select(col("doc_id"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_join(col("toks"), " ").as("norm"),
+        size(col("toks")).cast("long").as("n_toks"))
+    val index = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
+    val df = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rarest = index.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("df"), col("s"))).as("r"))
+      .select(col("doc_id").as("a_id"), col("r.s").as("s"))
+    val cand = rarest
+      .join(index.select(col("doc_id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    cand
+      .join(norm.select(col("doc_id").as("a_id"), col("norm").as("a_norm"),
+        col("n_toks").as("n_toks_contained")), "a_id")
+      .join(norm.select(col("doc_id").as("b_id"), col("norm").as("b_norm"),
+        col("n_toks").as("n_toks_container")), "b_id")
+      .filter(instr(concat(lit(" "), col("b_norm"), lit(" ")),
+        concat(lit(" "), col("a_norm"), lit(" "))) > 0)
+      .select(col("a_id").as("contained"), col("b_id").as("container"),
+        col("n_toks_contained"), col("n_toks_container"))
+      .orderBy("contained", "container")
+  }
+
+  /** q152 bigram-LM document scoring (the CCNet/Gopher quality-filter
+    * primitive): train an add-one-smoothed bigram language model on the
+    * corpus itself, then score every document by its mean log-likelihood
+    * ln((C(w1w2)+1)/(C(w1·)+V)) — documents far below the corpus norm
+    * are boilerplate/garble candidates, far above are near-duplicates
+    * of high-mass content; both tails feed the quality gate (q119 scores
+    * FORM — length/punct ratios; this scores CONTENT against the corpus
+    * distribution).
+    *
+    * Plan: bigram and context counts are partial-aggregated (exchanges
+    * = |distinct bigrams| and |vocab| — saturating, per the q107 probe),
+    * the vocab size is a 1-row broadcast, and the per-occurrence score
+    * join keys on the bigram with NO broadcast hint (q114's rule: AQE
+    * broadcasts a sane vocabulary, an unbounded token domain degrades
+    * to a shuffle join instead of a driver OOM). The per-doc rollup is
+    * doc-sized. round(4) on the mean: an irrational sum, q126's rule. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigrams("toks"))).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = documents(s, d)
+      .select(explode(expr(toks)).as("w")).agg(count_distinct(col("w")).as("v"))
+    bg.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("ll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("ll")) / count(lit(1)), 4).as("avg_ll"))
+      .orderBy("doc_id")
+  }
 }

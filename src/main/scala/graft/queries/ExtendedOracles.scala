@@ -381,7 +381,26 @@ object ExtendedOracles {
       |  UNION ALL SELECT 'l_discount', 'l_tax', r5 FROM a)
       |ORDER BY x, y""".stripMargin
 
+  // MAD census, no rounding shim: quantile_cont pins the interpolation
+  // the Spark scan implements (q64's gate), and |x−med| / 3·mad / the
+  // strict > are single ieee ops on identical inputs
+  private val q149 =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN m ON e.event_type = m.event_type),
+      |a AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, d.med, a.mad,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN d.dev > a.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out
+      |FROM d JOIN a ON d.event_type = a.event_type
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q149_mad_outliers"   -> q149,
     "q123_corr_matrix"    -> q123,
     "q101_encode_vocab"   -> q101,
     "q102_quantiles_scan" -> q102,

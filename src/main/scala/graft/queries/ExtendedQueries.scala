@@ -471,4 +471,38 @@ object ExtendedQueries {
         col("r_ts").as("purchase_ts"), col("r_purchase_id").as("purchase_id"))
       .orderBy("click_id")
   }
+
+  /** q149 robust outlier census via MAD (median absolute deviation):
+    * per group, med = median(x), mad = median(|x − med|), outliers =
+    * rows with |x − med| > 3·mad — the robust alternative to q130's
+    * z-score gate (a z-score's mean AND stdev are both dragged by the
+    * very outliers being hunted; medians are not).
+    *
+    * Two [[graft.operators.Ranking.exactQuantilesByGroupScan]] passes
+    * (zero data-row shuffle each — q97's histogram-refinement shape),
+    * each result a |groups|-row broadcast joined back narrowly; the
+    * final census is one partial-aggregated pass. Exactness needs no
+    * rounding shim: the scan's interpolation is quantile_cont's (q64
+    * pins it bitwise on doubles), |x − med| and 3·mad are single ieee
+    * operations on identical inputs, and the strict > census therefore
+    * counts identically on both engines. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val med = graft.operators.Ranking.exactQuantilesByGroupScan(
+        ev, "event_type", Seq("value" -> Seq(0.5)))
+      .select(col("event_type"), col("q_0_0").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+    val mad = graft.operators.Ranking.exactQuantilesByGroupScan(
+        dev, "event_type", Seq("dev" -> Seq(0.5)))
+      .select(col("event_type"), col("q_0_0").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_out"))
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n"), col("n_out"))
+      .orderBy("event_type")
+  }
 }

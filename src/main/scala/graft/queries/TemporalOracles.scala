@@ -108,7 +108,34 @@ object TemporalOracles {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY click_id""".stripMargin
 
+  // LOCF via the dialect-portable count-partition trick: count(v) OVER
+  // (.. ORDER BY day) is constant within each carry group (it bumps only
+  // on non-null days), and max(v) over (user, grp) extracts the group's
+  // single non-null value — `IGNORE NULLS` has no spelling both parsers
+  // accept. unnest() must sit bare in its SELECT (Spark generators are
+  // top-level-only), so the DATE re-cast lives in the next CTE.
+  private val q148 =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+      |d AS (SELECT user_id, day, CAST(sum(vm) AS BIGINT) AS v
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM e GROUP BY 1),
+      |sp0 AS (SELECT user_id,
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      |sp AS (SELECT user_id, CAST(day AS DATE) AS day FROM sp0),
+      |j AS (SELECT sp.user_id, sp.day, d.v FROM sp
+      |  LEFT JOIN d ON d.user_id = sp.user_id AND d.day = sp.day),
+      |g AS (SELECT user_id, day, v,
+      |    count(v) OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM j)
+      |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+      |  max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+      |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM g ORDER BY user_id, day""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q148_gapfill"    -> q148,
     "q61_asof_join"   -> q61,
     "q147_asof_left"  -> q147,
     "q62_pairs_range" -> q62,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.operators.Temporal
 
@@ -179,5 +180,44 @@ object TemporalQueries {
         col("ts").as("click_ts"), col("r_ts").as("view_ts"),
         col("r_view_id").as("view_id"))
       .orderBy("click_id")
+  }
+
+  /** q148 per-key daily gap-fill with last-observation-carried-forward:
+    * each user's day range becomes a continuous spine (q87's sequence
+    * explode, but PER KEY), missing days surface as explicit rows
+    * carrying the last observed daily total — the feature-store
+    * "as-of-day snapshot" primitive (q87 fills a global spine with
+    * zeros; LOCF fill is state propagation, not absence marking).
+    *
+    * Value math is integer micros (q121's rule): per-event
+    * floor(value·1e6) summed as BIGINT, so the carried totals are
+    * engine-exact. Plan: ONE user_id exchange serves the daily
+    * pre-aggregate, the per-user min/max bounds, AND the LOCF window
+    * (all partition by user); the spine explode is narrow. Spine rows ∝
+    * users×days — the join back to daily totals is group-sized, and no
+    * global-order operator appears anywhere.
+    *
+    * The LOCF itself is `last(ignoreNulls)` over rows unbounded
+    * preceding — never a self-join; the oracle expresses the identical
+    * semantics via the portable count-partition trick (count(v) OVER
+    * names the carry group, max(v) OVER the group extracts the one
+    * non-null), because `IGNORE NULLS` has no dialect-shared spelling. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"),
+      to_date(col("ts")).as("day"),
+      floor(col("value") * 1000000).cast("long").as("vm"))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        when(col("v").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy("user_id", "day")
   }
 }

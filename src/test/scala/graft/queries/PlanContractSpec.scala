@@ -319,7 +319,32 @@ class PlanContractSpec extends AnyFunSuite {
     // on the store's own bkey attribute — the representative-cap window
     // and candidate join both reuse the scan's partitioning. The
     // increment side may exchange freely (it is batch-sized).
-    val plan = executedPlan("q103_dedup_incr")
+    //
+    // Since r10 the shipped q103 PINS the dominated set, so its final
+    // plan shows only checkpoint scans; the contract lives on the
+    // pipeline the pin executes — the SAME call with materialize=false,
+    // whose single plan exposes the store scan end-to-end.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val tbl = s"graft_sig_idx${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Lake.ensureTable(spark, tbl) {
+      graft.operators.Dedup.writeSigIndex(
+        graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 60), "doc_id", "text"),
+        "doc_id", tbl)
+    }
+    val increment = docs.filter(col("doc_id").between(60, 99))
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val df = graft.operators.Dedup.minhashIncrementalIndexed(
+        increment, "doc_id", "text", spark.table(tbl),
+        materialize = false)
+      .select(col("doc_id")).orderBy("doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"),
+      s"plan must be post-AQE final for the contract to mean anything:\n$plan")
     val scanRe =
       ("FileScan parquet spark_catalog\\.default\\.graft_sig_idx" +
         "[^\\[]*\\[bkey#(\\d+)").r
