@@ -63,6 +63,25 @@ object Bench {
     if (gcOn) System.gc()
   }
 
+  /** ALWAYS-on (round 11), unlike the measured-off toggles above:
+    * unpersist the persistent RDDs a query left pinned (localCheckpoint
+    * stores — the caller-releases-the-RESULT contract that Bench, as
+    * the caller, owes; see Dedup.minhashIncrementalIndexed). No
+    * clearCache (cached tables are catalog state, and the r6 A/B
+    * showed clearing them costs more than it saves) and no GC. The r11
+    * adjudication of r10's q103→q104–q106 suspicion: fresh-JVM A/B at
+    * sf0.1 n=5 found q104/q105/q106 FASTER with q103 preceding
+    * (0.22/0.17/0.30 s) than without (0.32/0.23/0.37 s) — the leaked
+    * sets are ~50 rows and perturb nothing measurable; this release is
+    * contract hygiene (unbounded residue across 5×152 query runs), not
+    * a performance fix. Cost: a handful of non-blocking block-manager
+    * calls per query, outside every timer. */
+  private def releaseResidue(spark: SparkSession): Unit = {
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,6 +113,7 @@ object Bench {
       try exec(SparkEntry.queries(n)(spark, warmSf))
       catch { case _: Throwable => () }
     }
+    releaseResidue(spark)
     resetState(spark)
 
     // a failed query must be VISIBLE in the output (value -1), not
@@ -107,6 +127,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      releaseResidue(spark)
       resetState(spark)
       if (ok) dt else -1.0
     }

@@ -23,18 +23,30 @@ object Verify {
     if (root.exists()) rm(root)
     root.mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q148,q15 — comma-separated name prefixes
-    // for a focused local differential run (tools/compare.py skips
-    // queries with no dump); unset = the full inventory (driver mode)
+    // for a focused local differential run (tools/compare.py prints
+    // SKIP for queries with no dump when this var is set — round 11;
+    // unset = the full inventory, where a missing dump is a FAIL)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // a typo'd prefix list selects NOTHING — fail loudly rather than
+    // dump an empty dir that reads as 152 missing queries downstream
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_VERIFY_ONLY=${only.fold("")(_.mkString(","))} " +
+        "matched no queries")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // caller-releases-the-RESULT hygiene (see Bench.releaseResidue):
+      // a few queries pin localCheckpoint blocks their result plan
+      // references; once the dump action ran they are dead weight
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -723,14 +723,32 @@ object CurationQueries {
     *
     * LOSSLESS at scale (q120's discipline, not LSH): a contained doc's
     * shingles are ALL shingles of its container, so joining each
-    * containee's single RAREST shingle (min (df, s) — a total order,
-    * deterministic) against the corpus inverted index yields a
-    * candidate superset — candidates ∝ the rarest shingle's df, never
-    * all-pairs — and exact padded-`instr` verification filters it.
-    * The oracle IS the all-pairs brute force, so the driver hash gate
-    * proves the pruning lossless, the property a hard dedup contract
-    * needs. Containees need ≥ 3 tokens (a shingle must exist — stated
-    * in both faces); containers then have ≥ 3 by implication. */
+    * containee's single RAREST shingle against the corpus inverted
+    * index yields a candidate superset — candidates ∝ the rarest
+    * shingle's df, never all-pairs — and exact padded-`instr`
+    * verification filters it. The oracle IS the all-pairs brute force,
+    * so the driver hash gate proves the pruning lossless, the property
+    * a hard dedup contract needs. Containees need ≥ 3 tokens (a shingle
+    * must exist — stated in both faces); containers then have ≥ 3 by
+    * implication.
+    *
+    * The rarest pick rides a single LONG (round 11): `min(struct(df,
+    * s))` has a non-mutable buffer, which demotes BOTH aggregate
+    * phases to SortAggregate and full-sorts the (doc, shingle)
+    * pair-volume feed within partitions — q136's measured 8.9 s-vs-
+    * 0.9 s demotion, and r10's slowest query (1.56 s). Instead each
+    * row encodes `code = min(df, 2³¹−1)·2³¹ + (xxhash64(s) & (2³¹−1))`
+    * and the pick is `min(code)` — a long buffer, so HashAggregate +
+    * map-side combine apply and nothing sorts. The low bits identify
+    * the picked shingle by HASH, not by value, and the candidate join
+    * keys on that same 31-bit hash: a's winning shingle is a real
+    * shingle of a, every container carries the identical shingle and
+    * therefore the identical hash, so the join still finds every true
+    * pair — hash collisions and the df clamp only ADD candidates,
+    * which exact verification removes. Losslessness is untouched; the
+    * pick is deterministic (min over a fixed encoding); the clamp
+    * keeps the encoding overflow-free for any df up to 2³¹−1 and
+    * merely widens the candidate set beyond it. */
   def q151(s: SparkSession, d: String): DataFrame = {
     val norm = documents(s, d)
       .select(col("doc_id"), expr(toks).as("toks"))
@@ -738,16 +756,26 @@ object CurationQueries {
       .select(col("doc_id"),
         array_join(col("toks"), " ").as("norm"),
         size(col("toks")).cast("long").as("n_toks"))
+    val mask = (1L << 31) - 1
     val index = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
-    val df = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val rarest = index.join(df, "s")
+      .select(col("doc_id"), col("s"),
+        xxhash64(col("s")).bitwiseAND(lit(mask)).as("h"))
+    val df = index.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rarest = index.join(df, "h")
       .groupBy(col("doc_id"))
-      .agg(min(struct(col("df"), col("s"))).as("r"))
-      .select(col("doc_id").as("a_id"), col("r.s").as("s"))
+      .agg(min(least(col("df"), lit(mask)) * lit(mask + 1) + col("h"))
+        .as("code"))
+      .select(col("doc_id").as("a_id"),
+        col("code").bitwiseAND(lit(mask)).as("h"))
+    // distinct: two DISTINCT container shingles colliding on h would
+    // emit the same (a, b) twice (the s-keyed join couldn't — shingles
+    // are per-doc distinct). Candidate-sized exchange, exactness cannot
+    // hinge on hash luck.
     val cand = rarest
-      .join(index.select(col("doc_id").as("b_id"), col("s")), "s")
+      .join(index.select(col("doc_id").as("b_id"), col("h")), "h")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
+      .distinct()
     cand
       .join(norm.select(col("doc_id").as("a_id"), col("norm").as("a_norm"),
         col("n_toks").as("n_toks_contained")), "a_id")

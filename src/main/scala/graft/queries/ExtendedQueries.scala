@@ -383,7 +383,22 @@ object ExtendedQueries {
     * work is O(batch + matched buckets), the shape that serves a daily
     * increment against a 100-TB corpus. Signature-estimated Jaccard at
     * 8 hashes: ≥ 0.8 means ≥ 7 of 8 min-hashes agree. */
-  def q103(s: SparkSession, d: String): DataFrame = {
+  def q103(s: SparkSession, d: String): DataFrame =
+    // materialize stays TRUE (r10 A/B at sf0.1, n=5 trimmed: lazy
+    // 3.83s vs pinned 1.25s — the shared signature subtree is
+    // referenced ~4x, and re-planning + re-executing it per reference
+    // costs far more than the one checkpoint job it saves)
+    q103Pipeline(s, d, materialize = true)
+
+  /** q103's WHOLE pipeline — store build, increment construction, and
+    * the serve — with the materialize dial exposed. PlanContractSpec
+    * pins the store-side zero-exchange contract on the
+    * `materialize=false` twin of THIS method (the pinned form's final
+    * plan shows only checkpoint scans), so the spec and the shipped
+    * query cannot drift apart: same split, same table, same increment
+    * (round 11 — previously the spec duplicated all three inline). */
+  private[graft] def q103Pipeline(s: SparkSession, d: String,
+                                  materialize: Boolean): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val tbl = s"graft_sig_idx${d.replaceAll("[^A-Za-z0-9]", "_")}"
     graft.sources.Lake.ensureTable(s, tbl) {
@@ -395,12 +410,9 @@ object ExtendedQueries {
     val increment = docs.filter(col("doc_id").between(60, 99))
       .unionByName(docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    // materialize stays TRUE (r10 A/B at sf0.1, n=5 trimmed: lazy
-    // 3.83s vs pinned 1.25s — the shared signature subtree is
-    // referenced ~4x, and re-planning + re-executing it per reference
-    // costs far more than the one checkpoint job it saves)
     graft.operators.Dedup.minhashIncrementalIndexed(
-        increment, "doc_id", "text", s.table(tbl))
+        increment, "doc_id", "text", s.table(tbl),
+        materialize = materialize)
       .select(col("doc_id"))
       .orderBy("doc_id")
   }
@@ -494,6 +506,15 @@ object ExtendedQueries {
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), col("med"),
         abs(col("value") - col("med")).as("dev"))
+    // The MAD pass re-derives `dev` per refinement round — MEASURED
+    // the right call, not an oversight (r11 A/B at sf0.1, n=5
+    // trimmed, same window: materialize=true 1.04 s vs lazy 1.02 s).
+    // `med` is a DRIVER-LOCAL relation (the scan resolves ranks on
+    // the driver), so each re-derivation is one column-pruned parquet
+    // scan + a broadcast of ~5 local rows — parquet-cheap, exactly
+    // the case Ranking's materialize doc says to leave lazy; and at
+    // 100 TB pinning a data-sized derived stream in block storage is
+    // the wrong trade (the q112 r8 precedent, PLANS.md).
     val mad = graft.operators.Ranking.exactQuantilesByGroupScan(
         dev, "event_type", Seq("dev" -> Seq(0.5)))
       .select(col("event_type"), col("q_0_0").as("mad"))

@@ -324,23 +324,11 @@ class PlanContractSpec extends AnyFunSuite {
     // plan shows only checkpoint scans; the contract lives on the
     // pipeline the pin executes — the SAME call with materialize=false,
     // whose single plan exposes the store scan end-to-end.
-    import org.apache.spark.sql.functions._
-    val docs = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text"))
-    val tbl = s"graft_sig_idx${sf.replaceAll("[^A-Za-z0-9]", "_")}"
-    graft.sources.Lake.ensureTable(spark, tbl) {
-      graft.operators.Dedup.writeSigIndex(
-        graft.operators.Dedup.minhashSignatures(
-          docs.filter(col("doc_id") < 60), "doc_id", "text"),
-        "doc_id", tbl)
-    }
-    val increment = docs.filter(col("doc_id").between(60, 99))
-      .unionByName(docs.filter(col("doc_id") < 3)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val df = graft.operators.Dedup.minhashIncrementalIndexed(
-        increment, "doc_id", "text", spark.table(tbl),
-        materialize = false)
-      .select(col("doc_id")).orderBy("doc_id")
+    // the SHIPPED pipeline, lazy twin — store build, increment, and
+    // serve all come from q103Pipeline itself (round 11), so this
+    // contract pins exactly what q103 runs and cannot drift from it
+    val df = graft.queries.ExtendedQueries
+      .q103Pipeline(spark, sf, materialize = false)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("isFinalPlan=false"),

@@ -54,11 +54,20 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    # Focused dev loop (round 11): when graft.Verify ran with
+    # SPARK_GRAFT_VERIFY_ONLY, unselected queries have no dump by
+    # design — honor the same filter and SKIP them instead of failing.
+    # With the var unset (driver-mode full run) a missing dump stays a
+    # FAIL: there it means the query crashed.
+    focused = bool(os.environ.get("SPARK_GRAFT_VERIFY_ONLY"))
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
+            if focused:
+                n_skip += 1
+                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
@@ -92,7 +101,8 @@ def main(sf_dir, out_dir):
             n_fail += 1
         else:
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail / {len(oracle)} total")
+    skip = f" / {n_skip} skip (focused)" if n_skip else ""
+    print(f"== {n_pass} pass / {n_fail} fail{skip} / {len(oracle)} total")
     return n_fail
 
 if __name__ == "__main__":
