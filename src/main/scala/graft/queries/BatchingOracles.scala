@@ -147,7 +147,52 @@ object BatchingOracles {
        |FROM tg LEFT JOIN k ON tg.source = k.source
        |ORDER BY tg.source""".stripMargin
 
+  // q154: TTR rounds at 4 BEFORE the ordering (both faces rank the
+  // identical key); the window is ORDER BY ttr DESC, doc_id — the
+  // Spark face orders by (−ttr, doc_id) ascending, the same total
+  // order (IEEE negation is exact); 1 PRECEDING = tokens BEFORE the
+  // doc, so a doc belongs to the phase it starts in
+  private val q154 =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+       |  FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, n_toks, ttr,
+       |    coalesce(sum(n_toks) OVER (ORDER BY ttr DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM s)
+       |SELECT CAST(floor(cum_before / 5000) AS BIGINT) AS phase,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  min(ttr) AS min_ttr, max(ttr) AS max_ttr
+       |FROM c GROUP BY 1 ORDER BY phase""".stripMargin
+
+  // q155: the A-ES weighted-sample key −ln(u)/w with u from the SAME
+  // salted-md5 nibble arithmetic (value + 0.5 over 2^32); ln is
+  // natural log in both dialects; ORDER on the rounded ppm key
+  private val q155 = {
+    def wnib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS STRING)),$i,1)) - 1)"
+    // CAST keeps the products in BIGINT — an INT32×INT32 overflows
+    // DuckDB's checked arithmetic at nibble 1 (15·16⁷ > 2³¹)
+    val v32 = (1 to 8)
+      .map(i => s"${wnib(i)} * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH k AS (SELECT source, doc_id,
+       |    -ln((($v32) + 0.5) / 4294967296.0) / n_chars AS key
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, key,
+       |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+       |  FROM k)
+       |SELECT source, doc_id, round(key * 1000000, 4) AS key_ppm
+       |FROM r WHERE rk <= 3 ORDER BY source, key_ppm, doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q154_curriculum"  -> q154,
+    "q155_weighted_sample" -> q155,
     "q127_pack_chunks" -> q127,
     "q128_kfold"       -> q128,
     "q129_token_cap"   -> q129,

@@ -248,4 +248,69 @@ object BatchingQueries {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** q154 token-budget curriculum phases (round 11): rank the corpus
+    * easiest-first by type-token ratio (high TTR = lexically diverse
+    * prose, low = repetitive boilerplate), then cut the GLOBAL ordered
+    * stream into consecutive 5000-token phases — the curriculum /
+    * staged-training layout (phase 0 trains first), reported as a
+    * per-phase manifest. TTR rounds at 4 BEFORE ordering so both
+    * engines rank identical keys; ties break on doc_id.
+    *
+    * The global running token total comes from [[graft.operators
+    * .Ranking.runningAgg]] (range partition + metadata offset rebase —
+    * never a SinglePartition window; q134's operator), ordered by
+    * (−ttr, doc_id): negating an IEEE double is exact, so ascending
+    * −ttr IS descending ttr. `inclusive=false` yields the tokens
+    * BEFORE each doc — a doc belongs to the phase it STARTS in. */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), expr(
+        graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("ttr"))
+      .withColumn("neg_ttr", -col("ttr"))
+    graft.operators.Ranking.runningAgg(t,
+        orderCols = Seq("neg_ttr", "doc_id"), valueCol = "n_toks",
+        fn = "sum", outCol = "cum_before", inclusive = false)
+      // the global first row has NOTHING before it — runningAgg's
+      // exclusive frame yields null there, the oracle's COALESCE 0
+      .select(floor(coalesce(col("cum_before"), lit(0L)) / 5000)
+          .cast("long").as("phase"),
+        col("n_toks"), col("ttr"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("ttr")).as("min_ttr"), max(col("ttr")).as("max_ttr"))
+      .orderBy("phase")
+  }
+
+  /** q155 deterministic weighted sampling without replacement (round
+    * 11): per source, the 3 documents drawn by the Efraimidis–Spirakis
+    * A-ES scheme — key = −ln(u)/w with weight w = n_chars and u a
+    * (0,1) uniform derived from the doc's salted md5 (first 8 nibbles
+    * + 0.5, over 2³²) — smallest keys win. This is THE distributed
+    * weighted-sample primitive (rank by key, no sequential pass), and
+    * the hash-derived u makes the draw REPLAYABLE: both engines, and
+    * any rerun, select the same docs — q128's portable-nibble
+    * discipline applied to weighted sampling. Per-source window = the
+    * accepted per-stratum shape (q39/q127); output orders by the
+    * ROUNDED key so cross-engine ordering compares equal values. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('ws:', cast(doc_id as string))),$i,1)) - 1)"
+    val v32 = (1 to 8).map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}L")
+      .mkString(" + ")
+    val key = expr(s"-ln((($v32) + 0.5D) / 4294967296.0D) / n_chars")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+    documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("key", key)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("doc_id"),
+        round(col("key") * 1000000, 4).as("key_ppm"))
+      .orderBy(col("source"), col("key_ppm"), col("doc_id"))
+  }
 }

@@ -500,7 +500,46 @@ object CurationOracles {
        |  round(sum(ll) / count(*), 4) AS avg_ll
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q157: the oracle IS the brute-force |Δchars|≤20 inequality join —
+  // the Spark face's 20-wide length bands must be hash-identical
+  // (lossless banding); levenshtein is the classic unit-cost DP on
+  // both engines
+  private val q157 =
+    """SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+      |WHERE a.doc_id < 200 AND b.doc_id < 200
+      |  AND levenshtein(a.text, b.text) <= 45
+      |ORDER BY a, b""".stripMargin
+
+  // q158: same positional-unnest bigram derivation as q152, per lang;
+  // context and total counts FOLD from the (lang,w1,w2) aggregate —
+  // mirroring the single-pass Spark shape — and ln is natural log
+  private val q158 =
+    """WITH t AS (SELECT lang,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pix AS (SELECT lang, toks,
+      |    unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM t WHERE len(toks) >= 2),
+      |c2 AS (SELECT lang,
+      |    list_extract(toks, i) AS w1,
+      |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bg,
+      |    CAST(count(*) AS BIGINT) AS c2
+      |  FROM pix GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1, 2),
+      |tt AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS n FROM c2 GROUP BY 1)
+      |SELECT c2.lang, tt.n AS n_bigrams,
+      |  round(-sum(c2.c2 / tt.n * ln(c2.c2 / c1.c1)), 4) AS h_rate
+      |FROM c2 JOIN c1 ON c1.lang = c2.lang AND c1.w1 = c2.w1
+      |JOIN tt ON tt.lang = c2.lang
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q157_edit_distance"  -> q157,
+    "q158_entropy_rate"   -> q158,
     "q150_cluster_fold"   -> q150,
     "q151_substring_dup"  -> q151,
     "q152_lm_score"       -> q152,

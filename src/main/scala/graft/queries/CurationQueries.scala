@@ -823,4 +823,80 @@ object CurationQueries {
         round(sum(col("ll")) / count(lit(1)), 4).as("avg_ll"))
       .orderBy("doc_id")
   }
+
+  /** q157 edit-distance near-duplicate verification (round 11): all
+    * doc pairs (a < b, doc_id < 200 — the declared probe corpus) whose
+    * character-level Levenshtein distance is ≤ 45 — the EXACT
+    * small-edit near-dup relation (minhash/simhash score SET overlap;
+    * edit distance catches in-place token substitutions they
+    * under-weight). The planted near-dup families here straddle
+    * language labels, so no lang equality narrows the pair space — the
+    * pruning must come from geometry.
+    *
+    * Scale shape — a BANDED length join, never doc×doc: lev(a,b) ≥
+    * |len(a)−len(b)|, so qualifying pairs differ by ≤ 20 chars
+    * (declared alongside the threshold, both faces) and each left doc
+    * need only meet the three adjacent floor(n_chars/20) bands
+    * (explode of a 3-element array). Candidates ∝ per-band population
+    * — the classic interval-band equi-join — and each candidate pays
+    * one codegen'd `levenshtein`. The oracle is the brute-force
+    * inequality join, so the hash gate proves the banding lossless
+    * (a |Δlen| ≤ 20 pair always lands in an adjacent band: bands are
+    * 20 wide). */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        floor(col("n_chars") / 20).as("band"))
+    val left = docs.select(col("doc_id").as("a"), col("text").as("ta"),
+        col("n_chars").as("ca"),
+        explode(array(col("band") - 1, col("band"),
+          col("band") + 1)).as("band"))
+    val right = docs.select(col("doc_id").as("b"), col("text").as("tb"),
+      col("n_chars").as("cb"), col("band"))
+    // the THRESHOLD form: Spark's bounded levenshtein walks only the
+    // 2·45+1 diagonal band of the DP matrix and exits early, returning
+    // -1 past the bound — ~6x cheaper per pair than the full matrix at
+    // these lengths (r11 bench: 2.91 s -> 0.46 s). The oracle's
+    // unbounded levenshtein + `<= 45` filter selects identical rows:
+    // within the bound the banded DP IS the classic distance.
+    left.join(right, "band")
+      .filter(col("a") < col("b") &&
+        abs(col("ca") - col("cb")) <= 20)
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb"), 45).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
+      .orderBy("a", "b")
+  }
+
+  /** q158 conditional bigram entropy rate per language (round 11):
+    * H(W₂|W₁) = −Σ p(w₁,w₂)·ln(c(w₁,w₂)/c(w₁·)) over each language's
+    * bigram distribution — the sequence-predictability complement to
+    * q125's unigram entropy and q152's per-doc LM score: natural text
+    * sits in a characteristic band, machine-generated loops score low,
+    * shuffled/garbled text high, and a language whose rate drifts
+    * between snapshots signals contamination or a scraper change.
+    *
+    * Scale shape: everything flows from ONE (lang, w₁, w₂) count
+    * aggregate — vocabulary²-bounded and partial-aggregated below the
+    * exchange; context counts c(w₁·) and the per-lang total fold from
+    * it (never a second pass over tokens), and the final rollup is
+    * |langs| rows. Token volume appears only in the narrow explode. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val c2 = documents(s, d)
+      .select(col("lang"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(bigrams("toks"))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c2"))
+      .select(col("lang"), col("c2"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+    val t = c2.groupBy(col("lang")).agg(sum(col("c2")).as("n"))
+    c2.join(c1, Seq("lang", "w1")).join(broadcast(t), "lang")
+      .select(col("lang"), col("n"),
+        (col("c2") / col("n") * log(col("c2") / col("c1"))).as("term"))
+      .groupBy(col("lang"), col("n"))
+      .agg(round(-sum(col("term")), 4).as("h_rate"))
+      .select(col("lang"), col("n").as("n_bigrams"), col("h_rate"))
+      .orderBy("lang")
+  }
 }

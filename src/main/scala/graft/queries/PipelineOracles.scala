@@ -294,7 +294,30 @@ object PipelineOracles {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // q153: identical BM25 constants as literals (2.2, 0.25 — never
+  // computed forms whose rounding could differ); ln both dialects;
+  // avg(dl) = exact integer sum / n in double on both engines; ORDER
+  // on the rounded score
+  private val q153 =
+    s"""WITH ${toksCte("")},
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |  WHERE tok IN ('spark', 'merge', 'vector', 'window')
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |      * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+       |  FROM tf JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+       |SELECT doc_id, round(sum(c), 4) AS score FROM sc
+       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q153_bm25"          -> q153,
     "q145_zipf_fit"      -> q145,
     "q146_split_shift"   -> q146,
     "q58_dedup_corpus"   -> q58,

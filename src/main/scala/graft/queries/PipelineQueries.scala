@@ -424,4 +424,44 @@ object PipelineQueries {
       .filter(col("rank") <= 3)
       .orderBy("probe", "rank")
   }
+
+  /** q153 BM25 retrieval (round 11): top-15 documents for a fixed
+    * 4-term query under Okapi BM25 (k1=1.2, b=0.75, the Lucene-style
+    * idf ln(1+(N−df+0.5)/(df+0.5)) that never goes negative) — the
+    * ranked-retrieval primitive a curation stack uses to mine topical
+    * subsets and build seed sets, one level up from q76's raw TF-IDF
+    * weights.
+    *
+    * Scale shape: the term filter lands BEFORE the tf aggregation, so
+    * tf/df exchanges are bounded by query-term occurrences, not the
+    * token stream; df and the (N, avgdl) corpus stats are broadcast
+    * 1-to-4-row frames; the only doc-sized work is the dl rollup and
+    * the final per-doc score aggregate (≤ |terms| rows per doc in).
+    * All constants are literal-identical in both faces (2.2, 0.25 —
+    * never 1.2+1, whose rounding could differ from the literal);
+    * score rounds at 4 and the ORDER uses the rounded value. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "merge", "vector", "window")
+    val docs = documents(s, d).select(col("doc_id"),
+      expr(graft.operators.TextHashes.toks("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("doc_id")).agg(round(sum(col("c")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(15)
+  }
 }

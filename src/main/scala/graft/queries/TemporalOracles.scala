@@ -134,7 +134,33 @@ object TemporalOracles {
       |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM g ORDER BY user_id, day""".stripMargin
 
+  // q156: identical split point ((max_id+1)/2.0), identical bin
+  // arithmetic ((v−lo)/((hi−lo)/10.0), floor, capped at 9), identical
+  // add-half smoothing — IEEE-exact on both engines; ln natural log
+  private val q156 =
+    """WITH st AS (SELECT max(event_id) AS mx, min(value) AS lo,
+      |    max(value) AS hi FROM events),
+      |b AS (SELECT event_type,
+      |    CASE WHEN event_id < (st.mx + 1) / 2.0 THEN 0 ELSE 1 END AS h,
+      |    CAST(least(floor((value - st.lo) / ((st.hi - st.lo) / 10.0)),
+      |      9) AS BIGINT) AS bin
+      |  FROM events CROSS JOIN st),
+      |c AS (SELECT event_type, bin,
+      |    CAST(count(*) FILTER (WHERE h = 0) AS BIGINT) AS c0,
+      |    CAST(count(*) FILTER (WHERE h = 1) AS BIGINT) AS c1
+      |  FROM b GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+      |    CAST(sum(c1) AS BIGINT) AS n1
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_type,
+      |  round(sum(((c0 + 0.5) / (n0 + 5.0) - (c1 + 0.5) / (n1 + 5.0))
+      |    * ln(((c0 + 0.5) / (n0 + 5.0)) / ((c1 + 0.5) / (n1 + 5.0)))), 4)
+      |    AS psi
+      |FROM c JOIN n ON n.event_type = c.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q156_psi_drift"  -> q156,
     "q148_gapfill"    -> q148,
     "q61_asof_join"   -> q61,
     "q147_asof_left"  -> q147,

@@ -220,4 +220,47 @@ object TemporalQueries {
         when(col("v").isNull, 1L).otherwise(0L).as("is_gap"))
       .orderBy("user_id", "day")
   }
+
+  /** q156 population-stability-index drift audit (round 11): per
+    * event_type, the PSI between the first and second half of the
+    * stream (split at the event_id midpoint — deterministic and
+    * engine-portable, and event ids are assigned in arrival order)
+    * over 10 equal-width value bins spanning the GLOBAL value range.
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) — the standard
+    * train-vs-serve / snapshot-vs-snapshot distribution-shift gate a
+    * feature pipeline runs before shipping (rule of thumb: <0.1 calm,
+    * >0.25 drifted). Bin shares are add-half smoothed
+    * ((c+0.5)/(n+5)) so an empty bin on one side stays finite.
+    *
+    * Scale shape: ONE pass builds (type, bin) half-counts — the split
+    * flag and the bin index are narrow expressions against two
+    * broadcast 1-row frames (global max id, global value range), the
+    * count aggregate partial-aggregates to ≤ types×bins×partitions
+    * rows, and everything after operates on ≤ types×10 rows. Nothing
+    * doc-sized ever shuffles; no window anywhere. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"))
+    val st = ev.agg(max(col("event_id")).as("mx"),
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev.crossJoin(broadcast(st))
+      .select(col("event_type"),
+        when(col("event_id") < (col("mx") + 1) / lit(2.0), lit(0))
+          .otherwise(lit(1)).as("h"),
+        least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(10.0))), lit(9L))
+          .cast("long").as("bin"))
+    val c = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+    val n = c.groupBy(col("event_type"))
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val pa = (col("c0") + lit(0.5)) / (col("n0") + lit(5.0))
+    val pb = (col("c1") + lit(0.5)) / (col("n1") + lit(5.0))
+    c.join(broadcast(n), "event_type")
+      .select(col("event_type"), ((pa - pb) * log(pa / pb)).as("term"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("term")), 4).as("psi"))
+      .orderBy("event_type")
+  }
 }
