@@ -65,13 +65,16 @@ object Ann {
     *    every row, so 100 TB trains on a few GB. The filter is a narrow
     *    `pmod(hash(id))` predicate — reproducible, no `rand()`.
     *  - **init** — deterministic farthest-point seeding: seed 1 is the
-    *    smallest-`md5(id)` sample row, each next seed the sample vector
-    *    LEAST similar to its nearest chosen seed (ties to the smallest
-    *    id). k−1 cheap top-1 jobs over the sample; on clustered data
-    *    this lands roughly one seed per cluster, where hash-ordered
-    *    seeding routinely merges clusters and strands duplicates
-    *    (k-means++ without the randomness, the determinism contract
-    *    every operator here keeps).
+    *    smallest-`md5(id)` sample row, each next seed the vector LEAST
+    *    similar to its nearest chosen seed (ties to the smallest
+    *    md5(id)), walked DRIVER-SIDE over a bounded md5-ordered pool
+    *    of max(4096, 16k) sample rows — O(pool·k) flops, ~1 MB (round
+    *    11; the per-seed Spark-job form was O(n·k²) and dominated the
+    *    whole build at k≥100). On clustered data this lands roughly
+    *    one seed per cluster, where hash-ordered seeding routinely
+    *    merges clusters and strands duplicates (k-means++ without the
+    *    randomness, the determinism contract every operator here
+    *    keeps).
     *  - **iterate** — each Lloyd round broadcasts the current centroids
     *    (k × dim doubles — driver metadata), assigns via
     *    [[ivfAssign]]'s partial-agg argmax (the exchange carries one
@@ -114,25 +117,57 @@ object Ann {
     val nSample = sampled.count()
     require(nSample >= k,
       s"sample has only $nSample rows — need at least k=$k")
-    // farthest-point seeding (see object doc): first the smallest
-    // md5(id), then k-1 argmin-of-max-similarity top-1 jobs
-    val first_ = sampled.orderBy(md5(col(idCol).cast("string")).asc)
-      .limit(1).select(col("__v")).collect()
-    val seeds = scala.collection.mutable.ArrayBuffer(
-      normalized(first_.head.getSeq[Double](0).toArray))
-    while (seeds.length < k) {
-      val sDf = broadcast(seeds.toSeq.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toDF("__sid", "__sv"))
-      val far = sampled.crossJoin(sDf)
-        .groupBy(col(idCol))
-        .agg(max(Vectors.cosine(col("__v"), col("__sv"))).as("__near"),
-          first(col("__v")).as("__v"))
-        .orderBy(col("__near").asc, col(idCol).asc)
-        .limit(1).select(col("__v")).collect()
-      require(far.nonEmpty, s"sample has fewer than k=$k rows")
-      seeds += normalized(far.head.getSeq[Double](0).toArray)
+    // Farthest-point seeding over a bounded DRIVER-SIDE pool (round
+    // 11). The r10 form ran k−1 SEQUENTIAL top-1 jobs, each a
+    // crossJoin of the whole sample against the grown seed set —
+    // O(n·k²) cosines plus k job overheads, measured 20+ minutes at
+    // n=150k, k=240 (the serving probe's m30 build; seeding, not
+    // Lloyd, was ~all of it). Seeding needs cluster GEOMETRY, not
+    // every row: a deterministic md5-ordered pool of max(4096, 16k)
+    // rows (pseudo-random but reproducible — the same order the old
+    // first-seed rule used) seeds in O(pool·k) driver flops, ~1 MB
+    // pool memory at k=240/dim=64. Whenever the pool covers the whole
+    // sample — every test, every small corpus — seed 1 and the
+    // argmin walk are IDENTICAL to the old job-per-seed form (ties
+    // now break on md5(id), the pool order, rather than raw id — same
+    // determinism contract); on larger corpora the seeds come from
+    // the pool, which is what sampleFraction already meant. Lloyd
+    // below is untouched: assignment and mean-update stay distributed
+    // partial aggregations over the FULL sample.
+    val poolCap = math.min(nSample, math.max(4096L, 16L * k)).toInt
+    val pool: Array[Array[Double]] = sampled
+      .select(md5(col(idCol).cast("string")).as("__h"), col("__v"))
+      .orderBy(col("__h").asc)
+      .limit(poolCap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(aa) * math.sqrt(bb)) // ArrayCosineSim's formula
     }
-    var cents: Array[Array[Double]] = seeds.toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(0) // smallest md5
+    val near = pool.map(v => cos(v, pool(0)))
+    while (chosen.length < k) {
+      var best = 0
+      var i = 1
+      while (i < pool.length) {
+        // strict <: ties keep the earliest pool row (smallest md5)
+        if (near(i) < near(best)) best = i
+        i += 1
+      }
+      chosen += best
+      i = 0
+      while (i < pool.length) {
+        val c = cos(pool(i), pool(best))
+        if (c > near(i)) near(i) = c
+        i += 1
+      }
+    }
+    var cents: Array[Array[Double]] =
+      chosen.map(i => normalized(pool(i))).toArray
     val dim = cents.head.length
     var it = 0
     var shift = Double.MaxValue
@@ -350,23 +385,54 @@ object Ann {
     val probeLists = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1),
       routed.schema)
-    // probed list ids inlined as a literal IN so the parquet scan
-    // partition-prunes statically
     val probed = probeRows
       .map(r => r.get(r.fieldIndex("__cid"))).distinct
-    // partition-column type inference would coerce numeric-LOOKING
-    // string centroid ids ("01", "1e3") to int/double and silently
-    // break both the IN filter and the probe join — pin __cid to the
-    // centroid table's dtype via an explicit read schema (partition
-    // values are then parsed as that type, and the typed literals
-    // above still prune statically)
-    val inferred = spark.read.parquet(s"$path/lists").schema
+    // Serve-time listing must be O(probed lists), not O(nlist) —
+    // round 11. `spark.read.parquet(s"$path/lists")` builds a file
+    // index over EVERY list partition dir (and the old schema
+    // inference did it a second time): the serving probe measured the
+    // serve wall growing 0.49 s → 1.55 s from nlist=8 to 240 with
+    // CONSTANT probed data — pure driver-side listing, and the term
+    // that buries a 100k-list index on an object store. Instead the
+    // probed partition DIRECTORIES are addressed directly (Hive-escaped
+    // `__cid=` names, existence-checked — an empty list has no dir)
+    // under a `basePath`, so the listing touches nprobe·|probes| dirs.
+    // The IN filter stays as the semantic gate; it prunes nothing
+    // beyond the path selection.
+    //
+    // Partition-column typing: numeric-LOOKING string centroid ids
+    // ("01", "1e3") would coerce to int/double under inference and
+    // silently break the IN filter and the probe join — the explicit
+    // read schema appends __cid with the centroid table's dtype, and
+    // partition values parse as that type. The file schema itself
+    // comes from ONE probed dir (single-dir listing).
     val cidType = c.schema("__cid").dataType
-    val listSchema = org.apache.spark.sql.types.StructType(
-      inferred.map(f =>
-        if (f.name == "__cid") f.copy(dataType = cidType) else f))
-    val lists = spark.read.schema(listSchema).parquet(s"$path/lists")
-      .filter(col("__cid").isin(probed.toIndexedSeq: _*))
+    val esc = (v: Any) => org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+    val probedPaths = probed.toIndexedSeq
+      .map(v => new org.apache.hadoop.fs.Path(
+        s"$path/lists", s"__cid=${esc(v)}"))
+      .filter(fs.exists(_))
+      .map(_.toString)
+    val lists =
+      if (probedPaths.isEmpty) {
+        // every probed list is empty (no dir was ever written for it):
+        // fall back to the full-index read — it returns zero rows and
+        // keeps the downstream plan shape; rare enough that the O(nlist)
+        // listing does not matter
+        val inferred = spark.read.parquet(s"$path/lists").schema
+        val listSchema = org.apache.spark.sql.types.StructType(
+          inferred.map(f =>
+            if (f.name == "__cid") f.copy(dataType = cidType) else f))
+        spark.read.schema(listSchema).parquet(s"$path/lists")
+          .filter(col("__cid").isin(probed.toIndexedSeq: _*))
+      } else {
+        val listSchema = spark.read.parquet(probedPaths.head).schema
+          .add("__cid", cidType)
+        spark.read.option("basePath", s"$path/lists").schema(listSchema)
+          .parquet(probedPaths: _*)
+          .filter(col("__cid").isin(probed.toIndexedSeq: _*))
+      }
     val scored =
       if (!quantized)
         lists.join(broadcast(probeLists), "__cid")

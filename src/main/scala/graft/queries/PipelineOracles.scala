@@ -316,7 +316,88 @@ object PipelineOracles {
        |SELECT doc_id, round(sum(c), 4) AS score FROM sc
        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  // q159: q46's signature/band CTEs + q47's exact-Jaccard machinery
+  // recombined; the unrounded j >= 0.8 gate and the floor-truncated
+  // rates are IEEE-identical on both engines
+  private val q159 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j")
+      .mkString(", ")
+    s"""WITH ${toksCte("WHERE doc_id < 120")},
+       |$shCte,
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bl AS (SELECT doc_id, 0 AS bi, m0 || m1 AS bk FROM m
+       |  UNION ALL SELECT doc_id, 1, m2 || m3 FROM m
+       |  UNION ALL SELECT doc_id, 2, m4 || m5 FROM m
+       |  UNION ALL SELECT doc_id, 3, m6 || m7 FROM m),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bl x JOIN bl y
+       |    ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT a, b FROM p
+       |  JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+       |  WHERE inter / (ca.n + cb.n - inter) >= 0.8),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+       |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+       |  FROM cand JOIN truth USING (a, b))
+       |SELECT n_truth, n_cand, n_tp,
+       |  coalesce(floor(n_tp * 10000.0 / nullif(n_cand, 0)) / 10000.0, 0.0)
+       |    AS precision,
+       |  coalesce(floor(n_tp * 10000.0 / nullif(n_truth, 0)) / 10000.0, 0.0)
+       |    AS recall
+       |FROM tt CROSS JOIN cc CROSS JOIN tp""".stripMargin
+  }
+
+  // q160: q137's bag-of-words fingerprint for the dup census; the
+  // dominant language by (count DESC, lang ASC); floor-truncated rates
+  private val q160 =
+    s"""WITH ${toksCte("")},
+       |tl AS (SELECT t.doc_id, d.lang, d.source, t.toks
+       |  FROM t JOIN documents d ON d.doc_id = t.doc_id),
+       |sizes AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM tl),
+       |fp AS (SELECT md5(array_to_string(list_sort(list_distinct(toks)),
+       |    ' ')) AS fp FROM tl),
+       |dup AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT fp, count(*) AS n FROM fp GROUP BY 1
+       |        HAVING count(*) > 1) fam),
+       |top AS (SELECT lang AS top_lang,
+       |    CAST(count(*) AS BIGINT) AS top_lang_docs
+       |  FROM tl GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1)
+       |SELECT n_docs, n_tokens, n_langs, n_sources, n_dup_docs,
+       |  floor(n_dup_docs * 10000.0 / n_docs) / 10000.0 AS dup_rate,
+       |  top_lang,
+       |  floor(top_lang_docs * 10000.0 / n_docs) / 10000.0
+       |    AS top_lang_share
+       |FROM sizes CROSS JOIN dup CROSS JOIN top""".stripMargin
+
+  // q161: top-20 vocabulary by (frequency DESC, token ASC), OOV share
+  // per language over token OCCURRENCES, floor-truncated
+  private val q161 =
+    """WITH t AS (SELECT lang,
+      |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |occ AS (SELECT lang, unnest(toks) AS tok FROM t),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM occ
+      |  GROUP BY 1 ORDER BY c DESC, tok LIMIT 20) tv),
+      |oo AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_occ,
+      |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_oov
+      |  FROM occ GROUP BY 1)
+      |SELECT lang, n_occ, n_oov,
+      |  floor(n_oov * 10000.0 / n_occ) / 10000.0 AS oov_rate
+      |FROM oo ORDER BY lang""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q159_lsh_audit"     -> q159,
+    "q160_dataset_card"  -> q160,
+    "q161_oov_rate"      -> q161,
     "q153_bm25"          -> q153,
     "q145_zipf_fit"      -> q145,
     "q146_split_shift"   -> q146,

@@ -464,4 +464,122 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(15)
   }
+
+  /** q159 LSH configuration audit (round 11): precision/recall of the
+    * q46 MinHash-LSH candidate generator (8 hashes, 4 bands × 2 rows)
+    * against exact shingle-set Jaccard ≥ 0.8 ground truth, on the
+    * bounded doc_id < 120 probe corpus — the measurement a curator
+    * runs BEFORE unleashing a banding config on 100 TB: recall says
+    * what the dedup will miss, precision what the verify stage will
+    * pay. One summary row: |truth|, |candidates|, |∩|, floor-truncated
+    * precision/recall (q136's portability rule; 0 when the
+    * denominator is empty).
+    *
+    * Plan: signatures are narrow array_min folds over the per-doc
+    * shingle array (q46's shape); candidates join on (band index,
+    * band key) — never all-pairs; ground truth reuses q47's
+    * inverted-index intersection join. All three counts are 1-row
+    * aggregates cross-joined broadcast. */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    // exact-Jaccard ground truth (q47's inverted-index shape)
+    val cnt = base.select(col("doc_id"),
+      expr(s"size(${graft.operators.TextHashes.shingleSet("toks")})").as("n"))
+    val inv = base.select(col("doc_id"),
+        explode(expr(
+          graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
+      .distinct()
+    val truth = inv.toDF("a", "s")
+      .join(inv.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.toDF("a", "na")), "a")
+      .join(broadcast(cnt.toDF("b", "nb")), "b")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select(col("a"), col("b"))
+    // LSH candidates (q46's banding)
+    val mj = (j: Int) =>
+      array_min(expr(s"transform(sh, x -> md5(concat('$j:', x)))"))
+    val bands = shingleSets(documents(s, d).filter(col("doc_id") < 120))
+      .select(col("doc_id") +: (0 until 8).map(j => mj(j).as(s"m$j")): _*)
+      .select(col("doc_id"), posexplode(array(
+        concat(col("m0"), col("m1")), concat(col("m2"), col("m3")),
+        concat(col("m4"), col("m5")), concat(col("m6"), col("m7"))))
+        .as(Seq("bi", "bk")))
+    val cand = bands.select(col("doc_id").as("a"), col("bi"), col("bk"))
+      .join(bands.select(col("doc_id").as("b"), col("bi"), col("bk")),
+        Seq("bi", "bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val tp = cand.join(truth, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_truth"), col("n_cand"), col("n_tp"),
+        coalesce(floor(col("n_tp") * 10000.0 / nullif(col("n_cand"), lit(0)))
+          / 10000.0, lit(0.0)).as("precision"),
+        coalesce(floor(col("n_tp") * 10000.0 / nullif(col("n_truth"), lit(0)))
+          / 10000.0, lit(0.0)).as("recall"))
+  }
+
+  /** q160 dataset card (round 11): the one-row corpus datasheet a
+    * snapshot ships with — sizes (docs, token occurrences, langs,
+    * sources), duplication (docs inside >1-member bag-of-words
+    * fingerprint families, q137's fingerprint, as count + floor-rate)
+    * and the dominant language with its share. Every component is a
+    * 1-row (or |langs|-row) aggregate; the final row is broadcast
+    * cross-joins of scalars — nothing wider than a partial-agg
+    * exchange at any corpus size. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val t = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr(graft.operators.TextHashes.toks("text")).as("toks"))
+    val sizes = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val fp = t.select(md5(concat_ws(" ",
+      array_sort(array_distinct(col("toks"))))).as("fp"))
+    val dup = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_dup_docs"))
+    val top = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    sizes.crossJoin(broadcast(dup)).crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_dup_docs"),
+        (floor(col("n_dup_docs") * 10000.0 / col("n_docs")) / 10000.0)
+          .as("dup_rate"),
+        col("top_lang"),
+        (floor(col("top_lang_docs") * 10000.0 / col("n_docs")) / 10000.0)
+          .as("top_lang_share"))
+  }
+
+  /** q161 out-of-vocabulary rate per language (round 11): the share of
+    * each language's token OCCURRENCES outside the corpus's top-20
+    * vocabulary (frequency desc, token asc — a total order) — the
+    * tokenizer-fit diagnostic: a language whose OOV rate spikes will
+    * fragment into byte-fallback tokens and pay a fertility penalty.
+    * The vocabulary is a 20-row broadcast from a partial-aggregated
+    * global count; membership is a broadcast LEFT ANTI join; the
+    * rollup is |langs| rows. */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d).select(col("lang"),
+      explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(20)
+      .select(col("tok"))
+    val oov = occ.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_oov"))
+    occ.groupBy(col("lang")).agg(count(lit(1)).as("n_occ"))
+      .join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("n_occ"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        floor(col("n_oov") * 10000.0 / col("n_occ")) / 10000.0)
+      .orderBy("lang")
+  }
 }
