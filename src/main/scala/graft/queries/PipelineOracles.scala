@@ -394,7 +394,39 @@ object PipelineOracles {
       |  floor(n_oov * 10000.0 / n_occ) / 10000.0 AS oov_rate
       |FROM oo ORDER BY lang""".stripMargin
 
+  // q162: estimates are exact binary rationals (agreement counts over
+  // 8); only exact-j and the errors round; identical nibble-parity bit
+  private val q162 = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j")
+      .mkString(", ")
+    val fullAgree = (0 until 8)
+      .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def bit(p: String, j: Int) =
+      s"((instr('0123456789abcdef', substr($p.m$j, 32, 1)) - 1) % 2)"
+    val bitAgree = (0 until 8)
+      .map(j => s"CASE WHEN ${bit("x", j)} = ${bit("y", j)} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${toksCte("WHERE doc_id < 60")},
+       |$shCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT sx.doc_id AS a, sy.doc_id AS b, count(*) AS inter
+       |  FROM sh sx JOIN sh sy ON sx.s = sy.s AND sx.doc_id < sy.doc_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT a, b, inter / (ca.n + cb.n - inter) AS j FROM p
+       |  JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b),
+       |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |SELECT ex.a, ex.b, round(ex.j, 4) AS j,
+       |  ($fullAgree) / 8.0 AS est8,
+       |  (($bitAgree) * 2 - 8) / 8.0 AS est1,
+       |  round(abs(($fullAgree) / 8.0 - ex.j), 4) AS err8,
+       |  round(abs((($bitAgree) * 2 - 8) / 8.0 - ex.j), 4) AS err1
+       |FROM ex JOIN m x ON x.doc_id = ex.a JOIN m y ON y.doc_id = ex.b
+       |ORDER BY a, b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q162_bbit_minhash"  -> q162,
     "q159_lsh_audit"     -> q159,
     "q160_dataset_card"  -> q160,
     "q161_oov_rate"      -> q161,

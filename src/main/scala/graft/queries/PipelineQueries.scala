@@ -524,6 +524,66 @@ object PipelineQueries {
           / 10000.0, lit(0.0)).as("recall"))
   }
 
+  /** q162 b-bit minhash fidelity audit (round 11): for every
+    * shingle-sharing pair in the doc_id < 60 probe corpus, the exact
+    * shingle Jaccard vs two signature estimates — the FULL 8-hash
+    * agreement fraction, and the 1-BIT estimate ĵ = 2·A − 1 (A = the
+    * fraction of agreeing lowest minhash bits; Li & König's b-bit
+    * minwise hashing, where a random non-match still agrees with
+    * probability 1/2) — plus both absolute errors. This is the
+    * storage/recall dial for a signature store: 1 bit per hash is a
+    * 128× smaller index than the full hex signatures, and this audit
+    * prices the fidelity it costs (q111 plays the same role for
+    * embedding quantization, q159 for banding).
+    *
+    * Estimates are exact binary rationals (counts over 8 — no
+    * rounding shim needed); only the exact Jaccard and the errors
+    * round at 4. Narrow per-doc signature arrays (array_min folds),
+    * pair generation via q47's inverted-index join — never all-pairs. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val cnt = base.select(col("doc_id"),
+      expr(s"size(${graft.operators.TextHashes.shingleSet("toks")})").as("n"))
+    val inv = base.select(col("doc_id"),
+        explode(expr(
+          graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
+      .distinct()
+    val exact = inv.toDF("a", "s")
+      .join(inv.toDF("b", "s2"), col("s") === col("s2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.toDF("a", "na")), "a")
+      .join(broadcast(cnt.toDF("b", "nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
+    val mj = (j: Int) =>
+      array_min(expr(s"transform(sh, x -> md5(concat('$j:', x)))"))
+    // lowest bit of the signature's LAST nibble — the "b=1" sketch
+    val sig = shingleSets(documents(s, d).filter(col("doc_id") < 60))
+      .select(col("doc_id") +: (0 until 8).map(j => mj(j).as(s"m$j")): _*)
+    def bit(name: String) = expr(
+      s"pmod(instr('0123456789abcdef', substr($name, 32, 1)) - 1, 2)")
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until 8).flatMap(j => Seq(col(s"m$j").as(s"ma$j"),
+        bit(s"m$j").as(s"ba$j"))): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until 8).flatMap(j => Seq(col(s"m$j").as(s"mb$j"),
+        bit(s"m$j").as(s"bb$j"))): _*)
+    val agreeFull = (0 until 8).map(j =>
+      when(col(s"ma$j") === col(s"mb$j"), 1).otherwise(0)).reduce(_ + _)
+    val agreeBit = (0 until 8).map(j =>
+      when(col(s"ba$j") === col(s"bb$j"), 1).otherwise(0)).reduce(_ + _)
+    exact.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), round(col("j"), 4).as("j"),
+        (agreeFull / lit(8.0)).as("est8"),
+        ((agreeBit * 2 - 8) / lit(8.0)).as("est1"),
+        round(abs(agreeFull / lit(8.0) - col("j")), 4).as("err8"),
+        round(abs((agreeBit * 2 - 8) / lit(8.0) - col("j")), 4).as("err1"))
+      .orderBy("a", "b")
+  }
+
   /** q160 dataset card (round 11): the one-row corpus datasheet a
     * snapshot ships with — sizes (docs, token occurrences, langs,
     * sources), duplication (docs inside >1-member bag-of-words

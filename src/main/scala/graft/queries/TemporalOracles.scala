@@ -159,7 +159,39 @@ object TemporalOracles {
       |FROM c JOIN n ON n.event_type = c.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q163: identical fraction-of-max split points ((mx+1)·0.6/0.7 in
+  // double — exact IEEE both engines), leak census on DISTINCT
+  // (type, user) pairs
+  private val q163 =
+    """WITH mx AS (SELECT max(event_id) AS mx FROM events),
+      |seg AS (SELECT event_type, user_id,
+      |    CASE WHEN event_id < (mx.mx + 1) * 0.6 THEN 'train'
+      |         WHEN event_id < (mx.mx + 1) * 0.7 THEN 'gap'
+      |         ELSE 'test' END AS seg
+      |  FROM events CROSS JOIN mx),
+      |counts AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN seg = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(sum(CASE WHEN seg = 'gap' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gap,
+      |    CAST(sum(CASE WHEN seg = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_test
+      |  FROM seg GROUP BY 1),
+      |u AS (SELECT DISTINCT event_type, user_id, seg FROM seg
+      |  WHERE seg <> 'gap'),
+      |leaked AS (SELECT t.event_type,
+      |    CAST(count(*) AS BIGINT) AS n_leaked_users
+      |  FROM (SELECT event_type, user_id FROM u WHERE seg = 'train') t
+      |  JOIN (SELECT event_type, user_id FROM u WHERE seg = 'test') s
+      |    ON s.event_type = t.event_type AND s.user_id = t.user_id
+      |  GROUP BY 1)
+      |SELECT counts.event_type, n_train, n_gap, n_test,
+      |  coalesce(n_leaked_users, 0) AS n_leaked_users
+      |FROM counts LEFT JOIN leaked ON leaked.event_type = counts.event_type
+      |ORDER BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q163_purged_split" -> q163,
     "q156_psi_drift"  -> q156,
     "q148_gapfill"    -> q148,
     "q61_asof_join"   -> q61,

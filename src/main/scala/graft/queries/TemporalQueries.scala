@@ -263,4 +263,48 @@ object TemporalQueries {
       .agg(round(sum(col("term")), 4).as("psi"))
       .orderBy("event_type")
   }
+
+  /** q163 purged temporal split audit (round 11): the time-series CV
+    * layout — train on the first 60% of the stream, EMBARGO the next
+    * 10% (the "purge gap" that keeps look-ahead features from leaking
+    * across the boundary), test on the last 30% — split at fractions
+    * of the max event_id (arrival order; scale-invariant, portable).
+    * Per event_type it reports the three segment sizes plus
+    * `n_leaked_users`: users active in BOTH train and test — the
+    * entity-level leakage a purely temporal split cannot remove (the
+    * signal that a user-grouped split, q150's discipline, is needed
+    * on top).
+    *
+    * One pass tags each row's segment against a broadcast 1-row max;
+    * segment counts partial-aggregate; the leak census is a
+    * (type, user)-DISTINCT aggregate joined to itself on the type+user
+    * key — user-cardinality-bounded, never row×row. */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      col("user_id"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val seg = ev.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("user_id"),
+        when(col("event_id") < (col("mx") + 1) * lit(0.6), lit("train"))
+          .when(col("event_id") < (col("mx") + 1) * lit(0.7), lit("gap"))
+          .otherwise(lit("test")).as("seg"))
+    val counts = seg.groupBy(col("event_type"))
+      .agg(sum(when(col("seg") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("seg") === "gap", 1L).otherwise(0L)).as("n_gap"),
+        sum(when(col("seg") === "test", 1L).otherwise(0L)).as("n_test"))
+    val users = seg.filter(col("seg") =!= "gap")
+      .select(col("event_type"), col("user_id"), col("seg")).distinct()
+    val leaked = users.filter(col("seg") === "train")
+      .select(col("event_type"), col("user_id"))
+      .join(users.filter(col("seg") === "test")
+        .select(col("event_type"), col("user_id")),
+        Seq("event_type", "user_id"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_leaked_users"))
+    counts.join(leaked, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_train"), col("n_gap"),
+        col("n_test"),
+        coalesce(col("n_leaked_users"), lit(0L)).as("n_leaked_users"))
+      .orderBy("event_type")
+  }
 }

@@ -353,4 +353,94 @@ object StreamingOps {
     q.awaitTermination()
     maxBatch() - before
   }
+
+  /** Complete reference histogram for [[driftMonitorStream]]: counts of
+    * `valueCol` over `bins` equal-width buckets spanning [lo, hi)
+    * (values outside clamp to the edge buckets — q156's binning), with
+    * EVERY bin present (zero-count bins included via a sequence spine)
+    * so the monitor's per-window join never has to re-derive the bin
+    * domain. Returns `(bin, rc)`. */
+  def referenceHistogram(df: DataFrame, valueCol: String,
+                         lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val spark = df.sparkSession
+    val counted = df.select(
+        binOf(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("rc"))
+    spark.range(0, bins).select(col("id").as("bin"))
+      .join(counted, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("rc"), lit(0L)).as("rc"))
+  }
+
+  private def binOf(v: org.apache.spark.sql.Column, lo: Double, hi: Double,
+                    bins: Int): org.apache.spark.sql.Column =
+    greatest(least(floor((v - lo) / ((hi - lo) / bins)),
+      lit((bins - 1).toLong)), lit(0L)).cast("long")
+
+  /** Online distribution-drift monitor (round 11 — the STREAMING face
+    * of q156's PSI audit): watermarked tumbling-window histograms of
+    * `valueCol`, each FINALIZED window scored against a static
+    * reference histogram ([[referenceHistogram]]) with the
+    * population-stability index, add-half smoothed exactly like the
+    * batch face. Append mode + watermark means a window's histogram
+    * emits exactly once, complete — so each PSI row is a final
+    * verdict, not a moving partial; state is bounded by
+    * windows-in-flight × bins.
+    *
+    * Sink rows: `(ws, we, n, psi)` per window, written to
+    * `batch=<id>` dirs (replay-idempotent, [[annServeStream]]'s
+    * discipline). The stream side shuffles only (window, bin) partial
+    * counts — bins × windows rows per micro-batch regardless of event
+    * volume. */
+  def driftMonitorStream(events: DataFrame, valueCol: String,
+                         reference: DataFrame, lo: Double, hi: Double,
+                         bins: Int, sinkPath: String, checkpoint: String,
+                         window_ : String = "1 hour",
+                         lateness: String = "1 hour",
+                         trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    val binned = events.withWatermark("ts", lateness)
+      .select(col("ts"), binOf(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy(window(col("ts"), window_), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val writer = binned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         bid: Long) =>
+          driftBatch(batch.toDF(), bid, reference, bins, sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** One micro-batch of finalized (window, bin, c) rows → one PSI row
+    * per window. Separated so tests drive replay deterministically. */
+  private[streaming] def driftBatch(batch: DataFrame, batchId: Long,
+                                    reference: DataFrame, bins: Int,
+                                    sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    val ref = broadcast(reference.select(col("bin"),
+      col("rc").cast("long").as("rc")))
+    // full (window × bin) spine from the reference's complete bin set:
+    // a window missing a bin still contributes that bin's smoothed term
+    val spine = batch.select(col("window")).distinct().crossJoin(ref)
+    val cells = spine.join(batch, Seq("window", "bin"), "left")
+      .select(col("window"), col("bin"), col("rc"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val totals = cells.groupBy(col("window"))
+      .agg(sum(col("c")).as("n"), sum(col("rc")).as("rn"))
+    val half = bins * 0.5
+    val pw = (col("c") + lit(0.5)) / (col("n") + lit(half))
+    val pr = (col("rc") + lit(0.5)) / (col("rn") + lit(half))
+    cells.join(broadcast(totals), "window")
+      .select(col("window"), col("n"), ((pw - pr) * log(pw / pr)).as("term"))
+      .groupBy(col("window"), col("n"))
+      .agg(round(sum(col("term")), 4).as("psi"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n"), col("psi"))
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
 }

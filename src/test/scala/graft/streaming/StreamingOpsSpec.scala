@@ -594,4 +594,62 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(sink)) == canon(expect),
       "a replayed batch must rewrite its own directory idempotently")
   }
+
+  test("drift monitor: finalized windows score PSI against the static " +
+      "reference — calm window low, shifted window high; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: values uniform over [0, 10) — built by the helper,
+    // every bin present
+    val refDf = StreamingOps.referenceHistogram(
+      (0 until 100).map(i => i % 10 + 0.5).toDF("v"), "v",
+      lo = 0.0, hi = 10.0, bins = 10)
+    assert(refDf.count() == 10 &&
+      refDf.collect().forall(_.getLong(1) == 10L))
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_drift_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_drift_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.driftMonitorStream(mem.toDF(), "value", refDf,
+      lo = 0.0, hi = 10.0, bins = 10, sinkPath = sink, checkpoint = ckpt,
+      window_ = "1 hour", lateness = "0 seconds")
+    try {
+      // hour 10: calm — same uniform shape as the reference
+      mem.addData((0 until 50).map(i =>
+        Ev(i, t("10:%02d".format(i % 50)), i, "view", i % 10 + 0.5)): _*)
+      // hour 11: drifted — all mass in the top bin
+      mem.addData((0 until 50).map(i =>
+        Ev(100 + i, t("11:%02d".format(i % 50)), i, "view", 9.5)): _*)
+      // hour 12 sentinel advances the watermark past both windows
+      mem.addData(Ev(999, t("12:30"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).collect()
+        .map(r => r.getAs[java.sql.Timestamp]("ws").toString ->
+          (r.getAs[Long]("n"), r.getAs[Double]("psi"))).toMap
+      assert(rows.size == 2, s"two finalized windows expected: $rows")
+      val (nCalm, psiCalm) = rows("2024-01-01 10:00:00.0")
+      val (nHot, psiHot) = rows("2024-01-01 11:00:00.0")
+      assert(nCalm == 50 && nHot == 50)
+      assert(psiCalm < 0.1,
+        s"reference-shaped window must read calm, got $psiCalm")
+      assert(psiHot > 1.0,
+        s"single-bin collapse must read strongly drifted, got $psiHot")
+    } finally q.stop()
+    // replay: the same batch id written twice rewrites its own
+    // directory — the second write must not append
+    val win = org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.lit(t("13:00")).as("start"),
+      org.apache.spark.sql.functions.lit(t("14:00")).as("end"))
+    val fake = Seq((0L, 50L)).toDF("bin", "c").select(win.as("window"),
+      $"bin", $"c")
+    val bid = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max + 1
+    StreamingOps.driftBatch(fake, bid, refDf, 10, sink)
+    val once = spark.read.parquet(sink).count()
+    StreamingOps.driftBatch(fake, bid, refDf, 10, sink)
+    assert(spark.read.parquet(sink).count() == once,
+      "a replayed batch id must rewrite, never append")
+  }
 }
