@@ -190,7 +190,41 @@ object BatchingOracles {
        |FROM r WHERE rk <= 3 ORDER BY source, key_ppm, doc_id""".stripMargin
   }
 
+  // q164: the water-filling closed form over sorted strata — identical
+  // cut validity (n_i ≤ L_i < n_{i+1}), identical zero-cut fallback,
+  // identical floor-of-double division; budget = floor(0.6·total)
+  private val q164 =
+    s"""WITH t AS (SELECT source, $nToks AS nt FROM documents
+       |  WHERE source IS NOT NULL),
+       |n AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n FROM t GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS s,
+       |    CAST(sum(n) AS BIGINT) AS tot FROM n),
+       |b AS (SELECT s, tot, CAST(floor(tot * 0.6) AS BIGINT) AS b FROM st),
+       |r AS (SELECT source, n,
+       |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+       |    CAST(sum(n) OVER (ORDER BY n, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+       |    lead(n) OVER (ORDER BY n, source) AS nx
+       |  FROM n),
+       |cand AS (SELECT CAST(floor((b.b - r.p) / (b.s - r.i)) AS BIGINT)
+       |    AS lvl, r.n AS cn, r.nx
+       |  FROM r CROSS JOIN b WHERE r.i < b.s),
+       |valid AS (SELECT lvl FROM cand WHERE cn <= lvl AND lvl < nx),
+       |lvl0 AS (SELECT CAST(floor(b.b / b.s) AS BIGINT) AS lvl
+       |  FROM b CROSS JOIN (SELECT count(*) AS anyv FROM valid) av
+       |  WHERE b.b < b.tot AND av.anyv = 0),
+       |level AS (SELECT lvl FROM valid UNION ALL SELECT lvl FROM lvl0)
+       |SELECT n.source, n.n,
+       |  CAST(CASE WHEN b.b >= b.tot THEN n.n
+       |       ELSE least(n.n, coalesce(level.lvl, 0)) END AS BIGINT)
+       |    AS alloc,
+       |  (CASE WHEN b.b >= b.tot THEN n.n
+       |        ELSE least(n.n, coalesce(level.lvl, 0)) END) < n.n AS capped
+       |FROM n CROSS JOIN b LEFT JOIN level ON true
+       |ORDER BY source""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q164_water_fill"  -> q164,
     "q154_curriculum"  -> q154,
     "q155_weighted_sample" -> q155,
     "q127_pack_chunks" -> q127,

@@ -297,6 +297,21 @@ object BatchingQueries {
     * discipline applied to weighted sampling. Per-source window = the
     * accepted per-stratum shape (q39/q127); output orders by the
     * ROUNDED key so cross-engine ordering compares equal values. */
+  /** q164 water-filling mixture allocation (round 11,
+    * [[Batching.waterFillAllocationFraction]]): per-source token
+    * budgets under a total budget of 60% of the corpus, allocated by
+    * the unique uniform LEVEL L with Σ min(nᵢ, L) ≤ budget — small
+    * sources keep every token, the giant dumps cap AT the level. The
+    * fair-mixing rule between proportional sampling (starves small
+    * sources) and fixed caps (wastes budget); fraction form so the
+    * contract replays at every sf. Integer arithmetic end-to-end;
+    * plan: one token-count partial aggregate, then windows over the
+    * |sources|-row frame. */
+  def q164(s: SparkSession, d: String): DataFrame =
+    graft.operators.Batching.waterFillAllocationFraction(
+        documents(s, d), "source", expr(nToks), 0.6)
+      .orderBy("source")
+
   def q155(s: SparkSession, d: String): DataFrame = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(concat('ws:', cast(doc_id as string))),$i,1)) - 1)"

@@ -80,4 +80,38 @@ object BatchingProperties extends Properties("batching") {
       }.toSet
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  property("waterFillAllocation.equals-scalar-level-search") =
+    Prop.forAllNoShrink(corpusGen, Gen.chooseNum(0L, 300L)) { (rows, budget) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "strat", "nt")
+      val got = (if (rows.nonEmpty)
+          Batching.waterFillAllocation(df, "strat",
+              org.apache.spark.sql.functions.col("nt"), budget)
+            .select("strat", "alloc").as[(String, Long)].collect()
+        else Array.empty[(String, Long)]).toMap
+      // scalar twin: exhaustive level search over sorted strata
+      val ns = rows.groupBy(_._2).map { case (st, g) => st -> g.map(_._3).sum }
+      val tot = ns.values.sum
+      val want: Map[String, Long] =
+        if (ns.isEmpty) Map.empty
+        else if (budget >= tot) ns
+        else {
+          val sorted = ns.toSeq.sortBy { case (k, v) => (v, k) }
+          val s = sorted.size
+          var level = -1L
+          for (i <- 0 until s if level < 0) {
+            val p = sorted.take(i).map(_._2).sum
+            val l = Math.floorDiv(budget - p, (s - i).toLong)
+            val okLow = i == 0 || sorted(i - 1)._2 <= l
+            if (okLow && l < sorted(i)._2) level = l
+          }
+          ns.map { case (k, v) => k -> math.min(v, math.max(level, 0L)) }
+        }
+      val spent = got.values.sum
+      val tight = budget >= tot || got.isEmpty ||
+        spent <= budget && (budget - spent) < ns.size
+      Prop(got == want && tight) :|
+        s"got=$got want=$want spent=$spent budget=$budget"
+    }
 }
