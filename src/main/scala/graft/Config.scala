@@ -5,8 +5,10 @@ package graft
   * `[section]` headers, `key = value` pairs, `#`/`;` comments. The
   * reference wires `etl_settings.batch_size` / `error_handling` /
   * `log_level` and `file_paths.input_path` / `output_path` into its
-  * extractor; credentials sections are parsed but deliberately have no
-  * typed accessors here (zero-egress build — nothing to connect to).
+  * extractor; credentials sections are parsed generically — their one
+  * typed consumer is [[graft.ingest.RedditHttp.fromConfig]] (round 11:
+  * the live client), which reads the reference's `[api_keys]` keys via
+  * [[GraftConfig.get]].
   *
   * Pure function of the file text: no environment probing, no session
   * mutation.
