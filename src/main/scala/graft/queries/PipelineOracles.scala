@@ -425,7 +425,37 @@ object PipelineOracles {
        |ORDER BY a, b""".stripMargin
   }
 
+  // q165: identical decile arithmetic (·10/(mx+1), floor-of-double),
+  // identical first-occurrence bucketing and 10-row cumulative curve;
+  // regr_* over ln — both engines' co-moment built-ins, rounded at 4
+  private val q165 =
+    s"""WITH ${toksCte("")},
+       |mx AS (SELECT max(doc_id) AS mx FROM t),
+       |f AS (SELECT tok, min(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) o GROUP BY 1),
+       |ft AS (SELECT CAST(floor(fd * 10 / (mx.mx + 1)) AS BIGINT)
+       |    AS decile, CAST(count(*) AS BIGINT) AS new_types
+       |  FROM f CROSS JOIN mx GROUP BY 1),
+       |m AS (SELECT CAST(floor(doc_id * 10 / (mx.mx + 1)) AS BIGINT)
+       |    AS decile, CAST(sum(len(toks)) AS BIGINT) AS toks
+       |  FROM t CROSS JOIN mx GROUP BY 1),
+       |c AS (SELECT m.decile,
+       |    sum(m.toks) OVER (ORDER BY m.decile
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |    sum(coalesce(ft.new_types, 0)) OVER (ORDER BY m.decile
+       |      ROWS UNBOUNDED PRECEDING) AS cum_types
+       |  FROM m LEFT JOIN ft ON ft.decile = m.decile),
+       |cf AS (SELECT * FROM c WHERE cum_tokens > 0 AND cum_types > 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(max(cum_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(max(cum_types) AS BIGINT) AS n_types,
+       |  round(regr_slope(ln(cum_types), ln(cum_tokens)), 4) AS heaps_beta,
+       |  round(regr_intercept(ln(cum_types), ln(cum_tokens)), 4)
+       |    AS heaps_logk
+       |FROM cf""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q165_heaps_fit"     -> q165,
     "q162_bbit_minhash"  -> q162,
     "q159_lsh_audit"     -> q159,
     "q160_dataset_card"  -> q160,

@@ -343,6 +343,57 @@ object PipelineQueries {
         col("zipf_icept"))
   }
 
+  /** q165 Heaps' law vocabulary-growth fit (round 11; q145's Zipf
+    * companion): log-log regression of cumulative TYPES vs cumulative
+    * TOKENS over ten doc_id-decile prefixes of the corpus — natural
+    * text grows V ≈ K·N^β with β ≈ 0.4–0.6; β near 0 means the crawl
+    * is re-reading the same material (vocabulary saturated — more
+    * data is duplication), β near 1 means garble (every token novel).
+    * With q144's novelty curve this is the "is more data worth it"
+    * pair: q144 scores document-level novelty, this scores
+    * vocabulary-level.
+    *
+    * One exchange does all the work: types-per-decile comes from the
+    * q136 trick — `groupBy(token).agg(min(doc_id))` (vocabulary-sized,
+    * map-side combined, the hot-token ceiling collapsed), bucketed by
+    * the decile of the FIRST occurrence; token mass per decile is a
+    * second group-sized aggregate; the cumulative curve and the
+    * regression run over ten rows. */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      expr(graft.operators.TextHashes.toks("text")).as("toks"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val dec = (c: org.apache.spark.sql.Column,
+               m: org.apache.spark.sql.Column) =>
+      floor(c * lit(10) / (m + lit(1))).cast("long")
+    val firsts = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(dec(col("first_doc"), col("mx")).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val mass = docs.select(col("doc_id"), size(col("toks")).cast("long")
+        .as("nt"))
+      .crossJoin(broadcast(mx))
+      .groupBy(dec(col("doc_id"), col("mx")).as("decile"))
+      .agg(sum(col("nt")).as("toks"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = mass.join(firsts, Seq("decile"), "left")
+      .select(col("decile"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("decile"),
+        sum(col("toks")).over(wCum).as("cum_tokens"),
+        sum(col("new_types")).over(wCum).as("cum_types"))
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+    curve.agg(count(lit(1)).as("n_points"),
+      max(col("cum_tokens")).as("n_tokens"),
+      max(col("cum_types")).as("n_types"),
+      round(expr("regr_slope(ln(cum_types), ln(cum_tokens))"), 4)
+        .as("heaps_beta"),
+      round(expr("regr_intercept(ln(cum_types), ln(cum_tokens))"), 4)
+        .as("heaps_logk"))
+  }
+
   /** q146 split distribution-shift audit: per-language document counts
     * and within-split shares across q75's deterministic train/val/test
     * assignment — the eval-hygiene check that a hash split did not

@@ -312,6 +312,61 @@ class PlanContractSpec extends AnyFunSuite {
       "novelty curve must shuffle doc-level fingerprints only")
   }
 
+  // ---- round-11 additions: measured at sf0.001, bounds ×4 ----------
+
+  test("q153 BM25: term filter lands before the tf aggregate — " +
+      "exchanges are doc/term-bounded, never token-stream-sized") {
+    // measured 3657 (dl rollup ∝ docs + 4-term tf/df partials); the
+    // token stream at sf0.001 is ~4k tokens ALL of which would cross
+    // un-aggregated if the filter slipped above the explode
+    assert(shuffled("q153_bm25") <= 15000,
+      "BM25 exchanges must stay bounded by docs + query-term hits")
+  }
+
+  test("q157 banded edit-distance join: candidates ∝ band population, " +
+      "no cartesian") {
+    val plan = executedPlan("q157_edit_distance")
+    assert(!plan.contains("CartesianProduct"),
+      s"length-band join must plan an equi-join:\n$plan")
+    assert(shuffled("q157_edit_distance") <= 100,
+      "only banded candidates and results may shuffle") // measured 14
+  }
+
+  test("q158 entropy rate: ONE vocabulary²-bounded count feeds " +
+      "context/total folds — token volume never crosses the wire") {
+    // measured 9132 = |distinct (lang,bigram)| partials + folds; the
+    // exploded bigram stream is ~8x larger and must partial-aggregate
+    assert(shuffled("q158_entropy_rate") <= 36000,
+      "bigram counts must partial-aggregate below the exchange")
+  }
+
+  test("q162 b-bit audit and q159 LSH audit: inverted-index pair " +
+      "generation, never all-pairs") {
+    assert(shuffled("q162_bbit_minhash") <= 15000, // measured 3530
+      "pair feed must be shared-shingle-bounded")
+    assert(shuffled("q159_lsh_audit") <= 28000, // measured 6926
+      "candidates must come from band keys, truth from the inverted index")
+    val plan = executedPlan("q159_lsh_audit")
+    assert(!plan.contains("CartesianProduct") ||
+      // the 1-row metric cross-joins are legitimate constant-size NLJs
+      !plan.contains("CartesianProduct, inner"),
+      s"no data-sized cartesian allowed:\n$plan")
+  }
+
+  test("q164 water-fill: everything past the weight aggregate is " +
+      "|strata|-row work") {
+    assert(shuffled("q164_water_fill") <= 250, // measured 62
+      "only strata-row frames may shuffle after the count partial-agg")
+  }
+
+  test("q156/q163 event audits: one tagged counting pass each, " +
+      "group-sized exchanges") {
+    assert(shuffled("q156_psi_drift") <= 250, // measured 56
+      "PSI cells must partial-aggregate to types×bins")
+    assert(shuffled("q163_purged_split") <= 700, // measured 166
+      "segment counts + user-distinct leak census only")
+  }
+
   test("q103 serving plan never re-shuffles the signature store (r9)") {
     // the bucketed index table is the 100-TB contract: the store scan
     // must carry its bucket layout, the touched-key prune must stream
