@@ -888,6 +888,74 @@ object Multimodal {
       struct(lit(w).as("width"), lit(h).as("height"),
         col("meta.format").as("format")))
 
+  /** REAL pixel resize (round 11 — the builder-mandate resize step on
+    * actual signal, not metadata): every DECODABLE image payload (PNG/
+    * JPEG/GIF/BMP/PPM — the same chain [[extractFeatures]] trusts) is
+    * decoded to its luminance grid, AREA-AVERAGED down to (w, h) —
+    * each target pixel is the mean of its source rectangle, the
+    * anti-aliasing-correct reduction (nearest-neighbor aliases;
+    * training thumbnails are downsamples, so area coverage is the
+    * right kernel) — and re-encoded as a DETERMINISTIC grayscale PPM
+    * P6 payload (gray triples, maxval 255), with meta updated to the
+    * true new dimensions. Non-image / undecodable payloads pass
+    * through byte-identical (the quarantine-not-crash discipline).
+    * Iterator-shaped `mapPartitions` like every codec stage — byte
+    * work has no Catalyst expression; partitioning is preserved. */
+  def resizePixels(assets: Dataset[Asset], w: Int, h: Int)
+      : Dataset[Asset] = {
+    require(w >= 1 && h >= 1, "target dimensions must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      decodePng(a.content).orElse(decodeJpeg(a.content))
+        .orElse(decodeGif(a.content)).orElse(decodeBmp(a.content))
+        .orElse(decodePpm(a.content)) match {
+        case Some((m, lum)) if m.width > 0 && m.height > 0 &&
+            lum.length == m.width * m.height =>
+          val out = new Array[Float](w * h)
+          var ty = 0
+          while (ty < h) {
+            // source rectangle [y0, y1) × [x0, x1) in exact rational
+            // bounds; ceil/floor keep every source pixel owned once
+            val y0 = ty * m.height / h
+            val y1 = math.max(y0 + 1, (ty + 1) * m.height / h)
+            var tx = 0
+            while (tx < w) {
+              val x0 = tx * m.width / w
+              val x1 = math.max(x0 + 1, (tx + 1) * m.width / w)
+              var s = 0.0; var n = 0
+              var sy = y0
+              while (sy < y1) {
+                var sx = x0
+                while (sx < x1) {
+                  s += lum(sy * m.width + sx); n += 1; sx += 1
+                }
+                sy += 1
+              }
+              out(ty * w + tx) = (s / n).toFloat
+              tx += 1
+            }
+            ty += 1
+          }
+          // grayscale PPM P6: header + one gray triple per pixel
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val body = new Array[Byte](header.length + w * h * 3)
+          System.arraycopy(header, 0, body, 0, header.length)
+          var p = 0
+          while (p < w * h) {
+            val g = math.max(0, math.min(255,
+              math.round((out(p) + 1.0f) / 2.0f * 255.0f)))
+            val o = header.length + p * 3
+            body(o) = g.toByte; body(o + 1) = g.toByte
+            body(o + 2) = g.toByte
+            p += 1
+          }
+          Asset(a.asset_id, a.kind, body, AssetMeta(w, h, "ppm"))
+        case _ => a // undecodable: pass through byte-identical
+      }
+    })
+  }
+
   /** Ingest REAL binary payload files via Spark's `binaryFile` source —
     * the production entry point for media landed as objects (one file =
     * one asset). `pathGlobFilter` prunes by extension BEFORE any read;

@@ -602,4 +602,50 @@ class MultimodalSpec extends AnyFunSuite {
       s"the BMP re-encode must collapse onto the PNG (smallest id), " +
         s"distinct fixtures survive: $survivors")
   }
+
+  test("resizePixels: real area-average downsample, exact means, " +
+      "decodable output, container-independent, pass-through on junk") {
+    import spark.implicits._
+    // 4x4 gray PPM with four 2x2 quadrants of known grays: the 2x2
+    // area-average resize must yield EXACTLY the quadrant grays
+    def ppm(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ grays.flatMap(g => Array(g.toByte, g.toByte, g.toByte))
+    }
+    val quad = Array(
+      40, 40, 200, 200,
+      40, 40, 200, 200,
+      90, 90, 250, 250,
+      90, 90, 250, 250)
+    // RGB rows for the PNG/BMP twins of the SAME pixels
+    val rows = (0 until 4).map(y => (0 until 4).flatMap(x =>
+      Seq.fill(3)(quad(y * 4 + x))).toArray).toArray
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", ppm(4, 4, quad),
+        Multimodal.AssetMeta(0, 0, "bin")),
+      Multimodal.Asset(2L, "image", buildBmp(4, 4, rows),
+        Multimodal.AssetMeta(0, 0, "bin")),
+      Multimodal.Asset(3L, "blob", Array[Byte](1, 2, 3, 4),
+        Multimodal.AssetMeta(0, 0, "bin"))).toDS()
+    val out = Multimodal.resizePixels(assets, 2, 2)
+      .collect().map(a => a.asset_id -> a).toMap
+    // exact quadrant means survive the gray round-trip (inputs are
+    // uniform quadrants, so mean == the quadrant's own gray)
+    val r1 = out(1L)
+    assert(r1.meta == Multimodal.AssetMeta(2, 2, "ppm"))
+    val dec = Multimodal.decodePpm(r1.content)
+    assert(dec.isDefined, "resized payload must be decodable PPM")
+    val grays = dec.get._2.map(l =>
+      math.round((l + 1.0f) / 2.0f * 255.0f))
+    assert(grays.toSeq == Seq(40, 200, 90, 250),
+      s"area means must be exact on uniform quadrants: ${grays.toSeq}")
+    // container independence: the BMP of the same pixels resizes to
+    // byte-identical output (pixels in, pixels out)
+    assert(java.util.Arrays.equals(r1.content, out(2L).content),
+      "PPM and BMP of identical pixels must resize identically")
+    // junk passes through byte-identical
+    assert(java.util.Arrays.equals(out(3L).content,
+      Array[Byte](1, 2, 3, 4)) && out(3L).meta.format == "bin",
+      "undecodable payloads must pass through untouched")
+  }
 }
