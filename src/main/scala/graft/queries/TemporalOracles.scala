@@ -190,7 +190,33 @@ object TemporalOracles {
       |FROM counts LEFT JOIN leaked ON leaked.event_type = counts.event_type
       |ORDER BY 1""".stripMargin
 
+  // q166: identical percent_rank semantics ((rank−1)/(n−1), both
+  // engines), identical quantile_cont bracket interpolation; the
+  // oracle's global row_number window is the single-task shape the
+  // Spark face's distributed exact ranking replaces
+  private val q166 =
+    """WITH g AS (SELECT value AS gv,
+      |    CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT) AS i
+      |  FROM events),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      |r AS (SELECT event_id, event_type, value,
+      |    percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+      |      AS pr
+      |  FROM events),
+      |p AS (SELECT event_id, event_type, value, pr * (n.n - 1) AS pos
+      |  FROM r CROSS JOIN n),
+      |j AS (SELECT event_id, event_type, value, pos,
+      |    CAST(floor(pos) AS BIGINT) AS lo,
+      |    CAST(ceil(pos) AS BIGINT) AS hi
+      |  FROM p)
+      |SELECT j.event_id, j.event_type, j.value,
+      |  floor((glo.gv + (j.pos - j.lo) * (ghi.gv - glo.gv)) * 10000)
+      |    / 10000 AS value_norm
+      |FROM j JOIN g glo ON glo.i = j.lo JOIN g ghi ON ghi.i = j.hi
+      |ORDER BY event_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q166_quantile_norm" -> q166,
     "q163_purged_split" -> q163,
     "q156_psi_drift"  -> q156,
     "q148_gapfill"    -> q148,

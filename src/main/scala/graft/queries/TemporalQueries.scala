@@ -307,4 +307,52 @@ object TemporalQueries {
         coalesce(col("n_leaked_users"), lit(0L)).as("n_leaked_users"))
       .orderBy("event_type")
   }
+
+  /** q166 quantile normalization (round 11): map each event_type's
+    * value distribution onto the GLOBAL distribution — every row's
+    * normalized value is the global quantile at that row's within-type
+    * percent rank (quantile_cont interpolation between the two
+    * bracketing positions of the sorted global multiset). The
+    * distribution-alignment primitive (genomics' quantile
+    * normalization, feature preprocessing's rank-gauss cousin): after
+    * it, every type's marginal distribution IS the global one, so
+    * per-type scale/shape artifacts can't leak into downstream
+    * thresholds.
+    *
+    * Scale shape: the global sorted positions come from
+    * [[graft.operators.Ranking.exactRowNumber]] (range partition +
+    * metadata rebase — never a SinglePartition window; ties on value
+    * are positionally interchangeable, equal values interpolate to
+    * themselves); the two bracket lookups are position-keyed
+    * equi-joins (data-proportional shuffles, no broadcast of the
+    * row-scale frame); the within-type percent_rank is a per-stratum
+    * window (q127's accepted shape — types are a bounded enum).
+    * Interpolation is q64's: pos = r·(N−1), v = g_lo + (pos−lo)·
+    * (g_hi−g_lo), identical IEEE ops both engines; output rounds at 4
+    * and orders by event_id. */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    val g = graft.operators.Ranking.exactRowNumber(
+        ev.select(col("value")), Seq("value"), rankCol = "rk")
+      .select((col("rk") - 1).cast("long").as("i"),
+        col("value").as("gv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val pos = ev.withColumn("pr", percent_rank().over(w))
+      .crossJoin(broadcast(n))
+      .withColumn("pos", col("pr") * (col("n") - 1))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    pos
+      .join(g.select(col("i").as("lo"), col("gv").as("glo")), "lo")
+      .join(g.select(col("i").as("hi"), col("gv").as("ghi")), "hi")
+      // FLOOR-truncated, not round(): interpolants between few-decimal
+      // inputs land on exact .xxxx5 boundaries, where Spark's decimal
+      // HALF_UP and the oracle's float round disagree (q136's rule)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor((col("glo") + (col("pos") - col("lo")) *
+          (col("ghi") - col("glo"))) * 10000) / 10000).as("value_norm"))
+      .orderBy("event_id")
+  }
 }
