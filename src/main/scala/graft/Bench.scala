@@ -77,7 +77,14 @@ object Bench {
     * a performance fix. Cost: a handful of non-blocking block-manager
     * calls per query, outside every timer. */
   private def releaseResidue(spark: SparkSession): Unit = {
+    // cached TABLES are exempt (r12, driver ADVICE r11): an InMemory-
+    // Relation's column-buffer RDD also sits in getPersistentRDDs (named
+    // "In-memory table …"), and unpersisting it would contradict the
+    // no-clearCache rationale above — the catalog would still say
+    // "cached" while every block silently recomputes on next access.
+    // localCheckpoint residue carries no such name and is released.
     try spark.sparkContext.getPersistentRDDs.values
+      .filter(r => Option(r.name).forall(!_.startsWith("In-memory table")))
       .foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
   }

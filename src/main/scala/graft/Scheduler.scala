@@ -18,8 +18,10 @@ import scala.jdk.CollectionConverters._
   *    00:00 UTC ("data-complete" scheduling; a daemon started mid-day
   *    never fires today's partial date).
   *  - `catchup = false` (the reference's setting): on startup, older
-  *    missed dates are marked `skipped` and only the LATEST closed
-  *    unrun date fires. `catchup = true`: the whole backlog drains
+  *    NEVER-attempted dates are marked `skipped` and the LATEST closed
+  *    unrun date fires — along with any `pending` dates, which a prior
+  *    incarnation already attempted and promised to retry (skipping
+  *    those would silently drop a failed day's data). `catchup = true`: the whole backlog drains
   *    oldest-first through [[Daily.backfill]]'s single AvailableNow
   *    stream — the same merge the scheduled path runs, in bounded
   *    micro-batches, so a week of downtime is one streaming drain, not
@@ -107,9 +109,12 @@ object Scheduler {
     * ledger after EVERY state change. Returns the dates whose state
     * changed this tick (for tests and the daemon's log line).
     *
-    * `firstTick && !catchup`: Airflow's catchup=False — everything
-    * older than the latest owed date is marked `skipped` (recorded, so
-    * a later restart doesn't resurrect it), then only the latest runs.
+    * `firstTick && !catchup`: Airflow's catchup=False — never-attempted
+    * dates older than the latest owed date are marked `skipped`
+    * (recorded, so a later restart doesn't resurrect them); `pending`
+    * dates (attempts > 0, under maxAttempts) are NOT skipped — they
+    * retry alongside the latest, honoring the Entry contract that a
+    * pending date retries next incarnation until poisoned (r12).
     * `firstTick && catchup`: the backlog drains through ONE
     * [[Daily.backfill]] stream; per-date attribution inside a single
     * drain is impossible, so a failed drain charges one attempt to
@@ -130,11 +135,21 @@ object Scheduler {
     }
     var owed = owedDates(pagedRoot, ledger, now, maxAttempts)
     if (firstTick && !catchup && owed.size > 1) {
-      owed.dropRight(1).foreach { d =>
+      // catchup=False skips only dates this daemon lineage NEVER
+      // attempted. A `pending` date (attempts > 0, under maxAttempts)
+      // holds the class-doc promise "will retry next incarnation" —
+      // overwriting it to `skipped` just because a newer closed date is
+      // also owed would silently drop a failed day's data after one
+      // attempt (driver ADVICE r11). Pending dates retry alongside the
+      // latest; only fresh never-attempted backlog is skipped.
+      val latest = owed.last
+      val (retried, fresh) = owed.dropRight(1)
+        .partition(d => ledger.get(d).exists(_.attempts > 0))
+      fresh.foreach { d =>
         record(Entry(d, ledger.get(d).map(_.attempts).getOrElse(0),
           "skipped"))
       }
-      owed = owed.takeRight(1)
+      owed = retried :+ latest
     }
     if (firstTick && catchup && owed.size > 1) {
       val prior = owed.map(d => d -> ledger.get(d).map(_.attempts)

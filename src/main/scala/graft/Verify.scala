@@ -23,9 +23,11 @@ object Verify {
     if (root.exists()) rm(root)
     root.mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q148,q15 — comma-separated name prefixes
-    // for a focused local differential run (tools/compare.py prints
-    // SKIP for queries with no dump when this var is set — round 11;
-    // unset = the full inventory, where a missing dump is a FAIL)
+    // for a focused local differential run (tools/compare.py replicates
+    // the SAME prefix filter — unselected queries SKIP, while a
+    // SELECTED query with no dump still FAILS, since that means it
+    // crashed here — round 12; unset = the full inventory, where any
+    // missing dump is a FAIL)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>

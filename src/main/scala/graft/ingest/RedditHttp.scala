@@ -175,6 +175,14 @@ final class RedditHttp(baseUrl: String, authUrl: String,
     val rows = extractTop(subreddit, timeFilter, limit)
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
+    // the landing dir is IMMUTABLE input to the replayable pipeline: a
+    // re-crawl that lands fewer pages must not leave the prior run's
+    // higher-numbered page files behind (fromPagedDir would silently
+    // ingest the mixed crawl). Clear our own page files first; anything
+    // else in the dir is not ours to touch and fails the write below.
+    Option(d.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("page-\\d{5}\\.jsonl"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
     rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
       java.nio.file.Files.writeString(
         d.resolve(f"page-$i%05d.jsonl"),

@@ -781,6 +781,10 @@ object CurationQueries {
         col("n_toks").as("n_toks_contained")), "a_id")
       .join(norm.select(col("doc_id").as("b_id"), col("norm").as("b_norm"),
         col("n_toks").as("n_toks_container")), "b_id")
+      // free length prune (r12): a longer text cannot be contained in a
+      // shorter one, so the integer comparison discards roughly half of
+      // a symmetric candidate set BEFORE the O(|b_norm|) instr scan
+      .filter(col("n_toks_contained") <= col("n_toks_container"))
       .filter(instr(concat(lit(" "), col("b_norm"), lit(" ")),
         concat(lit(" "), col("a_norm"), lit(" "))) > 0)
       .select(col("a_id").as("contained"), col("b_id").as("container"),

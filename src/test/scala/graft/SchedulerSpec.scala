@@ -128,6 +128,37 @@ class SchedulerSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() == 2)
   }
 
+  test("catchup=false restart does NOT abandon a pending date when a " +
+      "newer closed date is also owed (driver ADVICE r11)") {
+    val root = landing(Seq("2024-03-09", "2024-03-10", "2024-03-11"))
+    val lake = tmp("graft_sched_pend") + "/posts"
+    val ledger = tmp("graft_sched_led8") + "/ledger.jsonl"
+    // incarnation 1, a day earlier: 03-09 never attempted -> skipped,
+    // latest closed date 03-10 fails -> pending with 1 attempt
+    val day1 = Instant.parse("2024-03-11T09:00:00Z")
+    Scheduler.tick(spark, root, lake, ledger, day1, catchup = false,
+      firstTick = true, maxAttempts = 3,
+      runDate = (_, _, _, _, _) => throw new RuntimeException("boom"))
+    val s1 = Scheduler.readLedger(ledger)
+    assert(s1("2024-03-09").status == "skipped")
+    assert(s1("2024-03-10").status == "pending" && s1("2024-03-10").attempts == 1)
+    // incarnation 2 next day: 03-11 is newly owed. The pending 03-10
+    // must RETRY alongside it — not be overwritten to skipped
+    Scheduler.tick(spark, root, lake, ledger, now, catchup = false,
+      firstTick = true, maxAttempts = 3)
+    val s2 = Scheduler.readLedger(ledger)
+    assert(s2("2024-03-10").status == "success" && s2("2024-03-10").attempts == 2,
+      s"pending date must retry next incarnation, got ${s2("2024-03-10")}")
+    assert(s2("2024-03-11").status == "success" && s2("2024-03-11").attempts == 1)
+    assert(s2("2024-03-09").status == "skipped",
+      "never-attempted backlog stays skipped")
+    // both retried and latest batches merged; latest-wins on 'shared'
+    val got = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Int]("score")).toMap
+    assert(got.keySet == Set("p1", "p2", "shared"))
+    assert(got("shared") == 102, "latest execution date must win the upsert")
+  }
+
   test("open intervals never fire; a closed date with no landing dir " +
       "is recorded missing with zero attempts") {
     val root = landing(Seq("2024-03-12")) // TODAY's dir — interval open

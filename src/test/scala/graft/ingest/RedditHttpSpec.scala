@@ -159,6 +159,37 @@ class RedditHttpSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("re-crawl into the same landing dir clears the prior run's page " +
+      "files — fewer pages leave no stale tail (driver ADVICE r11)") {
+    val (srv, base, _) = startServer()
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_live_reland").toString
+      // simulate a prior, larger crawl: a stale high-numbered page that
+      // this crawl (2 pages) will not overwrite, plus a foreign file
+      // that is NOT ours to delete
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "page-00007.jsonl"),
+        """{"id":"stale","title":"t","score":"1","author":"a","created_utc":"1"}""" + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "notes.txt"), "keep me\n")
+      val slept = collection.mutable.Buffer.empty[Long]
+      val n = client(base, slept).landPages(dir, "graft", "day", limit = 10)
+      assert(n == 3)
+      val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+      assert(files.toSeq == Seq("notes.txt", "page-00000.jsonl",
+        "page-00001.jsonl"),
+        s"stale page files must be cleared, foreign files kept: ${files.toSeq}")
+      // the landing CONTRACT is page-files-only — the guard just must
+      // not be the one deleting foreign content; remove it before the
+      // replay read (graft-paged scans every file in the dir)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "notes.txt"))
+      val ids = RedditIngest.fromPagedDir(spark, dir)
+        .collect().map(_.getAs[String]("id")).toSet
+      assert(ids == Set("a1", "b2", "c3"), "no stale rows may survive")
+    } finally srv.stop(0)
+  }
+
   test("rate-limit exhaustion sleeps out the reset window between pages") {
     val log = collection.mutable.Buffer.empty[String]
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

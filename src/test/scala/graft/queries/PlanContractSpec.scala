@@ -346,11 +346,14 @@ class PlanContractSpec extends AnyFunSuite {
       "pair feed must be shared-shingle-bounded")
     assert(shuffled("q159_lsh_audit") <= 28000, // measured 6926
       "candidates must come from band keys, truth from the inverted index")
+    // the 1-row metric cross-joins carry broadcast hints and plan as
+    // BroadcastNestedLoopJoin, so ANY CartesianProduct occurrence is a
+    // data-sized join regression. (The round-11 guard `!contains(A) ||
+    // !contains("CartesianProduct, inner")` was vacuous — plan strings
+    // never contain the literal right operand, driver ADVICE r11.)
     val plan = executedPlan("q159_lsh_audit")
-    assert(!plan.contains("CartesianProduct") ||
-      // the 1-row metric cross-joins are legitimate constant-size NLJs
-      !plan.contains("CartesianProduct, inner"),
-      s"no data-sized cartesian allowed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian allowed (metric cross-joins must broadcast):\n$plan")
   }
 
   test("q164 water-fill: everything past the weight aggregate is " +

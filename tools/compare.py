@@ -54,20 +54,26 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # Focused dev loop (round 11): when graft.Verify ran with
-    # SPARK_GRAFT_VERIFY_ONLY, unselected queries have no dump by
-    # design — honor the same filter and SKIP them instead of failing.
-    # With the var unset (driver-mode full run) a missing dump stays a
-    # FAIL: there it means the query crashed.
-    focused = bool(os.environ.get("SPARK_GRAFT_VERIFY_ONLY"))
+    # Focused dev loop (round 12): when graft.Verify ran with
+    # SPARK_GRAFT_VERIFY_ONLY, only queries matching the SAME prefix
+    # filter were dumped — replicate the filter here and SKIP exactly
+    # the unselected ones. A SELECTED query with no dump is a crash
+    # (Verify logs it to stderr but writes nothing) and must FAIL —
+    # round 11 counted any missing dump as SKIP, so the focused loop
+    # could report "0 fail" for the very query under test. With the
+    # var unset (driver-mode full run) every missing dump is a FAIL.
+    only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+    prefixes = ([p.strip() for p in only.split(",") if p.strip()]
+                if only else None)
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
+        if prefixes is not None and \
+                not any(name.startswith(p) for p in prefixes):
+            n_skip += 1
+            continue
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            if focused:
-                n_skip += 1
-                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
