@@ -201,6 +201,151 @@ object Ranking {
       .drop("__grank")
   }
 
+  /** EXACT per-group `percent_rank` over `orderCol`, distributed — the
+    * scale-safe twin of `percent_rank() OVER (PARTITION BY group ORDER
+    * BY value)` when the GROUP is a bounded enum over a row-scale table
+    * (q166's event_type: a handful of values means each window
+    * partition is a constant fraction of ALL rows sorted in ONE task —
+    * the exact failure mode [[globalRank]] exists for, per stratum).
+    *
+    * SQL semantics reproduced exactly: pr = (rank − 1) / (N_g − 1)
+    * where rank is the MINIMUM row position among ties (SQL `rank`,
+    * which `percent_rank` is defined over — NOT row_number) and N_g is
+    * the group's row count; a single-row group yields 0.0. The
+    * arithmetic is the window's own (long subtraction, one double
+    * division) so results are bit-identical.
+    *
+    * Shape — never a per-stratum sort of the full table, and never a
+    * join back:
+    *  1. range-partition on (group, value) — RangePartitioner assigns a
+    *     partition from the KEY alone, so a (group, value) tie class
+    *     can never straddle a boundary, while a single group's rows
+    *     spread over as many partitions as its row share demands. The
+    *     partition id is pinned as a column INSIDE the exchange stage
+    *     (`spark_partition_id` before a localCheckpoint, so the sampled
+    *     range boundaries are frozen and every later job sees the SAME
+    *     assignment);
+    *  2. one metadata aggregate — per-(partition, group) row counts,
+    *     ≤ partitions × |groups| longs collected — prefix-summed per
+    *     group on the driver into each partition's within-group offset
+    *     plus the group total, re-attached as a literal map below
+    *     [[MaxLiteralEntries]] entries, broadcast-joined above;
+    *  3. `rank()` over a window partitioned by (partition id, group):
+    *     window partitions are ~rows/partitions sized slices (the id is
+    *     in the key), every one parallel; within a slice `rank()` gives
+    *     the tie-min local rank, and because ties never straddle
+    *     partitions, offset + local rank IS the group-global rank.
+    *
+    * Degenerate skew: a SINGLE (group, value) class holding a huge row
+    * share lands in one partition — an irreducible tie class (all its
+    * rows share one rank); collapse such data upstream if it appears.
+    * NULL `orderCol` values rank first (Spark's ASC window default;
+    * note DuckDB defaults to NULLS LAST — align explicitly when an
+    * oracle compares a null-bearing column); a NULL group key is its
+    * own window partition, keyed internally by a sentinel string. */
+  def exactPercentRankByGroup(df: DataFrame, groupCol: String,
+                              orderCol: String, prCol: String = "pr",
+                              partitions: Int = 0): DataFrame = {
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(nPart, col(groupCol).asc, col(orderCol).asc)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    // one metadata job: per-(partition, group) counts; the string form
+    // of the group key comes from Spark's own cast (q97's rule), with a
+    // sentinel for a NULL group so it survives the string-keyed lookup
+    val sentinel = "\u0000null"
+    val gs = coalesce(col(groupCol).cast("string"), lit(sentinel))
+    val meta = parted.groupBy(col("__pid"), gs.as("__gsv"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val offsets = meta.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val tot = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._1).toSeq.map { case (p, _, c) =>
+        val o = acc; acc += c; s"$p:$g" -> Seq(o, tot)
+      }
+    }
+    val keyed = attachMeta(parted,
+      concat(col("__pid").cast("string"), lit(":"), gs),
+      offsets, Seq("__off", "__tot"), MaxLiteralEntries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol)).orderBy(col(orderCol).asc)
+    keyed
+      .withColumn(prCol,
+        (col("__off") + rank().over(w) - 1).cast("double") /
+          greatest(col("__tot") - 1, lit(1L)).cast("double"))
+      .drop("__pid", "__off", "__tot")
+  }
+
+  /** Fused global row position + per-group percent_rank from ONE range
+    * pass (q166's shape: quantile normalization needs BOTH the global
+    * sorted position of every value AND each row's within-stratum
+    * percent_rank — paying [[exactRowNumber]] and
+    * [[exactPercentRankByGroup]] separately costs two full range
+    * exchanges and two checkpoints of the same frame).
+    *
+    * One `repartitionByRange(orderCol)` serves both: equal `orderCol`
+    * values can never straddle a range boundary, so every (group,
+    * value) tie class is intact in ONE partition and the per-(pid,
+    * group) `rank()` window rebases exactly ([[exactPercentRankByGroup]]'s
+    * argument), while the in-partition sort + `monotonically_increasing
+    * _id` pins the global position ([[globalRank]]'s argument). A single
+    * metadata collect — per-(partition, group) counts — yields global
+    * partition offsets (sum over groups), per-group partition offsets
+    * (prefix per group), group totals, and the global N.
+    *
+    * `rnCol` is the 1-based global row number over `orderCol` ASC (ties
+    * ordered arbitrarily but deterministically within the checkpoint —
+    * callers interpolating between sorted values are tie-insensitive);
+    * `prCol` is the exact SQL `percent_rank() OVER (PARTITION BY group
+    * ORDER BY orderCol)`. Returns (frame, total row count). */
+  def exactGlobalRowAndGroupPercentRank(df: DataFrame, orderCol: String,
+                                        groupCol: String,
+                                        rnCol: String = "rn",
+                                        prCol: String = "pr",
+                                        partitions: Int = 0): (DataFrame, Long) = {
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(nPart, col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), MidBits)
+    val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
+    val sentinel = "\u0000null"
+    val gs = coalesce(col(groupCol).cast("string"), lit(sentinel))
+    val meta = parted.groupBy(pid.as("__pid"), gs.as("__gsv"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val total = meta.map(_._3).sum
+    // global offsets: per-pid totals, prefix-summed in pid order
+    var gAcc = 0L
+    val gOff = meta.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy(_._1).map { case (p, c) => val o = gAcc; gAcc += c; p -> o }
+      .toMap
+    // per-(pid, group) within-group offsets + group totals
+    val entries = meta.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val tot = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._1).toSeq.map { case (p, _, c) =>
+        val o = acc; acc += c; s"$p:$g" -> Seq(o, tot, gOff(p))
+      }
+    }
+    val keyed = attachMeta(parted,
+      concat(pid.cast("string"), lit(":"), gs),
+      entries, Seq("__off", "__tot", "__goff"), MaxLiteralEntries)
+    val w = Window.partitionBy(pid, col(groupCol)).orderBy(col(orderCol).asc)
+    (keyed
+      .withColumn(rnCol, (col("__goff") + local + 1).cast("long"))
+      .withColumn(prCol,
+        (col("__off") + rank().over(w) - 1).cast("double") /
+          greatest(col("__tot") - 1, lit(1L)).cast("double"))
+      .drop("__mid", "__off", "__tot", "__goff"), total)
+  }
+
   /** EXACT per-group continuous quantiles (SQL `percentile` /
     * `quantile_cont` semantics: linear interpolation at rank (N−1)·p),
     * distributed — the scale-safe twin of Spark's exact `percentile`

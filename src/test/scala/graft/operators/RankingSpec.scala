@@ -320,6 +320,56 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactPercentRankByGroup matches the per-group window exactly " +
+      "(ties, singleton group, null order values, many partitions)") {
+    import spark.implicits._
+    // 4 groups: g0/g1 dense with heavy TIES (values mod 7 — percent_rank
+    // must use SQL rank, min-over-ties, not row_number), g2 a singleton
+    // (pr = 0.0 by definition), g3 with a null block (ASC nulls first)
+    val rows = (1L to 500L).flatMap { k =>
+      val g = (k % 2).toString
+      val v: java.lang.Double =
+        if (k % 17 == 0) null else java.lang.Double.valueOf((k * 31 % 7).toDouble)
+      Seq((s"g$g", v, k))
+    } ++ Seq(("g2", java.lang.Double.valueOf(5.0), 1000L),
+      ("g3", null.asInstanceOf[java.lang.Double], 1001L),
+      ("g3", java.lang.Double.valueOf(1.0), 1002L))
+    val df = rows.toDF("grp", "v", "id")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+    val expected = df.select(col("id"), percent_rank().over(w).as("want"))
+    val got = Ranking.exactPercentRankByGroup(df, "grp", "v",
+      prCol = "got", partitions = 8)
+    assert(got.count() == rows.size.toLong,
+      "join-back must preserve every row (incl. null order values)")
+    val joined = expected.join(got.select("id", "got"), "id")
+    val bad = joined.filter(!(col("want") <=> col("got"))).count()
+    assert(bad == 0, s"$bad rows deviate from the per-group window")
+  }
+
+  test("exactGlobalRowAndGroupPercentRank: rn is a value-ordered 1..N " +
+      "permutation AND pr matches the per-group window, in one pass") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val (got, n) = Ranking.exactGlobalRowAndGroupPercentRank(
+      ev, "value", "event_type", rnCol = "rn", prCol = "pr", partitions = 8)
+    assert(n == ev.count())
+    // rn: permutation of 1..N, ordered consistently with value
+    assert(got.select(col("rn")).distinct().count() == n)
+    assert(got.agg(min(col("rn")), max(col("rn"))).collect().head
+      .toSeq == Seq(1L, n))
+    val inversions = got.select(col("rn"), col("value")).as("x")
+      .join(got.select(col("rn").as("rn2"), col("value").as("v2")).as("y"),
+        col("rn") < col("rn2") && col("value") > col("v2"))
+      .count()
+    assert(inversions == 0, s"rn must honor the value order: $inversions")
+    // pr: exact window parity
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    val want = ev.select(col("event_id"), percent_rank().over(w).as("want"))
+    val bad = want.join(got.select(col("event_id"), col("pr")), "event_id")
+      .filter(!(col("want") <=> col("pr"))).count()
+    assert(bad == 0, s"$bad rows deviate from the per-group window")
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))

@@ -370,6 +370,22 @@ class PlanContractSpec extends AnyFunSuite {
       "segment counts + user-distinct leak census only")
   }
 
+  test("q166 quantile normalization: no per-type window sort over the " +
+      "row-scale events table (r12 — the r11 verdict's weak mark)") {
+    val plan = executedPlan("q166_quantile_norm")
+    // the within-type rank must come from exactPercentRankByGroup
+    // (tie-class collapse + runningAgg rebase); a Window partitioned by
+    // the bounded event_type enum would sort ~1/|types| of ALL events
+    // in ONE task at 100×. runningAgg's own window partitions by the
+    // range-partition id, never by event_type.
+    assert(!plan.contains("windowspecdefinition(event_type"),
+      s"within-type rank must not be a per-enum-value window:\n$plan")
+    // exchanges: global-rank range partition + tie-class partials +
+    // the class join-back — all data- or class-bounded (measured 4987)
+    assert(shuffled("q166_quantile_norm") <= 20000,
+      "q166 must shuffle ranks and tie classes only")
+  }
+
   test("q103 serving plan never re-shuffles the signature store (r9)") {
     // the bucketed index table is the 100-TB contract: the store scan
     // must carry its bucket layout, the touched-key prune must stream
