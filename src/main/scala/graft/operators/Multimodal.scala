@@ -702,15 +702,26 @@ object Multimodal {
     })
   }
 
-  /** ??? real PIXEL/PCM decode for the remaining COMPRESSED codecs
-    * (MP3/H.264) — the synthesis filterbank / CABAC+motion-compensation
-    * stages need codec libraries absent from both this container AND
-    * the JDK. Their METADATA is real ([[mp3Header]]/[[h264Header]]
-    * parse actual frame headers / the SPS, feeding [[parseMeta]]);
-    * image payloads take the real [[decodePng]]/[[decodeJpeg]]/
-    * [[decodePpm]] paths and WAV audio [[decodeWav]] above.
-    * Deterministic stand-in for the signal itself: per-dimension
-    * rolling hash over the payload bytes, scaled to [-1, 1]. */
+  /** DECLARED PERMANENT BOUNDARY (round 12; carried as a stub r9–r11):
+    * real PIXEL/PCM decode for the remaining COMPRESSED codecs
+    * (MP3/H.264) stays out of scope. The blocker is not code but
+    * NORMATIVE CONSTANTS: a spec-exact MPEG-1 audio synthesis
+    * filterbank requires ISO 11172-3's tabulated 512-coefficient
+    * window (Table 3-B.3 — empirically specified, derivable from no
+    * closed form), and H.264 residual decode requires the standard's
+    * CABAC context/range tables; with no codec library in the
+    * container and no egress to fetch the tables, any "decoder" here
+    * would fabricate its constants and silently produce non-conformant
+    * signal — worse than an honest stand-in. Their METADATA is real
+    * ([[mp3Header]]/[[h264Header]] parse actual frame headers / the
+    * SPS, feeding [[parseMeta]]); image payloads take the real
+    * [[decodePng]]/[[decodeJpeg]]/[[decodePpm]] paths and WAV audio
+    * [[decodeWav]] above. Deterministic stand-in for the signal
+    * itself: per-dimension rolling hash over the payload bytes, scaled
+    * to [-1, 1] — stable across runs, so every downstream Spark stage
+    * (schema, partitioning, batch shape) is tested for real. Swapping
+    * in a library decoder in a container that has one touches ONLY
+    * this function. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
