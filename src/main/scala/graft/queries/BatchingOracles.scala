@@ -223,7 +223,36 @@ object BatchingOracles {
        |FROM n CROSS JOIN b LEFT JOIN level ON true
        |ORDER BY source""".stripMargin
 
+  private val q169 =
+    """WITH bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c
+      |  FROM events GROUP BY event_type),
+      |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k FROM bt)
+      |SELECT event_type, n_c,
+      |  floor(n * 10000.0 / (k * n_c)) / 10000.0 AS w_inv,
+      |  round(0.001 / (1 - exp(n_c * ln(0.999))), 4) AS w_cb
+      |FROM bt CROSS JOIN tot ORDER BY event_type""".stripMargin
+
+  private val q170 =
+    """WITH bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c
+      |  FROM events GROUP BY event_type),
+      |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM bt),
+      |based AS (SELECT event_type, n_c,
+      |    CAST(floor(1000 * n_c * 1.0 / n) AS BIGINT) AS base,
+      |    1000 * n_c - CAST(floor(1000 * n_c * 1.0 / n) AS BIGINT) * n
+      |      AS rem
+      |  FROM bt CROSS JOIN tot),
+      |ranked AS (SELECT *,
+      |    row_number() OVER (ORDER BY rem DESC, event_type) AS pos,
+      |    1000 - sum(base) OVER () AS leftover FROM based)
+      |SELECT event_type, n_c,
+      |  CAST(base + CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS quota
+      |FROM ranked ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q169_class_weights"    -> q169,
+    "q170_stratified_quota" -> q170,
     "q164_water_fill"  -> q164,
     "q154_curriculum"  -> q154,
     "q155_weighted_sample" -> q155,

@@ -328,4 +328,63 @@ object BatchingQueries {
         round(col("key") * 1000000, 4).as("key_ppm"))
       .orderBy(col("source"), col("key_ppm"), col("doc_id"))
   }
+
+  /** q169 class-weight table for imbalanced strata — the two standard
+    * loss-reweighting schemes a trainer consumes verbatim: inverse
+    * frequency w = N/(k·n_c), and the class-balanced effective-number
+    * weight w = (1−β)/(1−β^{n_c}) at β = 0.999 (Cui et al.'s "
+    * effective number of samples": repeated samples saturate, so huge
+    * classes stop earning proportionally smaller weights).
+    *
+    * Plan: one |types|-row count aggregate + a 1-row broadcast of
+    * (N, k) — group-sized everything. w_inv is a ratio of exact
+    * integers → scaled integer floor division (q136's rule); the
+    * class-balanced weight is irrational (exp/ln on both faces —
+    * identical expression shape) → round(4) (q126's rule). */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val byType = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_c"))
+    val tot = byType.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k"))
+    byType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_c"),
+        (floor(col("n") * 10000.0 / (col("k") * col("n_c"))) / 10000.0)
+          .as("w_inv"),
+        round(lit(0.001) /
+          (lit(1.0) - exp(col("n_c") * log(lit(0.999)))), 4).as("w_cb"))
+      .orderBy("event_type")
+  }
+
+  /** q170 exact stratified sample allocation by largest remainder
+    * (Hamilton's method): a global budget of 1000 rows split across
+    * event-type strata proportionally — floor share first, then the
+    * strata with the largest fractional remainders (ties by type name)
+    * absorb the leftover, so Σ quota = budget EXACTLY; the allocation
+    * every stratified sampler needs before it draws a single row.
+    *
+    * Plan: one |types|-row count aggregate, a 1-row broadcast total,
+    * and windows over the |types|-row frame (q164's accepted shape —
+    * the data-scale table is touched once, for counts). All integer
+    * arithmetic: base = ⌊S·n_c/N⌋ and remainder r_c = S·n_c − base·N
+    * are exact on both engines. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val byType = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_c"))
+    val tot = byType.agg(sum(col("n_c")).as("n"))
+    val based = byType.crossJoin(broadcast(tot))
+      .withColumn("base",
+        floor(lit(budget) * col("n_c") * lit(1.0) / col("n")).cast("long"))
+      .withColumn("rem", lit(budget) * col("n_c") - col("base") * col("n"))
+    val wR = Window.orderBy(col("rem").desc, col("event_type").asc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    based
+      .withColumn("pos", row_number().over(wR))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .select(col("event_type"), col("n_c"),
+        (col("base") +
+          when(col("pos") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy("event_type")
+  }
 }

@@ -454,7 +454,88 @@ object PipelineOracles {
        |    AS heaps_logk
        |FROM cf""".stripMargin
 
+  private val q167 =
+    s"""WITH ${toksCte("")},
+       |occ AS (SELECT doc_id % 2 = 0 AS is_a, unnest(toks) AS tok FROM t),
+       |counts AS (SELECT tok,
+       |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM occ GROUP BY tok),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+       |terms AS (SELECT na, nb, ca / na AS p, cb / nb AS q,
+       |    (ca / na + cb / nb) / 2 AS m FROM counts CROSS JOIN tot)
+       |SELECT na AS n_tokens_even, nb AS n_tokens_odd,
+       |  CAST(count(*) AS BIGINT) AS vocab_union,
+       |  round(sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END * 0.5 +
+       |            CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END * 0.5), 4)
+       |    AS js_divergence
+       |FROM terms GROUP BY na, nb""".stripMargin
+
+  private val q168 =
+    s"""WITH ${toksCte("")},
+       |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+       |  FROM cnt GROUP BY c),
+       |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+       |  FROM fof),
+       |nxt AS (SELECT r - 1 AS r, n_r AS n_r_next FROM fof)
+       |SELECT f.r, f.n_r,
+       |  floor((f.r + 1) * nxt.n_r_next * 10000.0 / f.n_r) / 10000.0
+       |    AS r_star,
+       |  floor(n1 * 10000.0 / n_total) / 10000.0 AS p0_unseen
+       |FROM fof f LEFT JOIN nxt ON nxt.r = f.r CROSS JOIN tot
+       |WHERE f.r <= 5 ORDER BY f.r""".stripMargin
+
+  private val q171 =
+    s"""WITH ${toksCte("")},
+       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |  GROUP BY doc_id, tok),
+       |agg AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(x) AS BIGINT) AS total,
+       |    CAST(sum(x * x) AS BIGINT) AS s2
+       |  FROM dt GROUP BY tok)
+       |SELECT tok AS token, df, total,
+       |  floor((df * s2 - total * total) * 10000.0 / (df * total))
+       |    / 10000.0 AS vmr
+       |FROM agg WHERE df >= 10
+       |ORDER BY total DESC, token LIMIT 20""".stripMargin
+
+  private val q172 =
+    s"""WITH ${toksCte("")},
+       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |  GROUP BY doc_id, tok),
+       |hapax AS (SELECT tok FROM
+       |  (SELECT tok, sum(x) AS g FROM dt GROUP BY tok) WHERE g = 1),
+       |per_doc AS (SELECT doc_id, CAST(sum(x) AS BIGINT) AS n_toks
+       |  FROM dt GROUP BY doc_id),
+       |hap AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+       |  FROM dt WHERE tok IN (SELECT tok FROM hapax) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_toks,
+       |  CAST(coalesce(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+       |  floor(coalesce(h.n_hapax, 0) * 10000.0 / p.n_toks) / 10000.0
+       |    AS hapax_ratio
+       |FROM per_doc p LEFT JOIN hap h ON h.doc_id = p.doc_id
+       |ORDER BY hapax_ratio DESC, p.doc_id LIMIT 15""".stripMargin
+
+  private val q173 =
+    s"""WITH ${toksCte("")}
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  floor(list_sum(list_transform(generate_series(1, len(toks) - 24),
+       |      i -> len(list_distinct(array_slice(toks, i, i + 24)))))
+       |    * 10000.0 / ((len(toks) - 24) * 25)) / 10000.0 AS mattr
+       |FROM t WHERE len(toks) >= 25 ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q167_js_divergence" -> q167,
+    "q168_good_turing"   -> q168,
+    "q171_burstiness"    -> q171,
+    "q172_hapax_ratio"   -> q172,
+    "q173_mattr"         -> q173,
     "q165_heaps_fit"     -> q165,
     "q162_bbit_minhash"  -> q162,
     "q159_lsh_audit"     -> q159,

@@ -693,4 +693,164 @@ object PipelineQueries {
         floor(col("n_oov") * 10000.0 / col("n_occ")) / 10000.0)
       .orderBy("lang")
   }
+
+  /** q167 Jensen–Shannon divergence between the unigram distributions
+    * of two corpus halves (even vs odd doc_id) — the standard
+    * split-drift / mixture-balance audit for a training corpus: JS = 0
+    * means the halves are token-distribution-identical, ln 2 means
+    * disjoint; unlike KL it is symmetric and finite on disjoint
+    * support, so it needs no smoothing shim.
+    *
+    * Plan: ONE token-explode pass aggregates BOTH halves' counts per
+    * token (conditional sums — a single vocabulary-bounded exchange,
+    * map-side combined), the two totals ride a 1-row broadcast, and
+    * the JS sum is a second vocabulary-bounded partial aggregate.
+    * p·ln(p/m) terms are zero-guarded per side; round(4) on the final
+    * sum (irrational log terms — q126's rule; the per-term arithmetic
+    * is the identical long→double division + ln on both engines). */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d).select(
+      (col("doc_id") % 2 === 0).as("is_a"),
+      explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+    val counts = occ.groupBy(col("tok"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca") / col("na")).as("p"), (col("cb") / col("nb")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .select(col("na"), col("nb"),
+        (when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0) * 0.5 +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(0.0) * 0.5).as("term"))
+      .groupBy(col("na").as("n_tokens_even"), col("nb").as("n_tokens_odd"))
+      .agg(count(lit(1)).as("vocab_union"),
+        round(sum(col("term")), 4).as("js_divergence"))
+  }
+
+  /** q168 Good–Turing frequency-of-frequencies audit: N_r = how many
+    * token types occur exactly r times, the unseen-mass estimate
+    * p₀ = N₁/N (the probability the NEXT token drawn is a new type —
+    * the classic coverage dial for "is this corpus big enough"), and
+    * the Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r for the
+    * small-r rows where the estimate is meaningful.
+    *
+    * Plan: token counts are one vocabulary-bounded aggregate; counts-
+    * of-counts collapse that to ≤ max-count rows; everything after is
+    * ≤ 5-row work against a 1-row broadcast. r* and p₀ are ratios of
+    * exact integers — both faces use integer floor division scaled by
+    * 10⁴ (q136's portability rule: a rational CAN land exactly on a
+    * .xxxx5 boundary where round() diverges across engines). */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(explode(expr(graft.operators.TextHashes.toks("text")))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val fof = cnt.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = fof.agg(sum(col("r") * col("n_r")).as("n_total"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
+    fof.filter(col("r") <= 5)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        (floor((col("r") + 1) * col("n_r_next") * 10000.0 / col("n_r"))
+          / 10000.0).as("r_star"),
+        (floor(col("n1") * 10000.0 / col("n_total")) / 10000.0)
+          .as("p0_unseen"))
+      .orderBy("r")
+  }
+
+  /** q171 token burstiness: for the corpus's top total-count tokens
+    * (document frequency ≥ 10), the variance-to-mean ratio of the
+    * per-document occurrence counts over the documents CONTAINING the
+    * token — VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is
+    * bursty topical clumping; the content-word detector behind
+    * burstiness-aware quality filters and tf saturation tuning.
+    *
+    * Plan: per-(doc, token) counts partial-aggregate the exploded
+    * stream; per-token (df, Σx, Σx²) is a vocabulary-bounded second
+    * aggregate; the top-k is a 20-row sort. VMR = (df·Σx² − (Σx)²) /
+    * (df·Σx) is exact integer arithmetic until one final scaled floor
+    * division (q136's rule). */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("x"))
+    dt.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("s2"))
+      .filter(col("df") >= 10)
+      .select(col("tok").as("token"), col("df"), col("total"),
+        (floor((col("df") * col("s2") - col("total") * col("total")) *
+          10000.0 / (col("df") * col("total"))) / 10000.0).as("vmr"))
+      .orderBy(col("total").desc, col("token").asc)
+      .limit(20)
+  }
+
+  /** q172 hapax-ratio document scoring: the fraction of each document's
+    * token occurrences that are corpus hapax legomena (global count =
+    * 1) — a high ratio flags OCR garble, random identifiers, or
+    * boilerplate-free noise (every token unique corpus-wide), the
+    * cheap lexical-novelty face of the quality gate (q119 scores form,
+    * q152 scores content likelihood, this scores lexical grounding).
+    *
+    * Plan: per-(doc, token) counts feed BOTH the global count (re-
+    * aggregate — vocabulary-bounded) and the per-doc rollup; hapax
+    * membership is a LEFT SEMI join on the token (no broadcast hint —
+    * q114's rule, AQE promotes a sane vocabulary). Ratio is one scaled
+    * integer floor division; ties order by doc_id. */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("x"))
+    val hapax = dt.groupBy(col("tok")).agg(sum(col("x")).as("g"))
+      .filter(col("g") === 1).select(col("tok"))
+    val perDoc = dt.groupBy(col("doc_id")).agg(sum(col("x")).as("n_toks"))
+    val hap = dt.join(hapax, Seq("tok"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hapax"))
+    perDoc.join(hap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("hapax_ratio",
+        floor(col("n_hapax") * 10000.0 / col("n_toks")) / 10000.0)
+      .orderBy(col("hapax_ratio").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  /** q173 MATTR — moving-average type-token ratio at window 25, the
+    * length-invariant lexical-diversity score (raw TTR collapses as
+    * documents grow; a fixed-window moving average is the standard
+    * correction): per document, the mean over every 25-token sliding
+    * window of (distinct types in window)/25.
+    *
+    * Plan: entirely NARROW — the sliding windows are a per-row
+    * `transform(sequence(...), i -> size(array_distinct(slice(toks,
+    * i, 25))))` higher-order-function chain inside whole-stage
+    * codegen; no explode, no exchange at all until the final
+    * order-by. Σ(distinct counts) and the window count are exact
+    * integers; one scaled floor division ends it (q136's rule). Cost
+    * is O(n_toks · 25) per document — constant per row, trivially
+    * data-parallel at any scale. */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    val w = 25
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        expr(s"""aggregate(
+            transform(sequence(1, size(toks) - ${w - 1}),
+              i -> size(array_distinct(slice(toks, i, $w)))),
+            0L, (a, x) -> a + x)""").as("dsum"),
+        (size(col("toks")) - (w - 1)).cast("long").as("n_wins"))
+      .select(col("doc_id"), col("n_toks"),
+        (floor(col("dsum") * 10000.0 / (col("n_wins") * w)) / 10000.0)
+          .as("mattr"))
+      .orderBy("doc_id")
+  }
 }

@@ -215,7 +215,23 @@ object TemporalOracles {
       |FROM j JOIN g glo ON glo.i = j.lo JOIN g ghi ON ghi.i = j.hi
       |ORDER BY event_id""".stripMargin
 
+  private val q174 =
+    """WITH ua AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, user_id),
+      |rk AS (SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
+      |  FROM ua),
+      |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS n_events,
+      |    CAST(sum(x * i) AS BIGINT) AS sxi
+      |  FROM rk GROUP BY event_type)
+      |SELECT event_type, n_users, n_events,
+      |  floor((2 * sxi - (n_users + 1) * n_events) * 10000.0
+      |    / (n_users * n_events)) / 10000.0 AS gini
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q174_activity_gini" -> q174,
     "q166_quantile_norm" -> q166,
     "q163_purged_split" -> q163,
     "q156_psi_drift"  -> q156,

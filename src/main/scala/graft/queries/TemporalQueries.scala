@@ -362,4 +362,35 @@ object TemporalQueries {
           (col("ghi") - col("glo"))) * 10000) / 10000).as("value_norm"))
       .orderBy("event_id")
   }
+
+  /** q174 per-type activity-concentration Gini: within each event
+    * type, the Gini coefficient of events-per-user — 0 means uniform
+    * engagement, →1 means a few power users generate everything; the
+    * concentration audit behind user-level dedup and leakage budgets
+    * (a skewed type means user-disjoint splits move large event mass).
+    *
+    * Gini over sorted per-user counts x₁≤…≤xₙ is (2·Σi·xᵢ −
+    * (n+1)·Σxᵢ) / (n·Σxᵢ) — non-negative by the sort, exact integer
+    * arithmetic until one scaled floor division (q136's rule).
+    *
+    * Plan: per-(type, user) counts partial-aggregate the event stream
+    * (the only row-scale exchange); the ranking window partitions by
+    * type over the USER-cardinality-bounded frame (q163's accepted
+    * census shape — |users| rows per type, not |events|); the rollup
+    * is |types| rows. */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val ua = events(s, d).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val wS = Window.partitionBy(col("event_type"))
+      .orderBy(col("x").asc, col("user_id").asc)
+    ua.withColumn("i", row_number().over(wS))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
+        sum(col("x") * col("i")).as("sxi"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (floor((lit(2) * col("sxi") - (col("n_users") + 1) *
+          col("n_events")) * 10000.0 /
+          (col("n_users") * col("n_events"))) / 10000.0).as("gini"))
+      .orderBy("event_type")
+  }
 }

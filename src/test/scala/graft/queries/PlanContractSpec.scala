@@ -370,6 +370,40 @@ class PlanContractSpec extends AnyFunSuite {
       "segment counts + user-distinct leak census only")
   }
 
+  // ---- round-12 additions: measured at sf0.001, bounds ×4 ----------
+
+  test("q167/q168 corpus-statistics: ONE vocabulary-bounded exchange " +
+      "each — the token stream never crosses the wire") {
+    assert(shuffled("q167_js_divergence") <= 1000, // measured 33
+      "JS divergence must partial-aggregate to per-token half counts")
+    assert(shuffled("q168_good_turing") <= 1000, // measured 58
+      "freq-of-freqs must collapse below the exchange")
+  }
+
+  test("q169/q170/q174 event audits: |types|- or |users|-bounded " +
+      "exchanges, never event rows") {
+    assert(shuffled("q169_class_weights") <= 100, // measured 11
+      "class weights shuffle the 5-row type census only")
+    assert(shuffled("q170_stratified_quota") <= 100, // measured 11
+      "quota allocation shuffles the 5-row type census only")
+    assert(shuffled("q174_activity_gini") <= 700, // measured 155
+      "gini must rank the user-bounded census, not events")
+  }
+
+  test("q171/q172 lexical audits: per-doc-vocabulary exchanges " +
+      "(doc×token partials), never raw token occurrences") {
+    assert(shuffled("q171_burstiness") <= 50000, // measured 11774
+      "burstiness must partial-aggregate (doc, token) counts")
+    assert(shuffled("q172_hapax_ratio") <= 50000, // measured 12274
+      "hapax scoring must ride the (doc, token) count frame")
+  }
+
+  test("q173 MATTR is narrow: sliding windows stay inside codegen, " +
+      "only the doc-level rollup shuffles") {
+    assert(shuffled("q173_mattr") <= 2000, // measured 420
+      "window distinct-counts must be per-row HOFs, not exploded rows")
+  }
+
   test("q166 quantile normalization: no per-type window sort over the " +
       "row-scale events table (r12 — the r11 verdict's weak mark)") {
     val plan = executedPlan("q166_quantile_norm")
