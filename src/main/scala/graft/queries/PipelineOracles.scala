@@ -481,13 +481,14 @@ object PipelineOracles {
        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total,
        |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
        |  FROM fof),
-       |nxt AS (SELECT r - 1 AS r, n_r AS n_r_next FROM fof)
+       |nxt AS (SELECT r - 1 AS r, n_r AS n_r_next FROM fof),
+       |low AS (SELECT r, n_r FROM fof ORDER BY r LIMIT 5)
        |SELECT f.r, f.n_r,
        |  floor((f.r + 1) * nxt.n_r_next * 10000.0 / f.n_r) / 10000.0
        |    AS r_star,
        |  floor(n1 * 10000.0 / n_total) / 10000.0 AS p0_unseen
-       |FROM fof f LEFT JOIN nxt ON nxt.r = f.r CROSS JOIN tot
-       |WHERE f.r <= 5 ORDER BY f.r""".stripMargin
+       |FROM low f LEFT JOIN nxt ON nxt.r = f.r CROSS JOIN tot
+       |ORDER BY f.r""".stripMargin
 
   private val q171 =
     s"""WITH ${toksCte("")},

@@ -734,8 +734,9 @@ object PipelineQueries {
     * token types occur exactly r times, the unseen-mass estimate
     * p₀ = N₁/N (the probability the NEXT token drawn is a new type —
     * the classic coverage dial for "is this corpus big enough"), and
-    * the Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r for the
-    * small-r rows where the estimate is meaningful.
+    * the Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r over the 5
+    * SMALLEST occupied counts — the low tail wherever the corpus puts
+    * it (a small-vocabulary corpus may have no singletons at all).
     *
     * Plan: token counts are one vocabulary-bounded aggregate; counts-
     * of-counts collapse that to ≤ max-count rows; everything after is
@@ -752,7 +753,12 @@ object PipelineQueries {
     val tot = fof.agg(sum(col("r") * col("n_r")).as("n_total"),
       sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
     val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
-    fof.filter(col("r") <= 5)
+    // the 5 SMALLEST OCCUPIED counts, not a fixed r <= 5: a small-
+    // vocabulary corpus (sf0.001: minimum token count 29) has no
+    // singleton tail at all, and a fixed cutoff would return an empty
+    // frame; the low tail is wherever the data puts it. r* is NULL
+    // when r+1 is unoccupied (the estimate needs the neighbor).
+    fof.orderBy(col("r").asc).limit(5)
       .join(nxt, Seq("r"), "left")
       .crossJoin(broadcast(tot))
       .select(col("r"), col("n_r"),
