@@ -737,7 +737,9 @@ object CurationQueries {
     * phases to SortAggregate and full-sorts the (doc, shingle)
     * pair-volume feed within partitions — q136's measured 8.9 s-vs-
     * 0.9 s demotion, and r10's slowest query (1.56 s). Instead each
-    * row encodes `code = min(df, 2³¹−1)·2³¹ + (xxhash64(s) & (2³¹−1))`
+    * row encodes `code = min(df, 2³¹−1)·2³¹ + h` (h = the 31-bit
+    * token-triple xxhash64 — round 12: hashed straight from the three
+    * tokens, no concat string ever materializes)
     * and the pick is `min(code)` — a long buffer, so HashAggregate +
     * map-side combine apply and nothing sorts. The low bits identify
     * the picked shingle by HASH, not by value, and the candidate join
@@ -757,9 +759,24 @@ object CurationQueries {
         array_join(col("toks"), " ").as("norm"),
         size(col("toks")).cast("long").as("n_toks"))
     val mask = (1L << 31) - 1
-    val index = shingleRows(documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("s"),
-        xxhash64(col("s")).bitwiseAND(lit(mask)).as("h"))
+    // shingle HASHES built directly from the token triple (round 12):
+    // the index only ever consumes h, so the per-shingle concat string
+    // + string-space array_distinct the shingleRows form pays (twice —
+    // this index derives once per join side) is pure waste here.
+    // xxhash64 over the three tokens replaces it; dedup happens in
+    // 31-bit hash space, which can only MERGE colliding shingles — the
+    // pick is still a real shingle hash of the doc and every container
+    // carries the identical shingle, so losslessness is untouched
+    // (same argument as the df clamp below). A/B at sf0.1: 1.43 →
+    // 1.17 s warm.
+    val index = documents(s, d)
+      .select(col("doc_id"), expr(toks).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - 2),
+           |  i -> xxhash64(element_at(toks, i), element_at(toks, i + 1),
+           |    element_at(toks, i + 2)) & ${mask}L))""".stripMargin))
+        .as("h"))
     val df = index.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val rarest = index.join(df, "h")
       .groupBy(col("doc_id"))
