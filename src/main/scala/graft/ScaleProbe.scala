@@ -285,6 +285,27 @@ object ScaleProbe {
         // IVF over the FULL embeddings table: the assignment pass (the
         // part that scales with the corpus) must stay a broadcast join +
         // partial-agg argmax, probes a fixed query batch
+        // round 12: the fused global-row + per-group percent_rank over
+        // the FULL events table (q166's body). The data exchange is one
+        // range partition + one fine-grained (pid, type) window — both
+        // ∝ rows; what must NOT appear at 10× is a per-enum-value sort
+        // task (the r11 weak mark) or superlinear wall growth
+        "grouped_pr_full" -> ((d: String) =>
+          graft.operators.Ranking.exactGlobalRowAndGroupPercentRank(
+            Tables.events(spark, d).select(col("event_id"),
+              col("event_type"), col("value")),
+            "value", "event_type")._1.select("event_id", "rn", "pr")),
+        // round 12: burstiness over the full corpus — replicas keep the
+        // VOCABULARY constant while tokens grow ×mult, so the per-token
+        // aggregate exchange must stay ~flat (vocabulary-bounded), with
+        // only the (doc, token) partial feed tracking docs
+        "burstiness_full" -> ((d: String) =>
+          SparkEntry.queries("q171_burstiness")(spark, d)),
+        // round 12: JS split divergence over the full corpus — the
+        // vocabulary-bounded conditional-count exchange must stay flat
+        // under token growth for the same reason
+        "js_divergence_full" -> ((d: String) =>
+          SparkEntry.queries("q167_js_divergence")(spark, d)),
         "ivf_ann_full" -> ((d: String) => {
           val e = Tables.embeddings(spark, d)
           graft.operators.Ann.ivfSearch(
