@@ -399,7 +399,22 @@ object ExtendedOracles {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
+  private val q175 =
+    """WITH n AS (SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(avg(nrm), 4) AS avg_norm,
+      |  round(min(nrm), 4) AS min_norm,
+      |  round(max(nrm), 4) AS max_norm,
+      |  round(quantile_cont(nrm, 0.25), 4) AS p25,
+      |  round(quantile_cont(nrm, 0.5), 4) AS p50,
+      |  round(quantile_cont(nrm, 0.75), 4) AS p75
+      |FROM n""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q175_embed_norms" -> q175,
     "q149_mad_outliers"   -> q149,
     "q123_corr_matrix"    -> q123,
     "q101_encode_vocab"   -> q101,

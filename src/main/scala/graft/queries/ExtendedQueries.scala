@@ -526,4 +526,36 @@ object ExtendedQueries {
         col("n"), col("n_out"))
       .orderBy("event_type")
   }
+
+  /** q175 embedding-norm profile: the L2-norm distribution of the
+    * vector store — count, mean, extremes, and exact quartiles. The
+    * norm audit every embedding pipeline runs before indexing:
+    * near-zero norms are dead vectors (cosine undefined-ish), heavy
+    * right tails break inner-product shortcuts and quantizer ranges
+    * (q111/q139 price quantization; this prices the raw store).
+    *
+    * Plan: the norm is a NARROW per-row array fold (sequential
+    * left-to-right double accumulation — the identical fold order as
+    * the oracle's list_sum); quartiles ride
+    * [[graft.operators.Ranking.exactQuantilesByGroupScan]] (zero
+    * data-row shuffle, q64's shape) under a constant group; the stat
+    * rollup is a 1-row aggregate. round(4) everywhere — sqrt sums are
+    * irrational (q126's rule). */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val norms = embeddings(s, d).select(col("vec_id"),
+      expr("sqrt(aggregate(embedding, 0D, " +
+        "(a, x) -> a + cast(x as double) * cast(x as double)))")
+        .as("nrm"))
+    val q = graft.operators.Ranking.exactQuantilesByGroupScan(
+        norms.withColumn("g", lit(1)), "g",
+        Seq("nrm" -> Seq(0.25, 0.5, 0.75)))
+      .select(round(col("q_0_0"), 4).as("p25"),
+        round(col("q_0_1"), 4).as("p50"),
+        round(col("q_0_2"), 4).as("p75"))
+    norms.agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .crossJoin(broadcast(q))
+  }
 }

@@ -531,8 +531,23 @@ object PipelineOracles {
        |    * 10000.0 / ((len(toks) - 24) * 25)) / 10000.0 AS mattr
        |FROM t WHERE len(toks) >= 25 ORDER BY doc_id""".stripMargin
 
+  private val q178 =
+    s"""WITH ${toksCte("")},
+       |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+       |top AS (SELECT c, tok,
+       |    row_number() OVER (ORDER BY c DESC, tok) AS k
+       |  FROM cnt ORDER BY c DESC, tok LIMIT 50),
+       |cum AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM top)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
+       |  floor(cum * 10000.0 / n) / 10000.0 AS coverage
+       |FROM cum CROSS JOIN tot
+       |WHERE k IN (1, 5, 10, 20, 50) ORDER BY k""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q167_js_divergence" -> q167,
+    "q178_coverage_curve" -> q178,
     "q168_good_turing"   -> q168,
     "q171_burstiness"    -> q171,
     "q172_hapax_ratio"   -> q172,

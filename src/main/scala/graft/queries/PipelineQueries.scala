@@ -859,4 +859,34 @@ object PipelineQueries {
           .as("mattr"))
       .orderBy("doc_id")
   }
+
+  /** q178 vocabulary coverage curve: the fraction of total TOKEN MASS
+    * covered by the top-k most frequent types at k ∈ {1,5,10,20,50} —
+    * the Zipf-mass companion to q145's exponent fit and q161's OOV
+    * rate: it answers "how big must the vocabulary be" directly (a
+    * curve reaching 0.9 at k=50 means a 50-type vocab covers 90% of
+    * occurrences).
+    *
+    * Plan: one vocabulary-bounded count aggregate; the top-50 is a
+    * TakeOrdered; the cumulative window runs over ≤50 rows (metric-
+    * frame-sized). Exact-integer cumulative shares → scaled floor
+    * division (q136's rule). */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(explode(expr(graft.operators.TextHashes.toks("text")))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    val wC = Window.orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt.orderBy(col("c").desc, col("tok").asc).limit(50)
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+      .withColumn("cum", sum(col("c")).over(wC))
+      .filter(col("k").isin(1, 5, 10, 20, 50))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("cum").as("cum_tokens"),
+        (floor(col("cum") * 10000.0 / col("n")) / 10000.0).as("coverage"))
+      .orderBy("k")
+  }
 }

@@ -230,8 +230,55 @@ object TemporalOracles {
       |    / (n_users * n_events)) / 10000.0 AS gini
       |FROM agg ORDER BY event_type""".stripMargin
 
+  private val q176 =
+    """WITH hc AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, hour(ts)),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      |  FROM hc GROUP BY event_type)
+      |SELECT hc.event_type, hh, n,
+      |  floor(n * 10000.0 / tot) / 10000.0 AS share
+      |FROM hc JOIN tot ON tot.event_type = hc.event_type
+      |ORDER BY hc.event_type, hh""".stripMargin
+
+  private val q177 =
+    """WITH e AS (SELECT user_id, event_id, event_type AS src,
+      |    epoch_us(ts) AS us FROM events),
+      |l AS (SELECT src, lead(src) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS dst FROM e),
+      |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM l WHERE dst IS NOT NULL GROUP BY src, dst),
+      |cp AS (SELECT src, n, sum(n) OVER (PARTITION BY src) AS tot
+      |  FROM c),
+      |bysrc AS (SELECT src, CAST(max(tot) AS BIGINT) AS n_out,
+      |    -sum((n / tot) * ln(n / tot)) AS h
+      |  FROM cp GROUP BY src),
+      |rate AS (SELECT sum(h * n_out / nn) AS rate FROM bysrc
+      |  CROSS JOIN (SELECT sum(n_out) AS nn FROM bysrc))
+      |SELECT src, n_out, round(h, 4) AS entropy,
+      |  round(rate, 4) AS entropy_rate
+      |FROM bysrc CROSS JOIN rate ORDER BY src""".stripMargin
+
+  private val q179 =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_us(ts) AS us FROM events),
+      |l AS (SELECT event_type, value, lag(value) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(value) AS sx, sum(prev) AS sy, sum(value * prev) AS sxy,
+      |    sum(value * value) AS sxx, sum(prev * prev) AS syy
+      |  FROM l WHERE prev IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |  round((n_pairs * sxy - sx * sy) /
+      |    sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 4)
+      |    AS lag1_corr
+      |FROM m ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q174_activity_gini" -> q174,
+    "q176_hour_profile"  -> q176,
+    "q177_markov_entropy" -> q177,
+    "q179_lag_corr"      -> q179,
     "q166_quantile_norm" -> q166,
     "q163_purged_split" -> q163,
     "q156_psi_drift"  -> q156,

@@ -393,4 +393,89 @@ object TemporalQueries {
           (col("n_users") * col("n_events"))) / 10000.0).as("gini"))
       .orderBy("event_type")
   }
+
+  /** q176 hour-of-day activity profile: events per (type, UTC hour)
+    * with each cell's share of its type — the diurnal-shape audit
+    * behind ingestion scheduling and drift baselines (a type whose
+    * hourly profile shifts is q156's PSI alarm waiting to fire).
+    * Plan: ONE |types×24|-bounded count aggregate; shares divide by a
+    * |types|-row re-aggregate (AQE-sized join). Integer ratio →
+    * scaled floor division (q136's rule). */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    val hc = events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+      .groupBy(col("event_type"), col("hh")).agg(count(lit(1)).as("n"))
+    val tot = hc.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    hc.join(tot, "event_type")
+      .select(col("event_type"), col("hh"), col("n"),
+        (floor(col("n") * 10000.0 / col("tot")) / 10000.0).as("share"))
+      .orderBy("event_type", "hh")
+  }
+
+  /** q177 Markov entropy rate of the event-transition process: per
+    * source type the transition entropy H(src) = −Σ p·ln p over
+    * next-event types (within each user's time-ordered stream), plus
+    * the pooled rate Σ (n_src/N)·H(src) — how predictable the NEXT
+    * action is; the sequence-compressibility audit complementing
+    * q124's raw matrix and q158's character-level entropy rate.
+    * Plan: q124's one user-key window + a 25-cell transition count;
+    * every aggregate after that is |types|- or 1-row. round(4) on the
+    * irrational entropy sums (q126's rule). */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type").as("src"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val c = e.withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    // p per cell first (a window over the 25-cell matrix — metadata),
+    // THEN the entropy aggregate: a window inside an aggregate is
+    // illegal SQL in both engines
+    val cp = c
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(col("src"))))
+      .withColumn("p", col("n") / col("tot"))
+    val bySrc = cp.groupBy(col("src"))
+      .agg(max(col("tot")).as("n_out"),
+        (-sum(col("p") * log(col("p")))).as("h"))
+    val rate = bySrc.crossJoin(broadcast(
+        bySrc.agg(sum(col("n_out")).as("nn"))))
+      .agg(sum(col("h") * col("n_out") / col("nn")).as("rate"))
+    bySrc.crossJoin(broadcast(rate))
+      .select(col("src"), col("n_out"), round(col("h"), 4).as("entropy"),
+        round(col("rate"), 4).as("entropy_rate"))
+      .orderBy("src")
+  }
+
+  /** q179 within-user lag-1 value autocorrelation, pooled per type of
+    * the CURRENT event: Pearson r between each event's value and the
+    * same user's immediately previous value — the temporal-dependence
+    * audit behind i.i.d.-sampling assumptions (a high r means
+    * event-level shuffling is NOT equivalent to user-level sampling).
+    * Plan: one user-key window (lag), then a |types|-row moment
+    * aggregate (n, Σx, Σy, Σxy, Σx², Σy²) — the closed-form Pearson
+    * assembled from partial-aggregable sums; round(4) absorbs the
+    * partial-sum reassociation (q126's rule). */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    e.withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("value")).as("sx"),
+        sum(col("prev")).as("sy"), sum(col("value") * col("prev")).as("sxy"),
+        sum(col("value") * col("value")).as("sxx"),
+        sum(col("prev") * col("prev")).as("syy"))
+      .select(col("event_type"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("lag1_corr"))
+      .orderBy("event_type")
+  }
 }

@@ -404,6 +404,26 @@ class PlanContractSpec extends AnyFunSuite {
       "window distinct-counts must be per-row HOFs, not exploded rows")
   }
 
+  test("q175/q178 corpus profiles: scan-family quantiles and " +
+      "vocabulary-bounded coverage — no data-row exchanges") {
+    // q175's quartiles ride the histogram-refinement scan (zero data
+    // shuffle); only metadata/target counts cross (measured 1505)
+    assert(shuffled("q175_embed_norms") <= 6000,
+      "norm quartiles must use the scan family, not a sort exchange")
+    assert(shuffled("q178_coverage_curve") <= 1000, // measured 32
+      "coverage must ride the vocabulary count + a 50-row window")
+  }
+
+  test("q176/q177/q179 event profiles: one user- or cell-bounded " +
+      "exchange each, never a per-type full sort") {
+    assert(shuffled("q176_hour_profile") <= 1000, // measured 245
+      "hour profile shuffles types×24 cells only")
+    assert(shuffled("q177_markov_entropy") <= 4500, // measured 1057
+      "entropy rate rides q124's user window + the 25-cell matrix")
+    assert(shuffled("q179_lag_corr") <= 4500, // measured 1010
+      "lag correlation rides the user window + |types| moments")
+  }
+
   test("q166 quantile normalization: no per-type window sort over the " +
       "row-scale events table (r12 — the r11 verdict's weak mark)") {
     val plan = executedPlan("q166_quantile_norm")
