@@ -250,9 +250,28 @@ object BatchingOracles {
       |    AS quota
       |FROM ranked ORDER BY event_type""".stripMargin
 
+  private val q181 =
+    """WITH cells AS (SELECT lang, source,
+      |    CAST(count(*) AS DOUBLE) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rl AS (SELECT lang, sum(o) AS rl FROM cells GROUP BY lang),
+      |cs AS (SELECT source, sum(o) AS cs FROM cells GROUP BY source),
+      |tot AS (SELECT sum(o) AS t FROM cells),
+      |mi AS (SELECT round(sum((o / t) * ln(o * t / (rl * cs))), 4)
+      |    AS mi
+      |  FROM cells JOIN rl ON rl.lang = cells.lang
+      |    JOIN cs ON cs.source = cells.source CROSS JOIN tot),
+      |hl AS (SELECT round(-sum((rl / t) * ln(rl / t)), 4) AS h_lang
+      |  FROM rl CROSS JOIN tot),
+      |hs AS (SELECT round(-sum((cs / t) * ln(cs / t)), 4) AS h_source
+      |  FROM cs CROSS JOIN tot)
+      |SELECT CAST(t AS BIGINT) AS n_docs, mi, h_lang, h_source
+      |FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q169_class_weights"    -> q169,
     "q170_stratified_quota" -> q170,
+    "q181_mutual_info"      -> q181,
     "q164_water_fill"  -> q164,
     "q154_curriculum"  -> q154,
     "q155_weighted_sample" -> q155,

@@ -387,4 +387,36 @@ object BatchingQueries {
           .as("quota"))
       .orderBy("event_type")
   }
+
+  /** q181 mutual information of the lang × source contingency — the
+    * information-theoretic twin of q132's chi-square: MI =
+    * Σ p_ij·ln(p_ij·N / (r_i·c_j)) in nats, with the marginal
+    * entropies for context (MI ≤ min(H_lang, H_source); MI ≈ 0 means
+    * a source tells you nothing about language — the independence a
+    * balanced corpus wants). Plan: the |langs × sources| cell count is
+    * the only aggregate touching rows; marginals re-aggregate the cell
+    * table (metadata-sized) and each statistic folds in a 1-row pass.
+    * round(4) on the irrational log sums (q126's rule). */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+    val cs = cells.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+    val tot = cells.agg(sum(col("o")).as("t"))
+    val mi = cells.join(rl, "lang").join(cs, "source")
+      .crossJoin(broadcast(tot))
+      .agg(round(sum((col("o") / col("t")) *
+        log(col("o") * col("t") / (col("rl") * col("cs")))), 4).as("mi"))
+    val hl = rl.crossJoin(broadcast(tot))
+      .agg(round(-sum((col("rl") / col("t")) *
+        log(col("rl") / col("t"))), 4).as("h_lang"))
+    val hs = cs.crossJoin(broadcast(tot))
+      .agg(round(-sum((col("cs") / col("t")) *
+        log(col("cs") / col("t"))), 4).as("h_source"))
+    tot.select(col("t").cast("long").as("n_docs"))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hs))
+  }
 }

@@ -413,8 +413,26 @@ object ExtendedOracles {
       |  round(quantile_cont(nrm, 0.75), 4) AS p75
       |FROM n""".stripMargin
 
+  private val q182 =
+    """WITH ex AS (SELECT label, vec_id, i AS dim,
+      |    CAST(list_extract(embedding, i) AS DOUBLE) AS x
+      |  FROM (SELECT label, vec_id, embedding,
+      |      unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)),
+      |cent AS (SELECT label, dim, avg(x) AS c
+      |  FROM ex GROUP BY label, dim),
+      |dist AS (SELECT ex.label, vec_id,
+      |    sqrt(sum((x - c) * (x - c))) AS dist
+      |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+      |  GROUP BY ex.label, vec_id)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(avg(dist), 4) AS mean_dist,
+      |  round(max(dist), 4) AS max_dist
+      |FROM dist GROUP BY label ORDER BY label""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q175_embed_norms" -> q175,
+    "q182_label_cohesion" -> q182,
     "q149_mad_outliers"   -> q149,
     "q123_corr_matrix"    -> q123,
     "q101_encode_vocab"   -> q101,

@@ -558,4 +558,36 @@ object ExtendedQueries {
         round(max(col("nrm")), 4).as("max_norm"))
       .crossJoin(broadcast(q))
   }
+
+  /** q182 per-label embedding cohesion: each label's centroid and the
+    * mean/max Euclidean distance of its members to it — the cluster-
+    * quality audit for a labeled vector store (a label whose members
+    * scatter as far as the global spread is a labeling error or a
+    * collapsed embedding — q142's dimension-health companion at the
+    * cluster level).
+    *
+    * Plan: the per-(label, dim) centroid is ONE partial-aggregated
+    * pass over the exploded (vector × 64) stream — |labels × 64|
+    * cells out; distances join the same stream against the broadcast
+    * cell table and re-aggregate per vector (the exchange carries
+    * per-vector partials, never raw dims); the rollup is |labels|
+    * rows. round(4) on the irrational distance stats (q126's rule). */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label"), col("vec_id"), col("dim"),
+        col("xf").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+    ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c"))))
+        .as("dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 4).as("mean_dist"),
+        round(max(col("dist")), 4).as("max_dist"))
+      .orderBy("label")
+  }
 }

@@ -274,8 +274,28 @@ object TemporalOracles {
       |    AS lag1_corr
       |FROM m ORDER BY event_type""".stripMargin
 
+  private val q180 =
+    """WITH cnt AS (SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |r AS (SELECT value,
+      |    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+      |  FROM cnt),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM cnt)
+      |SELECT n1, n2,
+      |  floor(max(abs(cum1 * n2 - cum2 * n1)) * 10000.0 / (n1 * n2))
+      |    / 10000.0 AS ks_d
+      |FROM r CROSS JOIN tot GROUP BY n1, n2""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q174_activity_gini" -> q174,
+    "q180_ks_test"       -> q180,
     "q176_hour_profile"  -> q176,
     "q177_markov_entropy" -> q177,
     "q179_lag_corr"      -> q179,

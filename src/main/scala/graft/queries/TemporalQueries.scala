@@ -478,4 +478,41 @@ object TemporalQueries {
           .as("lag1_corr"))
       .orderBy("event_type")
   }
+
+  /** q180 exact two-sample Kolmogorov–Smirnov statistic between the
+    * click and view value distributions: D = max |F₁(v) − F₂(v)| —
+    * THE nonparametric distribution-shift test (q156's PSI needs a
+    * binning choice; KS does not). Exact and engine-portable: per
+    * DISTINCT value the two group counts, cumulated in value order,
+    * and the sup taken over |cum₁·n₂ − cum₂·n₁| — ALL integer until
+    * one final scaled floor division (q136's rule).
+    *
+    * Plan: the only row-scale exchange is the per-value conditional
+    * count (partial-aggregated); the cumulative sums ride
+    * [[graft.operators.Ranking.runningAgg]] over the DISTINCT-value
+    * frame (range partition + metadata rebase — never a
+    * SinglePartition window, and the distinct frame grows with data);
+    * the sup is a 1-row aggregate. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val cnt = events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("c2"))
+    val r = graft.operators.Ranking.runningAgg(
+      graft.operators.Ranking.runningAgg(cnt, Seq("value"), "c1", "sum",
+        "cum1"),
+      Seq("value"), "c2", "sum", "cum2")
+    val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    r.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("dnum"))
+      .select(col("n1"), col("n2"),
+        (floor(col("dnum") * 10000.0 / (col("n1") * col("n2")))
+          / 10000.0).as("ks_d"))
+  }
 }

@@ -424,6 +424,32 @@ class PlanContractSpec extends AnyFunSuite {
       "lag correlation rides the user window + |types| moments")
   }
 
+  test("q180/q181/q182 distribution audits: distinct-value, cell-, " +
+      "and per-vector-bounded exchanges") {
+    // KS cumulates the DISTINCT-value frame through runningAgg (range
+    // partition + metadata rebase; its localCheckpoint splits those
+    // jobs out of this plan). The main plan's only SinglePartition
+    // exchanges may be 1-ROW scalar aggregates (the n1/n2 totals) —
+    // never a window: a partitionless cumulative window would funnel
+    // the whole distinct-value frame through one task.
+    val plan = executedPlan("q180_ks_test")
+    assert(plan.split("SinglePartition").length - 1 <= 2,
+      s"only scalar-aggregate exchanges may be SinglePartition:\n$plan")
+    // runningAgg's window IS here (partitioned by the materialized pid
+    // column: `windowspecdefinition(_w0#…, value ASC, …)`); what must
+    // NOT appear is a PARTITIONLESS spec, which prints with the order
+    // column first — that would be a global cumulative window.
+    assert(("windowspecdefinition\\(value#\\d+ ASC").r
+        .findFirstIn(plan).isEmpty,
+      s"cumulative sums must ride a pid-partitioned window:\n$plan")
+    assert(shuffled("q180_ks_test") <= 10000, // measured 2344
+      "KS shuffles per-value counts + the running-sum frame only")
+    assert(shuffled("q181_mutual_info") <= 2000, // measured 450
+      "MI shuffles langs×sources cells + marginals only")
+    assert(shuffled("q182_label_cohesion") <= 5000, // measured 1160
+      "cohesion shuffles labels×dims cells + per-vector partials")
+  }
+
   test("q166 quantile normalization: no per-type window sort over the " +
       "row-scale events table (r12 — the r11 verdict's weak mark)") {
     val plan = executedPlan("q166_quantile_norm")

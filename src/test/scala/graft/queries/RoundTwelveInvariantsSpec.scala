@@ -117,6 +117,21 @@ class RoundTwelveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 KS statistic lies in [0, 1]; q181 MI is non-negative and " +
+      "bounded by both marginal entropies; q182 mean <= max distance") {
+    val ks = run("q180_ks_test").collect().head.getAs[Double]("ks_d")
+    assert(ks >= 0.0 && ks <= 1.0, s"KS D $ks outside [0, 1]")
+    val mi = run("q181_mutual_info").collect().head
+    val (m, hl, hs) = (mi.getAs[Double]("mi"), mi.getAs[Double]("h_lang"),
+      mi.getAs[Double]("h_source"))
+    assert(m >= -1e-4, s"MI $m negative beyond rounding")
+    assert(m <= math.min(hl, hs) + 1e-4,
+      s"MI $m exceeds min marginal entropy ${math.min(hl, hs)}")
+    run("q182_label_cohesion").collect().foreach { r =>
+      assert(r.getAs[Double]("mean_dist") <= r.getAs[Double]("max_dist") + 1e-9)
+    }
+  }
+
   test("q176 within-type shares sum to 1 up to the per-cell truncation") {
     val rows = run("q176_hour_profile").collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, cells) =>
