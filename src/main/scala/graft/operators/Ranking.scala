@@ -787,53 +787,73 @@ object Ranking {
     * partition boundaries. */
   def runningAgg(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  fn: String, outCol: String, inclusive: Boolean = true,
-                 partitions: Int = 0): DataFrame = {
+                 partitions: Int = 0): DataFrame =
+    runningAggMulti(df, orderCols, Seq((valueCol, fn, outCol)),
+      inclusive, partitions)
+
+  /** [[runningAgg]] for SEVERAL (valueCol, fn, outCol) specs in ONE
+    * partitioned pass — per-column calls each pay a full range
+    * exchange, an eager checkpoint, a metadata collect, and a
+    * pid-keyed window (q180's two cumulative counts paid all of it
+    * twice); this form ranges once and computes every requested
+    * running column over the same window. Semantics per column are
+    * exactly [[runningAgg]]'s (fn ∈ sum|max|min over longs, SQL NULL
+    * frame mask, bit-identical to the single-task window). */
+  def runningAggMulti(df: DataFrame, orderCols: Seq[String],
+                      specs: Seq[(String, String, String)],
+                      inclusive: Boolean = true,
+                      partitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "running aggregate needs an order")
-    val (aggF, ident): (Column => Column, Long) = fn match {
-      case "sum" => (sum, 0L)
-      case "max" => (max, Long.MinValue)
-      case "min" => (min, Long.MaxValue)
+    require(specs.nonEmpty, "need at least one (valueCol, fn, outCol)")
+    def fnOf(fn: String): (Column => Column, Long,
+        (Column, Column) => Column, (Long, Long) => Long) = fn match {
+      case "sum" => (sum, 0L, (a, b) => a + b, _ + _)
+      case "max" => (max, Long.MinValue,
+        (a, b) => greatest(a, b), math.max)
+      case "min" => (min, Long.MaxValue,
+        (a, b) => least(a, b), math.min)
       case other => throw new IllegalArgumentException(
         s"fn must be sum|max|min, got $other")
     }
-    val comb: (Column, Column) => Column = fn match {
-      case "sum" => (a, b) => a + b
-      case "max" => (a, b) => greatest(a, b)
-      case _     => (a, b) => least(a, b)
-    }
+    val fs = specs.map { case (_, fn, _) => fnOf(fn) }
     val nPart = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = orderCols.map(c => col(c).asc)
-    val parted = df
-      .withColumn("__v", col(valueCol).cast("long"))
+    val parted = specs.zipWithIndex
+      .foldLeft(df) { case (acc, ((vc, _, _), i)) =>
+        acc.withColumn(s"__v$i", col(vc).cast("long")) }
       .repartitionByRange(nPart, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     // coalesce to the identity: an all-null partition aggregates to NULL
-    // and would NPE getLong; its identity value is neutral under `comb`
-    // and its count of 0 keeps the NULL mask exact.
-    val perPart = parted.groupBy(pid.as("__pid"))
-      .agg(coalesce(aggF(col("__v")), lit(ident)).as("a"),
-        count(col("__v")).as("c"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    var acc = ident
-    var cnt = 0L
-    val offsets = perPart.keys.toSeq.sorted.map { p =>
-      val (o, c) = (acc, cnt)
-      acc = fn match {
-        case "sum" => acc + perPart(p)._1
-        case "max" => math.max(acc, perPart(p)._1)
-        case _     => math.min(acc, perPart(p)._1)
-      }
-      cnt += perPart(p)._2
-      p -> (o, c)
+    // and would NPE getLong; its identity value is neutral under the
+    // combiner and its count of 0 keeps the NULL mask exact.
+    val aggExprs = specs.indices.flatMap { i =>
+      Seq(coalesce(fs(i)._1(col(s"__v$i")), lit(fs(i)._2)).as(s"a$i"),
+        count(col(s"__v$i")).as(s"c$i"))
     }
-    val withOff = attachMeta(parted, pid.cast("string"),
-      offsets.map { case (p, (o, c)) => p.toString -> Seq(o, c) },
-      Seq("__off", "__offc"), MaxLiteralEntries)
+    val perPart = parted.groupBy(pid.as("__pid"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        specs.indices.map(i => (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
+      .toMap
+    // exclusive prefix-combine per column, in partition order
+    val accs = fs.map(_._2).toArray
+    val cnts = Array.fill(specs.size)(0L)
+    val offsets = perPart.keys.toSeq.sorted.map { p =>
+      val entry = specs.indices.flatMap { i =>
+        val (o, c) = (accs(i), cnts(i))
+        accs(i) = fs(i)._4(accs(i), perPart(p)(i)._1)
+        cnts(i) += perPart(p)(i)._2
+        Seq(o, c)
+      }
+      p.toString -> entry
+    }
+    val withOff = attachMeta(parted, pid.cast("string"), offsets,
+      specs.indices.flatMap(i => Seq(s"__off$i", s"__offc$i")),
+      MaxLiteralEntries)
     val w0 = Window.partitionBy(pid).orderBy(ord: _*)
     val w = if (inclusive)
       w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -842,12 +862,14 @@ object Ranking {
     // zero non-null values — cross-partition prefix count + local frame
     // count detects that exactly (including the empty exclusive frame of
     // the first global row).
-    withOff
-      .withColumn(outCol,
-        when(col("__offc") + count(col("__v")).over(w) === 0,
-          lit(null).cast("long"))
-          .otherwise(comb(col("__off"),
-            coalesce(aggF(col("__v")).over(w), lit(ident)))))
-      .drop("__mid", "__off", "__offc", "__v")
+    specs.zipWithIndex.foldLeft(withOff) {
+      case (acc, ((_, _, outCol), i)) =>
+        acc.withColumn(outCol,
+          when(col(s"__offc$i") + count(col(s"__v$i")).over(w) === 0,
+            lit(null).cast("long"))
+            .otherwise(fs(i)._3(col(s"__off$i"),
+              coalesce(fs(i)._1(col(s"__v$i")).over(w), lit(fs(i)._2)))))
+    }.drop("__mid" +: specs.indices.flatMap(i =>
+      Seq(s"__off$i", s"__offc$i", s"__v$i")): _*)
   }
 }

@@ -501,10 +501,8 @@ object TemporalQueries {
           .as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("c2"))
-    val r = graft.operators.Ranking.runningAgg(
-      graft.operators.Ranking.runningAgg(cnt, Seq("value"), "c1", "sum",
-        "cum1"),
-      Seq("value"), "c2", "sum", "cum2")
+    val r = graft.operators.Ranking.runningAggMulti(cnt, Seq("value"),
+      Seq(("c1", "sum", "cum1"), ("c2", "sum", "cum2")))
     val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     r.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),

@@ -370,6 +370,34 @@ class RankingSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad rows deviate from the per-group window")
   }
 
+  test("runningAggMulti: several columns in ONE pass match per-column " +
+      "runningAgg calls exactly (mixed fns, nulls)") {
+    import spark.implicits._
+    val rows = (1L to 300L).map { k =>
+      val a: java.lang.Long =
+        if (k % 11 == 0) null else java.lang.Long.valueOf(k * 13 % 97 - 40)
+      val b: java.lang.Long =
+        if (k % 7 == 0) null else java.lang.Long.valueOf(k * 29 % 53)
+      (k, a, b)
+    }
+    val df = rows.toDF("k", "a", "b")
+    val multi = Ranking.runningAggMulti(df, Seq("k"),
+      Seq(("a", "sum", "ra"), ("b", "max", "rb"), ("a", "min", "rc")),
+      partitions = 8)
+    val single = Ranking.runningAgg(
+      Ranking.runningAgg(
+        Ranking.runningAgg(df, Seq("k"), "a", "sum", "ra", partitions = 8),
+        Seq("k"), "b", "max", "rb", partitions = 8),
+      Seq("k"), "a", "min", "rc", partitions = 8)
+    val bad = multi.select("k", "ra", "rb", "rc").as("m")
+      .join(single.select(col("k"), col("ra").as("sa"), col("rb").as("sb"),
+        col("rc").as("sc")).as("s"), "k")
+      .filter(!(col("ra") <=> col("sa")) || !(col("rb") <=> col("sb")) ||
+        !(col("rc") <=> col("sc")))
+      .count()
+    assert(bad == 0, s"$bad rows deviate between fused and per-column runs")
+  }
+
   test("approxNtile stays in [1, n] and is monotone in the order column") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("n_chars").cast("double").as("len"))
