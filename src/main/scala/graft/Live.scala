@@ -46,10 +46,19 @@ object Live {
     (landed, merged)
   }
 
-  /** Live scheduling pass: land the latest closed date if its dir is
-    * absent (a crawl is NOT an attempt — failures surface before any
-    * ledger change, and the date stays `missing` for the next tick),
-    * then run the standard [[Scheduler.tick]]. Returns its result. */
+  /** Live scheduling pass: land the latest closed date unless its dir
+    * carries the crawl-complete `_SUCCESS` marker (a crawl is NOT an
+    * attempt — failures surface before any ledger change, and the date
+    * stays `missing` for the next tick), then run the standard
+    * [[Scheduler.tick]]. Returns its result.
+    *
+    * The marker — not bare directory existence — is the guard: a crawl
+    * that died between `createDirectories` and its last page write
+    * leaves a partial dir, and trusting the dir would skip the re-crawl
+    * forever while the scheduler merged the partial data as a success
+    * with silently missing rows. [[graft.ingest.RedditHttp.landPages]]
+    * drops the marker LAST and clears it FIRST, so marker-present ⇒
+    * every page file of that crawl is durable. */
   def tick(spark: SparkSession, client: graft.ingest.RedditHttp,
            pagedRoot: String, lakePath: String, ledgerPath: String,
            now: Instant, catchup: Boolean, firstTick: Boolean,
@@ -58,30 +67,86 @@ object Live {
            maxAttempts: Int = 3): Seq[String] = {
     val latest = Scheduler.latestClosed(now).toString
     val dir = Paths.get(pagedRoot, latest)
-    if (!Files.isDirectory(dir))
+    if (!Files.exists(dir.resolve(graft.ingest.RedditHttp.SuccessMarker)))
       client.landPages(dir.toString, subreddit, timeFilter, limit)
     Scheduler.tick(spark, pagedRoot, lakePath, ledgerPath, now, catchup,
       firstTick, retries, maxAttempts)
   }
 
-  /** CLI — one date, config-driven credentials:
+  /** The live DAEMON loop — [[Scheduler.loop]]'s shape with [[tick]]
+    * as the body, so ONE long-running command is the reference's full
+    * production posture (scheduler container + the DAG's crawl+merge
+    * task): tick (crawl the latest closed date if its crawl-complete
+    * marker is absent, then schedule/merge under the attempt ledger),
+    * sleep to the next UTC midnight + grace, repeat. Clock and sleeper
+    * are injected so tests drive days in milliseconds; [[daemon]]
+    * wires the real ones. `maxTicks` bounds the loop for tests. */
+  def loop(spark: SparkSession, client: graft.ingest.RedditHttp,
+           pagedRoot: String, lakePath: String, ledgerPath: String,
+           clock: () => Instant, sleeper: Long => Unit,
+           catchup: Boolean, maxTicks: Int, subreddit: String,
+           timeFilter: String = "day", limit: Int = 100,
+           retries: Int = 1, maxAttempts: Int = 3,
+           graceMs: Long = 60000L,
+           onTick: Seq[String] => Unit = _ => ()): Unit = {
+    var ticks = 0
+    while (ticks < maxTicks) {
+      val ran = tick(spark, client, pagedRoot, lakePath, ledgerPath,
+        clock(), catchup = catchup, firstTick = ticks == 0,
+        subreddit = subreddit, timeFilter = timeFilter, limit = limit,
+        retries = retries, maxAttempts = maxAttempts)
+      onTick(ran)
+      ticks += 1
+      if (ticks < maxTicks)
+        sleeper(Scheduler.untilNextFire(clock(), graceMs))
+    }
+  }
+
+  /** CLI-shaped daemon entry (the argv contract [[main]]'s `daemon`
+    * mode forwards to; clock/sleeper/maxTicks/URLs injectable so the
+    * spec drives the SAME entry against the loopback server):
+    * {{{
+    * <configPath> <pagedRoot> <lakePath> <ledgerPath> <subreddit> [catchup] [timeFilter] [limit]
+    * }}} */
+  def daemon(args: Seq[String], spark: SparkSession,
+             clock: () => Instant = () => Instant.now(),
+             sleeper: Long => Unit = Thread.sleep,
+             maxTicks: Int = Int.MaxValue,
+             baseUrl: String = graft.ingest.RedditHttp.ProdBaseUrl,
+             authUrl: String = graft.ingest.RedditHttp.ProdAuthUrl,
+             onTick: Seq[String] => Unit = ran => println(
+               s"""{"task":"live_tick","changed":${ran.size}}""")): Unit = {
+    val (cfgPath, pagedRoot, lakePath, ledgerPath, subreddit, rest) =
+      args.toList match {
+        case c :: p :: l :: led :: s :: r if r.size <= 3 =>
+          (c, p, l, led, s, r)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft.Live daemon <configPath> <pagedRoot> <lakePath> " +
+            "<ledgerPath> <subreddit> [catchup] [timeFilter] [limit]")
+      }
+    val catchup = rest.contains("catchup")
+    val nonFlag = rest.filterNot(_ == "catchup")
+    val tf = nonFlag.headOption.getOrElse("day")
+    val limit = nonFlag.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val client = graft.ingest.RedditHttp.fromConfig(
+      Config.load(cfgPath), baseUrl, authUrl)
+    loop(spark, client, pagedRoot, lakePath, ledgerPath, clock, sleeper,
+      catchup, maxTicks, subreddit, tf, limit, onTick = onTick)
+  }
+
+  /** CLI. One date:
     * {{{
     * graft.Live <configPath> <yyyy-MM-dd> <pagedRoot> <lakePath> <subreddit> [timeFilter] [limit]
+    * }}}
+    * or the daemon (runs forever on the real clock, [[Scheduler.main]]'s
+    * posture with the crawl composed in):
+    * {{{
+    * graft.Live daemon <configPath> <pagedRoot> <lakePath> <ledgerPath> <subreddit> [catchup] [timeFilter] [limit]
     * }}}
     * `configPath` is the reference's ini contract
     * (`[api_keys] reddit_client_id / reddit_secret_key /
     * reddit_agent`). */
   def main(args: Array[String]): Unit = {
-    val (cfgPath, date, pagedRoot, lakePath, subreddit, tf, limit) =
-      args.toList match {
-        case c :: d :: p :: l :: s :: rest if rest.size <= 2 =>
-          (c, d, p, l, s, rest.headOption.getOrElse("day"),
-            rest.drop(1).headOption.map(_.toInt).getOrElse(100))
-        case _ => throw new IllegalArgumentException(
-          "usage: graft.Live <configPath> <yyyy-MM-dd> <pagedRoot> " +
-            "<lakePath> <subreddit> [timeFilter] [limit]")
-      }
-    val client = graft.ingest.RedditHttp.fromConfig(Config.load(cfgPath))
     val pre = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
     val spark = pre.getOrElse {
@@ -95,10 +160,26 @@ object Live {
       s
     }
     try {
-      val (landed, merged) =
-        run(spark, client, date, pagedRoot, lakePath, subreddit, tf, limit)
-      println(s"""{"task":"live","date":"$date","landed":$landed,""" +
-        s""""merged":$merged}""")
+      if (args.headOption.contains("daemon")) {
+        daemon(args.drop(1).toSeq, spark)
+      } else {
+        val (cfgPath, date, pagedRoot, lakePath, subreddit, tf, limit) =
+          args.toList match {
+            case c :: d :: p :: l :: s :: rest if rest.size <= 2 =>
+              (c, d, p, l, s, rest.headOption.getOrElse("day"),
+                rest.drop(1).headOption.map(_.toInt).getOrElse(100))
+            case _ => throw new IllegalArgumentException(
+              "usage: graft.Live <configPath> <yyyy-MM-dd> <pagedRoot> " +
+                "<lakePath> <subreddit> [timeFilter] [limit]  |  " +
+                "graft.Live daemon <configPath> <pagedRoot> <lakePath> " +
+                "<ledgerPath> <subreddit> [catchup] [timeFilter] [limit]")
+          }
+        val client = graft.ingest.RedditHttp.fromConfig(Config.load(cfgPath))
+        val (landed, merged) =
+          run(spark, client, date, pagedRoot, lakePath, subreddit, tf, limit)
+        println(s"""{"task":"live","date":"$date","landed":$landed,""" +
+          s""""merged":$merged}""")
+      }
     } finally if (pre.isEmpty) spark.stop()
   }
 }

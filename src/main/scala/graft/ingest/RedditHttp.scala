@@ -175,6 +175,14 @@ final class RedditHttp(baseUrl: String, authUrl: String,
     val rows = extractTop(subreddit, timeFilter, limit)
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
+    // Crash-visible completion protocol: drop the `_SUCCESS` marker
+    // FIRST, so a crawl that dies mid-write leaves a dir that reads as
+    // incomplete (Live.tick re-crawls on a missing marker instead of
+    // trusting bare directory existence — a partial dir merged as-is
+    // would mark the date success with silently missing rows), and
+    // re-write it LAST after every page file is durable. The read path
+    // ignores `_`-prefixed files (PagedSource.listPages).
+    java.nio.file.Files.deleteIfExists(d.resolve(RedditHttp.SuccessMarker))
     // the landing dir is IMMUTABLE input to the replayable pipeline: a
     // re-crawl that lands fewer pages must not leave the prior run's
     // higher-numbered page files behind (fromPagedDir would silently
@@ -188,6 +196,7 @@ final class RedditHttp(baseUrl: String, authUrl: String,
         d.resolve(f"page-$i%05d.jsonl"),
         page.mkString("", "\n", "\n"))
     }
+    java.nio.file.Files.writeString(d.resolve(RedditHttp.SuccessMarker), "")
     rows.size.toLong
   }
 
@@ -225,6 +234,12 @@ object RedditHttp {
   /** Production endpoints (the values PRAW uses). */
   val ProdBaseUrl = "https://oauth.reddit.com"
   val ProdAuthUrl = "https://www.reddit.com/api/v1/access_token"
+
+  /** Completion marker a finished crawl drops last into its landing
+    * dir; its absence means the crawl died mid-write and must rerun.
+    * `_`-prefixed so every reader (PagedSource.listPages, Hadoop
+    * convention) skips it. */
+  val SuccessMarker = "_SUCCESS"
 
   /** Wire from the reference's config contract
     * (`[api_keys] reddit_client_id / reddit_secret_key /

@@ -65,8 +65,10 @@ object BatchingOracles {
 
   private val q131 =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 5) AS slope,
-      |  round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2) AS icept
+      |  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 5) + 0.0
+      |    AS slope,
+      |  round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2) + 0.0
+      |    AS icept
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val q132 =
@@ -257,13 +259,13 @@ object BatchingOracles {
       |rl AS (SELECT lang, sum(o) AS rl FROM cells GROUP BY lang),
       |cs AS (SELECT source, sum(o) AS cs FROM cells GROUP BY source),
       |tot AS (SELECT sum(o) AS t FROM cells),
-      |mi AS (SELECT round(sum((o / t) * ln(o * t / (rl * cs))), 4)
+      |mi AS (SELECT round(sum((o / t) * ln(o * t / (rl * cs))), 4) + 0.0
       |    AS mi
       |  FROM cells JOIN rl ON rl.lang = cells.lang
       |    JOIN cs ON cs.source = cells.source CROSS JOIN tot),
-      |hl AS (SELECT round(-sum((rl / t) * ln(rl / t)), 4) AS h_lang
+      |hl AS (SELECT round(-sum((rl / t) * ln(rl / t)), 4) + 0.0 AS h_lang
       |  FROM rl CROSS JOIN tot),
-      |hs AS (SELECT round(-sum((cs / t) * ln(cs / t)), 4) AS h_source
+      |hs AS (SELECT round(-sum((cs / t) * ln(cs / t)), 4) + 0.0 AS h_source
       |  FROM cs CROSS JOIN tot)
       |SELECT CAST(t AS BIGINT) AS n_docs, mi, h_lang, h_source
       |FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin

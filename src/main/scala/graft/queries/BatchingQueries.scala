@@ -116,8 +116,8 @@ object BatchingQueries {
         (unix_micros(col("ts").cast("timestamp")) / lit(8.64e10)).as("x"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(expr("regr_slope(value, x)"), 5).as("slope"),
-        round(expr("regr_intercept(value, x)"), 2).as("icept"))
+        (round(expr("regr_slope(value, x)"), 5) + lit(0.0)).as("slope"),
+        (round(expr("regr_intercept(value, x)"), 2) + lit(0.0)).as("icept"))
       .orderBy("event_type")
 
   /** q132 chi-square independence of lang × source: the contingency
@@ -406,14 +406,15 @@ object BatchingQueries {
     val tot = cells.agg(sum(col("o")).as("t"))
     val mi = cells.join(rl, "lang").join(cs, "source")
       .crossJoin(broadcast(tot))
-      .agg(round(sum((col("o") / col("t")) *
-        log(col("o") * col("t") / (col("rl") * col("cs")))), 4).as("mi"))
+      .agg((round(sum((col("o") / col("t")) *
+        log(col("o") * col("t") / (col("rl") * col("cs")))), 4)
+        + lit(0.0)).as("mi"))
     val hl = rl.crossJoin(broadcast(tot))
-      .agg(round(-sum((col("rl") / col("t")) *
-        log(col("rl") / col("t"))), 4).as("h_lang"))
+      .agg((round(-sum((col("rl") / col("t")) *
+        log(col("rl") / col("t"))), 4) + lit(0.0)).as("h_lang"))
     val hs = cs.crossJoin(broadcast(tot))
-      .agg(round(-sum((col("cs") / col("t")) *
-        log(col("cs") / col("t"))), 4).as("h_source"))
+      .agg((round(-sum((col("cs") / col("t")) *
+        log(col("cs") / col("t"))), 4) + lit(0.0)).as("h_source"))
     tot.select(col("t").cast("long").as("n_docs"))
       .crossJoin(broadcast(mi))
       .crossJoin(broadcast(hl))

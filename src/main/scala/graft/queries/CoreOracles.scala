@@ -374,8 +374,8 @@ object CoreOracles {
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // portable long-form of UNPIVOT (UNION ALL) — semantically what

@@ -570,8 +570,10 @@ object CoreQueries {
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          + lit(0.0)).as("corr_qp"),
+        (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          + lit(0.0)).as("cov_qp"))
       .orderBy("l_returnflag")
 
   /** q45 scalar-subquery filter: the scalar aggregate is computed once and

@@ -365,12 +365,12 @@ object ExtendedOracles {
 
   private val q123 =
     """WITH a AS (SELECT
-      |  round(corr(l_quantity, l_extendedprice), 4) AS r0,
-      |  round(corr(l_quantity, l_discount), 4) AS r1,
-      |  round(corr(l_quantity, l_tax), 4) AS r2,
-      |  round(corr(l_extendedprice, l_discount), 4) AS r3,
-      |  round(corr(l_extendedprice, l_tax), 4) AS r4,
-      |  round(corr(l_discount, l_tax), 4) AS r5
+      |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS r0,
+      |  round(corr(l_quantity, l_discount), 4) + 0.0 AS r1,
+      |  round(corr(l_quantity, l_tax), 4) + 0.0 AS r2,
+      |  round(corr(l_extendedprice, l_discount), 4) + 0.0 AS r3,
+      |  round(corr(l_extendedprice, l_tax), 4) + 0.0 AS r4,
+      |  round(corr(l_discount, l_tax), 4) + 0.0 AS r5
       |FROM lineitem)
       |SELECT x, y, r FROM (
       |  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, r0 AS r FROM a

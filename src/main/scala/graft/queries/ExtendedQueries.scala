@@ -453,10 +453,10 @@ object ExtendedQueries {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
     val agg = lineitem(s, d).agg(
-      round(corr(col(pairs.head._1), col(pairs.head._2)), 4)
-        .as(s"r0"),
+      (round(corr(col(pairs.head._1), col(pairs.head._2)), 4)
+        + lit(0.0)).as(s"r0"),
       pairs.tail.zipWithIndex.map { case ((x, y), k) =>
-        round(corr(col(x), col(y)), 4).as(s"r${k + 1}")
+        (round(corr(col(x), col(y)), 4) + lit(0.0)).as(s"r${k + 1}")
       }: _*)
     val structs = pairs.zipWithIndex.map { case ((x, y), k) =>
       struct(lit(x).as("x"), lit(y).as("y"), col(s"r$k").as("r"))

@@ -266,8 +266,8 @@ object PipelineOracles {
        |top AS (SELECT c, rank FROM r WHERE rank <= 200),
        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c)
        |SELECT n_types, CAST(count(*) AS BIGINT) AS n_top,
-       |  round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
-       |  round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_icept
+       |  round(regr_slope(ln(c), ln(rank)), 4) + 0.0 AS zipf_slope,
+       |  round(regr_intercept(ln(c), ln(rank)), 4) + 0.0 AS zipf_icept
        |FROM top, ty GROUP BY n_types""".stripMargin
 
   private val q146 = {
@@ -427,7 +427,12 @@ object PipelineOracles {
 
   // q165: identical decile arithmetic (·10/(mx+1), floor-of-double),
   // identical first-occurrence bucketing and 10-row cumulative curve;
-  // regr_* over ln — both engines' co-moment built-ins, rounded at 4
+  // regr_* over ln — both engines' co-moment built-ins, rounded at 4.
+  // `+ 0.0` normalizes the IEEE sign of an exact-cancellation zero: at
+  // small SF cum_types can be constant, the slope is a catastrophic-
+  // cancellation 0 whose sign depends on DuckDB's threaded co-moment
+  // merge order (observed both 0x0 and 0x8000000000000000 across runs);
+  // -0.0 + 0.0 = +0.0 and every other value is unchanged.
   private val q165 =
     s"""WITH ${toksCte("")},
        |mx AS (SELECT max(doc_id) AS mx FROM t),
@@ -449,8 +454,9 @@ object PipelineOracles {
        |SELECT CAST(count(*) AS BIGINT) AS n_points,
        |  CAST(max(cum_tokens) AS BIGINT) AS n_tokens,
        |  CAST(max(cum_types) AS BIGINT) AS n_types,
-       |  round(regr_slope(ln(cum_types), ln(cum_tokens)), 4) AS heaps_beta,
-       |  round(regr_intercept(ln(cum_types), ln(cum_tokens)), 4)
+       |  round(regr_slope(ln(cum_types), ln(cum_tokens)), 4) + 0.0
+       |    AS heaps_beta,
+       |  round(regr_intercept(ln(cum_types), ln(cum_tokens)), 4) + 0.0
        |    AS heaps_logk
        |FROM cf""".stripMargin
 
@@ -469,7 +475,7 @@ object PipelineOracles {
        |  CAST(count(*) AS BIGINT) AS vocab_union,
        |  round(sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END * 0.5 +
        |            CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END * 0.5), 4)
-       |    AS js_divergence
+       |    + 0.0 AS js_divergence
        |FROM terms GROUP BY na, nb""".stripMargin
 
   private val q168 =

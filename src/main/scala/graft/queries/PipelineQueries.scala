@@ -337,8 +337,10 @@ object PipelineQueries {
       .crossJoin(broadcast(occ.agg(count(lit(1)).cast("long").as("n_types"))))
       .groupBy(col("n_types"))
       .agg(count(lit(1)).cast("long").as("n_top"),
-        round(expr("regr_slope(ln(c), ln(rank))"), 4).as("zipf_slope"),
-        round(expr("regr_intercept(ln(c), ln(rank))"), 4).as("zipf_icept"))
+        (round(expr("regr_slope(ln(c), ln(rank))"), 4) + lit(0.0))
+          .as("zipf_slope"),
+        (round(expr("regr_intercept(ln(c), ln(rank))"), 4) + lit(0.0))
+          .as("zipf_icept"))
       .select(col("n_types"), col("n_top"), col("zipf_slope"),
         col("zipf_icept"))
   }
@@ -388,10 +390,10 @@ object PipelineQueries {
     curve.agg(count(lit(1)).as("n_points"),
       max(col("cum_tokens")).as("n_tokens"),
       max(col("cum_types")).as("n_types"),
-      round(expr("regr_slope(ln(cum_types), ln(cum_tokens))"), 4)
-        .as("heaps_beta"),
-      round(expr("regr_intercept(ln(cum_types), ln(cum_tokens))"), 4)
-        .as("heaps_logk"))
+      (round(expr("regr_slope(ln(cum_types), ln(cum_tokens))"), 4)
+        + lit(0.0)).as("heaps_beta"),
+      (round(expr("regr_intercept(ln(cum_types), ln(cum_tokens))"), 4)
+        + lit(0.0)).as("heaps_logk"))
   }
 
   /** q146 split distribution-shift audit: per-language document counts
@@ -727,7 +729,7 @@ object PipelineQueries {
             .otherwise(0.0) * 0.5).as("term"))
       .groupBy(col("na").as("n_tokens_even"), col("nb").as("n_tokens_odd"))
       .agg(count(lit(1)).as("vocab_union"),
-        round(sum(col("term")), 4).as("js_divergence"))
+        (round(sum(col("term")), 4) + lit(0.0)).as("js_divergence"))
   }
 
   /** q168 Good–Turing frequency-of-frequencies audit: N_r = how many

@@ -271,7 +271,7 @@ object TemporalOracles {
       |SELECT event_type, n_pairs,
       |  round((n_pairs * sxy - sx * sy) /
       |    sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 4)
-      |    AS lag1_corr
+      |    + 0.0 AS lag1_corr
       |FROM m ORDER BY event_type""".stripMargin
 
   private val q180 =
@@ -289,7 +289,7 @@ object TemporalOracles {
       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
       |    CAST(sum(c2) AS BIGINT) AS n2 FROM cnt)
       |SELECT n1, n2,
-      |  floor(max(abs(cum1 * n2 - cum2 * n1)) * 10000.0 / (n1 * n2))
+      |  floor(max(abs(cum1 / n1 - cum2 / n2)) * 10000.0)
       |    / 10000.0 AS ks_d
       |FROM r CROSS JOIN tot GROUP BY n1, n2""".stripMargin
 

@@ -440,10 +440,17 @@ object TemporalQueries {
     val bySrc = cp.groupBy(col("src"))
       .agg(max(col("tot")).as("n_out"),
         (-sum(col("p") * log(col("p")))).as("h"))
-    val rate = bySrc.crossJoin(broadcast(
-        bySrc.agg(sum(col("n_out")).as("nn"))))
-      .agg(sum(col("h") * col("n_out") / col("nn")).as("rate"))
-    bySrc.crossJoin(broadcast(rate))
+    // The pooled rate rides whole-frame windows over the |types|-row
+    // bySrc frame (metadata-sized — a SinglePartition window here is
+    // five rows, not row-scale) so bySrc has ONE lineage reference:
+    // the crossJoin(agg(bySrc)) form referenced bySrc twice, and when
+    // the optimizer does not plant a ReusedExchange the row-scale
+    // user-key window underneath runs twice for a 25-cell output.
+    val wAll = Window.partitionBy()
+    bySrc
+      .withColumn("nn", sum(col("n_out")).over(wAll))
+      .withColumn("rate",
+        sum(col("h") * col("n_out") / col("nn")).over(wAll))
       .select(col("src"), col("n_out"), round(col("h"), 4).as("entropy"),
         round(col("rate"), 4).as("entropy_rate"))
       .orderBy("src")
@@ -472,20 +479,22 @@ object TemporalQueries {
         sum(col("value") * col("value")).as("sxx"),
         sum(col("prev") * col("prev")).as("syy"))
       .select(col("event_type"), col("n_pairs"),
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+        (round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
             (col("n_pairs") * col("syy") - col("sy") * col("sy"))), 4)
-          .as("lag1_corr"))
+          + lit(0.0)).as("lag1_corr"))
       .orderBy("event_type")
   }
 
   /** q180 exact two-sample Kolmogorov–Smirnov statistic between the
     * click and view value distributions: D = max |F₁(v) − F₂(v)| —
     * THE nonparametric distribution-shift test (q156's PSI needs a
-    * binning choice; KS does not). Exact and engine-portable: per
-    * DISTINCT value the two group counts, cumulated in value order,
-    * and the sup taken over |cum₁·n₂ − cum₂·n₁| — ALL integer until
-    * one final scaled floor division (q136's rule).
+    * binning choice; KS does not). Engine-portable and overflow-free:
+    * per DISTINCT value the two group counts, cumulated in value
+    * order (exact longs), then the sup over |cum₁/n₁ − cum₂/n₂| —
+    * each division ONE correctly-rounded IEEE op on exact longs,
+    * identical across engines at any scale (the exact-long cross
+    * product cum₁·n₂ would wrap 2^63 past ~3.0e9 rows per group).
     *
     * Plan: the only row-scale exchange is the per-value conditional
     * count (partial-aggregated); the cumulative sums ride
@@ -504,13 +513,20 @@ object TemporalQueries {
     val r = graft.operators.Ranking.runningAggMulti(cnt, Seq("value"),
       Seq(("c1", "sum", "cum1"), ("c2", "sum", "cum2")))
     val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // Per-value |F1 - F2| in DOUBLE: cum/n is ONE correctly-rounded
+    // IEEE op on exact longs — identical in both engines — and carries
+    // no overflow (the previous exact-long cross products cum1·n2
+    // wrapped 2^63 once each group passed ~3.0e9 rows: Spark wraps
+    // silently, DuckDB errors, so the engines diverged exactly at the
+    // scales this engine targets). Beyond 2^53 rows the long→double
+    // conversion rounds, but IEEE-identically on both faces — accuracy
+    // degrades in the last ulp, portability does not.
     r.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("num"))
+        abs(col("cum1") / col("n1") - col("cum2") / col("n2")).as("dv"))
       .groupBy(col("n1"), col("n2"))
-      .agg(max(col("num")).as("dnum"))
+      .agg(max(col("dv")).as("dmax"))
       .select(col("n1"), col("n2"),
-        (floor(col("dnum") * 10000.0 / (col("n1") * col("n2")))
-          / 10000.0).as("ks_d"))
+        (floor(col("dmax") * 10000.0) / 10000.0).as("ks_d"))
   }
 }

@@ -33,19 +33,25 @@ class LiveSpec extends AnyFunSuite {
        |"over_18":false,"edited":false,"spoiler":false,
        |"stickied":false}}""".stripMargin.replace("\n", "")
 
-  /** Loopback Reddit: token grant + a one-page 3-post /top listing. */
-  private def startServer(): (HttpServer, String) = {
+  /** Loopback Reddit: token grant + a one-page 3-post /top listing.
+    * Returns the server, its base URL, and a LISTING-request counter
+    * (token requests excluded) so tests can assert crawl vs no-op. */
+  private def startServer()
+      : (HttpServer, String, java.util.concurrent.atomic.AtomicInteger) = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     srv.createContext("/api/v1/access_token", (ex: HttpExchange) =>
       respond(ex, 200,
         """{"access_token":"tok123","token_type":"bearer","expires_in":3600}"""))
-    srv.createContext("/r/graft/top", (ex: HttpExchange) =>
+    srv.createContext("/r/graft/top", (ex: HttpExchange) => {
+      hits.incrementAndGet()
       respond(ex, 200,
         s"""{"kind":"Listing","data":{"after":null,"children":[
            |${postJson("a1", 42)},${postJson("b2", 7)},
-           |${postJson("c3", 99)}]}}""".stripMargin.replace("\n", "")))
+           |${postJson("c3", 99)}]}}""".stripMargin.replace("\n", ""))
+    })
     srv.start()
-    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}")
+    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}", hits)
   }
 
   private def client(base: String) =
@@ -60,17 +66,21 @@ class LiveSpec extends AnyFunSuite {
 
   test("Live.run: loopback crawl -> dated landing dir -> cleanse -> " +
       "merged lake, and a rerun is byte-identical (idempotent)") {
-    val (srv, base) = startServer()
+    val (srv, base, _) = startServer()
     try {
       val root = Files.createTempDirectory("graft_live_root").toString
       val lake = Files.createTempDirectory("graft_live_lake").toString + "/posts"
       val (landed, merged) = Live.run(spark, client(base), "2024-03-11",
         root, lake, "graft", "day", limit = 10)
       assert(landed == 3 && merged == 3)
-      // landing layout: pageSize=2 -> two page files under the DATED dir
-      val pages = new java.io.File(s"$root/2024-03-11").listFiles()
+      // landing layout: pageSize=2 -> two page files under the DATED
+      // dir, plus the crawl-complete marker dropped LAST
+      val files = new java.io.File(s"$root/2024-03-11").listFiles()
         .map(_.getName).sorted
-      assert(pages.toSeq == Seq("page-00000.jsonl", "page-00001.jsonl"))
+      assert(files.filter(_.startsWith("page-")).toSeq ==
+        Seq("page-00000.jsonl", "page-00001.jsonl"))
+      assert(files.contains("_SUCCESS"),
+        "a completed crawl must drop its completion marker")
       val first = lakeRows(lake)
       assert(first.map(_._1) == Seq("a1", "b2", "c3"))
       assert(first.map(_._2) == Seq(42, 7, 99))
@@ -86,7 +96,7 @@ class LiveSpec extends AnyFunSuite {
 
   test("Live.tick: the daemon crawls the latest closed date when its " +
       "landing dir is absent, then the scheduler merges it") {
-    val (srv, base) = startServer()
+    val (srv, base, hits) = startServer()
     try {
       val root = Files.createTempDirectory("graft_live_tick").toString
       val lake = Files.createTempDirectory("graft_live_tlake").toString + "/posts"
@@ -101,10 +111,76 @@ class LiveSpec extends AnyFunSuite {
       val state = Scheduler.readLedger(ledger)
       assert(state("2024-03-11").status == "success")
       assert(lakeRows(lake).map(_._1) == Seq("a1", "b2", "c3"))
-      // second tick same day: dir exists, nothing newly owed
+      // second tick same day: completed crawl marker present, nothing
+      // newly owed — and the server sees NO new listing request
+      val before = hits.get()
       val ran2 = Live.tick(spark, client(base), root, lake, ledger, now,
         catchup = false, firstTick = false, subreddit = "graft")
       assert(ran2.isEmpty)
+      assert(hits.get() == before,
+        "a marker-complete landing dir must not be re-crawled")
+    } finally srv.stop(0)
+  }
+
+  test("Live.tick: a PARTIAL landing dir (no _SUCCESS marker) is " +
+      "re-crawled instead of merged as silently-incomplete data") {
+    val (srv, base, hits) = startServer()
+    try {
+      val root = Files.createTempDirectory("graft_live_part").toString
+      val lake = Files.createTempDirectory("graft_live_plake").toString + "/posts"
+      val ledger = Files.createTempDirectory("graft_live_pled").toString +
+        "/ledger.jsonl"
+      val now = Instant.parse("2024-03-12T09:00:00Z")
+      // simulate a crawl that died mid-write: dir + one page, NO marker
+      val dir = Paths.get(root, "2024-03-11")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("page-00000.jsonl"),
+        postJson("zz", 1) + "\n")
+      val ran = Live.tick(spark, client(base), root, lake, ledger, now,
+        catchup = false, firstTick = true, subreddit = "graft")
+      assert(ran.contains("2024-03-11"))
+      assert(hits.get() >= 1, "the partial dir must trigger a re-crawl")
+      assert(Files.exists(dir.resolve("_SUCCESS")))
+      // the merged lake holds the RE-CRAWLED rows, not the partial one
+      assert(lakeRows(lake).map(_._1) == Seq("a1", "b2", "c3"))
+    } finally srv.stop(0)
+  }
+
+  test("Live daemon CLI: two consecutive ticks through the loopback " +
+      "server via the CLI-shaped entry - one crawl, one no-op") {
+    val (srv, base, hits) = startServer()
+    try {
+      val root = Files.createTempDirectory("graft_live_droot").toString
+      val lake = Files.createTempDirectory("graft_live_dlake").toString + "/posts"
+      val ledger = Files.createTempDirectory("graft_live_dled").toString +
+        "/ledger.jsonl"
+      val cfg = Files.createTempDirectory("graft_live_dcfg")
+        .resolve("config.conf")
+      Files.writeString(cfg,
+        """[api_keys]
+          |reddit_client_id = cid
+          |reddit_secret_key = sec
+          |reddit_agent = graft-test-agent
+          |""".stripMargin)
+      val now = Instant.parse("2024-03-12T09:00:00Z")
+      val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ticked = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      Live.daemon(
+        Seq(cfg.toString, root, lake, ledger, "graft"), spark,
+        clock = () => now, sleeper = slept += _, maxTicks = 2,
+        baseUrl = base, authUrl = s"$base/api/v1/access_token",
+        onTick = ticked += _)
+      assert(ticked.size == 2)
+      assert(ticked(0) == Seq("2024-03-11"), "tick 1 crawls + merges")
+      assert(ticked(1).isEmpty, "tick 2 the same day is a no-op")
+      assert(hits.get() == 1,
+        "the no-op tick must not re-crawl a marker-complete dir")
+      // the daemon slept between the ticks, to next UTC midnight+grace
+      assert(slept.size == 1 && slept.head ==
+        Scheduler.untilNextFire(now, 60000L))
+      assert(lakeRows(lake).map(_._1) == Seq("a1", "b2", "c3"))
+      val state = Scheduler.readLedger(ledger)
+      assert(state("2024-03-11").status == "success")
     } finally srv.stop(0)
   }
 }

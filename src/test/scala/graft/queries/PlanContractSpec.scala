@@ -420,6 +420,15 @@ class PlanContractSpec extends AnyFunSuite {
       "hour profile shuffles types×24 cells only")
     assert(shuffled("q177_markov_entropy") <= 4500, // measured 1057
       "entropy rate rides q124's user window + the 25-cell matrix")
+    // round 13 (r12 verdict #3): the pooled rate now rides whole-frame
+    // windows over the |types|-row bySrc frame, so the row-scale
+    // user-key window has exactly ONE lineage reference — the prior
+    // crossJoin(agg(bySrc)) form ran it twice when no ReusedExchange
+    // was planted under the duplicated subplan
+    val p177 = executedPlan("q177_markov_entropy")
+    assert("windowspecdefinition\\(user_id#\\d+".r
+        .findAllIn(p177).size == 1,
+      s"the row-scale user window must execute exactly once:\n$p177")
     assert(shuffled("q179_lag_corr") <= 4500, // measured 1010
       "lag correlation rides the user window + |types| moments")
   }

@@ -18,8 +18,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("revenue") > 0))
   }
 
-  test("every declared query runs and respects its contract shape") {
-    val counts = SparkEntry.queries.keys.map(k => k -> run(k).count()).toMap
+  test("every declared query runs, respects its contract shape, and " +
+      "emits no negative-zero double (the ±0.0 determinism rule)") {
+    val collected = SparkEntry.queries.keys.map { k =>
+      val df = run(k)
+      val dblIdx = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType ==
+          org.apache.spark.sql.types.DoubleType => i
+      }
+      val rows = df.collect()
+      // SURVEY §2.9 rule (round 12): a final double carrying the
+      // 0x8000000000000000 bit pattern means an exact-cancellation zero
+      // escaped the `+ 0.0` normalizer — the sign is engine-merge-order
+      // dependent and the oracle hash gate will flake on it
+      rows.foreach { r =>
+        dblIdx.foreach { i =>
+          if (!r.isNullAt(i)) {
+            val bits = java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+            assert(bits != 0x8000000000000000L,
+              s"$k column ${df.schema(i).name} produced -0.0")
+          }
+        }
+      }
+      k -> rows.length.toLong
+    }.toMap
+    val counts = collected
     // queries over unfiltered base tables must be non-empty (q16 anti-join
     // and q03's IN-list can legitimately be empty at the smallest sf)
     val mustBeNonEmpty = counts.keys.filterNot(
