@@ -306,6 +306,13 @@ object ScaleProbe {
         // under token growth for the same reason
         "js_divergence_full" -> ((d: String) =>
           SparkEntry.queries("q167_js_divergence")(spark, d)),
+        // round 13: the exact KS statistic over the full events table —
+        // q180's distinct-VALUE runningAggMulti shape. Replicas grow
+        // rows ×mult at constant value domain, so the per-value
+        // conditional-count exchange and the cumulative range pass must
+        // stay value-bounded (~flat records); only the scan grows
+        "ks_test_full" -> ((d: String) =>
+          SparkEntry.queries("q180_ks_test")(spark, d)),
         "ivf_ann_full" -> ((d: String) => {
           val e = Tables.embeddings(spark, d)
           graft.operators.Ann.ivfSearch(
