@@ -57,8 +57,17 @@ object Live {
     * leaves a partial dir, and trusting the dir would skip the re-crawl
     * forever while the scheduler merged the partial data as a success
     * with silently missing rows. [[graft.ingest.RedditHttp.landPages]]
-    * drops the marker LAST and clears it FIRST, so marker-present ⇒
-    * every page file of that crawl is durable. */
+    * drops the marker LAST and clears it FIRST, so (against process
+    * crashes — see landPages' durability note) marker-present ⇒ every
+    * page file of that crawl was fully written before it.
+    *
+    * A date the LEDGER already settled (`success`/`failed`/`skipped`)
+    * is never re-crawled, marker or no marker (r13 ADVICE): landing
+    * dirs that predate the marker protocol — or lost their marker —
+    * were already merged, and re-crawling one would rewrite an
+    * IMMUTABLE replay input with later data while the lake keeps the
+    * original rows. Only genuinely unsettled dates (absent from the
+    * ledger, or recorded un-terminal) get the marker check. */
   def tick(spark: SparkSession, client: graft.ingest.RedditHttp,
            pagedRoot: String, lakePath: String, ledgerPath: String,
            now: Instant, catchup: Boolean, firstTick: Boolean,
@@ -67,7 +76,10 @@ object Live {
            maxAttempts: Int = 3): Seq[String] = {
     val latest = Scheduler.latestClosed(now).toString
     val dir = Paths.get(pagedRoot, latest)
-    if (!Files.exists(dir.resolve(graft.ingest.RedditHttp.SuccessMarker)))
+    val settled = Scheduler.readLedger(ledgerPath).get(latest).exists(e =>
+      e.status == "success" || e.status == "failed" || e.status == "skipped")
+    if (!settled &&
+        !Files.exists(dir.resolve(graft.ingest.RedditHttp.SuccessMarker)))
       client.landPages(dir.toString, subreddit, timeFilter, limit)
     Scheduler.tick(spark, pagedRoot, lakePath, ledgerPath, now, catchup,
       firstTick, retries, maxAttempts)

@@ -180,8 +180,14 @@ final class RedditHttp(baseUrl: String, authUrl: String,
     // incomplete (Live.tick re-crawls on a missing marker instead of
     // trusting bare directory existence — a partial dir merged as-is
     // would mark the date success with silently missing rows), and
-    // re-write it LAST after every page file is durable. The read path
-    // ignores `_`-prefixed files (PagedSource.listPages).
+    // re-write it LAST after every page file is written. Scope of the
+    // guarantee (r13 ADVICE): the delete-first/write-last ORDERING
+    // protects against PROCESS crashes only — plain Files.writeString
+    // carries no fsync, so a power loss or FS write reordering can
+    // persist the marker while page contents are lost; a deployment
+    // that must survive power failure should mount the landing root on
+    // a journaled-data filesystem or add force/sync channels here. The
+    // read path ignores `_`-prefixed files (PagedSource.listPages).
     java.nio.file.Files.deleteIfExists(d.resolve(RedditHttp.SuccessMarker))
     // the landing dir is IMMUTABLE input to the replayable pipeline: a
     // re-crawl that lands fewer pages must not leave the prior run's

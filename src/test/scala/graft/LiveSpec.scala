@@ -146,6 +146,39 @@ class LiveSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("Live.tick: a LEGACY landing dir (merged as success before the " +
+      "marker protocol, so no _SUCCESS) is NOT re-crawled — the ledger " +
+      "settles it, preserving the immutable-replay-input invariant " +
+      "(r13 ADVICE)") {
+    val (srv, base, hits) = startServer()
+    try {
+      val root = Files.createTempDirectory("graft_live_leg").toString
+      val lake = Files.createTempDirectory("graft_live_llake").toString + "/posts"
+      val ledgerDir = Files.createTempDirectory("graft_live_lled")
+      val ledger = ledgerDir.resolve("ledger.jsonl").toString
+      val now = Instant.parse("2024-03-12T09:00:00Z")
+      // a pre-marker-era dir: complete pages, merged, ledger says
+      // success — but NO _SUCCESS file (the protocol postdates it)
+      val dir = Paths.get(root, "2024-03-11")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("page-00000.jsonl"),
+        postJson("old1", 5) + "\n")
+      Scheduler.writeLedger(ledger,
+        Map("2024-03-11" -> Scheduler.Entry("2024-03-11", 1, "success")))
+      val ran = Live.tick(spark, client(base), root, lake, ledger, now,
+        catchup = false, firstTick = true, subreddit = "graft")
+      assert(ran.isEmpty, "a ledger-settled date owes nothing")
+      assert(hits.get() == 0,
+        "a ledger-settled date must never be re-crawled: the landing " +
+          "dir is immutable replay input for the already-merged lake")
+      // the replay input survives byte-identical
+      assert(Files.readString(dir.resolve("page-00000.jsonl"))
+        .contains("old1"))
+      assert(!Files.exists(dir.resolve("_SUCCESS")),
+        "tick must not synthesize markers it did not earn")
+    } finally srv.stop(0)
+  }
+
   test("Live daemon CLI: two consecutive ticks through the loopback " +
       "server via the CLI-shaped entry - one crawl, one no-op") {
     val (srv, base, hits) = startServer()

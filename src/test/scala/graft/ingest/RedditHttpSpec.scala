@@ -141,9 +141,15 @@ class RedditHttpSpec extends AnyFunSuite {
       val slept = collection.mutable.Buffer.empty[Long]
       val n = client(base, slept).landPages(dir, "graft", "day", limit = 10)
       assert(n == 3)
-      // pageSize=2 -> two page files, the exact landing layout
+      // pageSize=2 -> two page files, plus the crawl-complete marker
+      // dropped LAST (round 13's amended landing contract: `_SUCCESS`
+      // IS part of the layout — marker-present means every page file
+      // of this crawl was written before it)
       val files = new java.io.File(dir).listFiles().map(_.getName).sorted
-      assert(files.toSeq == Seq("page-00000.jsonl", "page-00001.jsonl"))
+      assert(files.toSeq ==
+        Seq("_SUCCESS", "page-00000.jsonl", "page-00001.jsonl"))
+      assert(files.head == "_SUCCESS",
+        "the completion marker must exist after a successful crawl")
       val cleansed = RedditIngest.fromPagedDir(spark, dir)
         .collect().map(r => r.getAs[String]("id") -> r).toMap
       assert(cleansed.keySet == Set("a1", "b2", "c3"))
@@ -177,12 +183,14 @@ class RedditHttpSpec extends AnyFunSuite {
       val n = client(base, slept).landPages(dir, "graft", "day", limit = 10)
       assert(n == 3)
       val files = new java.io.File(dir).listFiles().map(_.getName).sorted
-      assert(files.toSeq == Seq("notes.txt", "page-00000.jsonl",
+      assert(files.toSeq == Seq("_SUCCESS", "notes.txt", "page-00000.jsonl",
         "page-00001.jsonl"),
-        s"stale page files must be cleared, foreign files kept: ${files.toSeq}")
-      // the landing CONTRACT is page-files-only — the guard just must
-      // not be the one deleting foreign content; remove it before the
-      // replay read (graft-paged scans every file in the dir)
+        s"stale page files must be cleared, foreign files kept, and the " +
+          s"completion marker re-dropped last: ${files.toSeq}")
+      // the landing CONTRACT is page files + the `_SUCCESS` completion
+      // marker (round 13) — the re-crawl guard clears only its OWN page
+      // files and marker, never foreign content; remove notes.txt before
+      // the replay read (graft-paged scans every non-`_` file in the dir)
       java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "notes.txt"))
       val ids = RedditIngest.fromPagedDir(spark, dir)
         .collect().map(_.getAs[String]("id")).toSet
