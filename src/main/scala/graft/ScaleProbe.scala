@@ -313,6 +313,58 @@ object ScaleProbe {
         // stay value-bounded (~flat records); only the scan grows
         "ks_test_full" -> ((d: String) =>
           SparkEntry.queries("q180_ks_test")(spark, d)),
+        // round 14 (r13 verdict stretch): the two candidate-pair
+        // generators without a probe entry. Byte-identical replicas
+        // would conflate SEMANTIC dup-blowup (true duplicates pair
+        // quadratically — any correct generator must emit them) with
+        // plan regressions, so both probes salt each doc's text with
+        // its unique id-token: dup density stays constant, the
+        // realistic growth model. The rarest-shingle index then picks
+        // each doc's (now df~1) salt shingle, so candidates must track
+        // docs — shuffle ratio ≤ data ratio proves the index prunes.
+        "substring_dup_full" -> ((d: String) =>
+          graft.queries.CurationQueries.substringDupPairs(
+            Tables.documents(spark, d)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" u"),
+                  col("doc_id").cast("string")).as("text")))),
+        // the length-band join additionally spreads replica lengths
+        // across DISTINCT bands (replica r: n_chars + r*23, band width
+        // 20): corpus growth adds length DIVERSITY, so per-band
+        // population — and with it the band join's candidate volume —
+        // stays ~flat per band and linear overall. (With constant
+        // length distribution this generator is inherently quadratic
+        // within bands, which is exactly why q157's contract face runs
+        // it over a bounded verification set.)
+        "edit_distance_full" -> ((d: String) =>
+          graft.queries.CurationQueries.editDistancePairs(
+            Tables.documents(spark, d)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" u"),
+                  col("doc_id").cast("string")).as("text"),
+                (col("n_chars") +
+                  floor(col("doc_id") / lit(100000000L)) * 23)
+                  .as("n_chars")))),
+        // round 14: SemDeDup over the full embeddings table — the
+        // narrow assignment means the only data-sized exchange is the
+        // |corpus| min-id partial feed; replicas multiply cluster
+        // membership, reps stay |clusters|
+        "semantic_dedup_full" -> ((d: String) => {
+          val e = Tables.embeddings(spark, d)
+          graft.operators.Dedup.semanticAudit(
+            e.select("vec_id", "embedding"),
+            "vec_id", "embedding",
+            e.filter(col("vec_id") < 8)
+              .select(col("vec_id").as("cid"), col("embedding")),
+            "cid", "embedding")
+        }),
+        // round 14: BPE training over the full corpus — replicas keep
+        // the vocabulary CONSTANT while word counts grow ×mult, so
+        // every merge round's pair exchange must stay flat; only the
+        // one word-count aggregate sees token volume
+        "bpe_train_full" -> ((d: String) =>
+          graft.operators.TextPipeline.bpeTrain(
+            Tables.documents(spark, d), "doc_id", "text", merges = 8)),
         "ivf_ann_full" -> ((d: String) => {
           val e = Tables.embeddings(spark, d)
           graft.operators.Ann.ivfSearch(

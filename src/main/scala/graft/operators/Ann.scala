@@ -55,6 +55,42 @@ object Ann {
       .select(col(idCol), col("__best.cid").as(cidCol), col(vecOut))
   }
 
+  /** Narrow argmax-cosine assignment (round 14): the centroid frame
+    * collapses to ONE broadcast row carrying a cid-sorted array of
+    * (cid, vector) structs, and every corpus row picks its nearest
+    * centroid with a per-row `aggregate` fold — NO exchange, no n×K
+    * row inflation, no struct-max aggregate (the struct form demotes
+    * to SortAggregate and ships full vectors through the shuffle; this
+    * form keeps the whole assignment inside the scan's codegen stage).
+    *
+    * Tie semantics are [[ivfAssign]]'s exactly: the fold walks
+    * centroids in ascending cid with STRICT improvement, so equal
+    * similarities keep the smallest cid. Same output columns. Use this
+    * when downstream does NOT need the output pre-partitioned by id;
+    * [[ivfAssign]]'s exchange-based form remains for consumers that
+    * immediately aggregate per id. */
+  def assignNarrow(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String,
+                   vecOut: String = "__v"): DataFrame = {
+    val cRow = centroids
+      .select(struct(col(cidCol).cast("long").as("cid"),
+        Vectors.asDouble(col(cvecCol)).as("cv")).as("__c"))
+      .agg(sort_array(collect_list(col("__c"))).as("__cents"))
+    val init = struct(lit(Double.NegativeInfinity).as("sim"),
+      lit(Long.MaxValue).as("cid"))
+    val pick = aggregate(col("__cents"), init,
+      (acc, c) => {
+        val s = Vectors.cosine(col(vecOut), c.getField("cv"))
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    vectors
+      .select(col(idCol), Vectors.asDouble(col(vecCol)).as(vecOut))
+      .crossJoin(broadcast(cRow))
+      .select(col(idCol), pick.getField("cid").as(cidCol), col(vecOut))
+  }
+
   /** Sampled k-means centroid training for the IVF index — the
     * in-engine answer to "where do centroids come from". Spherical
     * (cosine) Lloyd iterations, built to the same discipline as
@@ -175,8 +211,12 @@ object Ann {
       val centDf = cents.zipWithIndex
         .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("cid", "__cv")
-      val assigned = ivfAssign(sampled, idCol, "__v", centDf, "cid", "__cv",
-        vecOut = "__v")
+      // round 14: the narrow per-row argmax replaces ivfAssign here —
+      // identical tie semantics, and the per-round |sample|-row argmax
+      // exchange disappears (the mean-update below partial-aggregates
+      // straight off the scan)
+      val assigned = assignNarrow(sampled, idCol, "__v", centDf, "cid",
+        "__cv", vecOut = "__v")
       // mean update: (cid, dimension) partial sums — k × dim per
       // partition cross the exchange, k × dim rows reach the driver
       val sums = assigned

@@ -759,4 +759,69 @@ object Dedup {
       .select(col("b").as("__id"))  // LeftAnti dedups; distinct = extra exchange
     corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup-style semantic dedup, assignment + audit face (round 14;
+    * the one dedup modality LSH can't reach: [[embeddingCosine]]'s
+    * sign-LSH bands catch near-IDENTICAL vectors, but paraphrases land
+    * in the same semantic REGION with differing sign patterns — the
+    * cluster-then-threshold family of Abbas et al., "SemDeDup" 2023,
+    * public arXiv:2303.09540).
+    *
+    * Shape: assign every vector to its nearest centroid by cosine
+    * ([[Ann.assignNarrow]] — a per-row fold over the one-row broadcast
+    * centroid array, NO exchange), elect the min-id member of each
+    * cluster as its representative (the only aggregation — its
+    * exchange carries |clusters| min-id partials), fetch the
+    * representatives' vectors from the ORIGINAL corpus with a
+    * broadcast join on rep_id, and score every member against its
+    * cluster's representative — exactly ONE cosine per member,
+    * candidates bounded by construction (never within-cluster
+    * all-pairs, never doc×doc). Centroids come from
+    * [[Ann.trainCentroids]] at scale; oracle-checked contracts pin them
+    * explicitly (q79's discipline — k-means centroid bits are
+    * merge-order-sensitive at the ulp level).
+    *
+    * 100-TB posture: ZERO corpus-sized exchanges — two column-pruned
+    * corpus scans (assignment feeding the audit and the rep election;
+    * rescanning narrow beats pinning a vector-carrying frame, q151's
+    * trade), a |clusters|-row aggregate, and two broadcasts of the
+    * |clusters|-row rep frame (k×dim doubles).
+    *
+    * Returns one row per corpus vector: `idCol`, `cid` (the centroid
+    * id column name from `centroids`), `rep_id`, `sim` (raw double
+    * cosine member↔representative; 1.0-ish for the representative
+    * itself). Callers decide the keep rule; [[semantic]] applies the
+    * standard one. */
+  def semanticAudit(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cidCol: String, cvecCol: String)
+      : DataFrame = {
+    val assigned = Ann.assignNarrow(corpus, idCol, vecCol,
+      centroids, cidCol, cvecCol, vecOut = "__v")
+    // |clusters|-row exchange: min-id partials combine map-side
+    val reps = assigned.groupBy(col(cidCol))
+      .agg(min(col(idCol)).as("rep_id"))
+    // rep vectors come from the ORIGINAL corpus via a broadcast of the
+    // |clusters|-row rep frame — never by re-aggregating the corpus
+    val repVecs = corpus
+      .select(col(idCol).as("rep_id"),
+        graft.functions.Vectors.asDouble(col(vecCol)).as("__rv"))
+      .join(broadcast(reps), Seq("rep_id"))
+    assigned.join(broadcast(repVecs), Seq(cidCol))
+      .select(col(idCol), col(cidCol), col("rep_id"),
+        graft.functions.Vectors.cosine(col("__v"), col("__rv")).as("sim"))
+  }
+
+  /** SemDeDup keep rule over [[semanticAudit]]: within each cluster the
+    * min-id representative always survives; any other member with
+    * cosine ≥ `threshold` to its representative drops. Returns the
+    * surviving corpus rows (all original columns). */
+  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cidCol: String, cvecCol: String,
+               threshold: Double): DataFrame = {
+    val dropped = semanticAudit(corpus, idCol, vecCol,
+        centroids, cidCol, cvecCol)
+      .filter(col(idCol) =!= col("rep_id") && col("sim") >= threshold)
+      .select(col(idCol))
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
 }

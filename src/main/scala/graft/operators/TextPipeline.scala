@@ -178,4 +178,140 @@ object TextPipeline {
         .when(nib <= 14, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Keep the FIRST occurrence of each distinct span in a span array,
+    * preserving order — the core of C4's intra-document line dedup
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2: "we discarded all but
+    * one of any three-sentence span occurring more than once"; the
+    * exact-unit form here is the deployed common case). Pure per-row
+    * HOF — for each position, membership in the strictly-earlier
+    * prefix decides — zero exchanges, embarrassingly parallel (q173's
+    * discipline). O(L²) equality checks per document over span COUNT
+    * L, which is tokens/span_len — cheap even for book-length docs. */
+  def dedupSpanList(spans: Column): Column =
+    filter(spans, (x, i) =>
+      array_position(slice(spans, lit(1), i), x) === 0L)
+
+  /** Intra-document repeated-span REMOVAL (round 14; the transform
+    * whose EFFECT q109's repetition metrics measure): split `text` on
+    * `delim`, drop every span that already occurred earlier in the
+    * same document, re-join with `delim`.
+    *
+    * Idempotent by construction: the output's spans are pairwise
+    * distinct AND the output re-splits on `delim` into exactly those
+    * spans (unit boundaries are intrinsic to the text, not positional),
+    * so a second pass keeps everything — clean(clean(x)) == clean(x).
+    * That property is why the unit is a delimiter-separated span and
+    * not a sliding n-gram window: removing one overlapping window
+    * splices new windows into existence and the rule never closes. */
+  def dedupSpans(text: Column, delim: String): Column =
+    array_join(
+      dedupSpanList(split(text, java.util.regex.Pattern.quote(delim))),
+      delim)
+
+  /** Boundary-delimited BPE symbol string for one word: `"__"` between
+    * and around every symbol (`batch` → `__b__a__t__c__h__`). The
+    * double boundary makes greedy merge application a plain string
+    * `replace`: pattern `_l__r_` → `_lr_` consumes one boundary char
+    * from each side, so adjacent matches in a run (`__a__a__a__a__`)
+    * still each see a full leading `_` — exactly BPE's leftmost-
+    * non-overlapping rule — while a symbol PREFIX or SUFFIX can never
+    * false-match (`l` is preceded by `_` and followed by `__` in the
+    * pattern; symbol interiors never touch boundary chars). Requires
+    * `'_' `-free symbols — [[bpeTrain]] filters such tokens out. */
+  private def bpeDelimited(wordRef: String): String =
+    s"concat('__', array_join(transform(sequence(1, length($wordRef)), " +
+      s"i -> substring($wordRef, i, 1)), '__'), '__')"
+
+  /** Distributed byte-pair-encoding vocabulary training (round 14;
+    * Sennrich et al. 2016, arXiv:1508.07909, over Gage 1994's pair
+    * compression): K merge rounds, each ONE vocabulary-bounded
+    * aggregate. Returns the merge table — (step, lhs, rhs, freq),
+    * `freq` the corpus-weighted adjacent-pair count at merge time;
+    * ties break by pair lexicographic (lhs, rhs), both faces.
+    *
+    * 100-TB posture: the CORPUS is touched exactly once (the word-count
+    * aggregate — partial-agg'd, exchange carries |vocab| rows per
+    * partition). Every merge round then runs over the distinct-word
+    * frame: the pair-count exchange carries at most |vocab|·max_word_len
+    * (symbol pairs of distinct words, partial-aggregated), the argmax is
+    * a 1-row TakeOrdered, and the merge application is a broadcast of
+    * that 1 row — never a corpus pass, never a collect of data. Each
+    * round's symbol frame is localCheckpoint-pinned (vocab-sized) so the
+    * K-deep lineage doesn't re-derive exponentially.
+    *
+    * Tokens containing the boundary char `'_'` are filtered out
+    * (deterministically, documented): callers with underscored tokens
+    * pre-map them. */
+  def bpeTrain(corpus: DataFrame, idCol: String, textCol: String,
+               merges: Int): DataFrame = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    val words = corpus
+      .select(explode(expr(TextHashes.toks(textCol))).as("w"))
+      .filter(!col("w").contains("_"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var syms = words
+      .select(col("w"), col("cnt"), expr(bpeDelimited("w")).as("s"))
+      .localCheckpoint(true)
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val pairs = syms
+        .select(col("cnt"),
+          expr("filter(split(s, '__'), x -> x != '')").as("sy"))
+        .filter(expr("size(sy) >= 2"))
+        .select(col("cnt"), col("sy"),
+          explode(expr("sequence(1, size(sy) - 1)")).as("i"))
+        .select(col("cnt"), expr("element_at(sy, i)").as("lhs"),
+          expr("element_at(sy, i + 1)").as("rhs"))
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("freq"))
+      val best = pairs
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint(true) // 1 row; reused by the table AND the apply
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        bests += best.withColumn("step", lit(r).cast("long"))
+        if (r < merges) syms = syms
+          .crossJoin(broadcast(
+            best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+          .select(col("w"), col("cnt"),
+            expr("replace(s, '_' || __l || '__' || __r || '_', " +
+              "'_' || __l || __r || '_')").as("s"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    require(bests.nonEmpty,
+      "bpeTrain: corpus yields no adjacent symbol pairs (empty corpus " +
+        "or single-char vocabulary)")
+    bests.reduce(_ union _)
+      .select(col("step"), col("lhs"), col("rhs"), col("freq"))
+      .orderBy(col("step"))
+  }
+
+  /** Apply a learned merge table: one row per distinct `'_'`-free token
+    * with its BPE symbol sequence (`symbols` array, merge steps applied
+    * in order). The merge table is K rows — driver metadata — so the
+    * application is a narrow per-row replace chain; concatenating
+    * `symbols` always round-trips to the original token (merges only
+    * ever JOIN adjacent symbols). */
+  def bpeSegment(corpus: DataFrame, idCol: String, textCol: String,
+                 mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.orderBy(col("step")).collect() // K rows: metadata
+    var s = corpus
+      .select(explode(expr(TextHashes.toks(textCol))).as("token"))
+      .filter(!col("token").contains("_"))
+      .distinct()
+      .select(col("token"), expr(bpeDelimited("token")).as("__s"))
+    ms.foreach { m =>
+      def q(v: String) = v.replace("'", "''")
+      val l = q(m.getAs[String]("lhs")); val rr = q(m.getAs[String]("rhs"))
+      s = s.withColumn("__s",
+        expr(s"replace(__s, '_${l}__${rr}_', '_$l${rr}_')"))
+    }
+    s.select(col("token"),
+      expr("filter(split(__s, '__'), x -> x != '')").as("symbols"))
+  }
 }

@@ -428,7 +428,7 @@ object CurationOracles {
       s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
       .mkString("\n  UNION ALL ")
     def nib(i: Int) =
-      s"(instr('0123456789abcdef', substr(md5('fold:' || CAST(cluster AS VARCHAR)), $i, 1)) - 1)"
+      s"(instr('0123456789abcdef', substr(md5('fold:' || CAST(cluster AS STRING)), $i, 1)) - 1)"
     s"""WITH RECURSIVE ${toksCte("WHERE doc_id < 100")},
        |$shCte,
        |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),

@@ -751,8 +751,14 @@ object CurationQueries {
     * pick is deterministic (min over a fixed encoding); the clamp
     * keeps the encoding overflow-free for any df up to 2³¹−1 and
     * merely widens the candidate set beyond it. */
-  def q151(s: SparkSession, d: String): DataFrame = {
-    val norm = documents(s, d)
+  def q151(s: SparkSession, d: String): DataFrame =
+    substringDupPairs(documents(s, d)).orderBy("contained", "container")
+
+  /** q151's body over ANY (doc_id, text) frame — extracted round 14 so
+    * the scale probe can drive the rarest-shingle index over a salted
+    * full corpus (constant dup density) without duplicating the shape. */
+  private[graft] def substringDupPairs(docsIn: DataFrame): DataFrame = {
+    val norm = docsIn
       .select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -769,7 +775,7 @@ object CurationQueries {
     // carries the identical shingle, so losslessness is untouched
     // (same argument as the df clamp below). A/B at sf0.1: 1.43 →
     // 1.17 s warm.
-    val index = documents(s, d)
+    val index = docsIn
       .select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -806,7 +812,6 @@ object CurationQueries {
         concat(lit(" "), col("a_norm"), lit(" "))) > 0)
       .select(col("a_id").as("contained"), col("b_id").as("container"),
         col("n_toks_contained"), col("n_toks_container"))
-      .orderBy("contained", "container")
   }
 
   /** q152 bigram-LM document scoring (the CCNet/Gopher quality-filter
@@ -864,8 +869,14 @@ object CurationQueries {
     * inequality join, so the hash gate proves the banding lossless
     * (a |Δlen| ≤ 20 pair always lands in an adjacent band: bands are
     * 20 wide). */
-  def q157(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).filter(col("doc_id") < 200)
+  def q157(s: SparkSession, d: String): DataFrame =
+    editDistancePairs(documents(s, d).filter(col("doc_id") < 200))
+      .orderBy("a", "b")
+
+  /** q157's body over ANY (doc_id, text, n_chars) frame — extracted
+    * round 14 for the scale probe (length-band population growth). */
+  private[graft] def editDistancePairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("text"), col("n_chars"),
         floor(col("n_chars") / 20).as("band"))
     val left = docs.select(col("doc_id").as("a"), col("text").as("ta"),
@@ -886,7 +897,6 @@ object CurationQueries {
       .select(col("a"), col("b"),
         levenshtein(col("ta"), col("tb"), 45).cast("long").as("lev"))
       .filter(col("lev") >= 0)
-      .orderBy("a", "b")
   }
 
   /** q158 conditional bigram entropy rate per language (round 11):

@@ -215,6 +215,93 @@ object PipelineOracles {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // q183 semantic dedup (SemDeDup): pinned pivot centroids vec_id < 8,
+  // argmax-cosine assignment (ties to the smallest cid — mirrors
+  // ivfAssign's (sim, -cid) struct-max), min-id representative per
+  // cluster, keep rule on the ROUNDED member↔rep similarity. `+ 0.0`
+  // after round per the §2.9 negative-zero rule.
+  private val q183 =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings
+       |  WHERE vec_id < 8),
+       |a AS (SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cos("embedding", "vc")} DESC, cid) AS rn
+       |  FROM embeddings CROSS JOIN c),
+       |asg AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+       |reps AS (SELECT cid, min(vec_id) AS rep_id FROM asg GROUP BY cid),
+       |rv AS (SELECT r.cid, r.rep_id, e.embedding AS rvec
+       |  FROM reps r JOIN asg e ON e.vec_id = r.rep_id),
+       |sc AS (SELECT m.vec_id, m.cid, r.rep_id,
+       |    round(${cos("m.embedding", "r.rvec")}, 4) AS rsim
+       |  FROM asg m JOIN rv r ON m.cid = r.cid)
+       |SELECT vec_id, cid, rep_id, rsim + 0.0 AS sim,
+       |  (vec_id = rep_id OR rsim < 0.35) AS kept
+       |FROM sc ORDER BY vec_id""".stripMargin
+
+  // q184 repeated-span removal: 2-token segmentation, first-occurrence
+  // keep via prefix membership (positions through generate_series —
+  // index LAMBDAS are 1-based in the oracle dialect but 0-based in
+  // Spark, so the shared text never uses them), dup_frac through the
+  // exact-integer floor idiom, cleaned text pinned by md5.
+  private val q184 =
+    s"""WITH ${toksCte("")},
+       |seg AS (SELECT doc_id,
+       |    list_transform(generate_series(1, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+       |      g -> array_to_string(array_slice(toks, (g-1)*2+1, (g-1)*2+2), ' ')) AS ls
+       |  FROM t),
+       |kept AS (SELECT doc_id, ls,
+       |    list_filter(list_transform(generate_series(1, len(ls)),
+       |        i -> CASE WHEN list_contains(array_slice(ls, 1, i - 1),
+       |                 list_extract(ls, i))
+       |             THEN NULL ELSE list_extract(ls, i) END),
+       |      x -> x IS NOT NULL) AS kls
+       |  FROM seg)
+       |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_spans,
+       |  CAST(len(kls) AS BIGINT) AS n_kept,
+       |  floor((len(ls) - len(kls)) * 10000.0 / len(ls)) / 10000.0 AS dup_frac,
+       |  md5(array_to_string(kls, chr(10))) AS clean_md5
+       |FROM kept ORDER BY doc_id""".stripMargin
+
+  // q185 BPE merge-table training: the 8 merge rounds unrolled as CTE
+  // blocks — each round recounts adjacent symbol pairs over the
+  // boundary-delimited word forms (weighted by corpus word count),
+  // picks the (freq DESC, lhs, rhs) argmax, and applies the merge via
+  // plain string replace on the `_l__r_` → `_lr_` pattern (greedy
+  // leftmost-non-overlapping, exactly the builder's rule).
+  private val q185: String = {
+    val delim = "'__' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> substr(w, i, 1)), '__') || '__'"
+    val rounds = (1 to 8).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt, list_extract(sy, i) AS lhs,
+         |      list_extract(sy, i + 1) AS rhs FROM (
+         |      SELECT cnt, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+         |      FROM (SELECT cnt,
+         |          list_filter(string_split(s, '__'), x -> x <> '') AS sy
+         |        FROM $prev) z1
+         |      WHERE len(sy) >= 2) z2) z3
+         |  GROUP BY lhs, rhs),
+         |b$r AS (SELECT lhs, rhs, freq FROM p$r
+         |  ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |s$r AS (SELECT w, cnt,
+         |    replace(s, '_' || b.lhs || '__' || b.rhs || '_',
+         |      '_' || b.lhs || b.rhs || '_') AS s
+         |  FROM $prev CROSS JOIN b$r b)"""
+    }.mkString(",\n")
+    val sel = (1 to 8)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS tok FROM documents) q
+       |  WHERE NOT contains(tok, '_') GROUP BY tok),
+       |s0 AS (SELECT w, cnt, $delim AS s FROM w0),
+       |$rounds
+       |$sel
+       |ORDER BY step""".stripMargin
+  }
+
   private val q71 =
     s"""WITH ${toksCte("WHERE doc_id < 100")},
        |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
@@ -569,6 +656,9 @@ object PipelineOracles {
     "q58_dedup_corpus"   -> q58,
     "q59_simhash_near"   -> q59,
     "q60_embed_dedup"    -> q60,
+    "q183_semantic_dedup" -> q183,
+    "q184_span_scrub"     -> q184,
+    "q185_bpe_train"      -> q185,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

@@ -891,4 +891,77 @@ object PipelineQueries {
         (floor(col("cum") * 10000.0 / col("n")) / 10000.0).as("coverage"))
       .orderBy("k")
   }
+
+  /** q183 semantic dedup (SemDeDup, Abbas et al. 2023 arXiv:2303.09540
+    * — the dedup modality sign-LSH can't reach: paraphrases share a
+    * semantic REGION, not a sign pattern):
+    * [[graft.operators.Dedup.semanticAudit]] over the full embeddings
+    * table — cluster-assign (argmax cosine), min-id representative per
+    * cluster, drop members with cosine ≥ 0.35 to their representative
+    * (the corpus's observed similarity tail — 6 drops at sf0.001, 8 at
+    * sf0.01, so the keep rule is exercised at every verify SF). One row
+    * per vector: (vec_id, cid, rep_id, sim, kept). Centroids are the 8
+    * pinned pivot vectors vec_id < 8 — q79's discipline: k-means
+    * centroid bits are merge-order-sensitive at the ulp level, so the
+    * ORACLE contract pins them; [[graft.operators.Ann.trainCentroids]]
+    * supplies them at scale (SemanticDedupSpec proves that
+    * composition). The keep rule compares the ROUNDED similarity so
+    * float formatting can't flutter the gate; `+ 0.0` normalizes a
+    * possible −0.0 at the exact-orthogonality boundary (§2.9 rule). */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    graft.operators.Dedup.semanticAudit(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        cents, "cid", "embedding")
+      .withColumn("rsim", round(col("sim"), 4))
+      .select(col("vec_id"), col("cid"), col("rep_id"),
+        (col("rsim") + 0.0).as("sim"),
+        (col("vec_id") === col("rep_id") || col("rsim") < 0.35).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** q184 intra-document repeated-span removal (C4's rule, Raffel et
+    * al. 2020 arXiv:1910.10683 §2.2 — the TRANSFORM whose effect q109
+    * only measures): segment each document into consecutive 2-token
+    * spans (this corpus has no intrinsic line breaks; 2 tokens is the
+    * span length at which the synthetic generator's repetitions
+    * actually recur — 174 docs carry a duplicate at sf0.001), keep the
+    * first occurrence of each distinct span
+    * ([[graft.operators.TextPipeline.dedupSpanList]]), and emit the
+    * cleaned document as an md5 digest plus the span census. Narrow
+    * per-row HOF chain end-to-end (q173's discipline) — zero
+    * exchanges before the contract sort. dup_frac is a ratio of exact
+    * integers → the floor idiom (§2.9). */
+  def q184(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .withColumn("ls", expr(
+        """transform(sequence(1, cast(ceil(size(toks) / 2.0) as bigint)),
+          |  g -> array_join(slice(toks, cast((g-1)*2+1 as int), 2), ' '))"""
+          .stripMargin))
+      .withColumn("kls",
+        graft.operators.TextPipeline.dedupSpanList(col("ls")))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_spans"),
+        size(col("kls")).cast("long").as("n_kept"),
+        (floor((size(col("ls")) - size(col("kls"))) * 10000.0 /
+          size(col("ls"))) / 10000.0).as("dup_frac"),
+        md5(array_join(col("kls"), "\n")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** q185 distributed BPE vocabulary training
+    * ([[graft.operators.TextPipeline.bpeTrain]], Sennrich et al. 2016
+    * arXiv:1508.07909): 8 merge rounds over the corpus vocabulary —
+    * the corpus is aggregated ONCE into word counts; every round is a
+    * vocabulary-bounded pair-count aggregate, a 1-row argmax
+    * (ties by pair lexicographic), and a broadcast merge application.
+    * Output: the merge table (step, lhs, rhs, freq) — the DETERMINISTIC
+    * artifact a tokenizer replays; the oracle replays the identical 8
+    * rounds as unrolled CTE blocks. */
+  def q185(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.bpeTrain(
+      documents(s, d), "doc_id", "text", merges = 8)
 }

@@ -373,4 +373,85 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors(1000) == survivors(Int.MaxValue),
       "capped and cap-free dedup must keep the same documents")
   }
+
+  test("semanticAudit composed with trainCentroids matches a scalar " +
+      "brute-force SemDeDup: assignment, representatives, similarities") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", k = 4, iters = 3)
+    val audit = Dedup.semanticAudit(e, "vec_id", "embedding",
+        cents, "cid", "embedding")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // scalar reference over the SAME centroids (collected — k x dim)
+    val cs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val vs = e.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val refAssign = vs.map { case (id, v) =>
+      id -> cs.toSeq.map { case (cid, c) => (cos(v, c), -cid, cid) }
+        .max._3
+    }
+    val refReps = refAssign.groupBy(_._2).map { case (cid, m) =>
+      cid -> m.keys.min
+    }
+    assert(audit.keySet == vs.keySet, "one audit row per vector")
+    audit.foreach { case (id, (cid, repId, sim)) =>
+      assert(cid == refAssign(id), s"vec $id assigned to $cid, " +
+        s"reference says ${refAssign(id)}")
+      assert(repId == refReps(cid), s"cluster $cid rep $repId != " +
+        s"reference min-id ${refReps(cid)}")
+      assert(math.abs(sim - cos(vs(id), vs(repId))) < 1e-12,
+        s"vec $id sim to rep drifts")
+    }
+  }
+
+  test("semantic keep rule on controlled geometry: scaled same-direction " +
+      "members drop (cosine scale-invariance), min-id reps survive, " +
+      "orthogonal clusters never cross-contaminate") {
+    import spark.implicits._
+    // two orthogonal directions; ids 2 and 4 are scaled copies (cos = 1)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
+      (2L, Seq(1.5f, 0.0f, 0.15f, 0.0f)), // 1.5 x vector 1 -> sim 1 to rep 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.1f)),
+      (4L, Seq(0.0f, 2.0f, 0.0f, 0.2f)), // 2 x vector 3 -> sim 1 to rep 3
+      (5L, Seq(0.0f, 1.0f, 0.0f, 0.9f)) // same half-space as 3, sim < .95
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(corpus, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val kept = Dedup.semantic(corpus, "vec_id", "embedding",
+        cents, "cid", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"expected scaled members 2 and 4 to drop, got survivors $kept")
+    // audit consistency on the REAL corpus: survivors are exactly the
+    // audit's under-threshold members plus representatives
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val rcents = Ann.trainCentroids(e, "vec_id", "embedding", k = 4, iters = 3)
+    val audit = Dedup.semanticAudit(e, "vec_id", "embedding",
+        rcents, "cid", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val keptReal = Dedup.semantic(e, "vec_id", "embedding",
+        rcents, "cid", "embedding", threshold = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectDrop = audit
+      .filter(a => a._1 != a._2 && a._3 >= 0.35).map(_._1).toSet
+    assert(keptReal == audit.map(_._1).toSet -- expectDrop,
+      "survivors must be exactly corpus minus over-threshold members")
+    assert(audit.map(_._2).toSet.subsetOf(keptReal),
+      "every representative survives")
+  }
 }
