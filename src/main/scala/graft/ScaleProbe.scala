@@ -365,6 +365,14 @@ object ScaleProbe {
         "bpe_train_full" -> ((d: String) =>
           graft.operators.TextPipeline.bpeTrain(
             Tables.documents(spark, d), "doc_id", "text", merges = 8)),
+        // round 14: DSIR weights over the full corpus — the one
+        // data-sized exchange is the (doc, bucket≤256) partial-agg
+        // frame, so shuffle records must track docs (ratio ≤ data
+        // ratio); the 256-row marginals/log-ratio stages are flat
+        "dsir_weights_full" -> ((d: String) =>
+          graft.operators.TextPipeline.dsirLogWeights(
+            Tables.documents(spark, d), "doc_id", "text",
+            isTarget = col("lang") === "en")),
         "ivf_ann_full" -> ((d: String) => {
           val e = Tables.embeddings(spark, d)
           graft.operators.Ann.ivfSearch(

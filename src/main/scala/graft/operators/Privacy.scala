@@ -31,6 +31,10 @@ object Privacy {
   /** NNN-NNN-NNNN (US-style dashed), word-bounded. */
   val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** 16-digit card-number CANDIDATE (word-bounded run) — reportable
+    * PII only after the Luhn checksum validates it (q191's gate). */
+  val CardPattern = "\\b[0-9]{16}\\b"
+
   val EmailToken = "<EMAIL>"
   val IpToken    = "<IP>"
   val PhoneToken = "<PHONE>"

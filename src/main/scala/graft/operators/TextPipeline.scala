@@ -314,4 +314,75 @@ object TextPipeline {
     s.select(col("token"),
       expr("filter(split(__s, '__'), x -> x != '')").as("symbols"))
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public arXiv:2302.03169 §3): score every raw document by how much
+    * more likely its hashed n-gram features are under a TARGET
+    * distribution than under the raw pool — the standard
+    * quality-targeted selection signal (sample ∝ exp(logw) picks
+    * target-like documents).
+    *
+    * Features are unigrams + adjacent bigrams of the whitespace
+    * tokenization, hashed into 256 buckets via the first two md5
+    * nibbles (portable across engines — the same instr-on-hex idiom as
+    * every other hash here). Bucket distributions are Laplace-smoothed
+    * (+1 per bucket over the 256-bucket domain); the per-document
+    * weight is `logw = Σ_b cnt_b(doc) · [ln p̂_b − ln q̂_b]` where p̂ is
+    * the target (rows matching `isTarget`) and q̂ the raw pool.
+    *
+    * 100-TB posture: one narrow explode feeds ONE (doc, bucket)
+    * partial-aggregated count frame (≤ 256 rows per doc crossing the
+    * exchange); bucket marginals re-aggregate THAT frame (256-row
+    * result), and the per-doc weight is a broadcast join of the
+    * 256-row log-ratio table back onto the same frame — the corpus is
+    * scanned once, and no exchange carries more than docs × 256 rows.
+    *
+    * Returns (idCol, n_feats, logw) with `logw` the raw double —
+    * query faces round; sums of ln terms follow the §2.9 round-4 rule
+    * there, not here. */
+  def dsirLogWeights(corpus: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column): DataFrame = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(__f), $i, 1)) - 1)"
+    val feats = corpus
+      .select(col(idCol), isTarget.as("__tgt"),
+        expr(TextHashes.toks(textCol)).as("__toks"))
+      // unigrams ++ adjacent bigrams; the zip_with over two shifted
+      // slices stays empty-safe for 0/1-token docs (greatest clamps the
+      // slice length at 0; Spark's sequence() would run DESCENDING on
+      // n-1 < 1 and fabricate bigrams)
+      .select(col(idCol), col("__tgt"),
+        explode(concat(col("__toks"), expr(
+          """zip_with(
+            |  slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+            |  slice(__toks, 2, greatest(size(__toks) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin))).as("__f"))
+      .select(col(idCol), col("__tgt"),
+        expr(s"${nib(1)} * 16 + ${nib(2)}").as("__b"))
+    // the ONE data-sized aggregate: (doc, bucket) occurrence counts
+    val perDoc = feats
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // bucket marginals from the per-doc frame (never a second corpus
+    // pass); buckets absent from the target keep an explicit 0 so the
+    // smoothing sees the full 256 domain
+    val raw = perDoc.groupBy(col("__b")).agg(sum(col("__cnt")).as("__r"))
+    val tgt = perDoc.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(sum(col("__cnt")).as("__t"))
+    val marg = raw.join(tgt, Seq("__b"), "left").na.fill(0L, Seq("__t"))
+    val tots = marg.agg(sum(col("__t")).as("__tTot"),
+      sum(col("__r")).as("__rTot"))
+    // ONE correctly-rounded division + ln per side (q180's discipline):
+    // exact-long numerators, the +256.0 denominator promotes to double
+    val lr = marg.crossJoin(broadcast(tots))
+      .select(col("__b"),
+        (log((col("__t") + lit(1L)) / (col("__tTot") + lit(256.0))) -
+          log((col("__r") + lit(1L)) / (col("__rTot") + lit(256.0))))
+          .as("__lr"))
+    perDoc.join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_feats"),
+        sum(col("__cnt") * col("__lr")).as("logw"))
+  }
 }

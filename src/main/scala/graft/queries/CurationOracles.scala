@@ -130,12 +130,16 @@ object CurationOracles {
       |  round(quantile_cont(n_tok, 0.75), 4) AS p75_tok
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
-  private val q113 = {
+  // The shared near-dup cluster-label CTE chain (doc_id < 100 corpus:
+  // minhash band candidates, exact Jaccard verify at 0.8, recursive
+  // reachability, min-member labels) — q113 reads the labels, q189 adds
+  // the two-phase quality argmax on top.
+  private val ccCtes = {
     val mins = (0 until 8).map(j => s"min(md5('$j:' || s)) AS m$j").mkString(", ")
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS key FROM m")
       .mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE ${toksCte("WHERE doc_id < 100")},
+    s"""${toksCte("WHERE doc_id < 100")},
        |$shCte,
        |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bk AS ($bandSelects),
@@ -159,12 +163,33 @@ object CurationOracles {
        |  SELECT u, v FROM sym
        |  UNION
        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-       |lbl AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u)
-       |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
-       |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
-       |LEFT JOIN lbl l ON l.u = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |lbl AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+       |labeled AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster
+       |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 100) d
+       |  LEFT JOIN lbl l ON l.u = d.doc_id)""".stripMargin
   }
+
+  private val q113 =
+    s"""WITH RECURSIVE $ccCtes
+       |SELECT doc_id, cluster FROM labeled
+       |ORDER BY doc_id""".stripMargin
+
+  // q189 = the cluster labels + the two-phase quality argmax (max
+  // n_chars per cluster, then min doc_id among the maxima) — the same
+  // two hash-aggregate passes the Spark face runs.
+  private val q189 =
+    s"""WITH RECURSIVE $ccCtes,
+       |best AS (SELECT cluster, max(n_chars) AS best_chars
+       |  FROM labeled GROUP BY cluster),
+       |rep AS (SELECT labeled.cluster, min(doc_id) AS rep_id
+       |  FROM labeled JOIN best ON labeled.cluster = best.cluster
+       |    AND labeled.n_chars = best.best_chars
+       |  GROUP BY labeled.cluster)
+       |SELECT doc_id, labeled.cluster, rep_id, doc_id = rep_id AS keep
+       |FROM labeled JOIN rep ON labeled.cluster = rep.cluster
+       |ORDER BY doc_id""".stripMargin
 
   private val q114 =
     s"""WITH ${toksCte("")},
@@ -554,6 +579,7 @@ object CurationOracles {
     "q117_winsorize"      -> q117,
     "q118_minhash_est"    -> q118,
     "q113_cc_clusters"    -> q113,
+    "q189_keep_best"      -> q189,
     "q114_bigram_pmi"     -> q114,
     "q115_ann_recall"     -> q115,
     "q106_bucket_join"    -> q106,

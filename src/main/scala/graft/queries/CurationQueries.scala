@@ -930,4 +930,44 @@ object CurationQueries {
       .select(col("lang"), col("n").as("n_bigrams"), col("h_rate"))
       .orderBy("lang")
   }
+
+  /** q189 quality-canonical dedup survivors (round 14): q113's near-dup
+    * families re-labeled with the representative REAL pipelines keep —
+    * the highest-quality member (longest text, `n_chars`; ties to the
+    * smallest doc_id), not the arbitrary min-id. Dropping the shorter
+    * members of a dup family keeps the fullest copy of the content
+    * (truncated scrapes, elided quotes), which min-id selection gets
+    * wrong whenever the truncated copy happens to carry the smaller id.
+    *
+    * Scale shape: q113's machinery end-to-end (band-key candidates,
+    * exact verify, delta-CC), then TWO cluster-keyed hash aggregates —
+    * max quality per cluster, then min doc_id among the maxima — both
+    * partial-aggregated and cluster-bounded. The argmax is deliberately
+    * two-pass instead of a `max_by(id, struct(quality, -id))`: a struct
+    * ordering key demotes the aggregate to its sort-based fallback,
+    * while paired LONG aggregates stay in HashAggregate (the q151
+    * encode rule). */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars"))
+    val edges = graft.operators.Dedup.minhashEdges(
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", threshold = 0.8,
+      maxBucketSize = Int.MaxValue) // q113's cap-free gate
+    val labeled = docs
+      .join(graft.operators.Dedup.connectedComponents(edges)
+        .toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"))
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(col("n_chars")).as("best_chars"))
+    val rep = labeled.join(best, "cluster")
+      .filter(col("n_chars") === col("best_chars"))
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("rep_id"))
+    labeled.join(rep, "cluster")
+      .select(col("doc_id"), col("cluster"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -268,7 +268,11 @@ object PipelineOracles {
   // picks the (freq DESC, lhs, rhs) argmax, and applies the merge via
   // plain string replace on the `_l__r_` → `_lr_` pattern (greedy
   // leftmost-non-overlapping, exactly the builder's rule).
-  private val q185: String = {
+  // The shared 8-round BPE CTE chain (w0 word counts, s0 delimited
+  // forms, per round r: p$r pair counts → b$r argmax → s$r applied) —
+  // q185 reads the merge table (b1..b8), q186 reads the final symbol
+  // state (s8).
+  private val bpeCtes: String = {
     val delim = "'__' || array_to_string(list_transform(" +
       "generate_series(1, length(w)), i -> substr(w, i, 1)), '__') || '__'"
     val rounds = (1 to 8).map { r =>
@@ -289,18 +293,119 @@ object PipelineOracles {
          |      '_' || b.lhs || b.rhs || '_') AS s
          |  FROM $prev CROSS JOIN b$r b)"""
     }.mkString(",\n")
-    val sel = (1 to 8)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, freq FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+    s"""w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
        |      x -> x <> '')) AS tok FROM documents) q
        |  WHERE NOT contains(tok, '_') GROUP BY tok),
        |s0 AS (SELECT w, cnt, $delim AS s FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val q185: String = {
+    val sel = (1 to 8)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$sel
        |ORDER BY step""".stripMargin
   }
+
+  // q186 BPE encode: the SAME 8 merge rounds, read at the final symbol
+  // state — one row per distinct '_'-free token with its segmentation.
+  private val q186 =
+    s"""WITH $bpeCtes
+       |SELECT w AS token, CAST(len(sy) AS BIGINT) AS n_symbols,
+       |  array_to_string(sy, ' ') AS segmented
+       |FROM (SELECT w, list_filter(string_split(s, '__'), x -> x <> '') AS sy
+       |  FROM s8) z
+       |ORDER BY token""".stripMargin
+
+  // q193 tokenizer fertility: the SAME 8 merge rounds read at s8, a
+  // per-(lang, token) frequency CTE, corpus-weighted symbols-per-token
+  // and chars-per-symbol; floor idiom on the exact-integer ratios.
+  private val q193 =
+    s"""WITH $bpeCtes,
+       |seg AS (SELECT w AS token,
+       |    CAST(len(list_filter(string_split(s, '__'), x -> x <> ''))
+       |      AS BIGINT) AS nsym,
+       |    CAST(length(w) AS BIGINT) AS nchr
+       |  FROM s8),
+       |tf AS (SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT lang, unnest(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS tok FROM documents) q
+       |  WHERE NOT contains(tok, '_') GROUP BY lang, tok),
+       |ag AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+       |    CAST(sum(f * nsym) AS BIGINT) AS tot_sym,
+       |    CAST(sum(f * nchr) AS BIGINT) AS tot_chr
+       |  FROM tf JOIN seg ON seg.token = tf.token GROUP BY lang)
+       |SELECT lang, n_tokens,
+       |  floor(tot_sym * 10000.0 / n_tokens) / 10000.0 AS fertility,
+       |  floor(tot_chr * 10000.0 / tot_sym) / 10000.0 AS chars_per_symbol
+       |FROM ag ORDER BY lang""".stripMargin
+
+  // q187 DSIR importance weights: unigram+bigram features hashed into
+  // 256 buckets by two md5 nibbles, Laplace-smoothed target (lang='en')
+  // vs raw bucket distributions, per-doc Σ cnt·(ln p̂ − ln q̂). Exact
+  // integer numerators, ONE division + ln per side (q180's discipline);
+  // round-4 + 0.0 on the cancellable sum (§2.9).
+  private val q187 = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(f), $i, 1)) - 1)"
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |ug AS (SELECT doc_id, tgt, unnest(toks) AS f FROM t),
+       |bgix AS (SELECT doc_id, tgt, toks,
+       |    unnest(generate_series(1, len(toks) - 1)) AS i
+       |  FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT doc_id, tgt,
+       |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS f
+       |  FROM bgix),
+       |fe AS (SELECT doc_id, tgt, f FROM ug
+       |  UNION ALL SELECT doc_id, tgt, f FROM bg),
+       |bk AS (SELECT doc_id, tgt, ${nib(1)} * 16 + ${nib(2)} AS b FROM fe),
+       |db AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY doc_id, tgt, b),
+       |raw AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r FROM db GROUP BY b),
+       |tg AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM db
+       |  WHERE tgt GROUP BY b),
+       |marg AS (SELECT raw.b, raw.r, coalesce(tg.tc, 0) AS tc
+       |  FROM raw LEFT JOIN tg ON raw.b = tg.b),
+       |tots AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+       |    CAST(sum(r) AS BIGINT) AS rt FROM marg),
+       |lr AS (SELECT b, ln((tc + 1) / (tt + 256.0)) -
+       |    ln((r + 1) / (rt + 256.0)) AS lr FROM marg CROSS JOIN tots)
+       |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_feats,
+       |  round(sum(db.cnt * lr.lr), 4) + 0.0 AS logw
+       |FROM db JOIN lr ON db.b = lr.b
+       |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+  }
+
+  // q190 cross-source vocabulary Jaccard: distinct (source, token)
+  // pairs once, token-keyed self-join for intersections, |sources|-row
+  // size table self-joined for all-pair completeness; floor idiom on
+  // the exact-integer ratio.
+  private val q190 =
+    """WITH vs AS (SELECT DISTINCT source, unnest(
+      |    list_distinct(list_filter(string_split(trim(text), ' '),
+      |      x -> x <> ''))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+      |  FROM vs GROUP BY source),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM vs a JOIN vs b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT x.source AS src_a, y.source AS src_b,
+      |    x.nv AS nv_a, y.nv AS nv_b
+      |  FROM sizes x JOIN sizes y ON x.source < y.source)
+      |SELECT p.src_a, p.src_b, nv_a, nv_b,
+      |  coalesce(n_shared, 0) AS n_shared,
+      |  floor(coalesce(n_shared, 0) * 10000.0 /
+      |    (nv_a + nv_b - coalesce(n_shared, 0))) / 10000.0 AS jaccard
+      |FROM pairs p LEFT JOIN inter i
+      |  ON p.src_a = i.src_a AND p.src_b = i.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
 
   private val q71 =
     s"""WITH ${toksCte("WHERE doc_id < 100")},
@@ -659,6 +764,10 @@ object PipelineOracles {
     "q183_semantic_dedup" -> q183,
     "q184_span_scrub"     -> q184,
     "q185_bpe_train"      -> q185,
+    "q186_bpe_encode"     -> q186,
+    "q187_dsir_weights"   -> q187,
+    "q190_vocab_overlap"  -> q190,
+    "q193_bpe_fertility"  -> q193,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

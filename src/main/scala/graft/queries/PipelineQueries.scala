@@ -964,4 +964,127 @@ object PipelineQueries {
   def q185(s: SparkSession, d: String): DataFrame =
     graft.operators.TextPipeline.bpeTrain(
       documents(s, d), "doc_id", "text", merges = 8)
+
+  /** q186 BPE encode with the learned merges
+    * ([[graft.operators.TextPipeline.bpeSegment]]): train the q185
+    * 8-round merge table, then segment every distinct `'_'`-free token
+    * of the corpus with it — the round-trip face of the tokenizer story
+    * (symbols always concatenate back to the token;
+    * TextPipelineSpec pins the property, this query pins the exact
+    * segmentation against the oracle's replayed replace chain). The
+    * merge table is K=8 rows of driver metadata, so the application is
+    * a narrow per-row replace chain over the |vocab|-row distinct-token
+    * frame — the corpus-sized work is q185's one word-count
+    * aggregate. */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val table = graft.operators.TextPipeline.bpeTrain(
+      docs, "doc_id", "text", merges = 8)
+    graft.operators.TextPipeline.bpeSegment(docs, "doc_id", "text", table)
+      .select(col("token"),
+        size(col("symbols")).cast("long").as("n_symbols"),
+        array_join(col("symbols"), " ").as("segmented"))
+      .orderBy("token")
+  }
+
+  /** q187 DSIR importance weights
+    * ([[graft.operators.TextPipeline.dsirLogWeights]], Xie et al. 2023
+    * arXiv:2302.03169): hashed-n-gram log importance of every document
+    * against the English subcorpus as the target distribution — the
+    * quality-targeted selection signal. `logw` is a sum of ln terms →
+    * the §2.9 round-4 rule, and it is CANCELLABLE (target-like and
+    * pool-like features offset), so both faces ride `+ 0.0` to
+    * normalize a possible −0.0 at the rounding boundary. */
+  def q187(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.dsirLogWeights(
+        documents(s, d), "doc_id", "text", isTarget = col("lang") === "en")
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("logw"), 4) + 0.0).as("logw"))
+      .orderBy("doc_id")
+
+  /** q190 cross-source vocabulary overlap (round 14): exact Jaccard of
+    * the distinct-token vocabularies of every source pair — the
+    * mirror-site / shared-scraper detector that runs BEFORE expensive
+    * per-document dedup (two sources with Jaccard ≈ 1 are the same
+    * crawl twice; a source pair at ≈ 0 across the same language is a
+    * domain split worth preserving in the mixture).
+    *
+    * Scale shape: the corpus collapses ONCE into distinct
+    * (source, token) pairs — a vocabulary×|sources|-bounded hash
+    * aggregate fed by a narrow per-doc `array_distinct` explode. The
+    * intersection is a token-keyed self-join of that frame (UNHINTED —
+    * q114's rule: a natural-language vocabulary broadcasts under AQE,
+    * an id-domain one must be allowed to shuffle), partial-aggregated
+    * to |sources|² cells; per-source sizes re-aggregate the same frame.
+    * All-pair completeness (zero-overlap pairs included) comes from the
+    * |sources|-row size table joined to itself, never from the corpus.
+    * Jaccard is a ratio of exact integers → the floor idiom, identical
+    * double ops both faces. */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    val vs = documents(s, d)
+      .select(col("source"),
+        expr(s"array_distinct(${graft.operators.TextHashes.toks("text")})")
+          .as("toks"))
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .distinct()
+    val sizes = vs.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = vs.select(col("source").as("src_a"), col("tok"))
+      .join(vs.select(col("source").as("src_b"), col("tok").as("tok_b")),
+        col("tok") === col("tok_b") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("source").as("src_a"), col("nv").as("nv_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nv_b")),
+        col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        col("n_shared"),
+        (floor(col("n_shared") * 10000.0 /
+          (col("nv_a") + col("nv_b") - col("n_shared"))) / 10000.0)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q193 tokenizer fertility per language (round 14): corpus-weighted
+    * symbols-per-token and chars-per-symbol under q185's learned BPE
+    * merges — THE acceptance metric for a tokenizer (a language whose
+    * fertility stays near its character count is under-served by the
+    * merge budget and will burn sequence length; the standard
+    * cross-lingual tokenizer-equity audit). Completes the tokenizer
+    * story: q185 trains, q186 encodes, q193 grades the encoding.
+    *
+    * Scale shape: q185's vocabulary-bounded training + q186's
+    * vocab-frame segmentation, plus ONE per-(lang, token) count
+    * aggregate (vocabulary×|langs|-bounded, partial-agg'd — token
+    * volume appears only in the narrow explode) joined to the
+    * segmentation on the token key (vocab-sized both sides, unhinted —
+    * q114's rule). Fertility ratios are exact-integer ratios → the
+    * floor idiom, identical double ops both faces. */
+  def q193(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val table = graft.operators.TextPipeline.bpeTrain(
+      docs, "doc_id", "text", merges = 8)
+    val seg = graft.operators.TextPipeline
+      .bpeSegment(docs, "doc_id", "text", table)
+      .select(col("token"),
+        size(col("symbols")).cast("long").as("nsym"),
+        length(col("token")).cast("long").as("nchr"))
+    val tf = docs
+      .select(col("lang"),
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("token"))
+      .filter(!col("token").contains("_"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("f"))
+    tf.join(seg, "token")
+      .groupBy(col("lang"))
+      .agg(sum(col("f")).as("n_tokens"),
+        sum(col("f") * col("nsym")).as("tot_sym"),
+        sum(col("f") * col("nchr")).as("tot_chr"))
+      .select(col("lang"), col("n_tokens"),
+        (floor(col("tot_sym") * 10000.0 / col("n_tokens")) / 10000.0)
+          .as("fertility"),
+        (floor(col("tot_chr") * 10000.0 / col("tot_sym")) / 10000.0)
+          .as("chars_per_symbol"))
+      .orderBy("lang")
+  }
 }

@@ -56,7 +56,45 @@ object PrivacyOracles {
        |  CAST(sum(n_phone) AS BIGINT) AS total_phone
        |FROM det GROUP BY source ORDER BY source""".stripMargin
 
+  // q191 Luhn-validated card detection. The plant (15 doc_id-derived
+  // digits + a check digit that is Luhn-correct only on doc_id%8=0)
+  // and the per-candidate validation fold mirror PrivacyQueries.q191
+  // term-for-term; `list_sum` is integer-exact here (≤ 16·9) and is
+  // cast to BIGINT before any string concat so both engines render the
+  // same check-digit text.
+  private def luhnTerm(ref: String): String =
+    s"""CASE WHEN i % 2 = 1
+       |      THEN CASE WHEN 2 * CAST(substr($ref, i, 1) AS INT) > 9
+       |        THEN 2 * CAST(substr($ref, i, 1) AS INT) - 9
+       |        ELSE 2 * CAST(substr($ref, i, 1) AS INT) END
+       |      ELSE CAST(substr($ref, i, 1) AS INT) END""".stripMargin
+  private val q191 =
+    s"""WITH p0 AS (SELECT doc_id, source, text,
+       |    lpad(CAST((doc_id * 7919) % 1000000000000000 AS STRING),
+       |         15, '0') AS d15
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, source, text, d15,
+       |    CAST(list_sum(list_transform(generate_series(1, 15),
+       |      i -> ${luhnTerm("d15")})) AS BIGINT) AS sum15
+       |  FROM p0),
+       |p2 AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || ' card ' || d15 ||
+       |      CAST(CASE WHEN doc_id % 8 = 0 THEN (10 - sum15 % 10) % 10
+       |        ELSE ((10 - sum15 % 10) % 10 + 5) % 10 END AS STRING)
+       |      ELSE text END AS text
+       |  FROM p1),
+       |det AS (SELECT doc_id, source,
+       |    regexp_extract_all(text, '${Privacy.CardPattern}', 0) AS cands
+       |  FROM p2)
+       |SELECT doc_id, source, CAST(len(cands) AS BIGINT) AS n_cand,
+       |  CAST(len(list_filter(cands, c ->
+       |    CAST(list_sum(list_transform(generate_series(1, 16),
+       |      i -> ${luhnTerm("c")})) AS BIGINT) % 10 = 0)) AS BIGINT)
+       |    AS n_valid
+       |FROM det ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q140_pii_scrub" -> q140,
-    "q141_pii_audit" -> q141)
+    "q141_pii_audit" -> q141,
+    "q191_luhn_card" -> q191)
 }

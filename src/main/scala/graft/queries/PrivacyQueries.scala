@@ -66,4 +66,67 @@ object PrivacyQueries {
         sum(col("n_ip").cast("long")).as("total_ip"),
         sum(col("n_phone").cast("long")).as("total_phone"))
       .orderBy("source")
+
+  /** The Luhn contribution sum over the first `n` digits of a digit
+    * string referenced by `ref`, laid out as the LEFT prefix of a
+    * 16-digit card: from the right of the full card, every second
+    * digit doubles (9-wrapped), which for length 16 is every ODD
+    * 1-indexed left position. Pure SQL (CASE + substr + aggregate-HOF),
+    * identical text on both engines apart from the fold builtin —
+    * `mkLuhn` renders the Spark face (`aggregate`), the oracle renders
+    * DuckDB's (`list_sum(list_transform(...))`). */
+  private def luhnTerm(ref: String): String =
+    s"""CASE WHEN i % 2 = 1
+       |  THEN CASE WHEN 2 * CAST(substr($ref, i, 1) AS INT) > 9
+       |    THEN 2 * CAST(substr($ref, i, 1) AS INT) - 9
+       |    ELSE 2 * CAST(substr($ref, i, 1) AS INT) END
+       |  ELSE CAST(substr($ref, i, 1) AS INT) END""".stripMargin
+
+  /** q191 credit-card (PAN) detection with Luhn validation — the PII
+    * kind q140's battery misses: a 16-digit run is only reportable PII
+    * when its Luhn checksum holds (the false-positive gate every DLP
+    * scrubber applies — order ids and hashes fail it 90% of the time).
+    *
+    * Planting (mirrored verbatim in the oracle): docs with doc_id%4=0
+    * get a 16-digit number appended whose first 15 digits derive from
+    * doc_id; the check digit is Luhn-CORRECT when doc_id%8=0 and
+    * off-by-5 otherwise — so exactly half the planted runs must
+    * validate, and the detector is graded on telling them apart.
+    * Candidates come from the word-bounded 16-digit regex (RE2 ∩
+    * java.util.regex, q140's rule); each is validated by the in-plan
+    * Luhn fold. Everything is a narrow codegen'd map — the only
+    * exchange is the output sort. */
+  def q191(s: SparkSession, d: String): DataFrame = {
+    val withText = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("""lpad(CAST((doc_id * 7919) % 1000000000000000 AS STRING),
+               |     15, '0')""".stripMargin).as("d15"))
+      .withColumn("sum15",
+        expr(s"""aggregate(sequence(1, 15), 0,
+                |  (acc, i) -> acc + ${luhnTerm("d15")})""".stripMargin))
+      .withColumn("card",
+        concat(col("d15"),
+          when(col("doc_id") % 8 === 0,
+            (lit(10) - col("sum15") % 10) % 10)
+            .otherwise(((lit(10) - col("sum15") % 10) % 10 + 5) % 10)
+            .cast("string")))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" card "), col("card")))
+          .otherwise(col("text")).as("text"))
+    withText
+      .select(col("doc_id"), col("source"),
+        // the [[Privacy.CardPattern]] constant carries \b as two chars;
+        // the session's escapedStringLiterals=true hands it to the
+        // regex engine intact (same route as the oracle string)
+        expr(s"regexp_extract_all(text, '${Privacy.CardPattern}', 0)")
+          .as("cands"))
+      .select(col("doc_id"), col("source"),
+        size(col("cands")).cast("long").as("n_cand"),
+        expr(s"""size(filter(cands, c ->
+                |  aggregate(sequence(1, 16), 0,
+                |    (acc, i) -> acc + ${luhnTerm("c")}) % 10 = 0))"""
+          .stripMargin).cast("long").as("n_valid"))
+      .orderBy("doc_id")
+  }
 }

@@ -293,9 +293,70 @@ object TemporalOracles {
       |    / 10000.0 AS ks_d
       |FROM r CROSS JOIN tot GROUP BY n1, n2""".stripMargin
 
+  // q188 Mann-Whitney AUC, click vs view: q180's distinct-value frame,
+  // AUC = Σ_v (c1/n1)·((cum2−c2)/n2 + c2/(2·n2)) — exact-long
+  // numerators, one IEEE division per side (the overflow-free shape),
+  // round-4 + 0.0 on the summed statistic (§2.9).
+  private val q188 =
+    """WITH cnt AS (SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |r AS (SELECT value, c1, c2,
+      |    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+      |  FROM cnt),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM cnt)
+      |SELECT n1, n2,
+      |  round(sum((c1 / n1) * ((cum2 - c2) / n2 + c2 / (2.0 * n2))), 4)
+      |    + 0.0 AS auc
+      |FROM r CROSS JOIN tot GROUP BY n1, n2""".stripMargin
+
+  // q192 tie-corrected Spearman (value vs hour-of-day per type):
+  // average ranks via per-type cumulative distinct-value counts —
+  // `cum − c + (c+1)/2.0` mirrors the Spark rebase arithmetic — then
+  // the Pearson closed form over the ranks in ONE deterministic IEEE
+  // evaluation (all six sums are exact quarter-integers); round-4
+  // + 0.0 on the cancellable ratio.
+  private val q192 =
+    """WITH ev AS (SELECT event_type, value,
+      |    CAST(hour(ts) AS BIGINT) AS hh FROM events),
+      |cv AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS cv
+      |  FROM ev GROUP BY event_type, value),
+      |rv AS (SELECT event_type, value,
+      |    CAST(sum(cv) OVER (PARTITION BY event_type ORDER BY value)
+      |      AS BIGINT) - cv + (cv + 1) / 2.0 AS rx
+      |  FROM cv),
+      |ch AS (SELECT event_type, hh, CAST(count(*) AS BIGINT) AS ch
+      |  FROM ev GROUP BY event_type, hh),
+      |rh AS (SELECT event_type, hh,
+      |    CAST(sum(ch) OVER (PARTITION BY event_type ORDER BY hh)
+      |      AS BIGINT) - ch + (ch + 1) / 2.0 AS ry
+      |  FROM ch),
+      |st AS (SELECT ev.event_type,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    sum(rx) AS sx, sum(ry) AS sy,
+      |    sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+      |    sum(rx * ry) AS sxy
+      |  FROM ev
+      |  JOIN rv ON rv.event_type = ev.event_type AND rv.value = ev.value
+      |  JOIN rh ON rh.event_type = ev.event_type AND rh.hh = ev.hh
+      |  GROUP BY ev.event_type)
+      |SELECT event_type, n_events,
+      |  round((n_events * sxy - sx * sy) /
+      |    sqrt((n_events * sxx - sx * sx) *
+      |      (n_events * syy - sy * sy)), 4) + 0.0 AS rho
+      |FROM st ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q174_activity_gini" -> q174,
     "q180_ks_test"       -> q180,
+    "q188_auc_mw"        -> q188,
+    "q192_spearman"      -> q192,
     "q176_hour_profile"  -> q176,
     "q177_markov_entropy" -> q177,
     "q179_lag_corr"      -> q179,

@@ -529,4 +529,117 @@ object TemporalQueries {
       .select(col("n1"), col("n2"),
         (floor(col("dmax") * 10000.0) / 10000.0).as("ks_d"))
   }
+
+  /** q188 exact Mann-Whitney AUC between the click and view value
+    * distributions (round 14; Mann & Whitney 1947, and Hanley &
+    * McNeil 1982's AUC equivalence: AUC = P(X₁ > X₂) + ½P(X₁ = X₂) —
+    * the stochastic-dominance companion to q180's KS distance: KS says
+    * WHETHER the distributions differ, AUC says which one sits
+    * higher).
+    *
+    * Same scale-safe frame as q180: per distinct VALUE conditional
+    * counts (value-domain-bounded — proven FLAT at ×30 data by the KS
+    * probe), one cumulative range pass
+    * ([[graft.operators.Ranking.runningAggMulti]]), then
+    * AUC = Σ_v (c₁(v)/n₁) · ((cum₂(v)−c₂(v))/n₂ + c₂(v)/(2·n₂)) —
+    * the pair count ⟨click at v, view below v⟩ plus half the ties,
+    * divided per SIDE as in q180's overflow-free rewrite: every
+    * numerator stays an exact long, each division is one
+    * correctly-rounded IEEE op, and no n₁·n₂ or rank-sum product is
+    * ever materialized (the classical U = R₁ − n₁(n₁+1)/2 form loses
+    * to catastrophic cancellation past ~2⁵³ pair counts and overflows
+    * 2⁶³ at ~3e9 rows/group — exactly the scales this engine
+    * targets). Sum of products of rationals → §2.9 round-4; AUC is
+    * non-negative but rides `+ 0.0` uniformly with the rest of the
+    * statistical family. */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val cnt = events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("c2"))
+    val r = graft.operators.Ranking.runningAggMulti(cnt, Seq("value"),
+      Seq(("c1", "sum", "cum1"), ("c2", "sum", "cum2")))
+    val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    r.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        ((col("c1") / col("n1")) *
+          ((col("cum2") - col("c2")) / col("n2") +
+            col("c2") / (lit(2.0) * col("n2")))).as("term"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n1"), col("n2"),
+        (round(col("s"), 4) + 0.0).as("auc"))
+  }
+
+  /** q192 exact tie-corrected Spearman rank correlation per event type
+    * (round 14; Spearman 1904 with the standard ties treatment:
+    * average ranks, then Pearson over the ranks): value vs hour-of-day
+    * — the nonparametric "does intensity follow the clock" monotone-
+    * association audit that q179's Pearson autocorrelation can't give
+    * (it sees only linear association on raw values; Spearman is
+    * invariant to any monotone transform and robust to the heavy
+    * value-distribution tails).
+    *
+    * With massive ties (24 hour values!) the naive 1−6Σd²/(n(n²−1))
+    * textbook form is simply WRONG — average ranks + Pearson is the
+    * exact estimator. Average rank within type for a value v is
+    * `cum(v) − c(v) + (c(v)+1)/2` over the per-type cumulative counts.
+    *
+    * Scale shape: value ranks ride q180's distinct-value discipline —
+    * per-(type, value) counts, ONE global [[graft.operators.Ranking
+    * .runningAggMulti]] pass ordered (type, value), rebased per type by
+    * a |types|-row triangular offset join (never a per-enum window over
+    * an unbounded value domain); hour ranks ride a |types|×24 metadata
+    * window (q177's precedent). Rank tables join back to the row
+    * stream unhinted (value-domain-bounded → AQE broadcasts), and the
+    * finale is ONE group aggregate of six sums. Every rank is a half-
+    * integer and every sum stays an exact quarter-integer below 2⁵³,
+    * so the closed form is one deterministic IEEE evaluation per side
+    * (q180's discipline); round-4 `+ 0.0` on the cancellable ratio. */
+  def q192(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"),
+      hour(col("ts")).cast("long").as("hh"))
+    val cv = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cv"))
+    val cumv = graft.operators.Ranking.runningAggMulti(cv,
+      Seq("event_type", "value"), Seq(("cv", "sum", "cumv")))
+    val nt = cv.groupBy(col("event_type")).agg(sum(col("cv")).as("n"))
+    val off = nt
+      .join(nt.select(col("event_type").as("et_b"), col("n").as("n_b")),
+        col("et_b") < col("event_type"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(col("n_b")), lit(0L)).as("off"))
+    val rankV = cumv.join(broadcast(off), "event_type")
+      .select(col("event_type"), col("value"),
+        (col("cumv") - col("off") - col("cv") +
+          (col("cv") + lit(1L)) / lit(2.0)).as("rx"))
+    val ch = ev.groupBy(col("event_type"), col("hh"))
+      .agg(count(lit(1)).as("ch"))
+    val wh = Window.partitionBy("event_type").orderBy("hh")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankH = ch
+      .select(col("event_type"), col("hh"), col("ch"),
+        sum(col("ch")).over(wh).as("cumh"))
+      .select(col("event_type"), col("hh"),
+        (col("cumh") - col("ch") +
+          (col("ch") + lit(1L)) / lit(2.0)).as("ry"))
+    ev.join(rankV, Seq("event_type", "value"))
+      .join(rankH, Seq("event_type", "hh"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("event_type"), col("n_events"),
+        (round(
+          (col("n_events") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n_events") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_events") * col("syy") - col("sy") * col("sy"))),
+          4) + 0.0).as("rho"))
+      .orderBy("event_type")
+  }
 }

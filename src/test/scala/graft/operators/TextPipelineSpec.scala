@@ -251,4 +251,63 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(segs("aaa") == Seq("aa", "a"), s"greedy run split: ${segs("aaa")}")
     assert(!segs.contains("bb_x"), "boundary-char tokens are filtered")
   }
+
+  test("dsirLogWeights matches a scalar reference (same md5 buckets, " +
+      "Laplace smoothing) and orders target-like docs above pool-like") {
+    // target docs speak vocabulary {alpha..}, pool docs {zeta..}; the
+    // mixed doc sits between. Scalar reference replicates the exact
+    // bucket/smoothing/ln pipeline in plain Scala.
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "alpha beta beta", true),
+      (3L, "zeta eta theta zeta", false),
+      (4L, "zeta eta eta", false),
+      (5L, "alpha beta zeta eta", false)).toDF("doc_id", "text", "tgt")
+    val got = TextPipeline.dsirLogWeights(corpus, "doc_id", "text",
+        isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // scalar reference
+    def bucket(f: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val a = "0123456789abcdef"
+      a.indexOf(hex(0)) * 16 + a.indexOf(hex(1))
+    }
+    def feats(text: String): Seq[Int] = {
+      val t = text.trim.split(" ").filter(_.nonEmpty).toSeq
+      (t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    }
+    val docs = Seq(1L -> ("alpha beta gamma alpha", true),
+      2L -> ("alpha beta beta", true), 3L -> ("zeta eta theta zeta", false),
+      4L -> ("zeta eta eta", false), 5L -> ("alpha beta zeta eta", false))
+    val all = docs.flatMap { case (_, (t, _)) => feats(t) }
+    val tgtF = docs.filter(_._2._2).flatMap { case (_, (t, _)) => feats(t) }
+    val rawCnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtCnt = tgtF.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val T = tgtF.size.toLong; val R = all.size.toLong
+    def lr(b: Int): Double =
+      math.log((tgtCnt.getOrElse(b, 0L) + 1L) / (T + 256.0)) -
+        math.log((rawCnt(b) + 1L) / (R + 256.0))
+    docs.foreach { case (id, (t, _)) =>
+      val fs = feats(t)
+      val expLogw = fs.groupBy(identity).map { case (b, occ) =>
+        occ.size.toLong * lr(b) }.sum
+      val (nf, lw) = got(id)
+      assert(nf == fs.size, s"doc $id n_feats $nf != ${fs.size}")
+      assert(math.abs(lw - expLogw) < 1e-9,
+        s"doc $id logw $lw != scalar $expLogw")
+    }
+    // direction: every pure-target doc outscores every pool-only doc,
+    // and the half-target mixed doc lands strictly between the camps
+    // (absolute sign is smoothing-dependent at this corpus size — with
+    // T=12 target features against the +256 Laplace mass every weight
+    // sits below 0 — so the contract is the ORDERING, which is what
+    // importance RESAMPLING consumes)
+    val tgtMin = math.min(got(1L)._2, got(2L)._2)
+    val poolMax = math.max(got(3L)._2, got(4L)._2)
+    assert(tgtMin > poolMax, s"target camp ($tgtMin) must outscore pool ($poolMax)")
+    assert(got(5L)._2 > poolMax && got(5L)._2 < tgtMin,
+      s"mixed doc (${got(5L)._2}) sits between the camps")
+  }
 }

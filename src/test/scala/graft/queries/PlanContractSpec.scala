@@ -542,4 +542,59 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q185_bpe_train") <= 3000,
       "BPE rounds must stay vocabulary-bounded, never corpus-sized")
   }
+
+  test("q186/q187/q188 round-14 additions: vocabulary-bounded encode, " +
+      "doc×bucket-capped DSIR, distinct-value-bounded AUC") {
+    // q186: the merge table is K=8 rows of driver metadata; the only
+    // exchanges are q185's vocab-bounded training rounds + the distinct
+    // -token frame and its contract sort (measured 757 at sf0.001)
+    assert(shuffled("q186_bpe_encode") <= 3000,
+      "BPE encode exchanges stay vocabulary-bounded, never corpus-sized")
+    // q187: the ONE data-sized exchange is the (doc, bucket) partial
+    // -agg frame — hard-capped at 256 rows per document REGARDLESS of
+    // document length (the 256-row marginals/log-ratio stages are flat),
+    // so the bound is semantic: 256×docs + flat-stage slack
+    // (measured 79,607 at sf0.001 = 500 docs)
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(shuffled("q187_dsir_weights") <= 256L * docs + 8192L,
+      "DSIR must exchange at most 256 rows per doc + flat marginals")
+    // q188: q180's distinct-value frame — per-value conditional counts
+    // + the running-sum rebase + 1-row totals (measured 1590; the KS
+    // probe proved this frame FLAT at ×30 data)
+    assert(shuffled("q188_auc_mw") <= 8000,
+      "AUC shuffles per-value counts + the running-sum frame only")
+    val p188 = executedPlan("q188_auc_mw")
+    assert(("windowspecdefinition\\(value#\\d+ ASC").r
+        .findFirstIn(p188).isEmpty,
+      s"cumulative sums must ride a pid-partitioned window:\n$p188")
+  }
+
+  test("q189–q193 round-14 additions: cluster-, vocab-, and " +
+      "distinct-value-bounded exchanges; q191 narrow") {
+    // q189: q113's band/verify/CC shapes + two cluster-keyed hash
+    // aggregates (measured 992 at sf0.001 — docs + cluster partials)
+    assert(shuffled("q189_keep_best") <= 4000,
+      "keep-best argmax must stay cluster-bounded, never pair-sized")
+    // q190: ONE (source, token) distinct aggregate + |sources|² cells
+    // (measured 1207 — vocab-bounded; token volume never crosses)
+    assert(shuffled("q190_vocab_overlap") <= 5000,
+      "vocab overlap exchanges stay vocabulary-bounded")
+    // q191: pure codegen'd map — only the contract sort moves
+    // (measured 500 = one row per doc)
+    assert(shuffled("q191_luhn_card") <= 2000,
+      "Luhn detection is narrow; only the output sort may exchange")
+    // q192: distinct-value count frames + ONE runningAggMulti range
+    // pass + rank join-backs (measured 4256); like q180, the cumulative
+    // must never ride a partitionless (global) window
+    assert(shuffled("q192_spearman") <= 17000,
+      "Spearman shuffles distinct-value frames + the running pass only")
+    val p192 = executedPlan("q192_spearman")
+    assert(("windowspecdefinition\\(value#\\d+ ASC").r
+        .findFirstIn(p192).isEmpty,
+      s"value-rank cumulation must ride the pid-partitioned window:\n$p192")
+    // q193: q185's vocab-bounded rounds + the (lang, token) count join
+    // (measured 891)
+    assert(shuffled("q193_bpe_fertility") <= 3600,
+      "fertility exchanges stay vocabulary-bounded, never corpus-sized")
+  }
 }

@@ -145,6 +145,118 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 AUC equals the brute-force pair count (the Mann-Whitney " +
+      "identity AUC = [#(click > view) + half the ties] / (n1*n2))") {
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+    val clicks = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    val views = ev.filter(_.getString(0) == "view").map(_.getDouble(1))
+    var wins = 0L; var ties = 0L
+    for (c <- clicks; v <- views)
+      if (c > v) wins += 1 else if (c == v) ties += 1
+    val brute = (wins + 0.5 * ties) /
+      (clicks.length.toDouble * views.length)
+    val row = run("q188_auc_mw").collect().head
+    assert(row.getLong(0) == clicks.length && row.getLong(1) == views.length)
+    assert(math.abs(row.getDouble(2) - brute) <= 5e-5, // round-4 face
+      s"AUC ${row.getDouble(2)} vs brute-force $brute")
+  }
+
+  test("q191 Luhn validation agrees with a scalar reference and the " +
+      "planted valid/invalid split (valid iff doc_id % 8 == 0)") {
+    // scalar Luhn over a 16-digit string: from the right, double every
+    // second digit (9-wrapped) — the textbook form, written WITHOUT the
+    // query's left-position arithmetic so the two derivations check
+    // each other
+    def luhnOk(s16: String): Boolean = {
+      val digits = s16.map(_ - '0')
+      val total = digits.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val dd = 2 * d; if (dd > 9) dd - 9 else dd }
+        else d
+      }.sum
+      total % 10 == 0
+    }
+    val rows = run("q191_luhn_card").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val nCand = r.getLong(2); val nValid = r.getLong(3)
+      if (id % 4 == 0) {
+        assert(nCand == 1L, s"doc $id must carry exactly one planted run")
+        // reconstruct the planted card the way the query does
+        val d15 = f"${(id * 7919) % 1000000000000000L}%015d"
+        val sum15 = d15.zipWithIndex.map { case (c, i0) =>
+          val d = c - '0'
+          if ((i0 + 1) % 2 == 1) { val dd = 2 * d; if (dd > 9) dd - 9 else dd }
+          else d
+        }.sum
+        val check = (10 - sum15 % 10) % 10
+        val digit = if (id % 8 == 0) check else (check + 5) % 10
+        val card = d15 + digit.toString
+        assert(luhnOk(card) == (id % 8 == 0),
+          s"doc $id planted card $card: scalar Luhn disagrees with plant")
+        assert(nValid == (if (id % 8 == 0) 1L else 0L),
+          s"doc $id n_valid $nValid vs plant rule")
+      } else assert(nCand == 0L && nValid == 0L,
+        s"unplanted doc $id reported a candidate")
+    }
+    assert(rows.count(r => r.getLong(3) > 0) > 0, "no valid card detected")
+  }
+
+  test("q192 Spearman equals a brute-force average-rank Pearson over " +
+      "the collected rows (tie-corrected reference)") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("long").as("hh")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def avgRanks[T](xs: Seq[T])(implicit ord: Ordering[T]): Seq[Double] = {
+      val byV = xs.zipWithIndex.groupBy(_._1)
+      val sorted = byV.keys.toSeq.sorted
+      val rank = scala.collection.mutable.Map.empty[T, Double]
+      var cum = 0L
+      sorted.foreach { v =>
+        val c = byV(v).size
+        rank(v) = cum + (c + 1) / 2.0
+        cum += c
+      }
+      xs.map(rank(_))
+    }
+    val expect = ev.groupBy(_._1).map { case (t, rows) =>
+      val rx = avgRanks(rows.toSeq.map(_._2))
+      val ry = avgRanks(rows.toSeq.map(_._3))
+      val n = rows.length.toDouble
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(x => x * x).sum; val syy = ry.map(y => y * y).sum
+      val sxy = rx.zip(ry).map { case (x, y) => x * y }.sum
+      t -> (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val got = run("q192_spearman").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expect.foreach { case (t, rho) =>
+      assert(math.abs(got(t) - rho) <= 5e-5, // round-4 face
+        s"type $t: spark ${got(t)} vs brute $rho")
+    }
+  }
+
+  test("q189 keeps the longest member of every near-dup family (ties " +
+      "to the smallest id) and exactly one keeper per cluster") {
+    val rows = run("q189_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val chars = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val reps = members.map(_._3).distinct
+      assert(reps.length == 1, s"cluster $cl has ${reps.length} rep ids")
+      val best = members.map(m => chars(m._1)).max
+      val expected = members.filter(m => chars(m._1) == best).map(_._1).min
+      assert(reps.head == expected,
+        s"cluster $cl rep ${reps.head} != argmax-quality $expected")
+      assert(members.count(_._4) == 1, s"cluster $cl keeper count != 1")
+      members.foreach(m => assert(m._4 == (m._1 == reps.head)))
+    }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
