@@ -329,13 +329,17 @@ object ScaleProbe {
                 concat(col("text"), lit(" u"),
                   col("doc_id").cast("string")).as("text")))),
         // the length-band join additionally spreads replica lengths
-        // across DISTINCT bands (replica r: n_chars + r*23, band width
-        // 20): corpus growth adds length DIVERSITY, so per-band
-        // population — and with it the band join's candidate volume —
-        // stays ~flat per band and linear overall. (With constant
-        // length distribution this generator is inherently quadratic
-        // within bands, which is exactly why q157's contract face runs
-        // it over a bounded verification set.)
+        // across FULLY DISJOINT ranges (replica r: n_chars + r*607,
+        // beyond the 44-577 base spread; band width 20): corpus growth
+        // adds length DIVERSITY, so per-band population — and with it
+        // the band join's candidate volume — stays flat per band and
+        // linear overall. (A sub-range shift — the first cut used
+        // r*23 — stacks replica densities inside shared bands and the
+        // candidate volume grows ~quadratically in the overlap: wall
+        // ×18 at ×10 data. With constant length distribution the
+        // generator is inherently quadratic within bands, which is
+        // exactly why q157's contract face runs it over a bounded
+        // verification set.)
         "edit_distance_full" -> ((d: String) =>
           graft.queries.CurationQueries.editDistancePairs(
             Tables.documents(spark, d)
@@ -343,7 +347,7 @@ object ScaleProbe {
                 concat(col("text"), lit(" u"),
                   col("doc_id").cast("string")).as("text"),
                 (col("n_chars") +
-                  floor(col("doc_id") / lit(100000000L)) * 23)
+                  floor(col("doc_id") / lit(100000000L)) * 607)
                   .as("n_chars")))),
         // round 14: SemDeDup over the full embeddings table — the
         // narrow assignment means the only data-sized exchange is the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-preparation operators for training-data pipelines (builder
@@ -360,22 +361,42 @@ object TextPipeline {
             |  (a, b) -> concat(a, ' ', b))""".stripMargin))).as("__f"))
       .select(col(idCol), col("__tgt"),
         expr(s"${nib(1)} * 16 + ${nib(2)}").as("__b"))
-    // the ONE data-sized aggregate: (doc, bucket) occurrence counts
+    // the ONE data-sized aggregate: (doc, bucket) occurrence counts.
+    // Checkpoint-pinned (q185's discipline): the frame feeds BOTH the
+    // marginals (under a BroadcastExchange, where AQE plans the
+    // subtree independently and does NOT reuse the main path's
+    // exchange) and the final per-doc weight join — without the pin
+    // the corpus scan+explode+aggregate ran TWICE (m10 probe: shuffle
+    // ×10.9 at ×10 data). The pinned frame is docs × ≤256 rows — at
+    // 1e9 docs ~1-2 GB per executor on a 1000-way cluster, strictly
+    // cheaper than a second full corpus pass.
     val perDoc = feats
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
-    // bucket marginals from the per-doc frame (never a second corpus
-    // pass); buckets absent from the target keep an explicit 0 so the
-    // smoothing sees the full 256 domain
-    val raw = perDoc.groupBy(col("__b")).agg(sum(col("__cnt")).as("__r"))
-    val tgt = perDoc.filter(col("__tgt"))
-      .groupBy(col("__b")).agg(sum(col("__cnt")).as("__t"))
-    val marg = raw.join(tgt, Seq("__b"), "left").na.fill(0L, Seq("__t"))
-    val tots = marg.agg(sum(col("__t")).as("__tTot"),
-      sum(col("__r")).as("__rTot"))
+      .localCheckpoint(true)
+    // BOTH bucket marginals in one re-aggregation of the per-doc frame
+    // (never a second corpus pass, and never two subtrees: separate
+    // raw/target aggregates re-planned the perDoc exchange per
+    // consumer — the m10 probe measured shuffle ×11.5 at ×10 data;
+    // the fused form leaves exactly two identical perDoc subplans,
+    // which ReusedExchange collapses). Buckets absent from the target
+    // keep an explicit 0 so the smoothing sees the full 256 domain.
+    val marg = perDoc.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("__r"),
+        sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).as("__t"))
+    // totals via a whole-frame window over the ≤256-row marginal frame
+    // (metadata-sized — q177's precedent), NOT a separate scalar-agg
+    // subtree: `marg.agg(...)` + crossJoin re-planned the entire
+    // corpus pass under the broadcast (AQE reused only one of the two
+    // perDoc exchanges — the m10 probe caught the leak as shuffle
+    // ×10.9 at ×10 data; single-lineage totals make it exactly ×10)
+    val whole = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     // ONE correctly-rounded division + ln per side (q180's discipline):
     // exact-long numerators, the +256.0 denominator promotes to double
-    val lr = marg.crossJoin(broadcast(tots))
+    val lr = marg
+      .withColumn("__tTot", sum(col("__t")).over(whole))
+      .withColumn("__rTot", sum(col("__r")).over(whole))
       .select(col("__b"),
         (log((col("__t") + lit(1L)) / (col("__tTot") + lit(256.0))) -
           log((col("__r") + lit(1L)) / (col("__rTot") + lit(256.0))))

@@ -270,7 +270,29 @@ object BatchingOracles {
       |SELECT CAST(t AS BIGINT) AS n_docs, mi, h_lang, h_source
       |FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
 
+  // q194 token-weighted length quantiles: per-(lang, n_tok) token mass,
+  // per-lang cumulative, lower-quantile pick via CROSS-MULTIPLIED
+  // integer comparisons — no double anywhere in the contract.
+  private val q194 =
+    """WITH f AS (SELECT lang,
+      |    CAST(len(list_filter(string_split(trim(text), ' '),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |f2 AS (SELECT lang, n_tok FROM f WHERE n_tok > 0),
+      |cnt AS (SELECT lang, n_tok, CAST(sum(n_tok) AS BIGINT) AS w
+      |  FROM f2 GROUP BY lang, n_tok),
+      |cum AS (SELECT lang, n_tok,
+      |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY n_tok) AS BIGINT) AS cw,
+      |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS wtot
+      |  FROM cnt)
+      |SELECT lang, max(wtot) AS token_mass,
+      |  min(CASE WHEN cw * 4 >= wtot THEN n_tok END) AS p25_len,
+      |  min(CASE WHEN cw * 2 >= wtot THEN n_tok END) AS p50_len,
+      |  min(CASE WHEN cw * 4 >= wtot * 3 THEN n_tok END) AS p75_len
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q194_wlen_quantiles"   -> q194,
     "q169_class_weights"    -> q169,
     "q170_stratified_quota" -> q170,
     "q181_mutual_info"      -> q181,

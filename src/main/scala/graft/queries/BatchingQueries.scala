@@ -420,4 +420,47 @@ object BatchingQueries {
       .crossJoin(broadcast(hl))
       .crossJoin(broadcast(hs))
   }
+
+  /** q194 exact TOKEN-weighted document-length quantiles per language
+    * (round 14): the length L such that 25/50/75% of the language's
+    * TOKEN MASS lives in documents of ≤ L tokens — the number sequence-
+    * length planning actually needs (q112's doc-weighted quantiles
+    * answer "how long is a typical document"; packing and truncation
+    * budgets care how long the typical TOKEN's document is, and the two
+    * diverge hard on heavy-tailed corpora where a few long docs carry
+    * most of the mass).
+    *
+    * Lower weighted quantile (min L with W(≤L) ≥ α·W) — so selection is
+    * PURE INTEGER: the α comparisons are cross-multiplied
+    * (4·cum ≥ W, 2·cum ≥ W, 4·cum ≥ 3·W), no double ever enters the
+    * contract. Scale shape: one (lang, n_tok) aggregate (length-domain-
+    * bounded), ONE global [[graft.operators.Ranking.runningAggMulti]]
+    * pass ordered (lang, n_tok) with q192's |langs|-row triangular
+    * offset rebase — never a per-enum window — then a |cells|-bounded
+    * conditional-min fold. */
+  def q194(s: SparkSession, d: String): DataFrame = {
+    val f = documents(s, d)
+      .select(col("lang"), expr(nToks).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val cnt = f.groupBy(col("lang"), col("n_tok"))
+      .agg(sum(col("n_tok")).as("w"))
+    val cum = graft.operators.Ranking.runningAggMulti(cnt,
+      Seq("lang", "n_tok"), Seq(("w", "sum", "cumw")))
+    val wt = cnt.groupBy(col("lang")).agg(sum(col("w")).as("wtot"))
+    val off = wt
+      .join(wt.select(col("lang").as("lg_b"), col("wtot").as("w_b")),
+        col("lg_b") < col("lang"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(coalesce(sum(col("w_b")), lit(0L)).as("off"))
+    cum.join(broadcast(off), "lang").join(broadcast(wt), "lang")
+      .select(col("lang"), col("n_tok"), col("wtot"),
+        (col("cumw") - col("off")).as("cw"))
+      .groupBy(col("lang"))
+      .agg(max(col("wtot")).as("token_mass"),
+        min(when(col("cw") * 4 >= col("wtot"), col("n_tok"))).as("p25_len"),
+        min(when(col("cw") * 2 >= col("wtot"), col("n_tok"))).as("p50_len"),
+        min(when(col("cw") * 4 >= col("wtot") * 3, col("n_tok")))
+          .as("p75_len"))
+      .orderBy("lang")
+  }
 }

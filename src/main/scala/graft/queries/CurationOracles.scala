@@ -191,6 +191,17 @@ object CurationOracles {
        |FROM labeled JOIN rep ON labeled.cluster = rep.cluster
        |ORDER BY doc_id""".stripMargin
 
+  // q197 = the cluster labels + one family-size count; 1/m weight via
+  // the floor idiom on the exact-integer ratio.
+  private val q197 =
+    s"""WITH RECURSIVE $ccCtes,
+       |fam AS (SELECT cluster, CAST(count(*) AS BIGINT) AS fam_size
+       |  FROM labeled GROUP BY cluster)
+       |SELECT doc_id, labeled.cluster, fam_size,
+       |  floor(10000.0 / fam_size) / 10000.0 AS weight
+       |FROM labeled JOIN fam ON labeled.cluster = fam.cluster
+       |ORDER BY doc_id""".stripMargin
+
   private val q114 =
     s"""WITH ${toksCte("")},
        |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
@@ -580,6 +591,7 @@ object CurationOracles {
     "q118_minhash_est"    -> q118,
     "q113_cc_clusters"    -> q113,
     "q189_keep_best"      -> q189,
+    "q197_soft_dedup"     -> q197,
     "q114_bigram_pmi"     -> q114,
     "q115_ann_recall"     -> q115,
     "q106_bucket_join"    -> q106,

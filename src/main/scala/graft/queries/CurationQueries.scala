@@ -970,4 +970,35 @@ object CurationQueries {
         (col("doc_id") === col("rep_id")).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** q197 soft-dedup sampling weights (round 14; the SoftDeDup
+    * alternative to hard removal): every member of a near-dup family
+    * of size m gets sampling weight 1/m, so the family contributes ONE
+    * document's worth of probability mass while keeping all its
+    * variants available — the middle ground between q41/q189 (drop)
+    * and no dedup (over-train on duplicated content). Also reports the
+    * family size, so Σ weight = the corpus's EFFECTIVE size (the
+    * number the dataset card q160 wants next to raw doc count).
+    *
+    * Scale shape: q113's family machinery + ONE cluster-keyed count
+    * aggregate joined back (cluster-bounded). The weight is a ratio of
+    * exact integers → the floor idiom, identical double ops both
+    * faces. */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val edges = graft.operators.Dedup.minhashEdges(docs, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = Int.MaxValue) // q113's cap-free gate
+    val labeled = docs.select(col("doc_id"))
+      .join(graft.operators.Dedup.connectedComponents(edges)
+        .toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("cluster"))
+    val fam = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("fam_size"))
+    labeled.join(fam, "cluster")
+      .select(col("doc_id"), col("cluster"), col("fam_size"),
+        (floor(lit(10000.0) / col("fam_size")) / 10000.0).as("weight"))
+      .orderBy("doc_id")
+  }
 }

@@ -366,11 +366,9 @@ object PipelineOracles {
        |bk AS (SELECT doc_id, tgt, ${nib(1)} * 16 + ${nib(2)} AS b FROM fe),
        |db AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt
        |  FROM bk GROUP BY doc_id, tgt, b),
-       |raw AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r FROM db GROUP BY b),
-       |tg AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc FROM db
-       |  WHERE tgt GROUP BY b),
-       |marg AS (SELECT raw.b, raw.r, coalesce(tg.tc, 0) AS tc
-       |  FROM raw LEFT JOIN tg ON raw.b = tg.b),
+       |marg AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS tc
+       |  FROM db GROUP BY b),
        |tots AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
        |    CAST(sum(r) AS BIGINT) AS rt FROM marg),
        |lr AS (SELECT b, ln((tc + 1) / (tt + 256.0)) -

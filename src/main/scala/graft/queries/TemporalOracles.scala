@@ -352,11 +352,74 @@ object TemporalOracles {
       |      (n_events * syy - sy * sy)), 4) + 0.0 AS rho
       |FROM st ORDER BY event_type""".stripMargin
 
+  // q195 Kendall τ-b: the same cell-grid dominance construction as the
+  // Spark face — 24 conditional count columns, 24 exclusive prefix
+  // windows, per-cell (n/ntot)·((LT−GT)/(ntot−1)) terms, ties ratios
+  // one-division-per-factor; round-4 + 0.0 on the cancellable sum.
+  private val q195 = {
+    val ccols = (0 until 24).map(h =>
+      s"CAST(sum(CASE WHEN hh = $h THEN n ELSE 0 END) AS BIGINT) AS c$h")
+      .mkString(",\n    ")
+    val rcols = (0 until 24).map(h =>
+      s"CAST(coalesce(sum(c$h) OVER (ORDER BY value ROWS BETWEEN " +
+        s"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r$h")
+      .mkString(",\n    ")
+    val ltExpr = (0 until 24)
+      .map(h => s"CASE WHEN hh > $h THEN r$h ELSE 0 END").mkString(" + ")
+    val gtExpr = (0 until 24)
+      .map(h => s"CASE WHEN hh < $h THEN r$h ELSE 0 END").mkString(" + ")
+    s"""WITH ev AS (SELECT value, CAST(hour(ts) AS INT) AS hh FROM events),
+       |cells AS (SELECT value, hh, CAST(count(*) AS BIGINT) AS n
+       |  FROM ev GROUP BY value, hh),
+       |wide AS (SELECT value,
+       |    $ccols
+       |  FROM cells GROUP BY value),
+       |pref AS (SELECT value,
+       |    $rcols
+       |  FROM wide),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM ev),
+       |num AS (SELECT sum((n / ntot) *
+       |    ((($ltExpr) - ($gtExpr)) / (ntot - 1))) AS num
+       |  FROM cells JOIN pref USING (value) CROSS JOIN tot),
+       |t1 AS (SELECT sum((nk / ntot) * ((nk - 1) / (ntot - 1))) AS n1r
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS nk FROM ev
+       |    GROUP BY value) q CROSS JOIN tot),
+       |t2 AS (SELECT sum((nk / ntot) * ((nk - 1) / (ntot - 1))) AS n2r
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS nk FROM ev
+       |    GROUP BY hh) q CROSS JOIN tot)
+       |SELECT ntot AS n_events,
+       |  round(2.0 * num / sqrt((1.0 - n1r) * (1.0 - n2r)), 4) + 0.0
+       |    AS tau_b
+       |FROM tot CROSS JOIN num CROSS JOIN t1 CROSS JOIN t2""".stripMargin
+  }
+
+  // q196 one-way ANOVA: per-type moments, closed-form SSB/SSW from
+  // Σ Sᵢ²/nᵢ — identical parenthesization to the Spark face; round-4
+  // + 0.0 on the cancellable ratios.
+  private val q196 =
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nk,
+      |    sum(value) AS sk, sum(value * value) AS qk
+      |  FROM events GROUP BY event_type),
+      |g AS (SELECT CAST(sum(nk) AS BIGINT) AS n, sum(sk) AS s,
+      |    sum(qk) AS q, CAST(count(*) AS BIGINT) AS k,
+      |    sum(sk * sk / nk) AS a
+      |  FROM m),
+      |d AS (SELECT n AS n_events, k AS n_groups,
+      |    a - s * s / n AS ssb, q - a AS ssw, q - s * s / n AS sst,
+      |    k - 1 AS df1, n - k AS df2 FROM g)
+      |SELECT n_events, CAST(df1 AS BIGINT) AS df1,
+      |  CAST(df2 AS BIGINT) AS df2,
+      |  round((ssb / df1) / (ssw / df2), 4) + 0.0 AS f_stat,
+      |  round(ssb / sst, 4) + 0.0 AS eta_sq
+      |FROM d""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q174_activity_gini" -> q174,
     "q180_ks_test"       -> q180,
     "q188_auc_mw"        -> q188,
     "q192_spearman"      -> q192,
+    "q195_kendall"       -> q195,
+    "q196_anova"         -> q196,
     "q176_hour_profile"  -> q176,
     "q177_markov_entropy" -> q177,
     "q179_lag_corr"      -> q179,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -638,8 +638,106 @@ object TemporalQueries {
         (round(
           (col("n_events") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n_events") * col("sxx") - col("sx") * col("sx")) *
-              (col("n_events") * col("syy") - col("sy") * col("sy"))),
-          4) + 0.0).as("rho"))
+              (col("n_events") * col("syy") - col("sy") * col("sy")))
+          , 4) + 0.0).as("rho"))
       .orderBy("event_type")
+  }
+
+  /** q195 exact Kendall τ-b, value vs hour-of-day (round 14; Kendall
+    * 1938 with the τ-b ties normalization) — q192's Spearman ranks
+    * whole distributions; τ-b counts concordant-vs-discordant PAIRS,
+    * the other canonical nonparametric association. The textbook
+    * algorithm is an O(n log n) merge-count over n events — a
+    * SINGLE-NODE shape. Here the n² pair space collapses onto the
+    * bounded (value, hour) CELL GRID: for every cell, the count of
+    * events strictly below-left (concordant side) and below-right
+    * (discordant side) comes from 24 exclusive column prefixes in ONE
+    * [[graft.operators.Ranking.runningAggMulti]] pass over the
+    * |values|-row wide frame (hour has 24 values, so "wide" is 24 LONG
+    * columns — no per-enum window, no pair join, no LOCF as-of).
+    *
+    * Overflow-free (q180/q188's discipline): the classical
+    * C, D, n₀ = n(n−1)/2 counts wrap 2⁶³ past ~4e9 events, so nothing
+    * here materializes a pair COUNT — every per-cell term is
+    * (n_vh/n)·((LT−GT)/(n−1)), one correctly-rounded division per
+    * side, and the ties corrections enter as the ratios
+    * n₁/n₀ = Σ (n_v/n)·((n_v−1)/(n−1)) per side:
+    * τ-b = 2·Σ_cells (n_vh/n)·((LT−GT)/(n−1)) /
+    *       √((1 − n₁/n₀)(1 − n₂/n₀)).
+    * LT/GT themselves are event counts ≤ n — exact longs at any scale.
+    * Sum of rounded rationals → round-4 `+ 0.0` (cancellable). */
+  def q195(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("value"),
+      hour(col("ts")).cast("int").as("hh"))
+    val cells = ev.groupBy(col("value"), col("hh"))
+      .agg(count(lit(1)).as("n"))
+    // wide |values|-row frame: one LONG column of per-value counts per
+    // hour (absent cells are 0 so the prefix sums see the full grid)
+    val hourCounts = (0 until 24).map(h =>
+      sum(when(col("hh") === h, col("n")).otherwise(0L)).as(s"c$h"))
+    val wide = cells.groupBy(col("value"))
+      .agg(hourCounts.head, hourCounts.tail: _*)
+    // 24 EXCLUSIVE running sums in one range pass: r$h(v) = events with
+    // value' < v in hour column h
+    val pref = graft.operators.Ranking.runningAggMulti(wide, Seq("value"),
+      (0 until 24).map(h => (s"c$h", "sum", s"r$h")), inclusive = false)
+    // per cell: LT = events below-left, GT = events below-right
+    // the exclusive frame of the first value row is SQL-NULL → 0 here
+    val lt = (0 until 24).map(h =>
+      when(col("hh") > h, coalesce(col(s"r$h"), lit(0L)))
+        .otherwise(0L)).reduce(_ + _)
+    val gt = (0 until 24).map(h =>
+      when(col("hh") < h, coalesce(col(s"r$h"), lit(0L)))
+        .otherwise(0L)).reduce(_ + _)
+    val tot = ev.agg(count(lit(1)).as("ntot"))
+    val num = cells.join(pref, "value").crossJoin(broadcast(tot))
+      .select(((col("n") / col("ntot")) *
+        ((lt - gt) / (col("ntot") - lit(1L)))).as("term"))
+      .agg(sum(col("term")).as("num"))
+    // ties ratios, one division per factor (never n_v(n_v-1)/2 longs)
+    def tieRatio(key: Column, out: String) =
+      ev.groupBy(key.as("k")).agg(count(lit(1)).as("nk"))
+        .crossJoin(broadcast(tot))
+        .agg(sum((col("nk") / col("ntot")) *
+          ((col("nk") - lit(1L)) / (col("ntot") - lit(1L)))).as(out))
+    val t1 = tieRatio(col("value"), "n1r")
+    val t2 = tieRatio(col("hh"), "n2r")
+    tot.crossJoin(broadcast(num))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("ntot").as("n_events"),
+        (round(lit(2.0) * col("num") /
+          sqrt((lit(1.0) - col("n1r")) * (lit(1.0) - col("n2r"))), 4)
+          + 0.0).as("tau_b"))
+  }
+
+  /** q196 one-way ANOVA across event types (round 14; Fisher 1925):
+    * does mean `value` differ by type? — the PARAMETRIC mean-shift
+    * companion to the nonparametric family (KS q180 = whole
+    * distribution, AUC q188 = stochastic dominance, Spearman q192 /
+    * τ-b q195 = monotone association, MI q181 / χ² q132 = categorical
+    * dependence). Reports F, both degrees of freedom, and η² (the
+    * between-groups variance share — the effect size reviewers ask for
+    * next to any significant F).
+    *
+    * Scale shape: ONE partial-aggregable pass — per-type (n, Σv, Σv²)
+    * — then |types|-row closed forms: SSB = Σ nᵢ(x̄ᵢ − x̄)² folds from
+    * the moments as Σ (Sᵢ²/nᵢ) − S²/n, SSW = Σvᵢ² − Σ Sᵢ²/nᵢ. Double
+    * moment sums follow q77/q130's round-4 tolerance. */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nk"), sum(col("value")).as("sk"),
+        sum(col("value") * col("value")).as("qk"))
+    val g = m.agg(sum(col("nk")).as("n"), sum(col("sk")).as("s"),
+      sum(col("qk")).as("q"), count(lit(1)).as("k"),
+      sum(col("sk") * col("sk") / col("nk")).as("a"))
+    g.select(col("n").as("n_events"), col("k").as("n_groups"),
+        (col("a") - col("s") * col("s") / col("n")).as("ssb"),
+        (col("q") - col("a")).as("ssw"),
+        (col("q") - col("s") * col("s") / col("n")).as("sst"),
+        (col("k") - lit(1L)).as("df1"), (col("n") - col("k")).as("df2"))
+      .select(col("n_events"), col("df1"), col("df2"),
+        (round((col("ssb") / col("df1")) / (col("ssw") / col("df2")), 4)
+          + 0.0).as("f_stat"),
+        (round(col("ssb") / col("sst"), 4) + 0.0).as("eta_sq"))
   }
 }

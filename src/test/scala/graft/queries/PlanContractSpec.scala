@@ -597,4 +597,33 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q193_bpe_fertility") <= 3600,
       "fertility exchanges stay vocabulary-bounded, never corpus-sized")
   }
+
+  test("q194/q195 round-14 additions: length-domain and cell-grid " +
+      "bounded exchanges") {
+    // q194: one (lang, n_tok) mass aggregate + the runningAggMulti
+    // range pass — length-domain-bounded (measured 1200 at sf0.001)
+    assert(shuffled("q194_wlen_quantiles") <= 5000,
+      "weighted quantiles shuffle the (lang, length) frame only")
+    // q195: every exchange is bounded by the (value, hour) CELL frame
+    // (values × 24 — value-domain-bounded, proven FLAT at ×30 by the
+    // KS probe): cells, the wide-frame partials, the range pass, the
+    // rank join-backs (measured 27,762 at sf0.001 = 1000 events).
+    // What must never appear: a pair join or a partitionless window.
+    assert(shuffled("q195_kendall") <= 120000,
+      "Kendall must shuffle cell-frame rows only, never pairs")
+    val p195 = executedPlan("q195_kendall")
+    assert(!p195.contains("CartesianProduct"),
+      s"tau-b must never materialize the pair space:\n$p195")
+    assert(("windowspecdefinition\\(value#\\d+ ASC").r
+        .findFirstIn(p195).isEmpty,
+      s"column prefixes must ride the pid-partitioned window:\n$p195")
+    // q196: ONE per-type moment pass — |types| partials only
+    // (measured 6 at sf0.001)
+    assert(shuffled("q196_anova") <= 100,
+      "ANOVA shuffles per-type moment partials only")
+    // q197: q113's family machinery + one cluster-keyed count
+    // (measured 895)
+    assert(shuffled("q197_soft_dedup") <= 3600,
+      "soft-dedup weights stay cluster-bounded, never pair-sized")
+  }
 }

@@ -257,6 +257,98 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 token-weighted length quantiles match a scalar reference " +
+      "(lower weighted quantile over the sorted length distribution)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"),
+        expr("size(filter(split(trim(text), ' '), x -> x != ''))")
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val got = run("q194_wlen_quantiles").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val lens = rows.map(_._2).sorted
+      val w = lens.sum
+      def q(alpha4: Long): Long = { // alpha in quarters: 1, 2, 3
+        var cum = 0L
+        lens.find { l => cum += l; cum * 4 >= w * alpha4 }.get
+      }
+      val (mass, p25, p50, p75) = got(lang)
+      assert(mass == w, s"$lang token mass")
+      assert((p25, p50, p75) == (q(1), q(2), q(3)),
+        s"$lang quantiles ($p25,$p50,$p75) vs scalar (${q(1)},${q(2)},${q(3)})")
+    }
+  }
+
+  test("q195 Kendall tau-b equals the brute-force pair count over the " +
+      "collected rows (concordant/discordant/ties reference)") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("value"), hour(col("ts")).cast("int").as("hh")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    var c = 0L; var dd = 0L; var tv = 0L; var th = 0L
+    for (i <- ev.indices; j <- (i + 1) until ev.length) {
+      val (v1, h1) = ev(i); val (v2, h2) = ev(j)
+      if (v1 == v2 && h1 == h2) { tv += 1; th += 1 }
+      else if (v1 == v2) tv += 1
+      else if (h1 == h2) th += 1
+      else if ((v1 < v2) == (h1 < h2)) c += 1
+      else dd += 1
+    }
+    val n = ev.length.toLong
+    val n0 = n * (n - 1) / 2.0
+    val brute = (c - dd) / math.sqrt((n0 - tv) * (n0 - th))
+    val row = run("q195_kendall").collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - brute) <= 5e-5, // round-4 face
+      s"tau_b ${row.getDouble(1)} vs brute $brute")
+  }
+
+  test("q196 ANOVA F matches the textbook two-pass reference " +
+      "(explicit group means, SSB/SSW from deviations)") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val byT = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = ev.length; val k = byT.size
+    val grand = ev.map(_._2).sum / n
+    val ssb = byT.values.map { vs =>
+      val m = vs.sum / vs.length
+      vs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = byT.values.flatMap { vs =>
+      val m = vs.sum / vs.length
+      vs.map(v => (v - m) * (v - m))
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = run("q196_anova").collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == k - 1 &&
+      row.getLong(2) == n - k)
+    assert(math.abs(row.getDouble(3) - f) <= 5e-4, // round-4 + moment form
+      s"F ${row.getDouble(3)} vs two-pass $f")
+    assert(math.abs(row.getDouble(4) - ssb / (ssb + ssw)) <= 5e-4)
+  }
+
+  test("q197 soft-dedup weights: family members share one unit of " +
+      "mass (floor-truncated) and fam_size matches q113's clusters") {
+    val rows = run("q197_soft_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val q113 = run("q113_cc_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.forall(_._3 == members.length),
+        s"cluster $cl fam_size != member count")
+      val w = members.head._4
+      assert(w == math.floor(10000.0 / members.length) / 10000.0)
+      // the family's total mass is 1 up to the floor truncation
+      assert(members.map(_._4).sum <= 1.0 + 1e-9)
+      assert(members.map(_._4).sum > 1.0 - members.length * 1e-4 - 1e-9)
+    }
+    rows.foreach { case (id, cl, _, _) =>
+      assert(q113(id) == cl, s"doc $id cluster drifts from q113") }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
