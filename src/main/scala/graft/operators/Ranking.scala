@@ -862,14 +862,23 @@ object Ranking {
     // zero non-null values — cross-partition prefix count + local frame
     // count detects that exactly (including the empty exclusive frame of
     // the first global row).
-    specs.zipWithIndex.foldLeft(withOff) {
-      case (acc, ((_, _, outCol), i)) =>
-        acc.withColumn(outCol,
-          when(col(s"__offc$i") + count(col(s"__v$i")).over(w) === 0,
-            lit(null).cast("long"))
-            .otherwise(fs(i)._3(col(s"__off$i"),
-              coalesce(fs(i)._1(col(s"__v$i")).over(w), lit(fs(i)._2)))))
-    }.drop("__mid" +: specs.indices.flatMap(i =>
-      Seq(s"__off$i", s"__offc$i", s"__v$i")): _*)
+    // ONE select for all output columns — a per-spec withColumn fold
+    // re-analyzes a growing plan per column and goes quadratic in
+    // |specs| (24-spec caller q195 measured 17.4 s vs 1.2 s for one
+    // spec on the same 18k-row frame; the single-select pass costs one
+    // analysis regardless of spec count)
+    val internal = ("__mid" +: specs.indices.flatMap(i =>
+      Seq(s"__off$i", s"__offc$i", s"__v$i"))).toSet
+    val outNames = specs.map(_._3).toSet
+    val keep = withOff.columns
+      .filterNot(c => internal(c) || outNames(c)).map(col(_))
+    val outs = specs.zipWithIndex.map { case ((_, _, outCol), i) =>
+      when(col(s"__offc$i") + count(col(s"__v$i")).over(w) === 0,
+        lit(null).cast("long"))
+        .otherwise(fs(i)._3(col(s"__off$i"),
+          coalesce(fs(i)._1(col(s"__v$i")).over(w), lit(fs(i)._2))))
+        .as(outCol)
+    }
+    withOff.select(keep ++ outs: _*)
   }
 }

@@ -669,8 +669,12 @@ object TemporalQueries {
   def q195(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("value"),
       hour(col("ts")).cast("int").as("hh"))
+    // cell frame checkpoint-pinned (q187's lesson): it feeds the wide
+    // prefix frame AND the per-cell join AND both ties/total scalars —
+    // without the pin each consumer re-aggregates the event scan
     val cells = ev.groupBy(col("value"), col("hh"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // wide |values|-row frame: one LONG column of per-value counts per
     // hour (absent cells are 0 so the prefix sums see the full grid)
     val hourCounts = (0 until 24).map(h =>
@@ -689,14 +693,16 @@ object TemporalQueries {
     val gt = (0 until 24).map(h =>
       when(col("hh") < h, coalesce(col(s"r$h"), lit(0L)))
         .otherwise(0L)).reduce(_ + _)
-    val tot = ev.agg(count(lit(1)).as("ntot"))
+    // totals and ties all fold from the pinned cell frame — the event
+    // table is scanned exactly once
+    val tot = cells.agg(sum(col("n")).as("ntot"))
     val num = cells.join(pref, "value").crossJoin(broadcast(tot))
       .select(((col("n") / col("ntot")) *
         ((lt - gt) / (col("ntot") - lit(1L)))).as("term"))
       .agg(sum(col("term")).as("num"))
     // ties ratios, one division per factor (never n_v(n_v-1)/2 longs)
     def tieRatio(key: Column, out: String) =
-      ev.groupBy(key.as("k")).agg(count(lit(1)).as("nk"))
+      cells.groupBy(key.as("k")).agg(sum(col("n")).as("nk"))
         .crossJoin(broadcast(tot))
         .agg(sum((col("nk") / col("ntot")) *
           ((col("nk") - lit(1L)) / (col("ntot") - lit(1L)))).as(out))
