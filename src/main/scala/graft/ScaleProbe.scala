@@ -369,10 +369,27 @@ object ScaleProbe {
         "bpe_train_full" -> ((d: String) =>
           graft.operators.TextPipeline.bpeTrain(
             Tables.documents(spark, d), "doc_id", "text", merges = 8)),
-        // round 14: DSIR weights over the full corpus — the one
-        // data-sized exchange is the (doc, bucket≤256) partial-agg
-        // frame, so shuffle records must track docs (ratio ≤ data
-        // ratio); the 256-row marginals/log-ratio stages are flat
+        // round 15 (driver ADVICE — the r14 contract overstated):
+        // dsir_perdoc_frame isolates the operator's ONE
+        // docs-proportional exchange — the (doc, bucket≤256)
+        // partial-agg frame — whose records MUST track the data ratio
+        // exactly. The FULL operator's total additionally carries the
+        // final groupBy(doc) partial feed over that pinned frame: the
+        // frame is hash-partitioned by (doc,tgt,bucket), so each
+        // partition emits one partial per doc present —
+        // docs × min(#partitions, buckets/doc) records, which grows
+        // with AQE's coalesced partition count in the probed range
+        // (~1.6/doc base → ~23/doc at ×30) while staying absolutely
+        // capped at ≤256/doc. Contract for the full face: total ≤
+        // 2 × docs × 256 at any mult (NOT ratio ≤ data ratio — the
+        // r14 note's bound; see TextPipeline.dsirPerDoc's scaladoc for
+        // why a doc-keyed repartition that would flatten the ratio is
+        // strictly more absolute shuffle). The 256-row marginals /
+        // log-ratio stages are flat.
+        "dsir_perdoc_frame" -> ((d: String) =>
+          graft.operators.TextPipeline.dsirPerDoc(
+            Tables.documents(spark, d), "doc_id", "text",
+            isTarget = col("lang") === "en")),
         "dsir_weights_full" -> ((d: String) =>
           graft.operators.TextPipeline.dsirLogWeights(
             Tables.documents(spark, d), "doc_id", "text",

@@ -316,6 +316,100 @@ object TextPipeline {
       expr("filter(split(__s, '__'), x -> x != '')").as("symbols"))
   }
 
+  /** Subword id table for a learned merge table — the TRAINER-facing
+    * vocabulary (round 15, r14 verdict #3): ids 1..A for the training
+    * corpus's alphabet (distinct single characters of `'_'`-free
+    * tokens, ranked lexicographically), A+step for each merge's joined
+    * symbol — the standard BPE id scheme (Sennrich et al. 2016
+    * arXiv:1508.07909: base alphabet then merge order). A merged
+    * string that collides with an earlier entry keeps the SMALLEST id
+    * (min over the union), so the table is a function of symbol.
+    *
+    * STABILITY is the contract: ids derive from the TRAINING corpus
+    * and the merge table alone — encode a disjoint increment (q101's
+    * membership-stability discipline) and every known symbol keeps its
+    * id; unknown symbols (characters outside the training alphabet)
+    * encode as 0 downstream. Scale shape: the alphabet frame is
+    * charset-bounded (metadata-sized — its global rank window is over
+    * ≤ a few hundred rows, q192's bounded-enum precedent), the merge
+    * table is K rows; nothing here is corpus-sized except the one
+    * distinct-chars aggregate, whose exchange is alphabet-bounded by
+    * partial aggregation. Returns (symbol, sym_id). */
+  def bpeVocab(trainCorpus: DataFrame, idCol: String, textCol: String,
+               mergeTable: DataFrame): DataFrame = {
+    val chars = trainCorpus
+      .select(explode(expr(TextHashes.toks(textCol))).as("w"))
+      .filter(!col("w").contains("_"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as("symbol"))
+      .distinct()
+    val whole = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // alphabet-bounded frame: rank + total in one pass
+    val charIds = chars
+      .withColumn("ord",
+        row_number().over(Window.orderBy(col("symbol"))).cast("long"))
+      .withColumn("__a", count(lit(1)).over(whole))
+    val aFrame = charIds.select(col("__a")).limit(1)
+    val merged = mergeTable.crossJoin(broadcast(aFrame))
+      .select(concat(col("lhs"), col("rhs")).as("symbol"),
+        (col("__a") + col("step")).as("ord"))
+    charIds.select(col("symbol"), col("ord"))
+      .unionByName(merged)
+      .groupBy(col("symbol")).agg(min(col("ord")).as("sym_id"))
+  }
+
+  /** Per-document subword ID SEQUENCES — what a trainer actually
+    * consumes (round 15, r14 verdict #3): every token of every
+    * document segmented under the learned `mergeTable`
+    * ([[bpeSegment]]), each symbol mapped through `vocab`
+    * ((symbol, sym_id), normally a [[bpeVocab]] result — persisted or
+    * fresh), sequences reassembled in token-then-symbol order.
+    * Unknown symbols — and whole `'_'`-containing tokens, which the
+    * tokenizer contract excludes from segmentation — encode as a
+    * single id 0 (q101's OOV semantics). Output: (idCol,
+    * ids array<long>), row-complete (token-less docs keep an empty
+    * array — [[encode]]'s re-attachment discipline).
+    *
+    * Scale shape: segmentation + the symbol→id join live on the
+    * |vocab|-row distinct-token frame (token-keyed joins unhinted —
+    * q114's rule); the corpus-sized work is one narrow posexplode and
+    * ONE (doc)-keyed reassembly aggregate with order restored by
+    * sort_array on (pos, ids) structs — [[encode]]'s exact shape, no
+    * order-dependent collect_list assumption. */
+  def bpeEncode(corpus: DataFrame, idCol: String, textCol: String,
+                mergeTable: DataFrame, vocab: DataFrame): DataFrame = {
+    val symIds = bpeSegment(corpus, idCol, textCol, mergeTable)
+      .select(col("token"),
+        posexplode(col("symbols")).as(Seq("__sp", "__sym")))
+      .join(vocab.select(col("symbol").as("__sym"),
+        col("sym_id").cast("long").as("__sid")), Seq("__sym"), "left")
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("__sp").as("p"),
+        coalesce(col("__sid"), lit(0L)).as("id")))).as("__ps"))
+      .select(col("token").as("__token"),
+        expr("transform(__ps, x -> x.id)").as("__tids"))
+    val toks = corpus
+      .select(col(idCol), expr(TextHashes.toks(textCol)).as("__toks"))
+    val nonEmpty = toks
+      .select(col(idCol),
+        posexplode(col("__toks")).as(Seq("__pos", "__token")))
+      .join(symIds, Seq("__token"), "left")
+      // '_'-containing tokens never reach bpeSegment → one UNK id
+      .withColumn("__tids",
+        coalesce(col("__tids"), expr("array(0L)")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos").as("p"),
+        col("__tids").as("ids")))).as("__ps"))
+      .select(col(idCol),
+        expr("flatten(transform(__ps, x -> x.ids))").as("ids"))
+    toks.select(col(idCol))
+      .join(nonEmpty, Seq(idCol), "left")
+      .withColumn("ids",
+        coalesce(col("ids"), expr("cast(array() as array<bigint>)")))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * public arXiv:2302.03169 §3): score every raw document by how much
@@ -342,8 +436,35 @@ object TextPipeline {
     * Returns (idCol, n_feats, logw) with `logw` the raw double —
     * query faces round; sums of ln terms follow the §2.9 round-4 rule
     * there, not here. */
-  def dsirLogWeights(corpus: DataFrame, idCol: String, textCol: String,
-                     isTarget: Column): DataFrame = {
+  /** [[dsirLogWeights]]'s ONE data-sized frame — per-(doc, bucket≤256)
+    * feature counts, checkpoint-pinned. Factored out (round 15, driver
+    * ADVICE) so the scale probe can measure THIS exchange in isolation:
+    * it is the operator's only docs-proportional shuffle and must track
+    * the data ratio exactly. The FULL operator's total additionally
+    * carries the final `groupBy(doc)` partial feed over the pinned
+    * frame — the frame is hash-partitioned by (doc, tgt, bucket), so a
+    * doc's ≤256 rows straddle partitions and each partition emits one
+    * partial per doc present: `docs × min(#partitions, buckets/doc)`
+    * records, a factor that GROWS with AQE's coalesced partition count
+    * in the probed range (~1.6/doc at base, ~23/doc at ×30) while
+    * staying absolutely capped at ≤256/doc — i.e. total shuffle ≤
+    * 2 × docs × 256 at ANY scale. Repartitioning the frame by doc
+    * before the pin would zero that feed but costs a full docs×256-row
+    * exchange (no map-side combine on a repartition) — strictly more
+    * records than the ≤min(32,256)/doc partial feed it removes, so the
+    * decomposed bound is the right contract, not a new exchange.
+    *
+    * Checkpoint-pinned (q185's discipline): the frame feeds BOTH the
+    * marginals (under a BroadcastExchange, where AQE plans the
+    * subtree independently and does NOT reuse the main path's
+    * exchange) and the final per-doc weight join — without the pin
+    * the corpus scan+explode+aggregate ran TWICE (m10 probe: shuffle
+    * ×10.9 at ×10 data). The pinned frame is docs × ≤256 rows — at
+    * 1e9 docs ~1-2 GB per executor on a 1000-way cluster, strictly
+    * cheaper than a second full corpus pass. */
+  private[graft] def dsirPerDoc(corpus: DataFrame, idCol: String,
+                                textCol: String,
+                                isTarget: Column): DataFrame = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(__f), $i, 1)) - 1)"
     val feats = corpus
@@ -361,19 +482,15 @@ object TextPipeline {
             |  (a, b) -> concat(a, ' ', b))""".stripMargin))).as("__f"))
       .select(col(idCol), col("__tgt"),
         expr(s"${nib(1)} * 16 + ${nib(2)}").as("__b"))
-    // the ONE data-sized aggregate: (doc, bucket) occurrence counts.
-    // Checkpoint-pinned (q185's discipline): the frame feeds BOTH the
-    // marginals (under a BroadcastExchange, where AQE plans the
-    // subtree independently and does NOT reuse the main path's
-    // exchange) and the final per-doc weight join — without the pin
-    // the corpus scan+explode+aggregate ran TWICE (m10 probe: shuffle
-    // ×10.9 at ×10 data). The pinned frame is docs × ≤256 rows — at
-    // 1e9 docs ~1-2 GB per executor on a 1000-way cluster, strictly
-    // cheaper than a second full corpus pass.
-    val perDoc = feats
+    feats
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
+  }
+
+  def dsirLogWeights(corpus: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column): DataFrame = {
+    val perDoc = dsirPerDoc(corpus, idCol, textCol, isTarget)
     // BOTH bucket marginals in one re-aggregation of the per-doc frame
     // (never a second corpus pass, and never two subtrees: separate
     // raw/target aggregates re-planned the perDoc exchange per

@@ -271,8 +271,13 @@ object PipelineOracles {
   // The shared 8-round BPE CTE chain (w0 word counts, s0 delimited
   // forms, per round r: p$r pair counts → b$r argmax → s$r applied) —
   // q185 reads the merge table (b1..b8), q186 reads the final symbol
-  // state (s8).
-  private val bpeCtes: String = {
+  // state (s8). Each round is EXHAUSTION-SAFE (round 15, driver
+  // ADVICE): if merges run dry before round 8, b$r is empty, and the
+  // old `prev CROSS JOIN b$r` wiped the symbol frame (zero oracle rows
+  // while bpeTrain's early-stop face still returned every token) —
+  // `prev LEFT JOIN b$r ON true` with a COALESCE'd replace is a no-op
+  // on an empty round, mirroring bpeTrain's `exhausted` semantics.
+  private def bpeCtesFor(where: String): String = {
     val delim = "'__' || array_to_string(list_transform(" +
       "generate_series(1, length(w)), i -> substr(w, i, 1)), '__') || '__'"
     val rounds = (1 to 8).map { r =>
@@ -289,17 +294,19 @@ object PipelineOracles {
          |b$r AS (SELECT lhs, rhs, freq FROM p$r
          |  ORDER BY freq DESC, lhs, rhs LIMIT 1),
          |s$r AS (SELECT w, cnt,
-         |    replace(s, '_' || b.lhs || '__' || b.rhs || '_',
-         |      '_' || b.lhs || b.rhs || '_') AS s
-         |  FROM $prev CROSS JOIN b$r b)"""
+         |    coalesce(replace(s, '_' || b.lhs || '__' || b.rhs || '_',
+         |      '_' || b.lhs || b.rhs || '_'), s) AS s
+         |  FROM $prev LEFT JOIN b$r b ON true)"""
     }.mkString(",\n")
     s"""w0 AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
-       |      x -> x <> '')) AS tok FROM documents) q
+       |      x -> x <> '')) AS tok FROM documents $where) q
        |  WHERE NOT contains(tok, '_') GROUP BY tok),
        |s0 AS (SELECT w, cnt, $delim AS s FROM w0),
        |$rounds""".stripMargin
   }
+
+  private val bpeCtes: String = bpeCtesFor("")
 
   private val q185: String = {
     val sel = (1 to 8)
@@ -343,15 +350,88 @@ object PipelineOracles {
        |  floor(tot_chr * 10000.0 / tot_sym) / 10000.0 AS chars_per_symbol
        |FROM ag ORDER BY lang""".stripMargin
 
+  // q199 per-document subword id sequences (round 15): the BPE chain
+  // retrained on the doc_id < 50 half, the alphabet+step id scheme
+  // (ids 1..A for sorted training chars, A+step per merge, min-id on
+  // string collisions), the 50–99 half's distinct tokens replayed
+  // through the same 8 exhaustion-safe merge rounds (e-chain), and the
+  // two-level (token pos, symbol pos) order flattened to a single
+  // per-doc position via row_number — ids16 then assembles with q96's
+  // engine-portable max(CASE) trick; row-complete on token-less docs.
+  private val q199: String = {
+    val delimTok = "'__' || array_to_string(list_transform(" +
+      "generate_series(1, length(token)), i -> substr(token, i, 1)), '__') || '__'"
+    val eRounds = (1 to 8).map { r =>
+      val prev = s"e${r - 1}"
+      s"""e$r AS (SELECT w, coalesce(replace(s,
+         |    '_' || b.lhs || '__' || b.rhs || '_',
+         |    '_' || b.lhs || b.rhs || '_'), s) AS s
+         |  FROM $prev LEFT JOIN b$r b ON true)"""
+    }.mkString(",\n")
+    val mrows = (1 to 8)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs FROM b$r")
+      .mkString("\n  UNION ALL ")
+    val idsAt16 = (1 to 16)
+      .map(p => s"max(CASE WHEN pos = $p THEN id END)").mkString(", ")
+    s"""WITH ${bpeCtesFor("WHERE doc_id < 50")},
+       |alpha AS (SELECT DISTINCT substr(w, i, 1) AS symbol
+       |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+       |    FROM w0) z),
+       |achr AS (SELECT symbol,
+       |    CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS ord
+       |  FROM alpha),
+       |acnt AS (SELECT CAST(count(*) AS BIGINT) AS a FROM alpha),
+       |mrg AS (SELECT lhs || rhs AS symbol, a + step AS ord
+       |  FROM ($mrows) m CROSS JOIN acnt),
+       |vocab AS (SELECT symbol, min(ord) AS sym_id FROM
+       |  (SELECT symbol, ord FROM achr
+       |   UNION ALL SELECT symbol, ord FROM mrg) u GROUP BY symbol),
+       |encd AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id BETWEEN 50 AND 99),
+       |tok AS (SELECT doc_id, i AS tpos, list_extract(toks, i) AS token
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks))) AS i
+       |    FROM encd WHERE len(toks) >= 1) z),
+       |e0 AS (SELECT DISTINCT token AS w, $delimTok AS s
+       |  FROM (SELECT DISTINCT token FROM tok
+       |    WHERE NOT contains(token, '_')) zt),
+       |$eRounds,
+       |seg AS (SELECT w AS token,
+       |    list_filter(string_split(s, '__'), x -> x <> '') AS sy FROM e8),
+       |ts AS (SELECT t.doc_id, t.tpos,
+       |    coalesce(g.sy, list_value(t.token)) AS sy
+       |  FROM tok t LEFT JOIN seg g ON g.token = t.token),
+       |sx AS (SELECT doc_id, tpos, j AS spos, list_extract(sy, j) AS symbol
+       |  FROM (SELECT doc_id, tpos, sy,
+       |      unnest(generate_series(1, len(sy))) AS j FROM ts) z),
+       |idq AS (SELECT doc_id, tpos, spos, coalesce(v.sym_id, 0) AS id
+       |  FROM sx LEFT JOIN vocab v ON sx.symbol = v.symbol),
+       |posq AS (SELECT doc_id, CAST(row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY tpos, spos) AS BIGINT) AS pos,
+       |    id FROM idq),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+       |    array_to_string(list_filter(list_value($idsAt16),
+       |      x -> x IS NOT NULL), ',') AS ids16
+       |  FROM posq GROUP BY doc_id)
+       |SELECT e.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+       |  coalesce(a.ids16, '') AS ids16
+       |FROM encd e LEFT JOIN agg a ON e.doc_id = a.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   // q187 DSIR importance weights: unigram+bigram features hashed into
   // 256 buckets by two md5 nibbles, Laplace-smoothed target (lang='en')
   // vs raw bucket distributions, per-doc Σ cnt·(ln p̂ − ln q̂). Exact
   // integer numerators, ONE division + ln per side (q180's discipline);
   // round-4 + 0.0 on the cancellable sum (§2.9).
-  private val q187 = {
+  // Shared DSIR CTE chain (round 15 — q187 reads the per-doc weights,
+  // q200 extends them with the Gumbel-top-k selection): features,
+  // buckets, per-doc counts (db), marginals, totals, log-ratios (lr).
+  private val dsirCtes: String = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(f), $i, 1)) - 1)"
-    s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+    s"""t AS (SELECT doc_id, lang = 'en' AS tgt,
        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
        |  FROM documents),
        |ug AS (SELECT doc_id, tgt, unnest(toks) AS f FROM t),
@@ -372,11 +452,44 @@ object PipelineOracles {
        |tots AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
        |    CAST(sum(r) AS BIGINT) AS rt FROM marg),
        |lr AS (SELECT b, ln((tc + 1) / (tt + 256.0)) -
-       |    ln((r + 1) / (rt + 256.0)) AS lr FROM marg CROSS JOIN tots)
+       |    ln((r + 1) / (rt + 256.0)) AS lr FROM marg CROSS JOIN tots)"""
+      .stripMargin
+  }
+
+  private val q187 =
+    s"""WITH $dsirCtes
        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_feats,
        |  round(sum(db.cnt * lr.lr), 4) + 0.0 AS logw
        |FROM db JOIN lr ON db.b = lr.b
        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
+  // q200 DSIR deterministic importance resampling (round 15): q187's
+  // per-doc logw (rounded to 4 BEFORE the key sum — the cancellable-sum
+  // rule, so the rank order is engine-identical), plus a replayable
+  // Gumbel from the salted-md5 uniform (q155's A-ES idiom, salt
+  // `dsel:`), ranked globally with a doc_id tiebreak; the budget is the
+  // data-relative top 20% (ceil).
+  private val q200 = {
+    def gnib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5('dsel:' || CAST(doc_id AS STRING)),$i,1)) - 1)"
+    val v32 = (1 to 8)
+      .map(i => s"${gnib(i)} * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH $dsirCtes,
+       |lw AS (SELECT db.doc_id, round(sum(db.cnt * lr.lr), 4) + 0.0 AS logw
+       |  FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
+       |kb AS (SELECT doc_id, logw,
+       |    logw + (-ln(-ln((($v32) + 0.5) / 4294967296.0))) AS key
+       |  FROM lw),
+       |nn AS (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) AS n
+       |  FROM documents),
+       |rk AS (SELECT doc_id, logw, key,
+       |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+       |      AS sel_rank
+       |  FROM kb)
+       |SELECT doc_id, logw, round(key, 4) + 0.0 AS key, sel_rank,
+       |  sel_rank <= n AS kept
+       |FROM rk CROSS JOIN nn ORDER BY doc_id""".stripMargin
   }
 
   // q190 cross-source vocabulary Jaccard: distinct (source, token)
@@ -766,6 +879,12 @@ object PipelineOracles {
     "q187_dsir_weights"   -> q187,
     "q190_vocab_overlap"  -> q190,
     "q193_bpe_fertility"  -> q193,
+    // q198 shares q186's oracle VERBATIM (q97's shared-oracle rule):
+    // the Spark face reads the persisted store, the oracle retrains —
+    // the hash gate proves the round-tripped artifact is bit-identical
+    "q198_bpe_store"      -> q186,
+    "q199_bpe_ids"        -> q199,
+    "q200_dsir_select"    -> q200,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

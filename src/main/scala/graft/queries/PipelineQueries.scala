@@ -933,15 +933,23 @@ object PipelineQueries {
     * cleaned document as an md5 digest plus the span census. Narrow
     * per-row HOF chain end-to-end (q173's discipline) — zero
     * exchanges before the contract sort. dup_frac is a ratio of exact
-    * integers → the floor idiom (§2.9). */
+    * integers → the floor idiom (§2.9). The span count is clamped at 0
+    * for zero-token documents: Spark's `sequence(1, 0)` runs DESCENDING
+    * ([1, 0] — two fabricated empty spans) while the oracle's
+    * `generate_series(1, 0)` is empty, the exact divergence
+    * [[graft.operators.TextPipeline.dsirLogWeights]] guards with
+    * `greatest(..., 0)` — here the empty case short-circuits to an
+    * empty span list so both faces agree (latent on this corpus, which
+    * has no empty-text docs, but the guard keeps the faces aligned). */
   def q184(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .withColumn("ls", expr(
-        """transform(sequence(1, cast(ceil(size(toks) / 2.0) as bigint)),
-          |  g -> array_join(slice(toks, cast((g-1)*2+1 as int), 2), ' '))"""
-          .stripMargin))
+        """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(1, cast(ceil(size(toks) / 2.0) as bigint)),
+          |  g -> array_join(slice(toks, cast((g-1)*2+1 as int), 2), ' '))
+          |END""".stripMargin))
       .withColumn("kls",
         graft.operators.TextPipeline.dedupSpanList(col("ls")))
       .select(col("doc_id"),
@@ -1086,5 +1094,102 @@ object PipelineQueries {
         (floor(col("tot_chr") * 10000.0 / col("tot_sym")) / 10000.0)
           .as("chars_per_symbol"))
       .orderBy("lang")
+  }
+
+  /** q198 BPE encode against the PERSISTED merge store (round 15, r14
+    * verdict #2): q185's merge table is trained ONCE and landed as a
+    * catalog table ([[graft.sources.Lake.writeBpeTable]] under
+    * [[graft.sources.Lake.ensureTable]]'s pay-once memo — q103's
+    * `writeSigIndex` discipline), and the segmentation reads the STORE
+    * ([[graft.sources.Lake.readBpeTable]]), never the trainer — the
+    * train-once/serve-many shape a production tokenizer runs (q101's
+    * persisted-vocab discipline applied to subwords). The oracle is
+    * q186's verbatim (q97's shared-oracle rule): the hash gate proves
+    * the round-tripped store reproduces the inline-trained
+    * segmentation bit-for-bit; BpeStoreSpec adds the fresh-JVM
+    * visibility proof (CatalogSpec's pattern). */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tbl = s"graft_bpe_merges${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Lake.ensureTable(s, tbl) {
+      graft.sources.Lake.writeBpeTable(
+        graft.operators.TextPipeline.bpeTrain(
+          docs, "doc_id", "text", merges = 8), tbl)
+    }
+    graft.operators.TextPipeline.bpeSegment(docs, "doc_id", "text",
+        graft.sources.Lake.readBpeTable(s, tbl))
+      .select(col("token"),
+        size(col("symbols")).cast("long").as("n_symbols"),
+        array_join(col("symbols"), " ").as("segmented"))
+      .orderBy("token")
+  }
+
+  /** q199 per-document subword ID sequences — the TRAINER artifact
+    * (round 15, r14 verdict #3): merges trained on the doc_id < 50
+    * half (q101's split), every doc of the 50–99 half encoded to the
+    * id sequence a model consumes ([[graft.operators.TextPipeline
+    * .bpeEncode]] over [[graft.operators.TextPipeline.bpeVocab]]'s
+    * alphabet+step id scheme). Because ids derive from the TRAINING
+    * half and the merge table alone, they are stable under growth by
+    * disjoint documents — QueriesSpec pins the membership-stability
+    * property (q101's discipline); symbols outside the training
+    * alphabet encode as 0 (OOV). Output mirrors q96's face: (doc_id,
+    * n_ids, ids16). */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") < 50)
+    val table = graft.operators.TextPipeline.bpeTrain(
+      train, "doc_id", "text", merges = 8)
+    val vocab = graft.operators.TextPipeline.bpeVocab(
+      train, "doc_id", "text", table)
+    graft.operators.TextPipeline.bpeEncode(
+        docs.filter(col("doc_id").between(50, 99)), "doc_id", "text",
+        table, vocab)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        expr("array_join(transform(slice(ids, 1, 16), x -> cast(x as string)), ',')")
+          .as("ids16"))
+      .orderBy("doc_id")
+  }
+
+  /** q200 DSIR step 2 — deterministic importance RESAMPLING (round 15,
+    * r14 verdict #4; Xie et al. 2023 arXiv:2302.03169 §3: sample
+    * ∝ exp(logw) without replacement). The Gumbel-top-k identity makes
+    * the draw a pure ranking: key = logw + Gumbel(0,1), and the top-k
+    * keys ARE a weighted sample without replacement — with the Gumbel
+    * built from a replayable salted-md5 uniform (q155's A-ES
+    * discipline: first 8 nibbles + 0.5 over 2³², salt `dsel:`), the
+    * kept set is identical across engines and reruns. logw is rounded
+    * to 4 BEFORE the key sum on both faces (the §2.9 cancellable-sum
+    * rule — the Gumbel term is bit-deterministic, so the rank order
+    * is too); the budget is data-relative (top 20%, ceil — QueriesSpec's
+    * fixed-cutoff rule), with N from the parquet count (metadata-only).
+    * Ranking rides [[graft.operators.Ranking.runningAgg]]'s
+    * range-partitioned pass over the total order (neg_key, doc_id) —
+    * never a single-partition window, never a driver-side top-k
+    * collect: at 100 TB the selection is a filter on a distributed
+    * rank column. */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = math.ceil(0.2 * docs.count()).toLong
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('dsel:', cast(doc_id as string))),$i,1)) - 1)"
+    val v32 = (1 to 8).map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}L")
+      .mkString(" + ")
+    val keyed = graft.operators.TextPipeline.dsirLogWeights(
+        docs, "doc_id", "text", isTarget = col("lang") === "en")
+      .select(col("doc_id"), (round(col("logw"), 4) + 0.0).as("logw"))
+      .withColumn("key", col("logw") +
+        expr(s"-ln(-ln((($v32) + 0.5D) / 4294967296.0D))"))
+      .withColumn("neg_key", -col("key"))
+      .withColumn("one", lit(1L))
+    graft.operators.Ranking.runningAgg(keyed,
+        orderCols = Seq("neg_key", "doc_id"), valueCol = "one",
+        fn = "sum", outCol = "cum_before", inclusive = false)
+      .select(col("doc_id"), col("logw"),
+        (round(col("key"), 4) + 0.0).as("key"),
+        (coalesce(col("cum_before"), lit(0L)) + 1L).as("sel_rank"),
+        (coalesce(col("cum_before"), lit(0L)) + 1L <= n).as("kept"))
+      .orderBy("doc_id")
   }
 }

@@ -394,10 +394,36 @@ object Catalog {
               .mkString("CATALOG_ROW|", "|", ""))
           }
       } finally spark.stop()
+    // durable tokenizer face (round 15, r14 verdict #2): train q185's
+    // BPE merge table ONCE and land it as a managed catalog table —
+    // the committed artifact IS the serving contract
+    case "bpe_publish" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try graft.sources.Lake.writeBpeTable(
+        graft.operators.TextPipeline.bpeTrain(
+          Tables.documents(spark, sfDir), "doc_id", "text", merges = 8),
+        name)
+      finally spark.stop()
+    // segment BY NAME from a fresh JVM: the encoder reads the STORE,
+    // never the trainer (train-once/serve-many)
+    case "bpe_encode" :: home :: sfDir :: name :: Nil =>
+      val spark = session(home)
+      try {
+        import org.apache.spark.sql.functions.{array_join, col}
+        graft.operators.TextPipeline.bpeSegment(
+            Tables.documents(spark, sfDir), "doc_id", "text",
+            graft.sources.Lake.readBpeTable(spark, name))
+          .select(col("token"), array_join(col("symbols"), " ").as("seg"))
+          .orderBy("token")
+          .collect().foreach(r =>
+            println(s"CATALOG_ROW|${r.getString(0)}|${r.getString(1)}"))
+      } finally spark.stop()
     case _ => sys.error(
       "usage: Catalog publish <home> <sfDir> [db] | Catalog sql <home> <query>" +
         " | Catalog bucketed <home> <sfDir> <table> <bucketCol> <buckets>" +
         " | Catalog index_publish <home> <sfDir> <name>" +
-        " | Catalog index_search <home> <sfDir> <name>")
+        " | Catalog index_search <home> <sfDir> <name>" +
+        " | Catalog bpe_publish <home> <sfDir> <name>" +
+        " | Catalog bpe_encode <home> <sfDir> <name>")
   }
 }

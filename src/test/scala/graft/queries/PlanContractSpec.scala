@@ -626,4 +626,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffled("q197_soft_dedup") <= 3600,
       "soft-dedup weights stay cluster-bounded, never pair-sized")
   }
+
+  test("q198–q200 round-15 additions: store-backed encode stays " +
+      "vocab-bounded; trainer ids corpus-linear once; selection rides " +
+      "the doc×bucket cap + one range pass") {
+    // q198: q186's exchange family — the merge-table TRAIN+WRITE is
+    // paid once per JVM (ensureTable memo); steady-state serving is a
+    // K-row store read + the vocab-bounded segmentation (measured 765
+    // at sf0.001 INCLUDING the first-call train+write)
+    assert(shuffled("q198_bpe_store") <= 3000,
+      "store-backed encode stays vocabulary-bounded, never corpus-sized")
+    // q199: segmentation + the symbol→id join live on the |vocab| and
+    // alphabet frames; the corpus-sized work is ONE posexplode + ONE
+    // per-doc reassembly aggregate (measured 930 at sf0.001)
+    assert(shuffled("q199_bpe_ids") <= 4000,
+      "trainer-id emission shuffles vocab frames + one per-doc pass")
+    // q200: q187's doc×bucket≤256 hard cap + the Gumbel ranking's
+    // single range-partitioned pass over |docs| rows (measured 35,299
+    // at sf0.001 = 500 docs — DSIR frame dominated)
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(shuffled("q200_dsir_select") <= 256L * docs + 16384L,
+      "selection must exchange ≤256 rows/doc + the docs-row rank pass")
+    // the ranking must never ride a partitionless (global) window or a
+    // driver-side top-k — q188/q192's runningAgg discipline
+    val p200 = executedPlan("q200_dsir_select")
+    assert(("windowspecdefinition\\(neg_key#\\d+ ASC").r
+        .findFirstIn(p200).isEmpty,
+      s"selection rank must ride the pid-partitioned window:\n$p200")
+  }
 }

@@ -349,6 +349,62 @@ class QueriesSpec extends AnyFunSuite {
       assert(q113(id) == cl, s"doc $id cluster drifts from q113") }
   }
 
+  test("q198 store-served segmentation is row-identical to q186's " +
+      "inline-trained face (train-once/serve-many contract)") {
+    val stored = run("q198_bpe_store").collect().map(_.toString).toSeq
+    val inline = run("q186_bpe_encode").collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inline,
+      s"store face ${stored.length} rows vs inline ${inline.length}")
+  }
+
+  test("q199 subword ids are pointwise and stable under corpus growth " +
+      "by disjoint documents (q101's membership-stability discipline)") {
+    import graft.operators.TextPipeline
+    val docs = graft.Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") < 50)
+    val table = TextPipeline.bpeTrain(train, "doc_id", "text", merges = 8)
+    val vocab = TextPipeline.bpeVocab(train, "doc_id", "text", table)
+    def idsOf(lo: Long, hi: Long): Map[Long, Seq[Long]] =
+      TextPipeline.bpeEncode(
+          docs.filter(col("doc_id").between(lo, hi)), "doc_id", "text",
+          table, vocab)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val full = idsOf(50, 99)
+    val part = idsOf(50, 74) // the corpus SHRUNK by disjoint docs
+    assert(part.nonEmpty && part.keySet == full.keySet.filter(_ <= 74))
+    part.foreach { case (id, ids) =>
+      assert(ids == full(id),
+        s"doc $id id sequence drifted when disjoint docs were removed")
+    }
+    // every emitted id is a trained-vocab id or the OOV sentinel 0
+    val known = vocab.collect().map(_.getLong(1)).toSet + 0L
+    full.values.flatten.foreach(i => assert(known.contains(i)))
+    // the q199 face agrees with the operator composition it documents
+    val face = run("q199_bpe_ids").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(face == full.view.mapValues(_.length.toLong).toMap)
+  }
+
+  test("q200 Gumbel-top-k selection is deterministic across reruns, " +
+      "keeps exactly ceil(0.2N), and ranks consistently with its keys") {
+    val r1 = run("q200_dsir_select").collect()
+    val r2 = run("q200_dsir_select").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "resampling must replay bit-identically (salted-md5 Gumbel)")
+    val n = r1.length
+    val budget = math.ceil(0.2 * n).toLong
+    assert(r1.count(_.getBoolean(4)).toLong == budget)
+    assert(r1.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq,
+      "sel_rank must be a permutation of 1..N")
+    r1.foreach(r => assert(r.getBoolean(4) == (r.getLong(3) <= budget)))
+    // rank order tracks the (rounded) key: descending within tolerance
+    val byRank = r1.sortBy(_.getLong(3)).map(_.getDouble(2))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 2e-4, s"key order violated: $a then $b")
+    }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
