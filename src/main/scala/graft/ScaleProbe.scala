@@ -146,7 +146,101 @@ object ScaleProbe {
     catch { case _: Throwable => () }
   }
 
+  /** WIDENED-VALUE-DOMAIN probe (r14 verdict ask #5): the standard
+    * replication pass keeps the VALUE domain constant (replicas reuse
+    * base values), so the distinct-value statistical family's
+    * |values|-row frames measure FLAT — the probes never exercised the
+    * dimension those operators actually scale in. This mode grows the
+    * value domain itself ×mult: replica r's `events.value` shifts by
+    * r·1000.0 (fully disjoint beyond the [0, 560] base spread — the
+    * r14 edit-distance lesson: a sub-range shift stacks replica
+    * densities) and replica r's `documents.text` gains r·128 filler
+    * tokens (disjoint beyond the 10–100 base token spread), so
+    * |distinct value| and the (lang, n_tok) cell domain both grow
+    * exactly ×mult. Contract: each family's shuffle records must track
+    * |values| (ratio ≈ mult — these frames ARE value-domain-sized;
+    * flat would mean the probe is broken) with wall sublinear in mult,
+    * and the triangular-offset rebase joins must stay
+    * |langs|/|types|-bounded (they don't see the value domain). */
+  private def widenedProbe(spark: SparkSession, baseDir: String,
+                           mult: Int): Unit = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_widenedprobe").toString
+    val replicas = spark.range(0, mult).select(col("id").as("__r"))
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    ev.crossJoin(broadcast(replicas))
+      .withColumn("event_id", col("event_id") + col("__r") * SHIFT)
+      .withColumn("user_id", col("user_id") + col("__r") * SHIFT)
+      .withColumn("value", col("value") + col("__r") * 1000.0)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.crossJoin(broadcast(replicas))
+      .withColumn("doc_id", col("doc_id") + col("__r") * SHIFT)
+      .withColumn("text", concat(col("text"),
+        expr("repeat(' w', cast(__r as int) * 128)")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // measured domain growth (the probe's denominator)
+    def nVals(d: String) = Tables.events(spark, d)
+      .select(countDistinct(col("value"))).first().getLong(0)
+    def nCells(d: String) = Tables.documents(spark, d)
+      .select(col("lang"), expr(
+        "size(filter(split(trim(text), ' '), x -> x != ''))")
+        .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0).distinct().count()
+    val (vb, vs) = (nVals(baseDir), nVals(out))
+    val (cb, cs) = (nCells(baseDir), nCells(out))
+    val probes = Seq("q180_ks_test", "q188_auc_mw", "q192_spearman",
+        "q194_wlen_quantiles", "q195_kendall")
+      .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d)))
+    probes.foreach { case (_, f) =>
+      try noop(f(baseDir)) catch { case _: Throwable => () }
+      try noop(f(out)) catch { case _: Throwable => () }
+    }
+    val rows = probes.map { case (n, f) =>
+      var sb: Metrics.ShuffleStats = null
+      var ss: Metrics.ShuffleStats = null
+      val tBase = { val t0 = System.nanoTime()
+        sb = Metrics.shuffleOf(spark)(noop(f(baseDir)))
+        (System.nanoTime() - t0) / 1e9 }
+      val tScaled = { val t0 = System.nanoTime()
+        ss = Metrics.shuffleOf(spark)(noop(f(out)))
+        (System.nanoTime() - t0) / 1e9 }
+      (n, tBase, tScaled, sb, ss)
+    }
+    val body = rows.map { case (n, b, s, sb, ss) =>
+      val shufRatio =
+        if (sb.recordsWritten > 0) ss.recordsWritten.toDouble / sb.recordsWritten
+        else 0.0
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f,""" +
+        f""""shuffle_rec_base":${sb.recordsWritten},"shuffle_rec_scaled":${ss.recordsWritten},""" +
+        f""""shuffle_rec_ratio":$shufRatio%.2f,"shuffle_mb_scaled":${ss.bytesWritten / 1e6}%.1f}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"widened_probe","mult":$mult,""" +
+      s""""base":"$baseDir","distinct_values":{"base":$vb,"scaled":$vs},""" +
+      s""""lang_ntok_cells":{"base":$cb,"scaled":$cs},"queries":$body}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"widened_probe_m$mult.json"), json + "\n")
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("widened")) {
+      val mult = args.lift(1).map(_.toInt).getOrElse(10)
+      val baseDir = args.lift(2).getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = Sessions.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try widenedProbe(spark, baseDir, mult) finally spark.stop()
+      return
+    }
     if (args.headOption.contains("serving")) {
       val baseDir = args.lift(1).getOrElse(
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
