@@ -326,6 +326,54 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
 
+  /** Continuous SemDeDup serving — the STREAMING face of
+    * [[graft.operators.Dedup.semantic]] (r14 verdict #7; batch contract
+    * q183): each micro-batch of incoming vectors is scored against the
+    * COMMITTED semantic store ([[graft.operators.Dedup
+    * .saveSemanticStore]] — centroids + per-cluster elected
+    * representatives) and lands (`id`, `cid`, `rep_id`, `sim`,
+    * `keep = sim < threshold`) in the sink. The store is read-only here
+    * (build/refresh stays `saveSemanticStore`'s job; its commit-marker
+    * protocol means a concurrent rebuild is either invisible or
+    * complete, never torn), so every keep decision depends only on
+    * committed state + the row's own vector — deterministic across
+    * replays AND restarts, with no stream-side election drift (a batch
+    * near-dup of a committed representative drops; two batch rows that
+    * are near-dups of each other but far from every committed rep BOTH
+    * keep, by design — admitting them to the store is the batch
+    * pipeline's decision, not the serving path's). Exactly-once by the
+    * same per-batch-directory overwrite discipline as
+    * [[annServeStream]]. */
+  def semanticServeStream(docs: DataFrame, idCol: String, vecCol: String,
+                          storePath: String, sinkPath: String,
+                          checkpoint: String, threshold: Double,
+                          trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        semanticServeBatch(batch.toDF(), bid, idCol, vecCol, storePath,
+          sinkPath, threshold)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** One micro-batch of [[semanticServeStream]] — separated so tests
+    * can drive replay deterministically. An empty batch writes
+    * nothing. */
+  private[streaming] def semanticServeBatch(batch: DataFrame, batchId: Long,
+                                            idCol: String, vecCol: String,
+                                            storePath: String,
+                                            sinkPath: String,
+                                            threshold: Double): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Dedup.semanticServeAudit(batch.sparkSession,
+        storePath, batch, idCol, vecCol)
+      .withColumn("keep", col("sim") < threshold)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   /** Backfill drain: run [[upsertStreamPartitioned]] under
     * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
     * merged — the bounded-catch-up entry point (a skipped-backlog

@@ -595,6 +595,73 @@ class StreamingOpsSpec extends AnyFunSuite {
       "a replayed batch must rewrite its own directory idempotently")
   }
 
+  test("semanticServeStream: committed store decides keep/drop, " +
+      "deterministic across restart, replay rewrites not appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sem_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    graft.operators.Dedup.saveSemanticStore(corpus, "id", "embedding",
+      cs, "cid", "embedding", store)
+    // a NEW id carrying a committed representative's EXACT vector must
+    // drop; a one-hot vector far from every rep must keep
+    val repId = spark.read.parquet(s"$store/reps").collect()
+      .map(_.getAs[Long]("rep_id")).min
+    val repVec = corpus.filter(col("id") === repId)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val far = Array.tabulate(repVec.length)(i => if (i == 0) 1f else 0f)
+    val b1 = Seq(Pv(100001L, repVec), Pv(100002L, far))
+    val b2 = corpus.filter(col("id") > repId).limit(3)
+      .select((col("id") + 200000L).as("probe"), col("embedding"))
+      .as[Pv].collect().toSeq
+    val mem = MemoryStream[Pv]
+    val q = StreamingOps.semanticServeStream(mem.toDF(), "probe",
+      "embedding", store, sink, ck, threshold = 0.9)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def decisions() = spark.read.parquet(sink)
+      .select("probe", "cid", "rep_id", "sim", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    val d1 = decisions()
+    assert(d1.size == 5)
+    assert(!d1(100001L)._4 && d1(100001L)._3 > 0.99,
+      "a clone of a committed representative must drop")
+    assert(d1(100002L)._4, "a far one-hot vector must keep")
+    // value-identity with the one-shot batch face over the same rows
+    val oneShot = graft.operators.Dedup.semanticServeAudit(spark, store,
+        (b1 ++ b2).toDF("probe", "embedding"), "probe", "embedding")
+      .withColumn("keep", col("sim") < 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(d1 == oneShot,
+      "streamed decisions must equal the one-shot store audit")
+    // RESTART on the same checkpoint: prior decisions untouched, a new
+    // rep clone gets the same drop decision (committed state only)
+    val q2 = StreamingOps.semanticServeStream(mem.toDF(), "probe",
+      "embedding", store, sink, ck, threshold = 0.9)
+    mem.addData(Pv(100003L, repVec)); q2.processAllAvailable()
+    q2.stop()
+    val d2 = decisions()
+    assert(d2.size == 6 && !d2(100003L)._4,
+      "post-restart decisions must come from the same committed store")
+    assert(d1.forall { case (k, v) => d2(k) == v },
+      "a restart must not disturb landed decisions")
+    // replay: re-running batch 0 rewrites its directory, never dups
+    StreamingOps.semanticServeBatch(b1.toDF(), 0L, "probe", "embedding",
+      store, sink, threshold = 0.9)
+    assert(decisions() == d2,
+      "a replayed batch must rewrite its own directory idempotently")
+  }
+
   test("drift monitor: finalized windows score PSI against the static " +
       "reference — calm window low, shifted window high; replay idempotent") {
     import spark.implicits._
