@@ -738,6 +738,23 @@ object Dedup {
                         Seq(Seq(1, 9, 17, 25, 33, 41, 49, 57),
                             Seq(5, 13, 21, 29, 37, 45, 53, 61)),
                       maxBucketSize: Int = 1000): DataFrame = {
+    val dominated = embeddingCosinePairs(corpus, idCol, vecCol, threshold,
+        bandDims, maxBucketSize)
+      .select(col("b").as(idCol)) // LeftAnti dedups; distinct = extra exchange
+    corpus.join(dominated, Seq(idCol), "left_anti")
+  }
+
+  /** The PAIR face of [[embeddingCosine]] (round 15, the q201 agreement
+    * audit needs predictions as pairs, not survivors): banded sign-LSH
+    * candidates verified by exact cosine ≥ `threshold`, returned as
+    * (`a`, `b`, `sim`) with a < b — exactly the pair set whose `b` side
+    * [[embeddingCosine]] anti-joins away. */
+  def embeddingCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double,
+                           bandDims: Seq[Seq[Int]] =
+                             Seq(Seq(1, 9, 17, 25, 33, 41, 49, 57),
+                                 Seq(5, 13, 21, 29, 37, 45, 53, 61)),
+                           maxBucketSize: Int = 1000): DataFrame = {
     def bucketKey(dims: Seq[Int]): Column = concat(dims.map(i =>
       when(element_at(col(vecCol), i).cast("double") >= 0, lit("1"))
         .otherwise(lit("0"))): _*)
@@ -752,12 +769,11 @@ object Dedup {
     val cand = candidatePairs(buckets, maxBucketSize)
     val vecs = e.select(col("__id"), col("__v"))
     val sim = graft.functions.Vectors.cosine(col("__va"), col("__vb"))
-    val dominated = cand
+    cand
       .join(vecs.toDF("a", "__va"), "a")
       .join(vecs.toDF("b", "__vb"), Seq("b"))
       .filter(sim >= threshold)
-      .select(col("b").as("__id"))  // LeftAnti dedups; distinct = extra exchange
-    corpus.join(dominated.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+      .select(col("a"), col("b"), sim.as("sim"))
   }
 
   /** SemDeDup-style semantic dedup, assignment + audit face (round 14;

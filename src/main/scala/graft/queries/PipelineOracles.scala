@@ -492,6 +492,62 @@ object PipelineOracles {
        |FROM rk CROSS JOIN nn ORDER BY doc_id""".stripMargin
   }
 
+  // q201 dedup-modality agreement: brute-force cosine truth vs q60's
+  // sign-LSH pair generator vs q183's SemDeDup member↔rep edges, all
+  // at θ = 0.3 over the vec_id < 300 probe universe. Assignment ties
+  // and the min-id rep election mirror q183's oracle verbatim;
+  // precision/recall ride the exact-integer floor idiom with nullif
+  // guarding an empty prediction set.
+  private val q201 = {
+    def key(dims: Seq[Int]) = dims
+      .map(i => s"(CASE WHEN list_extract(embedding, $i) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val k0 = key(Seq(1, 9, 17, 25, 33, 41, 49, 57))
+    val k1 = key(Seq(5, 13, 21, 29, 37, 45, 53, 61))
+    s"""WITH u AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    $k0 AS kk0, $k1 AS kk1
+       |  FROM embeddings WHERE vec_id < 300),
+       |truth AS (SELECT x.vec_id AS a, y.vec_id AS b FROM u x JOIN u y
+       |  ON x.vec_id < y.vec_id WHERE ${cos("x.v", "y.v")} >= 0.3),
+       |bk AS (SELECT vec_id, 0 AS band, kk0 AS bkey FROM u
+       |  UNION ALL SELECT vec_id, 1, kk1 FROM u),
+       |lshc AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.vec_id < y.vec_id),
+       |lsh AS (SELECT a, b FROM lshc
+       |  JOIN u ua ON ua.vec_id = a JOIN u ub ON ub.vec_id = b
+       |  WHERE ${cos("ua.v", "ub.v")} >= 0.3),
+       |c AS (SELECT vec_id AS cid, v AS vc FROM u WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, cid FROM
+       |  (SELECT u.vec_id, u.v, c.cid,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${cos("u.v", "c.vc")} DESC, cid) AS rn
+       |    FROM u CROSS JOIN c) q WHERE rn = 1),
+       |reps AS (SELECT cid, min(vec_id) AS rep_id FROM asg GROUP BY cid),
+       |rv AS (SELECT r.cid, r.rep_id, e.v AS rvec
+       |  FROM reps r JOIN asg e ON e.vec_id = r.rep_id),
+       |sem AS (SELECT least(m.vec_id, r.rep_id) AS a,
+       |    greatest(m.vec_id, r.rep_id) AS b
+       |  FROM asg m JOIN rv r ON m.cid = r.cid
+       |  WHERE m.vec_id <> r.rep_id AND ${cos("m.v", "r.rvec")} >= 0.3),
+       |mm AS (SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM lsh) AS lsh_pred,
+       |  (SELECT count(*) FROM lsh JOIN truth USING(a, b)) AS lsh_tp,
+       |  (SELECT count(*) FROM sem) AS sem_pred,
+       |  (SELECT count(*) FROM sem JOIN truth USING(a, b)) AS sem_tp,
+       |  (SELECT count(*) FROM sem JOIN lsh USING(a, b)) AS n_both)
+       |SELECT n_truth, lsh_pred, lsh_tp,
+       |  floor(lsh_tp * 10000.0 / nullif(lsh_pred, 0)) / 10000.0 AS lsh_prec,
+       |  floor(lsh_tp * 10000.0 / nullif(n_truth, 0)) / 10000.0 AS lsh_rec,
+       |  sem_pred, sem_tp,
+       |  floor(sem_tp * 10000.0 / nullif(sem_pred, 0)) / 10000.0 AS sem_prec,
+       |  floor(sem_tp * 10000.0 / nullif(n_truth, 0)) / 10000.0 AS sem_rec,
+       |  n_both, lsh_pred - n_both AS lsh_only, sem_pred - n_both AS sem_only
+       |FROM mm""".stripMargin
+  }
+
   // q190 cross-source vocabulary Jaccard: distinct (source, token)
   // pairs once, token-keyed self-join for intersections, |sources|-row
   // size table self-joined for all-pair completeness; floor idiom on
@@ -885,6 +941,7 @@ object PipelineOracles {
     "q198_bpe_store"      -> q186,
     "q199_bpe_ids"        -> q199,
     "q200_dsir_select"    -> q200,
+    "q201_dedup_agreement" -> q201,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

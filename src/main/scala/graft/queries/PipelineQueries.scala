@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -1191,5 +1191,75 @@ object PipelineQueries {
         (coalesce(col("cum_before"), lit(0L)) + 1L).as("sel_rank"),
         (coalesce(col("cum_before"), lit(0L)) + 1L <= n).as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** q201 dedup-modality agreement audit (r14 verdict stretch #8):
+    * sign-LSH near-dup pairs (q60's generator,
+    * [[graft.operators.Dedup.embeddingCosinePairs]]) vs SemDeDup
+    * member↔rep pairs (q183's [[graft.operators.Dedup.semanticAudit]]
+    * with the pinned vec_id < 8 centroids) vs the BRUTE-FORCE cosine
+    * truth, all at θ = 0.3 over the vec_id < 300 probe universe
+    * (q110's discipline: the contract face is bounded; the full-scale
+    * behavior of each modality is the probes' job). One summary row:
+    * per-modality predicted/true-positive counts, precision and recall
+    * (floor idiom over exact integers; `nullif` guards an empty
+    * prediction set), and the pair-set overlap matrix (both / only-LSH
+    * / only-semantic) — the measurement behind "which dedup modality do
+    * I trust where": both generators verify with exact cosine so
+    * precision is 1 by construction here, while recall quantifies what
+    * each candidate scheme can even SEE (2×8-bit sign bands collide on
+    * ~5% of θ≈0.3 pairs; SemDeDup only ever scores member↔rep edges).
+    *
+    * Plan shape: the three pair sets are built once each and meet in
+    * TWO tagged full-outer joins feeding ONE global aggregate — no
+    * scalar-agg subtrees re-running upstream frames (the r14 AQE
+    * lesson), no checkpoint needed at probe scale. The truth self-join
+    * is a broadcast NLJ over the 300-row bounded universe. */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    val th = 0.3
+    // the §2.9 floor idiom in DOUBLE arithmetic (a SQL-parsed `10000.0`
+    // literal is DECIMAL and would change the result type); an empty
+    // prediction set yields NULL, the oracle's nullif
+    def ratio(tp: Column, denom: Column): Column =
+      floor(tp * lit(10000.0) /
+        when(denom === 0, lit(null)).otherwise(denom)) / 10000.0
+    val u = embeddings(s, d).filter(col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    val uv = u.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val truth = uv.toDF("a", "__va")
+      .join(broadcast(uv.toDF("b", "__vb")), col("a") < col("b"))
+      .filter(graft.functions.Vectors.cosine(col("__va"), col("__vb")) >= th)
+      .select(col("a"), col("b"), lit(1L).as("t"))
+    val lsh = graft.operators.Dedup.embeddingCosinePairs(
+        u, "vec_id", "embedding", th, maxBucketSize = Int.MaxValue)
+      .select(col("a"), col("b"), lit(1L).as("l"))
+    val cents = embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val sem = graft.operators.Dedup.semanticAudit(
+        u, "vec_id", "embedding", cents, "cid", "embedding")
+      .filter(col("vec_id") =!= col("rep_id") && col("sim") >= th)
+      .select(least(col("vec_id"), col("rep_id")).as("a"),
+        greatest(col("vec_id"), col("rep_id")).as("b"), lit(1L).as("m"))
+    truth.join(lsh, Seq("a", "b"), "full_outer")
+      .join(sem, Seq("a", "b"), "full_outer")
+      .select(coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("l"), lit(0L)).as("l"),
+        coalesce(col("m"), lit(0L)).as("m"))
+      .agg(sum(col("t")).as("n_truth"),
+        sum(col("l")).as("lsh_pred"),
+        sum(col("t") * col("l")).as("lsh_tp"),
+        sum(col("m")).as("sem_pred"),
+        sum(col("t") * col("m")).as("sem_tp"),
+        sum(col("l") * col("m")).as("n_both"))
+      .select(col("n_truth"), col("lsh_pred"), col("lsh_tp"),
+        ratio(col("lsh_tp"), col("lsh_pred")).as("lsh_prec"),
+        ratio(col("lsh_tp"), col("n_truth")).as("lsh_rec"),
+        col("sem_pred"), col("sem_tp"),
+        ratio(col("sem_tp"), col("sem_pred")).as("sem_prec"),
+        ratio(col("sem_tp"), col("n_truth")).as("sem_rec"),
+        col("n_both"),
+        (col("lsh_pred") - col("n_both")).as("lsh_only"),
+        (col("sem_pred") - col("n_both")).as("sem_only"))
   }
 }

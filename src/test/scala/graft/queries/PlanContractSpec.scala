@@ -654,4 +654,17 @@ class PlanContractSpec extends AnyFunSuite {
         .findFirstIn(p200).isEmpty,
       s"selection rank must ride the pid-partitioned window:\n$p200")
   }
+
+  test("q201 dedup-agreement audit: bounded-universe pair frames, one " +
+      "aggregate, no corpus-sized exchange") {
+    // the 300-row probe universe's band buckets + candidate pairs +
+    // semantic assignment partials + the tagged full-outer meet
+    // (measured 1,676 at sf0.001); the truth self-join is a broadcast
+    // NLJ and must stay out of the exchanges entirely
+    assert(shuffled("q201_dedup_agreement") <= 7000,
+      "agreement audit must shuffle probe-universe frames only")
+    val p201 = executedPlan("q201_dedup_agreement")
+    assert(!p201.contains("CartesianProduct"),
+      s"truth pairs must ride a broadcast NLJ, never a cartesian:\n$p201")
+  }
 }
