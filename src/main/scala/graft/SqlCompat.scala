@@ -86,6 +86,7 @@ object SqlCompat {
     "list_filter" -> { c => ArrayFilter(c(0), reshape(c(1))) },
     "list_intersect" -> { c => ArrayIntersect(c(0), c(1)) },
     "list_max" -> { c => ArrayMax(c(0)) },
+    "list_min" -> { c => ArrayMin(c(0)) },
     "list_sort" -> { c => new SortArray(c(0), Literal(true)) },
     "list_sum" -> { c =>
       // double fold — exact for the integer sums the oracles take (< 2^53)

@@ -46,4 +46,32 @@ private[graft] object TextHashes {
       .map(b => s"(case when ${bitSum(b)} > 0 then ${1L << b}L else 0L end)")
       .mkString(" + ")
   }
+
+  /** 32-bit md5-nibble hash of an arbitrary string expression (q200's
+    * idiom, factored round 15): BIGINT-typed, portable both engines. */
+  def h32(strRef: String): String =
+    (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($strRef), $i, 1)) - 1)" +
+        s" * ${1L << (4 * (8 - i))}L")
+      .mkString("(", " + ", ")")
+
+  /** Winnowing k-gram hash sequence over a token-array reference
+    * (Schleimer et al. 2003): one [[h32]] per k-token window, in
+    * document order; empty below k tokens. */
+  def winnowKgramHashes(toksRef: String, k: Int = 3): String =
+    s"""CASE WHEN size($toksRef) < $k THEN cast(array() as array<bigint>)
+       |ELSE transform(sequence(1, cast(size($toksRef) - ${k - 1} as bigint)),
+       |  g -> ${h32(s"array_join(slice($toksRef, cast(g as int), $k), ' ')")})
+       |END""".stripMargin
+
+  /** Winnowing fingerprint SET over a k-gram-hash-array reference:
+    * each w-window's minimum hash, distinct. Shorter-than-w sequences
+    * collapse to one window (the paper's boundary case); an empty hash
+    * sequence yields an empty set. */
+  def winnowSelect(hsRef: String, w: Int = 4): String =
+    s"""array_distinct(CASE
+       |WHEN size($hsRef) = 0 THEN cast(array() as array<bigint>)
+       |ELSE transform(sequence(1, cast(greatest(size($hsRef) - ${w - 1}, 1) as bigint)),
+       |  i -> array_min(slice($hsRef, cast(i as int), $w)))
+       |END)""".stripMargin
 }

@@ -514,6 +514,27 @@ object CurationOracles {
        |  AND instr(' ' || b.norm || ' ', ' ' || a.norm || ' ') > 0
        |ORDER BY 1, 2""".stripMargin
 
+  // q205 cross-source syndication matrix: q151's brute-force
+  // containment pairs attributed to sources, rolled up per unordered
+  // (src_a <= src_b) cell with pair count + duplicated token mass.
+  private val q205 =
+    s"""WITH ${toksCte("")},
+       |n AS (SELECT doc_id, array_to_string(toks, ' ') AS norm,
+       |    CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+       |p AS (SELECT a.doc_id AS contained, b.doc_id AS container,
+       |    a.n_toks AS ntc
+       |  FROM n a JOIN n b ON a.doc_id <> b.doc_id
+       |  WHERE a.n_toks >= 3
+       |    AND instr(' ' || b.norm || ' ', ' ' || a.norm || ' ') > 0),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(ntc) AS BIGINT) AS dup_tokens
+       |FROM p JOIN d da ON p.contained = da.doc_id
+       |  JOIN d db ON p.container = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // q152: same positional-unnest bigram derivation as q114; ln is
   // natural log in BOTH dialects (DuckDB log() is log10 — avoided)
   private val q152 =
@@ -578,6 +599,7 @@ object CurationOracles {
     "q158_entropy_rate"   -> q158,
     "q150_cluster_fold"   -> q150,
     "q151_substring_dup"  -> q151,
+    "q205_source_syndication" -> q205,
     "q152_lm_score"       -> q152,
     "q142_embed_dims"     -> q142,
     "q143_dup_lang_audit" -> q143,

@@ -1001,4 +1001,35 @@ object CurationQueries {
         (floor(lit(10000.0) / col("fam_size")) / 10000.0).as("weight"))
       .orderBy("doc_id")
   }
+
+  /** q205 cross-source syndication matrix (round 15) — q190's
+    * vocabulary-Jaccard mirror detector says two sources USE the same
+    * words; this one says they CARRY the same passages: q151's lossless
+    * sub-document duplication pairs ([[substringDupPairs]], the
+    * rarest-shingle inverted index) rolled up to the (source, source)
+    * grid — per unordered source pair, the number of containment pairs
+    * and the duplicated token mass (Σ tokens of the contained side).
+    * The diagonal (src, src) is intra-source re-posting; off-diagonal
+    * cells are the syndication/mirror signal a curation pipeline uses
+    * to pick ONE canonical source before dedup even runs.
+    *
+    * Scale shape: the pair frame is the q151 index's output (bounded
+    * by shared-rare-shingle volume — probed sublinear at ×30); the two
+    * doc→source attributions join that tiny frame against column-pruned
+    * (doc_id, source) scans (AQE broadcasts the pair side); the final
+    * aggregate is |sources|²-bounded. */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    val pairs = substringDupPairs(documents(s, d))
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("contained", "src_ca"), Seq("contained"))
+      .join(src.toDF("container", "src_cb"), Seq("container"))
+      .select(least(col("src_ca"), col("src_cb")).as("src_a"),
+        greatest(col("src_ca"), col("src_cb")).as("src_b"),
+        col("n_toks_contained"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_toks_contained")).as("dup_tokens"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -548,6 +548,90 @@ object PipelineOracles {
        |FROM mm""".stripMargin
   }
 
+  // q202 cross-document boilerplate: 4-token spans, df over DISTINCT
+  // (doc, span), boilerplate gate as the exact-integer cross-multiply
+  // df * 100 >= n_docs, per-doc census + the commutative SUM of 32-bit
+  // md5-nibble hashes of 'pos:span' over KEPT spans (position baked in
+  // ⇒ the unordered sum is order-faithful; q200's nibble idiom).
+  private val q202 = {
+    val v32 = (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(pos AS STRING) || ':' || span), $i, 1)) - 1)" +
+        s" * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${toksCte("")},
+       |seg AS (SELECT doc_id,
+       |    list_transform(generate_series(1, CAST(ceil(len(toks) / 4.0) AS BIGINT)),
+       |      g -> array_to_string(array_slice(toks, (g-1)*4+1, (g-1)*4+4), ' ')) AS ls
+       |  FROM t),
+       |pe0 AS (SELECT doc_id, ls,
+       |    unnest(generate_series(1, len(ls))) AS pos FROM seg),
+       |pe AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(ls, pos) AS span FROM pe0),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |bp AS (SELECT span, CAST(1 AS BIGINT) AS isbp
+       |  FROM (SELECT span, count(*) AS df
+       |    FROM (SELECT DISTINCT doc_id, span FROM pe) GROUP BY span)
+       |  CROSS JOIN nd WHERE df * 100 >= n_docs),
+       |sc AS (SELECT doc_id, pos, span, isbp, $v32 AS h FROM
+       |  (SELECT p.doc_id, p.pos, p.span AS span,
+       |      coalesce(b.isbp, 0) AS isbp
+       |    FROM pe p LEFT JOIN bp b ON p.span = b.span) q)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(isbp) AS BIGINT) AS n_bp,
+       |  floor(sum(isbp) * 10000.0 / count(*)) / 10000.0 AS bp_frac,
+       |  CAST(coalesce(sum(CASE WHEN isbp = 0 THEN h END), 0) AS BIGINT)
+       |    AS clean_sig
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // q203 winnowing fingerprints: 3-token k-gram 32-bit md5-nibble
+  // hashes, w = 4 window minima, distinct selection. generate_series
+  // is naturally empty below the bounds on this engine (the corpus's
+  // 10-token minimum keeps every doc ≥ 1 window anyway); density rides
+  // the nullif-guarded floor idiom.
+  private val q203 = {
+    val v32 = (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(array_to_string(array_slice(toks, g, g + 2), ' ')), $i, 1)) - 1)" +
+        s" * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${toksCte("")},
+       |h AS (SELECT doc_id,
+       |    list_transform(generate_series(1, CAST(len(toks) - 2 AS BIGINT)),
+       |      g -> $v32) AS hs
+       |  FROM t),
+       |w AS (SELECT doc_id, hs,
+       |    list_distinct(list_filter(list_transform(
+       |      generate_series(1, CAST(greatest(len(hs) - 3, 1) AS BIGINT)),
+       |      i -> list_min(array_slice(hs, i, i + 3))),
+       |      x -> x IS NOT NULL)) AS fps
+       |  FROM h)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  floor(len(fps) * 10000.0 / nullif(len(hs), 0)) / 10000.0
+       |    AS density,
+       |  list_min(fps) AS fp_min
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  // q204 hard-negative mining: bounded probe batch (vec_id < 20) vs the
+  // corpus (vec_id >= 20), cosine band [0.2, 0.6), per-probe top-3 by
+  // (sim DESC, candidate id); sim rounded AFTER ranking so float
+  // formatting can't flutter the pick.
+  private val q204 =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id AS p, v AS vp FROM e WHERE vec_id < 20),
+       |ca AS (SELECT vec_id AS c, v AS vc FROM e WHERE vec_id >= 20),
+       |b AS (SELECT p, c, s FROM
+       |  (SELECT p, c, ${cos("vp", "vc")} AS s FROM pr CROSS JOIN ca) q
+       |  WHERE s >= 0.2 AND s < 0.6),
+       |r AS (SELECT p, c, s,
+       |    row_number() OVER (PARTITION BY p ORDER BY s DESC, c) AS n_rank
+       |  FROM b)
+       |SELECT p AS probe, n_rank, c AS neg_id, round(s, 4) + 0.0 AS sim
+       |FROM r WHERE n_rank <= 3 ORDER BY probe, n_rank""".stripMargin
+
   // q190 cross-source vocabulary Jaccard: distinct (source, token)
   // pairs once, token-keyed self-join for intersections, |sources|-row
   // size table self-joined for all-pair completeness; floor idiom on
@@ -942,6 +1026,9 @@ object PipelineOracles {
     "q199_bpe_ids"        -> q199,
     "q200_dsir_select"    -> q200,
     "q201_dedup_agreement" -> q201,
+    "q202_boilerplate"    -> q202,
+    "q203_winnowing"      -> q203,
+    "q204_hard_negatives" -> q204,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

@@ -1262,4 +1262,135 @@ object PipelineQueries {
         (col("lsh_pred") - col("n_both")).as("lsh_only"),
         (col("sem_pred") - col("n_both")).as("sem_only"))
   }
+
+  /** q202 CROSS-document boilerplate span removal (round 15) — the
+    * corpus-global companion to q184's intra-document rule and the
+    * second half of C4's line filter (Raffel et al. 2020
+    * arXiv:1910.10683 §2.2: "we discarded any line that occurred more
+    * than [a threshold] in the dataset"; CCNet dedups paragraphs
+    * globally the same way). Segment every document into consecutive
+    * 4-token spans, compute each span's document frequency over
+    * DISTINCT (doc, span), and flag spans carried by ≥ 1% of the corpus
+    * (the data-relative form of C4's absolute cutoff — exact-integer
+    * cross-multiplication `df * 100 >= n_docs`, no double ever gates).
+    * Per doc: span census, boilerplate fraction (floor idiom), and an
+    * order-faithful digest of the CLEANED document — kept spans enter a
+    * commutative SUM of 32-bit md5-nibble hashes of `pos:span` (q200's
+    * nibble idiom; position baked into each term makes the unordered
+    * sum order-faithful, and a plain SUM is partial-aggregable where an
+    * ordered string_agg would not be engine-portable).
+    *
+    * Scale shape: one corpus tokenize feeding posexplode; the df
+    * aggregate is |distinct spans|-bounded; the boilerplate gate joins
+    * a tiny df-filtered frame back on the span key (unhinted — q114's
+    * rule); the per-doc fold is one partial-aggregable pass. The
+    * n_docs total is a column-pruned second scan (q183's rescan-narrow
+    * trade — pinning the corpus to avoid a count scan would cost
+    * more). */
+  def q202(s: SparkSession, d: String): DataFrame = {
+    def v32(pre: String) =
+      (1 to 8).map(i =>
+        s"(instr('0123456789abcdef', substr($pre, $i, 1)) - 1)" +
+          s" * ${1L << (4 * (8 - i))}L")
+        .mkString("(", " + ", ")")
+    val spans = documents(s, d)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .withColumn("ls", expr(
+        """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(1, cast(ceil(size(toks) / 4.0) as bigint)),
+          |  g -> array_join(slice(toks, cast((g-1)*4+1 as int), 4), ' '))
+          |END""".stripMargin))
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos0", "span")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("span"))
+    val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val bp = spans.select("doc_id", "span").distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 100 >= col("n_docs"))
+      .select(col("span"), lit(1L).as("isbp"))
+    spans.join(bp, Seq("span"), "left_outer")
+      .withColumn("isbp", coalesce(col("isbp"), lit(0L)))
+      .withColumn("h", expr(v32(
+        "md5(concat(cast(pos as string), ':', span))")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("isbp")).as("n_bp"),
+        coalesce(sum(when(col("isbp") === 0, col("h"))), lit(0L))
+          .as("clean_sig"))
+      .select(col("doc_id"), col("n_spans"), col("n_bp"),
+        (floor(col("n_bp") * lit(10000.0) / col("n_spans")) / 10000.0)
+          .as("bp_frac"),
+        col("clean_sig"))
+      .orderBy("doc_id")
+  }
+
+  /** q203 winnowing document fingerprints (round 15; Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD — the MOSS algorithm): hash every 3-token
+    * k-gram (32-bit md5-nibble hash, q200's idiom), slide a w = 4
+    * window over the hash sequence, keep each window's MINIMUM hash;
+    * the DISTINCT selected hashes are the document's fingerprint set.
+    * Winnowing guarantees any shared run of ≥ k + w − 1 tokens shares
+    * at least one fingerprint (the local-selection property q53's
+    * single rolling hash lacks) while storing only ~2/(w+1) of the
+    * k-gram hashes — the standard plagiarism/copy detector unit. Docs
+    * shorter than k + w − 1 tokens fall back to one window over all
+    * hashes (the paper's boundary case; the corpus minimum of 10
+    * tokens keeps every doc ≥ 1 window regardless).
+    *
+    * Per doc: k-gram count, fingerprint count, selection density
+    * (floor idiom), and the minimum fingerprint as a spot value. Pure
+    * narrow per-row HOF chain — zero exchanges before the contract
+    * sort (q173's discipline); the pair-level application (docs
+    * sharing a fingerprint) is exactly q151's inverted-index shape and
+    * stays with that family. */
+  def q203(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .withColumn("hs",
+        expr(graft.operators.TextHashes.winnowKgramHashes("toks")))
+      .withColumn("fps",
+        expr(graft.operators.TextHashes.winnowSelect("hs")))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_kgrams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        (floor(size(col("fps")) * lit(10000.0) /
+          when(size(col("hs")) === 0, lit(null))
+            .otherwise(size(col("hs")))) / 10000.0).as("density"),
+        array_min(col("fps")).as("fp_min"))
+      .orderBy("doc_id")
+
+  /** q204 hard-negative mining for contrastive training (round 15):
+    * for each probe vector, the top-3 corpus vectors whose cosine
+    * falls in the HARD-NEGATIVE band [0.2, 0.6) — similar enough to be
+    * informative, below the near-dup region (the standard in-batch /
+    * mined-negatives recipe for embedding-model training; cf. the
+    * band-gating in dense-retrieval hard-negative pipelines). Probes
+    * are the bounded vec_id < 20 batch (q79/q115's probe-batch
+    * contract); ties break (sim DESC, candidate id).
+    *
+    * Scale shape: the PROBE side broadcasts, so the corpus-sized
+    * candidate scan never exchanges — each candidate row computes
+    * |probes| cosines map-side and the band filter drops ~95% before
+    * the per-probe top-3 window (rank ≤ 3 ⇒ WindowGroupLimit prunes
+    * map-side, q39's discipline; the window partitions on the bounded
+    * probe key, never a corpus-sized domain). */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val pr = e.filter(col("vec_id") < 20).toDF("p", "__vp")
+    val ca = e.filter(col("vec_id") >= 20).toDF("c", "__vc")
+    val sim = graft.functions.Vectors.cosine(col("__vp"), col("__vc"))
+    val banded = ca.join(broadcast(pr), sim >= 0.2 && sim < 0.6)
+      .select(col("p"), col("c"), sim.as("s"))
+    val w = Window.partitionBy("p").orderBy(col("s").desc, col("c"))
+    banded.withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= 3)
+      .select(col("p").as("probe"), col("n_rank").cast("long").as("n_rank"),
+        col("c").as("neg_id"), (round(col("s"), 4) + 0.0).as("sim"))
+      .orderBy("probe", "n_rank")
+  }
 }

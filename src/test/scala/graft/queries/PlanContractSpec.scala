@@ -667,4 +667,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p201.contains("CartesianProduct"),
       s"truth pairs must ride a broadcast NLJ, never a cartesian:\n$p201")
   }
+
+  test("q202–q205 round-15 batch: span-df-, HOF-, probe-, and " +
+      "pair-frame-bounded exchanges") {
+    // q202: span frames ∝ corpus tokens/4 + the |distinct spans| df
+    // aggregate + the tiny boilerplate join-back (measured 14,883)
+    assert(shuffled("q202_boilerplate") <= 60000,
+      "boilerplate removal shuffles span frames, never pair products")
+    // q203: pure narrow per-row HOF chain — the 500 records ARE the
+    // contract sort (measured 500)
+    assert(shuffled("q203_winnowing") <= 2000,
+      "winnowing must select fingerprints without any data exchange")
+    // q204: only the band-filtered survivors reach the per-probe top-3
+    // window (measured 120); candidates never exchange (probe side
+    // broadcasts) and rank<=3 must prune map-side
+    assert(shuffled("q204_hard_negatives") <= 500,
+      "hard-negative mining shuffles banded survivors only")
+    val p204 = executedPlan("q204_hard_negatives")
+    assert(p204.contains("WindowGroupLimit"),
+      s"rank<=3 must prune below the window exchange:\n$p204")
+    // q205: q151's rarest-shingle index frames + the two column-pruned
+    // source attributions (measured 17,057)
+    assert(shuffled("q205_source_syndication") <= 70000,
+      "syndication matrix rides the q151 index, never all-pairs")
+  }
 }

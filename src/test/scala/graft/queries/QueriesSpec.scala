@@ -405,6 +405,59 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q203 winnowing guarantee: docs sharing a run of ≥ k+w-1 tokens " +
+      "share a fingerprint (Schleimer Thm., 100 random placements)") {
+    import graft.operators.TextHashes
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(42)
+    def word() = "w" + rnd.nextInt(5000)
+    val cases = (1 to 50).map { i =>
+      // a 6-token shared run (k=3, w=4 ⇒ guarantee threshold k+w-1=6)
+      // planted at random offsets inside otherwise-random docs
+      val shared = Seq.fill(6)(word()).mkString(" ")
+      def doc() = {
+        val pre = Seq.fill(rnd.nextInt(12))(word()).mkString(" ")
+        val post = Seq.fill(rnd.nextInt(12))(word()).mkString(" ")
+        s"$pre $shared $post".trim
+      }
+      (2L * i, 2L * i + 1, doc(), doc())
+    }
+    val docs = cases.flatMap { case (ia, ib, ta, tb) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        expr(TextHashes.toks("text")).as("toks"))
+      .withColumn("hs", expr(TextHashes.winnowKgramHashes("toks")))
+      .withColumn("fps", expr(TextHashes.winnowSelect("hs")))
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    cases.foreach { case (ia, ib, _, _) =>
+      assert(fps(ia).intersect(fps(ib)).nonEmpty,
+        s"pair ($ia,$ib) shares a 6-token run but no fingerprint")
+    }
+    // selection stores a fraction of the k-grams (the ~2/(w+1) economy)
+    val face = run("q203_winnowing").collect()
+    assert(face.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(face.map(r => r.getLong(2)).sum <
+      face.map(r => r.getLong(1)).sum * 3 / 4,
+      "fingerprints must be a strict sub-selection of k-gram hashes")
+  }
+
+  test("q202 boilerplate census is internally consistent and the gate " +
+      "is data-relative") {
+    val rows = run("q202_boilerplate").collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+      "n_bp must never exceed n_spans")
+    assert(rows.exists(_.getLong(2) > 0),
+      "the small-vocab corpus must surface some cross-doc boilerplate")
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "the df gate must not condemn every span")
+    rows.foreach { r =>
+      val expect = math.floor(r.getLong(2) * 10000.0 / r.getLong(1)) / 10000.0
+      assert(r.getDouble(3) == expect, s"bp_frac drifts on doc ${r.getLong(0)}")
+    }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
