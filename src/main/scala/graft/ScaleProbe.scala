@@ -480,6 +480,18 @@ object ScaleProbe {
         // why a doc-keyed repartition that would flatten the ratio is
         // strictly more absolute shuffle). The 256-row marginals /
         // log-ratio stages are flat.
+        // round 15: cross-document boilerplate over the full corpus —
+        // replicas share span content, so the |distinct spans| df
+        // aggregate must stay vocabulary-flat while the (doc, span)
+        // frames track docs (ratio ≤ data ratio); the df gate is
+        // docs-relative, so replication leaves the gate's selectivity
+        // unchanged by construction
+        "boilerplate_full" -> ((d: String) =>
+          SparkEntry.queries("q202_boilerplate")(spark, d)),
+        // round 15: winnowing is a pure narrow HOF chain — shuffle must
+        // stay at the contract sort (∝ docs), wall ∝ token volume
+        "winnow_full" -> ((d: String) =>
+          SparkEntry.queries("q203_winnowing")(spark, d)),
         "dsir_perdoc_frame" -> ((d: String) =>
           graft.operators.TextPipeline.dsirPerDoc(
             Tables.documents(spark, d), "doc_id", "text",
