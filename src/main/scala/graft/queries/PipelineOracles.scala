@@ -632,6 +632,30 @@ object PipelineOracles {
        |SELECT p AS probe, n_rank, c AS neg_id, round(s, 4) + 0.0 AS sim
        |FROM r WHERE n_rank <= 3 ORDER BY probe, n_rank""".stripMargin
 
+  // q207 per-source character-class census: exact integer counts
+  // (length minus class-stripped length; the 'g' flag maps to Spark's
+  // replace-all), fractions via the floor idiom — no float before the
+  // final division.
+  private val q207 =
+    """WITH c AS (SELECT source,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS let,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dig,
+      |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS spc
+      |  FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nc) AS BIGINT) AS n_chars,
+      |    CAST(sum(let) AS BIGINT) AS letters,
+      |    CAST(sum(dig) AS BIGINT) AS digits,
+      |    CAST(sum(spc) AS BIGINT) AS spaces
+      |  FROM c GROUP BY source)
+      |SELECT source, n_docs, n_chars,
+      |  floor(letters * 10000.0 / n_chars) / 10000.0 AS letter_frac,
+      |  floor(digits * 10000.0 / n_chars) / 10000.0 AS digit_frac,
+      |  floor(spaces * 10000.0 / n_chars) / 10000.0 AS space_frac,
+      |  floor((n_chars - letters - digits - spaces) * 10000.0 / n_chars) / 10000.0 AS other_frac
+      |FROM g ORDER BY source""".stripMargin
+
   // q190 cross-source vocabulary Jaccard: distinct (source, token)
   // pairs once, token-keyed self-join for intersections, |sources|-row
   // size table self-joined for all-pair completeness; floor idiom on
@@ -1029,6 +1053,7 @@ object PipelineOracles {
     "q202_boilerplate"    -> q202,
     "q203_winnowing"      -> q203,
     "q204_hard_negatives" -> q204,
+    "q207_charclass"      -> q207,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

@@ -1393,4 +1393,40 @@ object PipelineQueries {
         col("c").as("neg_id"), (round(col("s"), 4) + 0.0).as("sim"))
       .orderBy("probe", "n_rank")
   }
+
+  /** q207 per-source character-class census (round 15): corpus bytes
+    * decomposed into letter / digit / space / other fractions — the
+    * character-level health audit behind Gopher-style symbol-ratio
+    * rules and mojibake triage (a source whose `other_frac` spikes is
+    * carrying markup, encoding damage, or binary spill; q51's word
+    * stats can't see it). Every count is an EXACT integer (length
+    * minus class-stripped length), so the fractions ride the floor
+    * idiom with no float anywhere before the final division — unlike
+    * the moment family there is nothing to round. One partial-
+    * aggregable pass, |sources|-row frame. */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    def stripped(cls: String) =
+      length(regexp_replace(col("text"), cls, ""))
+    documents(s, d)
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        (length(col("text")) - stripped("[A-Za-z]")).cast("long").as("let"),
+        (length(col("text")) - stripped("[0-9]")).cast("long").as("dig"),
+        (length(col("text")) - stripped(" ")).cast("long").as("spc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("let")).as("letters"), sum(col("dig")).as("digits"),
+        sum(col("spc")).as("spaces"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        (floor(col("letters") * lit(10000.0) / col("n_chars")) / 10000.0)
+          .as("letter_frac"),
+        (floor(col("digits") * lit(10000.0) / col("n_chars")) / 10000.0)
+          .as("digit_frac"),
+        (floor(col("spaces") * lit(10000.0) / col("n_chars")) / 10000.0)
+          .as("space_frac"),
+        (floor((col("n_chars") - col("letters") - col("digits") -
+          col("spaces")) * lit(10000.0) / col("n_chars")) / 10000.0)
+          .as("other_frac"))
+      .orderBy("source")
+  }
 }

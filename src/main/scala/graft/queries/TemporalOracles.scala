@@ -413,6 +413,28 @@ object TemporalOracles {
       |  round(ssb / sst, 4) + 0.0 AS eta_sq
       |FROM d""".stripMargin
 
+  // q206 higher moments: raw power sums, closed-form central moments
+  // with IDENTICAL parenthesization to the Spark face; round-4 + 0.0.
+  private val q206 =
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nk,
+      |    sum(value) AS s1, sum(value * value) AS s2,
+      |    sum(value * value * value) AS s3,
+      |    sum(value * value * value * value) AS s4
+      |  FROM events GROUP BY event_type),
+      |mm AS (SELECT event_type, nk, s1 / nk AS mu, s2, s3, s4 FROM m),
+      |c AS (SELECT event_type, nk, mu,
+      |    s2 / nk - mu * mu AS m2,
+      |    s3 / nk - 3 * mu * (s2 / nk) + 2 * mu * mu * mu AS m3,
+      |    s4 / nk - 4 * mu * (s3 / nk) + 6 * mu * mu * (s2 / nk)
+      |      - 3 * mu * mu * mu * mu AS m4
+      |  FROM mm)
+      |SELECT event_type, nk AS n_events,
+      |  round(mu, 4) + 0.0 AS mean,
+      |  round(sqrt(m2), 4) + 0.0 AS sd,
+      |  round(m3 / pow(m2, 1.5), 4) + 0.0 AS skew,
+      |  round(m4 / (m2 * m2) - 3, 4) + 0.0 AS kurt_excess
+      |FROM c ORDER BY event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q174_activity_gini" -> q174,
     "q180_ks_test"       -> q180,
@@ -420,6 +442,7 @@ object TemporalOracles {
     "q192_spearman"      -> q192,
     "q195_kendall"       -> q195,
     "q196_anova"         -> q196,
+    "q206_moments"       -> q206,
     "q176_hour_profile"  -> q176,
     "q177_markov_entropy" -> q177,
     "q179_lag_corr"      -> q179,

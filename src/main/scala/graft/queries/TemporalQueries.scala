@@ -746,4 +746,40 @@ object TemporalQueries {
           + 0.0).as("f_stat"),
         (round(col("ssb") / col("sst"), 4) + 0.0).as("eta_sq"))
   }
+
+  /** q206 exact higher distribution moments per event type (round 15):
+    * population skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 from ONE partial-aggregable raw-power-sum pass
+    * (Σv..Σv⁴), central moments by the standard closed forms — the
+    * tail-shape audit that completes the moment family (q77/q130 stop
+    * at variance; the nonparametric battery q180–q196 never looks at
+    * moments above 2). The value census a mixture designer reads to
+    * know whether a source's value distribution is heavy-tailed before
+    * trusting z-scores on it. |types|-row frame; identical double-op
+    * parenthesization on both faces (§2.9), round-4 `+ 0.0` on every
+    * cancellable output. */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    val v = col("value")
+    val m = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nk"), sum(v).as("s1"),
+        sum(v * v).as("s2"), sum(v * v * v).as("s3"),
+        sum(v * v * v * v).as("s4"))
+    m.select(col("event_type"), col("nk"),
+        (col("s1") / col("nk")).as("mu"),
+        col("s2"), col("s3"), col("s4"))
+      .select(col("event_type"), col("nk"), col("mu"),
+        (col("s2") / col("nk") - col("mu") * col("mu")).as("m2"),
+        (col("s3") / col("nk") - lit(3) * col("mu") * (col("s2") / col("nk"))
+          + lit(2) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("s4") / col("nk") - lit(4) * col("mu") * (col("s3") / col("nk"))
+          + lit(6) * col("mu") * col("mu") * (col("s2") / col("nk"))
+          - lit(3) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+      .select(col("event_type"), col("nk").as("n_events"),
+        (round(col("mu"), 4) + 0.0).as("mean"),
+        (round(sqrt(col("m2")), 4) + 0.0).as("sd"),
+        (round(col("m3") / pow(col("m2"), 1.5), 4) + 0.0).as("skew"),
+        (round(col("m4") / (col("m2") * col("m2")) - lit(3), 4) + 0.0)
+          .as("kurt_excess"))
+      .orderBy("event_type")
+  }
 }

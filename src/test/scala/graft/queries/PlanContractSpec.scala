@@ -690,5 +690,10 @@ class PlanContractSpec extends AnyFunSuite {
     // source attributions (measured 17,057)
     assert(shuffled("q205_source_syndication") <= 70000,
       "syndication matrix rides the q151 index, never all-pairs")
+    // q206/q207: one partial-aggregable pass each onto |types|- /
+    // |sources|-row frames (q196's shape)
+    val m67 = Seq("q206_moments", "q207_charclass")
+      .map(n => n -> shuffled(n)).toMap
+    assert(m67.values.forall(_ <= 800), s"measured $m67")
   }
 }

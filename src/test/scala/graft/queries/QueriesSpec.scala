@@ -458,6 +458,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q206 closed-form moments match the textbook two-pass " +
+      "central-moment computation") {
+    val face = run("q206_moments").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    val byType = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1))).toMap
+    byType.foreach { case (t, vs) =>
+      val n = vs.length.toDouble
+      val mu = vs.sum / n
+      val m2 = vs.map(v => math.pow(v - mu, 2)).sum / n
+      val m3 = vs.map(v => math.pow(v - mu, 3)).sum / n
+      val m4 = vs.map(v => math.pow(v - mu, 4)).sum / n
+      val (sd, sk, ku) = face(t)
+      assert(math.abs(sd - math.sqrt(m2)) <= 2e-4, s"$t sd")
+      assert(math.abs(sk - m3 / math.pow(m2, 1.5)) <= 2e-4, s"$t skew")
+      assert(math.abs(ku - (m4 / (m2 * m2) - 3)) <= 2e-4, s"$t kurt")
+    }
+  }
+
   test("C5 approx_count_distinct is within rsd bounds of exact") {
     val li = graft.Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
