@@ -47,21 +47,37 @@ private[graft] object TextHashes {
       .mkString(" + ")
   }
 
-  /** 32-bit md5-nibble hash of an arbitrary string expression (q200's
-    * idiom, factored round 15): BIGINT-typed, portable both engines. */
-  def h32(strRef: String): String =
+  /** 32-bit nibble fold of an md5 HEX-STRING reference (q200's idiom,
+    * factored round 15): BIGINT-typed, portable both engines. The
+    * argument must already BE the md5 string — callers hash once and
+    * fold nibbles over the result, because inlining `md5(x)` here
+    * costs 8 digest evaluations per value wherever codegen's
+    * subexpression elimination can't reach (inside a lambda it can't:
+    * the first q203 cut measured 5.7 s at sf0.1, 3× the optimized
+    * form). */
+  def nib32(md5Ref: String): String =
     (1 to 8).map(i =>
-      s"(instr('0123456789abcdef', substr(md5($strRef), $i, 1)) - 1)" +
+      s"(instr('0123456789abcdef', substr($md5Ref, $i, 1)) - 1)" +
         s" * ${1L << (4 * (8 - i))}L")
       .mkString("(", " + ", ")")
 
+  /** 32-bit md5-nibble hash of an arbitrary string expression — ONE
+    * digest + the [[nib32]] fold. Only safe where the engine can reuse
+    * the digest (a plain projection); inside `transform` lambdas use
+    * the two-step map in [[winnowKgramHashes]] instead. */
+  def h32(strRef: String): String = nib32(s"md5($strRef)")
+
   /** Winnowing k-gram hash sequence over a token-array reference
-    * (Schleimer et al. 2003): one [[h32]] per k-token window, in
-    * document order; empty below k tokens. */
+    * (Schleimer et al. 2003): one 32-bit hash per k-token window, in
+    * document order; empty below k tokens. Two-step transform — the
+    * inner map computes each k-gram's md5 ONCE, the outer folds
+    * nibbles — so the digest never re-evaluates per nibble. */
   def winnowKgramHashes(toksRef: String, k: Int = 3): String =
     s"""CASE WHEN size($toksRef) < $k THEN cast(array() as array<bigint>)
-       |ELSE transform(sequence(1, cast(size($toksRef) - ${k - 1} as bigint)),
-       |  g -> ${h32(s"array_join(slice($toksRef, cast(g as int), $k), ' ')")})
+       |ELSE transform(
+       |  transform(sequence(1, cast(size($toksRef) - ${k - 1} as bigint)),
+       |    g -> md5(array_join(slice($toksRef, cast(g as int), $k), ' '))),
+       |  m -> ${nib32("m")})
        |END""".stripMargin
 
   /** Winnowing fingerprint SET over a k-gram-hash-array reference:

@@ -1288,11 +1288,6 @@ object PipelineQueries {
     * trade — pinning the corpus to avoid a count scan would cost
     * more). */
   def q202(s: SparkSession, d: String): DataFrame = {
-    def v32(pre: String) =
-      (1 to 8).map(i =>
-        s"(instr('0123456789abcdef', substr($pre, $i, 1)) - 1)" +
-          s" * ${1L << (4 * (8 - i))}L")
-        .mkString("(", " + ", ")")
     val spans = documents(s, d)
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
@@ -1312,8 +1307,9 @@ object PipelineQueries {
       .select(col("span"), lit(1L).as("isbp"))
     spans.join(bp, Seq("span"), "left_outer")
       .withColumn("isbp", coalesce(col("isbp"), lit(0L)))
-      .withColumn("h", expr(v32(
-        "md5(concat(cast(pos as string), ':', span))")))
+      .withColumn("m", md5(concat(col("pos").cast("string"), lit(":"),
+        col("span"))))
+      .withColumn("h", expr(graft.operators.TextHashes.nib32("m")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("isbp")).as("n_bp"),
