@@ -185,9 +185,17 @@ object Bench {
     // code vs r9 code showed per-query ratios ≈1.00; the delta lived
     // in the measurement windows). q11 (shuffle join) and q27
     // (window agg) extend the controls across the execution families.
+    // Widened again in round 16 (r15 verdict #2 under "What's wrong"):
+    // q78/q29 swung ×2.6 BETWEEN clean windows with zero code touched —
+    // the Ranking range-partition family (repartitionByRange +
+    // localCheckpoint + per-partition count jobs) has multi-job timing
+    // variance a 5-control median over single-job queries cannot see.
+    // q134 (runningAgg over orders) is that family's control; any
+    // shared-query mover beyond ~×1.5 gets adjudicated in the
+    // round-close note against THIS ratio, not the global median.
     val controlNames =
       Seq("q01_scan_project", "q11_join_inner", "q27_window_running",
-        "q30_str_funcs", "q99_null_battery")
+        "q30_str_funcs", "q99_null_battery", "q134_running_total")
     val controlsJson = {
       val prior = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
@@ -198,7 +206,11 @@ object Bench {
           try {
             val txt = new String(
               java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            val entry = "\"(q[A-Za-z0-9_]+)\":([-0-9.eE+]+)".r
+            // whitespace-tolerant: BENCH_r15_full.json was committed
+            // pretty-printed ("key": value) and the strict form parsed
+            // ZERO entries — the r16 hot-window run silently lost its
+            // controls block to that
+            val entry = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([-0-9.eE+]+)".r
             val m = entry.findAllMatchIn(txt)
               .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
             if (m.nonEmpty) Some(f.getName -> m) else None

@@ -226,7 +226,101 @@ object ScaleProbe {
     catch { case _: Throwable => () }
   }
 
+  /** SPAN/SHINGLE-VOCABULARY-widened probe (round 16, r15 verdict ask
+    * #5): the standard replication pass reuses base TEXTS, so the
+    * span-df aggregate (q202), the rarest-shingle index (q205/q151)
+    * and the winnowing fingerprint index (q209) are vocabulary-flat BY
+    * CONSTRUCTION — the same blind spot the r14 widened-value ask
+    * fixed for the statistical family. This mode suffixes every token
+    * of replica r with `x<r>`, so each replica carries a DISJOINT full
+    * copy of the vocabulary: |distinct spans|, |shingles| and
+    * |fingerprints| all grow exactly ×mult — the realistic growth
+    * model where corpus growth adds new content, not byte copies.
+    * Within-replica duplication is preserved (dup density constant),
+    * cross-replica duplication vanishes (full diversification — q202's
+    * data-relative gate legitimately empties, since no span reaches 1%
+    * of the diversified corpus; the scaling dimension under test is
+    * the df/index FRAME, which must track the vocabulary). Contract:
+    * each family's df-/index-frame shuffle records must track ×mult
+    * (these frames ARE vocabulary-sized — flat would mean the probe is
+    * broken) with wall sublinear in mult; pair frames track
+    * within-replica dup mass (×mult), never doc×doc. */
+  private def spanVocabProbe(spark: SparkSession, baseDir: String,
+                             mult: Int): Unit = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_spanvocab").toString
+    val replicas = spark.range(0, mult).select(col("id").as("__r"))
+    spark.read.parquet(s"$baseDir/documents.parquet")
+      .crossJoin(broadcast(replicas))
+      .withColumn("doc_id", col("doc_id") + col("__r") * SHIFT)
+      .withColumn("text", expr(
+        "array_join(transform(filter(split(trim(text), ' '), " +
+          "x -> x != ''), t -> concat(t, 'x', cast(__r as string))), ' ')"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // measured vocabulary growth (the probe's denominators)
+    def nSpans(d: String) = graft.operators.TextPipeline
+      .spanFrame(Tables.documents(spark, d), "doc_id", "text")
+      .select(col("span")).distinct().count()
+    def nShingles(d: String) = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        graft.operators.TextHashes.shingleTransform("toks"))).as("s"))
+      .distinct().count()
+    val (spB, spS) = (nSpans(baseDir), nSpans(out))
+    val (shB, shS) = (nShingles(baseDir), nShingles(out))
+    val probes = Seq("q202_boilerplate", "q205_source_syndication",
+        "q209_winnow_pairs")
+      .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d)))
+    probes.foreach { case (_, f) =>
+      try noop(f(baseDir)) catch { case _: Throwable => () }
+      try noop(f(out)) catch { case _: Throwable => () }
+    }
+    val rows = probes.map { case (n, f) =>
+      var sb: Metrics.ShuffleStats = null
+      var ss: Metrics.ShuffleStats = null
+      val tBase = { val t0 = System.nanoTime()
+        sb = Metrics.shuffleOf(spark)(noop(f(baseDir)))
+        (System.nanoTime() - t0) / 1e9 }
+      val tScaled = { val t0 = System.nanoTime()
+        ss = Metrics.shuffleOf(spark)(noop(f(out)))
+        (System.nanoTime() - t0) / 1e9 }
+      (n, tBase, tScaled, sb, ss)
+    }
+    val body = rows.map { case (n, b, s, sb, ss) =>
+      val shufRatio =
+        if (sb.recordsWritten > 0) ss.recordsWritten.toDouble / sb.recordsWritten
+        else 0.0
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f,""" +
+        f""""shuffle_rec_base":${sb.recordsWritten},"shuffle_rec_scaled":${ss.recordsWritten},""" +
+        f""""shuffle_rec_ratio":$shufRatio%.2f,"shuffle_mb_scaled":${ss.bytesWritten / 1e6}%.1f}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"spanvocab_probe","mult":$mult,""" +
+      s""""base":"$baseDir","distinct_spans":{"base":$spB,"scaled":$spS},""" +
+      s""""distinct_shingles":{"base":$shB,"scaled":$shS},"queries":$body}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"spanvocab_probe_m$mult.json"), json + "\n")
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("spanvocab")) {
+      val mult = args.lift(1).map(_.toInt).getOrElse(10)
+      val baseDir = args.lift(2).getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = Sessions.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try spanVocabProbe(spark, baseDir, mult) finally spark.stop()
+      return
+    }
     if (args.headOption.contains("widened")) {
       val mult = args.lift(1).map(_.toInt).getOrElse(10)
       val baseDir = args.lift(2).getOrElse(
@@ -492,6 +586,18 @@ object ScaleProbe {
         // stay at the contract sort (∝ docs), wall ∝ token volume
         "winnow_full" -> ((d: String) =>
           SparkEntry.queries("q203_winnowing")(spark, d)),
+        // round 16: the winnowing PAIR face under id-salted replication
+        // (substring_dup_full's growth model — the salt token keeps dup
+        // density constant while replicas multiply docs): candidate
+        // volume must track SHARED-fingerprint mass (ratio ≤ data
+        // ratio, the index prunes), never doc×doc
+        "winnow_pairs_full" -> ((d: String) =>
+          graft.operators.Dedup.winnowingPairs(
+            Tables.documents(spark, d)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" u"),
+                  col("doc_id").cast("string")).as("text")),
+            "doc_id", "text")),
         "dsir_perdoc_frame" -> ((d: String) =>
           graft.operators.TextPipeline.dsirPerDoc(
             Tables.documents(spark, d), "doc_id", "text",

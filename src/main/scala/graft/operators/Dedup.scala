@@ -845,46 +845,59 @@ object Dedup {
 
   /** Persist the SemDeDup serving state — the build-once side of the
     * streaming face (r14 verdict #7; `Ann.saveIndex`'s discipline
-    * applied to [[semanticAudit]]'s state). Layout: `<path>/centroids`
-    * (`__cid` long, `__cv` array<double>) + `<path>/reps` (`__cid`,
-    * `rep_id`, `__rv` — each cluster's elected min-id representative
-    * and its vector, both |clusters|-row frames). The
-    * [[SemStoreMarker]] commit file is deleted before and
-    * tmp+rename-written after the two writes, so a concurrent rebuild
-    * is either invisible or complete to [[semanticServeAudit]], never
-    * torn. Build cost is the pay-once ingest side (one assignment pass
-    * over the corpus); serving never re-elects representatives. */
+    * applied to [[semanticAudit]]'s state). VERSIONED layout (round
+    * 16, driver ADVICE — the previous overwrite-in-place protocol only
+    * guarded readers that checked the marker BEFORE a rebuild started;
+    * a reader that passed the `require()` could still see a torn
+    * new-reps/old-centroids view mid-overwrite): each rebuild lands a
+    * complete `<path>/v<N>/centroids` (`__cid` long, `__cv`
+    * array<double>) + `<path>/v<N>/reps` (`__cid`, `rep_id`, `__rv` —
+    * each cluster's elected min-id representative and its vector, both
+    * |clusters|-row frames) under a FRESH version directory, then
+    * commits by atomically pointing the [[SemStoreMarker]] file at it
+    * (tmp + rename-with-overwrite — one filesystem op). Readers
+    * resolve the version at marker-read time, so a concurrent rebuild
+    * is invisible until its single commit point and never torn. The
+    * committed version's predecessor is kept one generation as grace
+    * for readers that resolved just before the swap; older versions
+    * are reaped. Build cost is the pay-once ingest side (one
+    * assignment pass over the corpus); serving never re-elects
+    * representatives. */
   def saveSemanticStore(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, cidCol: String,
                         cvecCol: String, path: String): Unit = {
     val spark = corpus.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(root, SemStoreMarker)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    val assigned = Ann.assignNarrow(corpus, idCol, vecCol,
-      centroids, cidCol, cvecCol, vecOut = "__v")
-    val reps = assigned.groupBy(col(cidCol))
-      .agg(min(col(idCol)).as("rep_id"))
-    corpus
-      .select(col(idCol).as("rep_id"),
-        graft.functions.Vectors.asDouble(col(vecCol)).as("__rv"))
-      .join(broadcast(reps), Seq("rep_id"))
-      .select(col(cidCol).cast("long").as("__cid"), col("rep_id"),
-        col("__rv"))
-      .write.mode("overwrite").parquet(s"$path/reps")
-    centroids
-      .select(col(cidCol).cast("long").as("__cid"),
-        graft.functions.Vectors.asDouble(col(cvecCol)).as("__cv"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val tmp = new org.apache.hadoop.fs.Path(root, SemStoreMarker + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write("v1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, marker))
-      throw new IllegalStateException(
-        s"could not commit semantic store marker at $marker")
+    graft.sources.Stores.commitVersioned(spark, path, SemStoreMarker) {
+      dir =>
+        val assigned = Ann.assignNarrow(corpus, idCol, vecCol,
+          centroids, cidCol, cvecCol, vecOut = "__v")
+        val reps = assigned.groupBy(col(cidCol))
+          .agg(min(col(idCol)).as("rep_id"))
+        corpus
+          .select(col(idCol).as("rep_id"),
+            graft.functions.Vectors.asDouble(col(vecCol)).as("__rv"))
+          .join(broadcast(reps), Seq("rep_id"))
+          .select(col(cidCol).cast("long").as("__cid"), col("rep_id"),
+            col("__rv"))
+          .write.mode("overwrite").parquet(s"$dir/reps")
+        centroids
+          .select(col(cidCol).cast("long").as("__cid"),
+            graft.functions.Vectors.asDouble(col(cvecCol)).as("__cv"))
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+    }
   }
+
+  /** Resolve the COMMITTED version directory of a [[saveSemanticStore]]
+    * artifact (`<path>/v<N>`) — the reader-side entry the serving faces
+    * and specs share, so nothing but the commit pointer ever decides
+    * which build is live. Throws on an uncommitted/torn store. */
+  private[graft] def semanticStoreDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.sources.Stores.resolveCommitted(spark, path, SemStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: semantic store at $path has no commit " +
+          s"marker ($SemStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveSemanticStore"))
 
   /** Score a (micro-)batch of vectors against a COMMITTED
     * [[saveSemanticStore]] artifact: nearest committed centroid via the
@@ -895,22 +908,89 @@ object Dedup {
     * depends ONLY on committed state + its own vector (deterministic
     * across replays and restarts; the store is read-only here, exactly
     * [[Ann.searchIndex]]'s serving stance). Refuses a store without the
-    * commit marker (mid-build or torn). */
+    * commit marker (mid-build or torn).
+    *
+    * Row-per-batch-row contract (round 16, driver ADVICE): a cluster
+    * whose centroid attracted ZERO corpus members at build time has no
+    * rep row — realistic with user-supplied or k-means-derived
+    * centroid sets — so the rep join is LEFT: a batch vector nearest a
+    * rep-less cluster returns (`rep_id` null, `sim` null) instead of
+    * silently vanishing, and the serving keep rule defaults such rows
+    * to keep (there is no committed representative to be a near-dup
+    * of). */
   def semanticServeAudit(spark: org.apache.spark.sql.SparkSession,
                          path: String, batch: DataFrame,
                          idCol: String, vecCol: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, SemStoreMarker)),
-      s"semantic store at $path has no commit marker ($SemStoreMarker) " +
-        "— it is mid-build, torn, or absent; rebuild with " +
-        "saveSemanticStore")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val reps = spark.read.parquet(s"$path/reps")
+    val dir = semanticStoreDir(spark, path)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val reps = spark.read.parquet(s"$dir/reps")
     Ann.assignNarrow(batch, idCol, vecCol, cents, "__cid", "__cv",
         vecOut = "__v")
-      .join(broadcast(reps), Seq("__cid"))
+      .join(broadcast(reps), Seq("__cid"), "left")
       .select(col(idCol), col("__cid").as("cid"), col("rep_id"),
         graft.functions.Vectors.cosine(col("__v"), col("__rv")).as("sim"))
+  }
+
+  /** Winnowing PAIR detection (round 16, r15 verdict #3 — the operator
+    * q203's per-doc fingerprints exist for; Schleimer, Wilkerson &
+    * Aiken 2003 §4, the MOSS matcher): documents sharing at least one
+    * selected fingerprint, with the shared count and an overlap score.
+    * By the winnowing guarantee, any pair sharing a token run of
+    * length ≥ k + w − 1 = 6 shares ≥ 1 fingerprint and MUST appear
+    * here — the local-selection property a random subsample of k-grams
+    * cannot give.
+    *
+    * Exactness cannot hinge on hash luck (q151's rule): each index
+    * entry carries its k-gram STRING as a verification witness, and
+    * the pair join matches on (fingerprint, gram) — a 32-bit collision
+    * between two DIFFERENT grams never fabricates a shared
+    * fingerprint. `n_shared` counts distinct verified fingerprints;
+    * `sim` = n_shared / min(|fps_a|, |fps_b|) under the floor idiom.
+    *
+    * Scale shape: exactly q151's inverted-index discipline — the index
+    * is the |selected fingerprints| frame (~2/(w+1) of the k-grams),
+    * the candidate join keys on the fingerprint (unhinted — q114's
+    * rule), and candidate volume is Σ_fp df² — the SHARED-fingerprint
+    * mass, never doc × doc (probed under id-salted replication, where
+    * dup density stays constant). `maxDf` drops fingerprints carried
+    * by more than that many docs BEFORE the join — the production
+    * valve for boilerplate fingerprints (a fp in d docs is d² pair
+    * rows; MOSS itself drops over-common fingerprints the same way).
+    * The contract face leaves it off: the oracle must see the complete
+    * pair set. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxDf: Option[Long] = None): DataFrame = {
+    val entries = docs
+      .select(col(idCol).as("__id"),
+        expr(TextHashes.toks(textCol)).as("toks"))
+      .withColumn("hs", expr(TextHashes.winnowKgramHashes("toks")))
+      .withColumn("fps", expr(TextHashes.winnowSelect("hs")))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 3 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(1, cast(size(toks) - 2 as bigint)),
+          |  g -> array_join(slice(toks, cast(g as int), 3), ' '))
+          |END""".stripMargin))
+      .select(col("__id"), size(col("fps")).cast("long").as("n_fp"),
+        explode(expr("array_distinct(filter(arrays_zip(hs, grams), " +
+          "z -> array_contains(fps, z.hs)))")).as("z"))
+      .select(col("__id"), col("n_fp"), col("z.hs").as("fp"),
+        col("z.grams").as("gram"))
+    val idx = maxDf match {
+      case None => entries
+      case Some(cap) =>
+        val dfF = entries.select(col("fp"), col("__id")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(col("fp"))
+        entries.join(dfF, Seq("fp"))
+    }
+    idx.toDF("a", "n_fp_a", "fp", "gram")
+      .join(idx.toDF("b", "n_fp_b", "fp", "gram"), Seq("fp", "gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("n_fp_a"), col("n_fp_b"))
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .select(col("a"), col("b"), col("n_shared"),
+        (floor(col("n_shared") * lit(10000.0) /
+          least(col("n_fp_a"), col("n_fp_b"))) / 10000.0).as("sim"))
   }
 }

@@ -469,13 +469,16 @@ object PipelineOracles {
   // Gumbel from the salted-md5 uniform (q155's A-ES idiom, salt
   // `dsel:`), ranked globally with a doc_id tiebreak; the budget is the
   // data-relative top 20% (ceil).
-  private val q200 = {
+  // Shared DSIR SELECTION chain (round 16 — q200 reads the ranked
+  // selection, q210 audits its composition): per-doc logw, Gumbel key,
+  // data-relative budget, global rank.
+  private val dsirSelCtes: String = {
     def gnib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5('dsel:' || CAST(doc_id AS STRING)),$i,1)) - 1)"
     val v32 = (1 to 8)
       .map(i => s"${gnib(i)} * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
       .mkString(" + ")
-    s"""WITH $dsirCtes,
+    s"""$dsirCtes,
        |lw AS (SELECT db.doc_id, round(sum(db.cnt * lr.lr), 4) + 0.0 AS logw
        |  FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
        |kb AS (SELECT doc_id, logw,
@@ -486,10 +489,88 @@ object PipelineOracles {
        |rk AS (SELECT doc_id, logw, key,
        |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
        |      AS sel_rank
-       |  FROM kb)
+       |  FROM kb)""".stripMargin
+  }
+
+  private val q200 =
+    s"""WITH $dsirSelCtes
        |SELECT doc_id, logw, round(key, 4) + 0.0 AS key, sel_rank,
        |  sel_rank <= n AS kept
        |FROM rk CROSS JOIN nn ORDER BY doc_id""".stripMargin
+
+  // q210 DSIR end-to-end composition audit (round 16): the kept set's
+  // per-(source, lang) composition vs the corpus and vs the target
+  // slice (lang = 'en') — exact-integer cells, totals, floor idiom;
+  // nullif guards empty kept/target slices.
+  private val q210 =
+    s"""WITH $dsirSelCtes,
+       |sel AS (SELECT doc_id, sel_rank <= n AS kept
+       |  FROM rk CROSS JOIN nn),
+       |dm AS (SELECT d.source, d.lang, coalesce(s.kept, false) AS kept
+       |  FROM documents d LEFT JOIN sel s ON d.doc_id = s.doc_id),
+       |cells AS (SELECT source, lang,
+       |    CAST(count(*) AS BIGINT) AS n_corpus,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_target
+       |  FROM dm GROUP BY source, lang),
+       |ctot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t_c,
+       |    CAST(sum(n_kept) AS BIGINT) AS t_k,
+       |    CAST(sum(n_target) AS BIGINT) AS t_t FROM cells)
+       |SELECT source, lang, n_corpus, n_kept, n_target,
+       |  floor(n_corpus * 10000.0 / t_c) / 10000.0 AS frac_corpus,
+       |  floor(n_kept * 10000.0 / nullif(t_k, 0)) / 10000.0 AS frac_kept,
+       |  floor(n_target * 10000.0 / nullif(t_t, 0)) / 10000.0
+       |    AS frac_target
+       |FROM cells CROSS JOIN ctot ORDER BY source, lang""".stripMargin
+
+  // q209 winnowing pair detection (round 16): brute-force mirror of
+  // Dedup.winnowingPairs — per-doc 3-token k-gram hashes (one md5 per
+  // gram, then the nibble fold), w = 4 window minima via a range join
+  // on positions, distinct selection, and the (fingerprint, gram)
+  // verified pair join (a shared fp counts only with an equal
+  // underlying gram — the 32-bit-collision guard).
+  private val q209 = {
+    val v32 = (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(m, $i, 1)) - 1)" +
+        s" * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${toksCte("")},
+       |h0 AS (SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - 2)) AS i
+       |  FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    array_to_string(array_slice(toks, i, i + 2), ' ') AS gram
+       |  FROM h0),
+       |hm AS (SELECT doc_id, i, gram, md5(gram) AS m FROM g),
+       |h AS (SELECT doc_id, i, gram, $v32 AS hv FROM hm),
+       |nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM h GROUP BY doc_id),
+       |wj AS (SELECT doc_id,
+       |    unnest(generate_series(1, CAST(greatest(n - 3, 1) AS BIGINT)))
+       |      AS j
+       |  FROM nk),
+       |sel AS (SELECT w.doc_id, w.j, min(h.hv) AS fp
+       |  FROM wj w JOIN h ON h.doc_id = w.doc_id
+       |    AND h.i >= w.j AND h.i <= w.j + 3
+       |  GROUP BY w.doc_id, w.j),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       |  FROM fps GROUP BY doc_id),
+       |wit AS (SELECT DISTINCT h.doc_id, h.hv AS fp, h.gram
+       |  FROM h JOIN fps ON fps.doc_id = h.doc_id AND fps.fp = h.hv),
+       |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.fp
+       |  FROM wit x JOIN wit y ON x.fp = y.fp AND x.gram = y.gram
+       |    AND x.doc_id < y.doc_id),
+       |sh AS (SELECT a, b, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+       |  FROM pr GROUP BY a, b)
+       |SELECT sh.a, sh.b, sh.n_shared,
+       |  floor(sh.n_shared * 10000.0 / least(na.n_fp, nb.n_fp)) / 10000.0
+       |    AS sim
+       |FROM sh JOIN nfp na ON na.doc_id = sh.a
+       |  JOIN nfp nb ON nb.doc_id = sh.b
+       |ORDER BY a, b""".stripMargin
   }
 
   // q201 dedup-modality agreement: brute-force cosine truth vs q60's
@@ -1054,6 +1135,15 @@ object PipelineOracles {
     "q203_winnowing"      -> q203,
     "q204_hard_negatives" -> q204,
     "q207_charclass"      -> q207,
+    // q208 shares q199's oracle VERBATIM (q198's rule): the Spark face
+    // serves ids from the persisted (merges + vocab) store, the oracle
+    // retrains inline — the hash gate proves store ≡ inline
+    "q208_bpe_ids_store"  -> q199,
+    "q209_winnow_pairs"   -> q209,
+    "q210_dsir_audit"     -> q210,
+    // q211 shares q202's oracle VERBATIM: cleaning served from the
+    // committed span gate must equal the inline aggregate bit-for-bit
+    "q211_boilerplate_store" -> q202,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

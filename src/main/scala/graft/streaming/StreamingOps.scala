@@ -370,7 +370,56 @@ object StreamingOps {
     if (batch.isEmpty) return
     graft.operators.Dedup.semanticServeAudit(batch.sparkSession,
         storePath, batch, idCol, vecCol)
-      .withColumn("keep", col("sim") < threshold)
+      // rep-less cluster (null sim — no committed representative to be
+      // a near-dup of) defaults to keep: the serve contract is a row
+      // and a decision per batch row, never a silent drop
+      .withColumn("keep", coalesce(col("sim") < threshold, lit(true)))
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
+  /** Continuous boilerplate cleaning — the STREAMING face of
+    * [[graft.operators.TextPipeline.boilerplateServe]] (round 16, r15
+    * verdict #6; batch contract q202/q211): each micro-batch of
+    * incoming documents is cleaned against the COMMITTED span gate
+    * ([[graft.operators.TextPipeline.saveBoilerplateStore]]) and lands
+    * q202's per-doc census (`id`, `n_spans`, `n_bp`, `bp_frac`,
+    * `clean_sig`) in the sink. The store is read-only here
+    * (build/refresh stays `saveBoilerplateStore`'s job; its
+    * versioned-commit protocol means a concurrent rebuild is invisible
+    * until its single commit point), so every cleaning decision
+    * depends only on committed state + the row's own text —
+    * deterministic across replays AND restarts, with no stream-side
+    * df drift (a span that becomes boilerplate only counts once the
+    * batch pipeline recommits the gate, by design). Exactly-once by
+    * the same per-batch-directory overwrite discipline as
+    * [[semanticServeStream]]. */
+  def boilerplateServeStream(docs: DataFrame, idCol: String,
+                             textCol: String, storePath: String,
+                             sinkPath: String, checkpoint: String,
+                             trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        boilerplateServeBatch(batch.toDF(), bid, idCol, textCol,
+          storePath, sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  /** One micro-batch of [[boilerplateServeStream]] — separated so tests
+    * can drive replay deterministically. An empty batch writes
+    * nothing. */
+  private[streaming] def boilerplateServeBatch(batch: DataFrame,
+                                               batchId: Long,
+                                               idCol: String,
+                                               textCol: String,
+                                               storePath: String,
+                                               sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextPipeline.boilerplateServe(batch.sparkSession,
+        storePath, batch, idCol, textCol)
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
 

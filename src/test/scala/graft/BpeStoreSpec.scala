@@ -87,4 +87,52 @@ class BpeStoreSpec extends AnyFunSuite {
     assert(rcQ2 == 0, outQ2.takeRight(3000))
     assert(rows(outQ2) == Seq("8"), s"re-published store: ${rows(outQ2)}")
   }
+
+  test("republish is invisible-or-complete (r15 verdict #4): the bare " +
+      "name is a view swapped atomically onto the new version; a " +
+      "reader that resolved pre-swap keeps a complete old generation; " +
+      "older generations reap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def merges(tag: String) = (1 to 3).map(i =>
+      (i.toLong, s"l$tag$i", s"r$tag$i", 10L - i))
+      .toDF("step", "lhs", "rhs", "freq")
+    val base = "bpe_swap_probe"
+    graft.sources.Lake.writeBpeTable(merges("a"), base)
+    // a reader resolves the view BEFORE the republish (analysis time)
+    val preSwap = graft.sources.Lake.readBpeTable(spark, base)
+    assert(spark.catalog.getTable(base).tableType == "VIEW",
+      "the bare name must be the pointer view, not a table")
+    graft.sources.Lake.writeBpeTable(merges("b"), base)
+    // post-swap resolution serves the new store; the pre-swap plan
+    // still reads its complete old generation (one-generation grace)
+    assert(graft.sources.Lake.readBpeTable(spark, base)
+      .select("lhs").as[String].collect().toSet ==
+      Set("lb1", "lb2", "lb3"))
+    assert(preSwap.select("lhs").as[String].collect().toSet ==
+      Set("la1", "la2", "la3"),
+      "a reader that resolved before the swap must keep a readable view")
+    // at no point between publishes does the bare name vanish: the
+    // only pointer mutation is the single CREATE OR REPLACE VIEW
+    graft.sources.Lake.writeBpeTable(merges("c"), base)
+    val vers = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.matches(s"${base}__v\\d+")).toSet
+    assert(vers == Set(s"${base}__v2", s"${base}__v3"),
+      s"grace window is one generation, got $vers")
+  }
+
+  test("writeBpeStore commits merges + vocab as ONE artifact; " +
+      "readBpeStore hands back both halves of the same version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = Seq((1L, "a", "b", 5L)).toDF("step", "lhs", "rhs", "freq")
+    val v = Seq(("a", 1L), ("b", 2L), ("ab", 3L)).toDF("symbol", "sym_id")
+    graft.sources.Lake.writeBpeStore(m, v, "bpe_joint_probe")
+    val (mt, vb) = graft.sources.Lake.readBpeStore(spark, "bpe_joint_probe")
+    assert(mt.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3))).toSeq == Seq((1L, "a", "b", 5L)))
+    assert(vb.orderBy(col("sym_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("ab", 3L)))
+  }
 }

@@ -441,6 +441,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(face.map(r => r.getLong(2)).sum <
       face.map(r => r.getLong(1)).sum * 3 / 4,
       "fingerprints must be a strict sub-selection of k-gram hashes")
+    // round 16 (r15 verdict #3): the PAIR face detects every planted
+    // pair — the winnowing guarantee lifted from "shares a fingerprint"
+    // to "appears in winnowingPairs' output", gram-verified
+    val pairs = graft.operators.Dedup.winnowingPairs(
+        docs, "doc_id", "text")
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cases.foreach { case (ia, ib, _, _) =>
+      assert(pairs.contains((ia, ib)),
+        s"planted-run pair ($ia,$ib) missing from winnowingPairs")
+    }
+    // the maxDf valve filters the index BEFORE the pair join: at cap 1
+    // every pairable fingerprint (df ≥ 2 by definition) is dropped, so
+    // the planted pairs — present above — must all disappear
+    val capped = graft.operators.Dedup.winnowingPairs(
+      docs, "doc_id", "text", maxDf = Some(1L))
+    assert(capped.count() == 0,
+      "maxDf = 1 must drop every shared fingerprint from the index")
+  }
+
+  test("q208/q211 store-backed faces are value-identical to their " +
+      "inline twins (the shared-oracle rule, checked in-process too)") {
+    def canon(name: String) = run(name).collect().map(_.toString).toSeq
+    assert(canon("q208_bpe_ids_store") == canon("q199_bpe_ids"),
+      "ids served from the persisted (merges+vocab) store must equal " +
+        "the inline-trained sequences bit-for-bit")
+    assert(canon("q211_boilerplate_store") == canon("q202_boilerplate"),
+      "cleaning served from the committed span gate must equal the " +
+        "inline aggregate bit-for-bit")
   }
 
   test("q202 boilerplate census is internally consistent and the gate " +

@@ -11,6 +11,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Pv(probe: Long, embedding: Array[Float])
 
+case class Dc(doc_id: Long, text: String)
+
 /** §2.4 streaming suite over MemoryStream (no oracle — DuckDB can't replay
   * streams): tumbling/sliding/session windows, watermark late-data drop,
   * stateful dedup. Deterministic via processAllAvailable(). */
@@ -612,7 +614,8 @@ class StreamingOpsSpec extends AnyFunSuite {
       cs, "cid", "embedding", store)
     // a NEW id carrying a committed representative's EXACT vector must
     // drop; a one-hot vector far from every rep must keep
-    val repId = spark.read.parquet(s"$store/reps").collect()
+    val storeDir = graft.operators.Dedup.semanticStoreDir(spark, store)
+    val repId = spark.read.parquet(s"$storeDir/reps").collect()
       .map(_.getAs[Long]("rep_id")).min
     val repVec = corpus.filter(col("id") === repId)
       .select("embedding").first().getSeq[Float](0).toArray
@@ -660,6 +663,144 @@ class StreamingOpsSpec extends AnyFunSuite {
       store, sink, threshold = 0.9)
     assert(decisions() == d2,
       "a replayed batch must rewrite its own directory idempotently")
+  }
+
+  test("boilerplateServeStream: cleaning decisions come from the " +
+      "COMMITTED span gate, equal the one-shot serve, survive restart, " +
+      "and replay rewrites not appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bp_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    val TP = graft.operators.TextPipeline
+    TP.saveBoilerplateStore(docs, "doc_id", "text", store)
+    val gateDir = TP.boilerplateStoreDir(spark, store)
+    val bpSpan = spark.read.parquet(s"$gateDir/spans")
+      .orderBy(col("span")).first().getString(0)
+    // batch 1: a doc that IS one committed boilerplate span (must clean
+    // to nothing) + a fresh-vocabulary doc (gate can't touch it)
+    val b1 = Seq(Dc(900001L, bpSpan), Dc(900002L, "zq1 zq2 zq3 zq4"))
+    // batch 2: three corpus docs under fresh ids
+    val b2 = docs.limit(3)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .as[Dc].collect().toSeq
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.boilerplateServeStream(mem.toDF(), "doc_id",
+      "text", store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def decisions() = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    val d1 = decisions()
+    assert(d1.size == 5)
+    assert(d1(900001L) == ((1L, 1L, 1.0, 0L)),
+      "a doc that is one committed boilerplate span cleans to nothing")
+    assert(d1(900002L)._2 == 0L && d1(900002L)._4 != 0L,
+      "a fresh-vocabulary doc passes the committed gate untouched")
+    // value-identity with the one-shot store-backed serve
+    val oneShot = TP.boilerplateServe(spark, store,
+        (b1 ++ b2).toDF(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(d1 == oneShot,
+      "streamed cleaning must equal the one-shot store serve")
+    // RESTART on the same checkpoint: committed state only, prior
+    // decisions untouched
+    val q2 = StreamingOps.boilerplateServeStream(mem.toDF(), "doc_id",
+      "text", store, sink, ck)
+    mem.addData(Dc(900003L, bpSpan)); q2.processAllAvailable()
+    q2.stop()
+    val d2 = decisions()
+    assert(d2.size == 6 && d2(900003L) == ((1L, 1L, 1.0, 0L)))
+    assert(d1.forall { case (k, v) => d2(k) == v },
+      "a restart must not disturb landed decisions")
+    // replay: re-running batch 0 rewrites its directory, never dups
+    StreamingOps.boilerplateServeBatch(b1.toDF(), 0L, "doc_id", "text",
+      store, sink)
+    assert(decisions() == d2,
+      "a replayed batch must rewrite its own directory idempotently")
+  }
+
+  test("semanticServeAudit: a rep-less cluster keeps the batch row " +
+      "(row-per-batch-row contract) instead of dropping it") {
+    import spark.implicits._
+    // controlled geometry: every corpus vector sits by c0, so c1
+    // attracts zero members at build time and has no rep row — the
+    // realistic empty-cluster case with user-supplied centroids
+    val corpus = Seq(
+      (10L, Array(1f, 0.1f, 0f, 0f)),
+      (11L, Array(1f, 0.2f, 0f, 0f)),
+      (12L, Array(1f, 0f, 0.1f, 0f))).toDF("id", "embedding")
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cid", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sem_repless").toString
+    val store = s"$base/store"
+    graft.operators.Dedup.saveSemanticStore(corpus, "id", "embedding",
+      cents, "cid", "embedding", store)
+    val batch = Seq(
+      (100L, Array(0f, 1f, 0f, 0f)), // nearest the member-less c1
+      (101L, Array(1f, 0.1f, 0f, 0f)) // exact clone of c0's rep (id 10)
+    ).toDF("probe", "embedding")
+    val rows = graft.operators.Dedup.semanticServeAudit(spark, store,
+        batch, "probe", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows.size == 2, "one output row per batch row, always")
+    assert(rows(100L)._1 == 1L && rows(100L)._2.isEmpty &&
+      rows(100L)._3.isEmpty,
+      "a rep-less cluster serves (rep_id null, sim null), not a vanish")
+    assert(rows(101L)._2.contains(10L))
+    // and the streaming keep rule defaults the rep-less row to keep
+    StreamingOps.semanticServeBatch(batch, 0L, "probe", "embedding",
+      store, s"$base/sink", threshold = 0.9)
+    val keep = spark.read.parquet(s"$base/sink")
+      .select("probe", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep(100L), "no committed representative => keep by default")
+    assert(!keep(101L), "a clone of the committed rep still drops")
+  }
+
+  test("saveSemanticStore rebuild: versioned commit — a reader that " +
+      "resolved pre-swap keeps a complete old view, the pointer flips " +
+      "atomically, older generations reap") {
+    import spark.implicits._
+    val c0 = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("cid", "embedding")
+    val corpusA = Seq((10L, Array(1f, 0.1f, 0f, 0f)),
+      (11L, Array(1f, 0.2f, 0f, 0f))).toDF("id", "embedding")
+    val corpusB = Seq((20L, Array(1f, 0.1f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sem_versions").toString + "/store"
+    val D = graft.operators.Dedup
+    D.saveSemanticStore(corpusA, "id", "embedding", c0, "cid",
+      "embedding", store)
+    val dir1 = D.semanticStoreDir(spark, store)
+    assert(dir1.endsWith("/v1"))
+    D.saveSemanticStore(corpusB, "id", "embedding", c0, "cid",
+      "embedding", store)
+    val dir2 = D.semanticStoreDir(spark, store)
+    assert(dir2.endsWith("/v2"))
+    // grace: the pre-swap view a slow reader resolved stays complete
+    assert(spark.read.parquet(s"$dir1/reps").collect()
+      .map(_.getAs[Long]("rep_id")).toSeq == Seq(10L))
+    assert(spark.read.parquet(s"$dir2/reps").collect()
+      .map(_.getAs[Long]("rep_id")).toSeq == Seq(20L))
+    // a third rebuild reaps v1 and keeps v2 as the new grace generation
+    D.saveSemanticStore(corpusA, "id", "embedding", c0, "cid",
+      "embedding", store)
+    assert(D.semanticStoreDir(spark, store).endsWith("/v3"))
+    val left = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).toSet
+    assert(left == Set("v2", "v3"),
+      s"grace window is one generation, got $left")
   }
 
   test("drift monitor: finalized windows score PSI against the static " +
