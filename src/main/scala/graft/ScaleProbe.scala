@@ -586,18 +586,29 @@ object ScaleProbe {
         // stay at the contract sort (∝ docs), wall ∝ token volume
         "winnow_full" -> ((d: String) =>
           SparkEntry.queries("q203_winnowing")(spark, d)),
-        // round 16: the winnowing PAIR face under id-salted replication
-        // (substring_dup_full's growth model — the salt token keeps dup
-        // density constant while replicas multiply docs): candidate
-        // volume must track SHARED-fingerprint mass (ratio ≤ data
-        // ratio, the index prunes), never doc×doc
-        "winnow_pairs_full" -> ((d: String) =>
+        // round 16: the winnowing PAIR face under byte-identical
+        // replication — which is a TRUE-near-dup stress, not a plan
+        // probe: every base doc becomes a mult-member family sharing
+        // ~all fingerprints (the id-salt trick that fixes this for
+        // q151's RAREST-shingle index cannot help an all-fingerprints
+        // matcher), so shared-fp mass — and with it any CORRECT pair
+        // output — grows ×mult² semantically. Uncapped measured
+        // exactly that (shuffle ×111.6 at ×10, r16_winnowpairs_probe
+        // _m10.json). This entry therefore probes the PRODUCTION
+        // posture on dup-heavy corpora: the maxDf valve (MOSS's own
+        // over-common-fingerprint drop) — with cap 20 ≥ 2×family size
+        // at m10 real dup families still pair while the probe's
+        // contract is shuffle ratio ≲ data ratio (index + valve prune;
+        // the constant-dup-density/growing-vocabulary dimension is
+        // spanvocab_probe's job, where the uncapped face measures
+        // ×data EXACT)
+        "winnow_pairs_capped" -> ((d: String) =>
           graft.operators.Dedup.winnowingPairs(
             Tables.documents(spark, d)
               .select(col("doc_id"),
                 concat(col("text"), lit(" u"),
                   col("doc_id").cast("string")).as("text")),
-            "doc_id", "text")),
+            "doc_id", "text", maxDf = Some(20L))),
         "dsir_perdoc_frame" -> ((d: String) =>
           graft.operators.TextPipeline.dsirPerDoc(
             Tables.documents(spark, d), "doc_id", "text",
