@@ -960,7 +960,31 @@ object Dedup {
     * pair set. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      maxDf: Option[Long] = None): DataFrame = {
-    val entries = docs
+    // checkpoint-pin the index: BOTH join sides (and the df filter,
+    // when capped) consume it, and an unpinned self-join re-runs the
+    // md5-per-k-gram scan once per side (q185's discipline; A/B at
+    // sf0.1: 4.5 → 2.3 s warm). The pinned frame is |selected
+    // fingerprints| rows — ~2/(w+1) of the k-grams, strictly smaller
+    // than a second corpus pass at any scale.
+    val pinned = winnowEntries(docs, idCol, textCol).localCheckpoint(true)
+    val idx = capDf(pinned, maxDf)
+    idx.toDF("a", "n_fp_a", "fp", "gram")
+      .join(idx.toDF("b", "n_fp_b", "fp", "gram"), Seq("fp", "gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("n_fp_a"), col("n_fp_b"))
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .select(col("a"), col("b"), col("n_shared"),
+        winnowSim(col("n_shared"), col("n_fp_a"), col("n_fp_b")))
+  }
+
+  /** The winnowing fingerprint INDEX entries — (`__id`, `n_fp`, `fp`,
+    * `gram`): one row per (doc, selected fingerprint, witness k-gram).
+    * Factored round 16 so [[winnowingPairs]]' self-join and the
+    * committed index ([[saveWinnowIndex]]/[[winnowServe]]) derive the
+    * SAME rows from one definition. */
+  private def winnowEntries(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__id"),
         expr(TextHashes.toks(textCol)).as("toks"))
       .withColumn("hs", expr(TextHashes.winnowKgramHashes("toks")))
@@ -975,29 +999,82 @@ object Dedup {
           "z -> array_contains(fps, z.hs)))")).as("z"))
       .select(col("__id"), col("n_fp"), col("z.hs").as("fp"),
         col("z.grams").as("gram"))
-    // checkpoint-pin the index: BOTH join sides (and the df filter,
-    // when capped) consume it, and an unpinned self-join re-runs the
-    // md5-per-k-gram scan once per side (q185's discipline; A/B at
-    // sf0.1: 4.5 → 2.3 s warm). The pinned frame is |selected
-    // fingerprints| rows — ~2/(w+1) of the k-grams, strictly smaller
-    // than a second corpus pass at any scale.
-    val pinned = entries.localCheckpoint(true)
-    val idx = maxDf match {
-      case None => pinned
-      case Some(cap) =>
-        val dfF = pinned.select(col("fp"), col("__id")).distinct()
-          .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
-          .select(col("fp"))
-        pinned.join(dfF, Seq("fp"))
-    }
-    idx.toDF("a", "n_fp_a", "fp", "gram")
-      .join(idx.toDF("b", "n_fp_b", "fp", "gram"), Seq("fp", "gram"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("n_fp_a"), col("n_fp_b"))
-      .agg(count_distinct(col("fp")).as("n_shared"))
-      .select(col("a"), col("b"), col("n_shared"),
-        (floor(col("n_shared") * lit(10000.0) /
-          least(col("n_fp_a"), col("n_fp_b"))) / 10000.0).as("sim"))
+
+  /** The maxDf boilerplate valve over an entries frame: drop
+    * fingerprints carried by more than `cap` docs BEFORE any pair
+    * join (MOSS's own over-common-fingerprint rule). */
+  private def capDf(entries: DataFrame,
+                    maxDf: Option[Long]): DataFrame = maxDf match {
+    case None => entries
+    case Some(cap) =>
+      val dfF = entries.select(col("fp"), col("__id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap)
+        .select(col("fp"))
+      entries.join(dfF, Seq("fp"))
   }
+
+  private def winnowSim(nShared: Column, nFpA: Column,
+                        nFpB: Column): Column =
+    (floor(nShared * lit(10000.0) / least(nFpA, nFpB)) / 10000.0)
+      .as("sim")
+
+  private val WinnowStoreMarker = "_graft_winnowstore_committed"
+
+  /** Persist the winnowing fingerprint INDEX (round 16 — MOSS as a
+    * service): the corpus-side entries frame landed once under
+    * [[graft.sources.Stores]]' versioned-commit protocol, so incoming
+    * documents can be checked for shared runs against a FIXED corpus
+    * without re-fingerprinting it. `maxDf` is applied AT BUILD — the
+    * committed index IS the matching contract (q211's gate
+    * discipline), so serving decisions can't drift with batch
+    * composition. The landed artifact is the selected-fingerprint
+    * frame (~2/(w+1) of the corpus k-grams). */
+  def saveWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+                      path: String, maxDf: Option[Long] = None): Unit =
+    graft.sources.Stores.commitVersioned(docs.sparkSession, path,
+        WinnowStoreMarker) { dir =>
+      capDf(winnowEntries(docs, idCol, textCol), maxDf)
+        .toDF("corpus_id", "n_fp_corpus", "fp", "gram")
+        .write.mode("overwrite").parquet(s"$dir/index")
+    }
+
+  /** Match a batch against a COMMITTED [[saveWinnowIndex]] artifact:
+    * for each batch doc, every corpus doc sharing ≥ 1
+    * selected-and-gram-verified fingerprint, with [[winnowingPairs]]'
+    * (n_shared, sim) contract — (idCol, corpus_id, n_shared, sim).
+    * Decisions depend only on committed state + the row's own text
+    * (the shared serving stance); a batch doc carrying a corpus doc's
+    * id matches everything EXCEPT itself (self-pairs are excluded by
+    * id). The fp-keyed join is unhinted (q114's rule). Refuses an
+    * uncommitted/torn store. */
+  def winnowServe(spark: org.apache.spark.sql.SparkSession, path: String,
+                  batch: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, WinnowStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: winnowing index at $path has no commit " +
+          s"marker ($WinnowStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveWinnowIndex"))
+    val idx = spark.read.parquet(s"$dir/index")
+    winnowEntries(batch, idCol, textCol)
+      .toDF("__probe", "n_fp_probe", "fp", "gram")
+      .join(idx, Seq("fp", "gram"))
+      .filter(col("__probe") =!= col("corpus_id"))
+      .groupBy(col("__probe"), col("corpus_id"), col("n_fp_probe"),
+        col("n_fp_corpus"))
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .select(col("__probe").as(idCol), col("corpus_id"),
+        col("n_shared"),
+        winnowSim(col("n_shared"), col("n_fp_probe"),
+          col("n_fp_corpus")))
+  }
+
+  /** Pay-once build for the q212 face. */
+  def ensureWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, maxDf: Option[Long] = None): Unit =
+    graft.sources.Stores.ensureCommitted(docs.sparkSession, path,
+      WinnowStoreMarker)(
+      saveWinnowIndex(docs, idCol, textCol, path, maxDf))
 }

@@ -491,37 +491,44 @@ object TextPipeline {
   def dsirLogWeights(corpus: DataFrame, idCol: String, textCol: String,
                      isTarget: Column): DataFrame = {
     val perDoc = dsirPerDoc(corpus, idCol, textCol, isTarget)
-    // BOTH bucket marginals in one re-aggregation of the per-doc frame
-    // (never a second corpus pass, and never two subtrees: separate
-    // raw/target aggregates re-planned the perDoc exchange per
-    // consumer — the m10 probe measured shuffle ×11.5 at ×10 data;
-    // the fused form leaves exactly two identical perDoc subplans,
-    // which ReusedExchange collapses). Buckets absent from the target
-    // keep an explicit 0 so the smoothing sees the full 256 domain.
+    // the log-ratio table derives from the SAME checkpointed perDoc
+    // frame the final score join consumes (never a second corpus pass
+    // — the fused form leaves exactly two identical perDoc subplans,
+    // which ReusedExchange collapses; see dsirLogRatios for the
+    // lessons baked into its shape)
+    perDoc.join(broadcast(dsirLogRatios(perDoc)), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_feats"),
+        sum(col("__cnt") * col("__lr")).as("logw"))
+  }
+
+  /** The 256-row Laplace-smoothed bucket log-ratio table `(__b, __lr)`
+    * from a [[dsirPerDoc]] frame — factored round 16 so the persisted
+    * scoring store ([[saveDsirStore]]) lands EXACTLY the table the
+    * inline face uses. Shape lessons (r14 m10 probe, kept verbatim):
+    * BOTH marginals come from one re-aggregation of the per-doc frame
+    * (separate raw/target aggregates re-planned the perDoc exchange
+    * per consumer — shuffle ×11.5 at ×10 data; buckets absent from
+    * the target keep an explicit 0 so the smoothing sees the full 256
+    * domain), and the totals ride a whole-frame window over the
+    * ≤256-row marginal frame (a `marg.agg(...)` + crossJoin scalar
+    * subtree re-planned the entire corpus pass under the broadcast).
+    * ONE correctly-rounded division + ln per side (q180's
+    * discipline): exact-long numerators, the +256.0 denominator
+    * promotes to double. */
+  private def dsirLogRatios(perDoc: DataFrame): DataFrame = {
     val marg = perDoc.groupBy(col("__b"))
       .agg(sum(col("__cnt")).as("__r"),
         sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).as("__t"))
-    // totals via a whole-frame window over the ≤256-row marginal frame
-    // (metadata-sized — q177's precedent), NOT a separate scalar-agg
-    // subtree: `marg.agg(...)` + crossJoin re-planned the entire
-    // corpus pass under the broadcast (AQE reused only one of the two
-    // perDoc exchanges — the m10 probe caught the leak as shuffle
-    // ×10.9 at ×10 data; single-lineage totals make it exactly ×10)
     val whole = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    // ONE correctly-rounded division + ln per side (q180's discipline):
-    // exact-long numerators, the +256.0 denominator promotes to double
-    val lr = marg
+    marg
       .withColumn("__tTot", sum(col("__t")).over(whole))
       .withColumn("__rTot", sum(col("__r")).over(whole))
       .select(col("__b"),
         (log((col("__t") + lit(1L)) / (col("__tTot") + lit(256.0))) -
           log((col("__r") + lit(1L)) / (col("__rTot") + lit(256.0))))
           .as("__lr"))
-    perDoc.join(broadcast(lr), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__cnt")).as("n_feats"),
-        sum(col("__cnt") * col("__lr")).as("logw"))
   }
 
   // ---- cross-document boilerplate store (round 16, r15 verdict #6) --
@@ -636,25 +643,64 @@ object TextPipeline {
         s"requirement failed: boilerplate store at $path has no commit " +
           "marker"))
 
-  /** Names built in THIS JVM — the pay-once memo for the q211 face
-    * ([[graft.sources.Lake]]'s `ensureTable` stance: a store left on
-    * disk by a previous process may hold stale data, so a fresh JVM
-    * always rebuilds; within one JVM the build runs once). */
-  private val bpStoreOnce =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val bpStoreLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
+  /** Pay-once build for the q211 face —
+    * [[graft.sources.Stores.ensureCommitted]]'s per-JVM memo. */
   def ensureBoilerplateStore(docs: DataFrame, idCol: String,
-                             textCol: String, path: String): Unit = {
-    val lock = bpStoreLocks.computeIfAbsent(path, _ => new Object)
-    lock.synchronized {
-      val committed = graft.sources.Stores
-        .resolveCommitted(docs.sparkSession, path, BpStoreMarker)
-      if (!bpStoreOnce.contains(path) || committed.isEmpty) {
-        saveBoilerplateStore(docs, idCol, textCol, path)
-        bpStoreOnce.add(path)
-      }
+                             textCol: String, path: String): Unit =
+    graft.sources.Stores.ensureCommitted(docs.sparkSession, path,
+      BpStoreMarker)(saveBoilerplateStore(docs, idCol, textCol, path))
+
+  // ---- DSIR scoring store (round 16) --------------------------------
+
+  private val DsirStoreMarker = "_graft_dsirstore_committed"
+
+  /** Persist the DSIR SCORING artifact — the 256-row bucket log-ratio
+    * table `(__b, __lr)` (round 16): this is the paper's actual
+    * deployment shape (Xie et al. 2023 §3 — estimate the hashed-n-gram
+    * target/raw distributions ONCE, on a reference corpus or sample,
+    * then score everything against the fixed table), where
+    * [[dsirLogWeights]] is the self-contained estimate-and-score form.
+    * Landed under [[graft.sources.Stores]]' versioned-commit protocol;
+    * the artifact is 256 rows — metadata — so build cost is one
+    * reference-corpus [[dsirPerDoc]] pass and serving never
+    * re-estimates. */
+  def saveDsirStore(reference: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column, path: String): Unit =
+    graft.sources.Stores.commitVersioned(reference.sparkSession, path,
+        DsirStoreMarker) { dir =>
+      dsirLogRatios(dsirPerDoc(reference, idCol, textCol, isTarget))
+        .write.mode("overwrite").parquet(s"$dir/logratios")
     }
+
+  /** Score a batch against a COMMITTED [[saveDsirStore]] table:
+    * (idCol, n_feats, logw) — [[dsirLogWeights]]'s contract with the
+    * store supplying the log-ratios, so a row's score depends only on
+    * committed state + its own text (the serving stance every store
+    * face shares). The per-doc feature pass is [[dsirPerDoc]] with the
+    * target flag irrelevant at serve time; the 256-row table
+    * broadcasts. Refuses an uncommitted/torn store. */
+  def dsirServe(spark: org.apache.spark.sql.SparkSession, path: String,
+                docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, DsirStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: DSIR store at $path has no commit marker " +
+          s"($DsirStoreMarker) — it is mid-build, torn, or absent; " +
+          "rebuild with saveDsirStore"))
+    val lr = spark.read.parquet(s"$dir/logratios")
+    dsirPerDoc(docs, idCol, textCol, isTarget = lit(false))
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_feats"),
+        sum(col("__cnt") * col("__lr")).as("logw"))
   }
+
+  /** Pay-once build for the q213 face. */
+  def ensureDsirStore(reference: DataFrame, idCol: String,
+                      textCol: String, isTarget: Column,
+                      path: String): Unit =
+    graft.sources.Stores.ensureCommitted(reference.sparkSession, path,
+      DsirStoreMarker)(
+      saveDsirStore(reference, idCol, textCol, isTarget, path))
 }

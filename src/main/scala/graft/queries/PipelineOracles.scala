@@ -1144,6 +1144,13 @@ object PipelineOracles {
     // q211 shares q202's oracle VERBATIM: cleaning served from the
     // committed span gate must equal the inline aggregate bit-for-bit
     "q211_boilerplate_store" -> q202,
+    // q212 shares q209's oracle VERBATIM: matching served from the
+    // committed fingerprint index must equal the inline self-join
+    "q212_winnow_store"   -> q209,
+    // q213 shares q187's oracle VERBATIM: scoring served from the
+    // committed 256-row log-ratio table must equal the inline
+    // estimate-and-score (round-4 on the cancellable ln sum)
+    "q213_dsir_store"     -> q187,
     "q76_tfidf" ->
       s"""WITH ${toksCte("WHERE doc_id < 100")},
          |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),

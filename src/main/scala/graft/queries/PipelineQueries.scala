@@ -1530,4 +1530,54 @@ object PipelineQueries {
         s, path, docs, "doc_id", "text")
       .orderBy("doc_id")
   }
+
+  /** q212 winnowing matches from the PERSISTED index (round 16 —
+    * MOSS as a service): q209 re-fingerprints the whole corpus per
+    * run; production lands the corpus-side fingerprint index once
+    * ([[graft.operators.Dedup.saveWinnowIndex]] under the
+    * versioned-commit protocol, `maxDf` applied AT BUILD so the
+    * committed index IS the matching contract) and checks each batch
+    * against it ([[graft.operators.Dedup.winnowServe]]). Serving the
+    * corpus against its own committed index and keeping each unordered
+    * pair once reproduces q209 exactly — oracle = q209 VERBATIM (the
+    * hash gate proves store-served matching ≡ the inline self-join
+    * bit-for-bit). StreamingOpsSpec drives the micro-batch face
+    * (`winnowServeStream`) with restart determinism. */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path =
+      s"$wh/graft_winnow_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.Dedup.ensureWinnowIndex(docs, "doc_id", "text", path)
+    graft.operators.Dedup.winnowServe(s, path, docs, "doc_id", "text")
+      .filter(col("doc_id") < col("corpus_id"))
+      .select(col("doc_id").as("a"), col("corpus_id").as("b"),
+        col("n_shared"), col("sim"))
+      .orderBy("a", "b")
+  }
+
+  /** q213 DSIR scoring from the PERSISTED log-ratio table (round 16):
+    * q187 estimates the target/raw bucket distributions AND scores in
+    * one query; the paper's deployment estimates ONCE (on a reference
+    * corpus or sample) and scores everything against the fixed 256-row
+    * table — [[graft.operators.TextPipeline.saveDsirStore]] /
+    * [[graft.operators.TextPipeline.dsirServe]] under the
+    * versioned-commit protocol. Serving the reference corpus against
+    * its own committed table reproduces q187 — oracle = q187 VERBATIM
+    * (round-4 on the cancellable ln sum, both faces). At 100 TB this
+    * is the shape that matters: the estimate pass runs on the sample,
+    * the scoring pass is one broadcast join per corpus scan, and the
+    * selection threshold can be re-tuned without re-estimating. */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path =
+      s"$wh/graft_dsir_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.TextPipeline.ensureDsirStore(
+      docs, "doc_id", "text", col("lang") === "en", path)
+    graft.operators.TextPipeline.dsirServe(s, path, docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("logw"), 4) + 0.0).as("logw"))
+      .orderBy("doc_id")
+  }
 }

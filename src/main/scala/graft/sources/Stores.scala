@@ -53,6 +53,28 @@ object Stores {
       .map(v => s"$path/$v")
   }
 
+  /** Paths built in THIS JVM — the pay-once memo for query faces over
+    * [[commitVersioned]] stores ([[Lake]]'s `ensureTable` stance: a
+    * store left on disk by a previous process may hold stale data, so
+    * a fresh JVM always rebuilds; within one JVM the build runs once,
+    * re-validated against the commit marker on every call). */
+  private val builtOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def ensureCommitted(spark: SparkSession, path: String, marker: String)
+                     (build: => Unit): Unit = {
+    val lock = buildLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!builtOnce.contains(path) ||
+          resolveCommitted(spark, path, marker).isEmpty) {
+        build
+        builtOnce.add(path)
+      }
+    }
+  }
+
   /** The version name the marker currently points at, if committed. */
   private def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
                                marker: org.apache.hadoop.fs.Path)

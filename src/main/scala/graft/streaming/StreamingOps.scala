@@ -423,6 +423,79 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
 
+  /** Continuous winnowing match — the STREAMING face of
+    * [[graft.operators.Dedup.winnowServe]] (round 16; batch contract
+    * q209/q212): each micro-batch of incoming documents is checked for
+    * shared ≥ k+w−1-token runs against the COMMITTED corpus
+    * fingerprint index ([[graft.operators.Dedup.saveWinnowIndex]] —
+    * MOSS as a service: plagiarism/contamination screening of incoming
+    * data against a fixed reference corpus) and lands (`id`,
+    * `corpus_id`, `n_shared`, `sim`) in the sink. The index is
+    * read-only here and `maxDf` was applied at BUILD, so match
+    * decisions depend only on committed state + the row's own text —
+    * deterministic across replays and restarts. Exactly-once by the
+    * per-batch-directory overwrite discipline. */
+  def winnowServeStream(docs: DataFrame, idCol: String, textCol: String,
+                        indexPath: String, sinkPath: String,
+                        checkpoint: String,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        winnowServeBatch(batch.toDF(), bid, idCol, textCol, indexPath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def winnowServeBatch(batch: DataFrame, batchId: Long,
+                                          idCol: String, textCol: String,
+                                          indexPath: String,
+                                          sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Dedup.winnowServe(batch.sparkSession, indexPath,
+        batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
+  /** Continuous DSIR scoring — the STREAMING face of
+    * [[graft.operators.TextPipeline.dsirServe]] (round 16; batch
+    * contract q187/q213): each micro-batch is scored against the
+    * COMMITTED 256-row log-ratio table
+    * ([[graft.operators.TextPipeline.saveDsirStore]] — the paper's
+    * deploy shape: estimate once on a reference, score the stream) and
+    * lands (`id`, `n_feats`, `logw`) in the sink. Scores depend only
+    * on committed state + the row's own text, so a document's quality
+    * score can never drift with batch composition — deterministic
+    * across replays and restarts. Exactly-once by the
+    * per-batch-directory overwrite discipline. */
+  def dsirServeStream(docs: DataFrame, idCol: String, textCol: String,
+                      storePath: String, sinkPath: String,
+                      checkpoint: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        dsirServeBatch(batch.toDF(), bid, idCol, textCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def dsirServeBatch(batch: DataFrame, batchId: Long,
+                                        idCol: String, textCol: String,
+                                        storePath: String,
+                                        sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextPipeline.dsirServe(batch.sparkSession, storePath,
+        batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   /** Backfill drain: run [[upsertStreamPartitioned]] under
     * `Trigger.AvailableNow` and BLOCK until the landed backlog is fully
     * merged — the bounded-catch-up entry point (a skipped-backlog

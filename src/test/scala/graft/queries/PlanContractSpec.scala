@@ -737,4 +737,42 @@ class PlanContractSpec extends AnyFunSuite {
     assert(serveOnly < inline,
       s"serve-only ($serveOnly) must undercut inline q202 ($inline)")
   }
+
+  test("q212/q213 round-16 serve faces: index-served matching and " +
+      "store-served scoring stay bounded; steady-state serves never " +
+      "exceed their inline twins") {
+    val m = Seq("q212_winnow_store", "q213_dsir_store")
+      .map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    // q212: first call pays the index land (q209's entries frame — a
+    // narrow parquet write, no exchange; measured 11,331 at sf0.001
+    // = exactly q209's join/aggregate records); the serve join keys
+    // on (fp, gram) against the committed index
+    assert(m("q212_winnow_store") <= 50000,
+      "index-served matching must ride the fingerprint index")
+    // q213: first call pays the store build (one reference dsirPerDoc
+    // pass) + the serve pass (measured 67,084 at sf0.001 combined;
+    // steady-state 33,794 — the estimate stage gone); each pass keeps
+    // the ≤256/doc cap
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(m("q213_dsir_store") <= 256L * docs + 16384L,
+      "store-served scoring must keep the doc×bucket cap")
+    // steady-state (stores committed above): what the stores delete is
+    // the corpus-side COMPUTE (q212: one side's md5-per-k-gram
+    // fingerprint pass; q213: the marginal/log-ratio estimate stage) —
+    // the EXCHANGE is the join/aggregate semantics and stays, so the
+    // contract is serve ≤ inline on records (measured EQUAL for q212:
+    // both sides of the fp-gram join still shuffle) with the compute
+    // dividend showing up as wall in the bench map (q208's ×3.4
+    // serve-vs-retrain precedent)
+    val s212 = shuffled("q212_winnow_store")
+    val i209 = shuffled("q209_winnow_pairs")
+    assert(s212 <= i209,
+      s"serve-only q212 ($s212) must not exceed inline q209 ($i209)")
+    val s213 = shuffled("q213_dsir_store")
+    val i187 = shuffled("q187_dsir_weights")
+    assert(s213 <= i187,
+      s"serve-only q213 ($s213) must not exceed inline q187 ($i187)")
+    info(s"steady-state: q212 $s212 vs q209 $i209; q213 $s213 vs q187 $i187")
+  }
 }

@@ -470,6 +470,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(canon("q211_boilerplate_store") == canon("q202_boilerplate"),
       "cleaning served from the committed span gate must equal the " +
         "inline aggregate bit-for-bit")
+    assert(canon("q212_winnow_store") == canon("q209_winnow_pairs"),
+      "matching served from the committed fingerprint index must " +
+        "equal the inline self-join bit-for-bit")
+    assert(canon("q213_dsir_store") == canon("q187_dsir_weights"),
+      "scoring served from the committed log-ratio table must equal " +
+        "the inline estimate-and-score (round-4 both faces)")
   }
 
   test("q202 boilerplate census is internally consistent and the gate " +

@@ -727,6 +727,83 @@ class StreamingOpsSpec extends AnyFunSuite {
       "a replayed batch must rewrite its own directory idempotently")
   }
 
+  test("winnowServeStream: incoming docs match the COMMITTED corpus " +
+      "fingerprint index, equal the one-shot serve, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_winnow_stream").toString
+    val (idx, sink, ck) = (s"$base/idx", s"$base/sink", s"$base/ck")
+    graft.operators.Dedup.saveWinnowIndex(corpus, "doc_id", "text", idx)
+    // batch: a doc CONTAINING corpus doc 0's full text (shares every
+    // run — must match corpus_id 0) + a fresh-vocabulary doc (no match)
+    val d0 = corpus.filter(col("doc_id") === 0).first().getString(1)
+    val b1 = Seq(Dc(900001L, s"zp1 zp2 $d0 zp3"),
+      Dc(900002L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"))
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.winnowServeStream(mem.toDF(), "doc_id", "text",
+      idx, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((900001L, 0L)),
+      "a doc containing a corpus doc's text must match it")
+    assert(!rows.exists(_._1 == 900002L),
+      "a fresh-vocabulary doc must match nothing")
+    // value-identity with the one-shot store serve
+    val oneShot = graft.operators.Dedup.winnowServe(spark, idx,
+        b1.toDF(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == oneShot,
+      "streamed matches must equal the one-shot index serve")
+    // replay rewrites, never dups
+    StreamingOps.winnowServeBatch(b1.toDF(), 0L, "doc_id", "text",
+      idx, sink)
+    assert(spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == rows)
+  }
+
+  test("dsirServeStream: micro-batches score against the COMMITTED " +
+      "log-ratio table, equal the inline estimate on the reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, round}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dsir_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    graft.operators.TextPipeline.saveDsirStore(docs, "doc_id", "text",
+      col("lang") === "en", store)
+    // stream three reference docs back through the committed table:
+    // scores must equal the inline estimate-and-score on those docs
+    val b1 = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text")).as[Dc].collect().toSeq
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.dsirServeStream(mem.toDF(), "doc_id", "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(sink)
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("logw"), 4) + 0.0).as("logw"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val inline = graft.operators.TextPipeline.dsirLogWeights(
+        docs, "doc_id", "text", isTarget = col("lang") === "en")
+      .filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("n_feats"),
+        (round(col("logw"), 4) + 0.0).as("logw"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(streamed.size == 3 && streamed == inline,
+      s"store-served scores must equal the inline estimate: " +
+        s"$streamed vs $inline")
+  }
+
   test("semanticServeAudit: a rep-less cluster keeps the batch row " +
       "(row-per-batch-row contract) instead of dropping it") {
     import spark.implicits._
