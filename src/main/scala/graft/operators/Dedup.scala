@@ -1046,8 +1046,15 @@ object Dedup {
     * Decisions depend only on committed state + the row's own text
     * (the shared serving stance); a batch doc carrying a corpus doc's
     * id matches everything EXCEPT itself (self-pairs are excluded by
-    * id). The fp-keyed join is unhinted (q114's rule). Refuses an
-    * uncommitted/torn store. */
+    * id). The fp-keyed join is unhinted (q114's rule): a micro-batch's
+    * entries are tiny, so AQE broadcasts THEM and the index side
+    * streams map-side — per-batch cost is one column-pruned index scan
+    * (embarrassingly parallel) + a small aggregate, never an exchange
+    * of the index. When even the scan-per-batch is too much (very hot
+    * serving paths), the layout answer is an fp-bucketed/sorted index
+    * land (Lake.writeBucketed's discipline) so row-group pruning takes
+    * over — the committed-artifact protocol here is layout-agnostic.
+    * Refuses an uncommitted/torn store. */
   def winnowServe(spark: org.apache.spark.sql.SparkSession, path: String,
                   batch: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
