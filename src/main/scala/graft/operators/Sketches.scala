@@ -120,6 +120,198 @@ object Sketches {
       new java.io.ByteArrayInputStream(bytes))
     items.map(i => (i, cms.estimateCount(i))).toDF(valueCol, "approx_count")
   }
+
+  // ---------------------------------------------------------------
+  // Portable Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+  // ORACLE-CHECKABLE twin of [[itemFrequency]]: the same depth×width
+  // counter matrix, but built from md5-nibble hashes expressible in
+  // plain SQL on any engine and read out DISTRIBUTEDLY (a join against
+  // the counter frame, never a driver collect). [[itemFrequency]]
+  // stays the production primitive for point lookups of a few items;
+  // this face is the one whose every counter and estimate a
+  // differential harness can replay bit-for-bit.
+  // ---------------------------------------------------------------
+
+  /** Bucket of hash row `j`: the FIRST md5 nibble of the salted value
+    * — width is fixed at 16 (one nibble); widen by folding more
+    * nibbles if a deployment needs it. One digest per (value, row). */
+  private def cmsBucket(j: Int, ref: String): String =
+    s"(instr('0123456789abcdef', substr(md5(concat('cms$j:', $ref)), 1, 1)) - 1)"
+
+  private def cmsRows(depth: Int, ref: String): String =
+    (0 until depth).map(j =>
+      s"named_struct('j', $j, 'b', ${cmsBucket(j, ref)})")
+      .mkString("array(", ", ", ")")
+
+  /** The depth×16 counter matrix over a value stream (one row per
+    * occurrence, multiplicity counts): `(j, b, c)`. This is the whole
+    * scale story of the sketch — the aggregate's key space is FIXED
+    * (depth·16 cells), so the map-side partial collapses each input
+    * partition to ≤ depth·16 rows and the exchange is metadata-sized
+    * no matter how many trillions of tokens stream through. Counter
+    * matrices from disjoint slices MERGE by cell-wise addition (union
+    * + re-aggregate), the lambda-architecture property. */
+  def cmsCounters(items: DataFrame, valueCol: String,
+                  depth: Int = 4): DataFrame =
+    items
+      .select(explode(expr(cmsRows(depth, valueCol))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for every row of `values`: est = min over the
+    * depth rows of the addressed counters (never under the true
+    * count). The counter join is hinted broadcast — the counter frame
+    * is a FIXED depth·16 cells, a bounded domain at any corpus size
+    * (q12's rule: hint only what is bounded by construction). */
+  def cmsEstimate(values: DataFrame, valueCol: String,
+                  counters: DataFrame, depth: Int = 4): DataFrame =
+    values
+      .select(col(valueCol), explode(expr(cmsRows(depth, valueCol))).as("jb"))
+      .select(col(valueCol), col("jb.j").as("j"), col("jb.b").as("b"))
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col(valueCol))
+      .agg(min(col("c")).as("est"))
+
+  // ---------------------------------------------------------------
+  // Bloom filter (Bloom 1970) — the broadcast decontamination screen:
+  // k salted md5 positions over a FIXED m = 4096-bit array packed
+  // into 64 longs. At 100 TB the filter is built once from the small
+  // side (an eval/benchmark suite), broadcast to every executor, and
+  // the corpus scan tests membership with pure bit arithmetic — zero
+  // joins, zero exchange on the corpus side. False positives only
+  // (quantified by [[graft.queries.PipelineQueries.q215]]'s audit
+  // face); false negatives never — the property that makes a Bloom
+  // PRE-screen sound: only flagged rows proceed to the exact join.
+  // ---------------------------------------------------------------
+
+  /** 12-bit position of hash `i` (0..4095): first three md5 nibbles of
+    * the salted value. */
+  private[operators] def bloomPos(i: Int, ref: String): String = {
+    def nib(k: Int) =
+      s"(instr('0123456789abcdef', substr(md5(concat('bf$i:', $ref)), $k, 1)) - 1)"
+    s"(${nib(1)}*256 + ${nib(2)}*16 + ${nib(3)})"
+  }
+
+  /** Build the packed filter: ONE row with `bf` = array of 64 longs
+    * (4096 bits). The bit-set aggregate has a fixed 64-row key space
+    * (map-side partials collapse every partition to ≤ 64 rows); the
+    * final collect_list is over those 64 metadata-sized rows — the
+    * bounded-collect exemption (bpeSegment's K-row rule), not a data
+    * collect. Filters from disjoint slices merge by cell-wise OR. */
+  def bloomBits(items: DataFrame, valueCol: String, k: Int = 3): DataFrame = {
+    val pos = items.select(explode(expr(
+      (0 until k).map(i => bloomPos(i, valueCol))
+        .mkString("array(", ", ", ")"))).as("pos"))
+    val words = pos
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+    items.sparkSession.range(64).toDF("w")
+      .join(words, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(w, bits))), z -> z.bits)")
+        .as("bf"))
+  }
+
+  /** Screen an `(idCol, itemCol)` frame against a built/committed
+    * filter: per id, total items and Bloom-positive items. The filter
+    * crosses in as a broadcast 1-row frame; the membership test is
+    * row-level bit arithmetic — `element_at` on the packed words —
+    * so the corpus side stays narrow until its own per-id rollup.
+    * The k digests are row-level projections (codegen CSE dedups
+    * them — q203's pathology only bites inside transform lambdas). */
+  def bloomScreen(items: DataFrame, idCol: String, itemCol: String,
+                  bits: DataFrame, k: Int = 3): DataFrame =
+    hitRows(items, itemCol, bits, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_bloom"))
+
+  /** One-pass AUDIT variant: [[bloomScreen]] plus exact membership
+    * against the reference item set, folded into the SAME aggregate —
+    * per id `(n_items, n_bloom, n_exact)`, so the false-positive rate
+    * (n_bloom − n_exact) falls out without a second corpus pass. The
+    * reference join is |reference|-bounded and unhinted (the filter
+    * was built FROM the reference, so it is small by construction —
+    * AQE broadcasts it). */
+  def bloomScreenAudit(items: DataFrame, idCol: String, itemCol: String,
+                       bits: DataFrame, ref: DataFrame,
+                       k: Int = 3): DataFrame =
+    hitRows(items, itemCol, bits, k)
+      .join(ref.select(col(itemCol)).distinct()
+        .withColumn("__inRef", lit(1L)), Seq(itemCol), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(coalesce(col("__inRef"), lit(0L))).as("n_exact"))
+
+  /** The shared membership-test projection: items × broadcast filter,
+    * `__hit` = AND over the k bit tests. */
+  private def hitRows(items: DataFrame, itemCol: String, bits: DataFrame,
+                      k: Int): DataFrame = {
+    val tests = (0 until k).map { i =>
+      val p = s"__p$i"
+      s"((element_at(bf, cast($p div 64 + 1 as int)) & " +
+        s"shiftleft(1L, cast($p % 64 as int))) != 0)"
+    }.mkString(" AND ")
+    (0 until k)
+      .foldLeft(items.crossJoin(broadcast(bits))) { (df, i) =>
+        df.withColumn(s"__p$i", expr(bloomPos(i, itemCol)))
+      }
+      .withColumn("__hit", expr(tests))
+  }
+
+  private val BloomStoreMarker = "_graft_bloomstore_committed"
+
+  /** Persist the packed filter under [[graft.sources.Stores]]'
+    * versioned-commit protocol — the decontamination contract a
+    * pipeline lands once from its benchmark suite and screens every
+    * ingest batch against (committed state only, so screening
+    * decisions can never drift with batch composition). */
+  def saveBloomStore(items: DataFrame, valueCol: String, path: String,
+                     k: Int = 3): Unit =
+    graft.sources.Stores.commitVersioned(items.sparkSession, path,
+        BloomStoreMarker) { dir =>
+      bloomBits(items, valueCol, k)
+        .write.mode("overwrite").parquet(s"$dir/bits")
+    }
+
+  /** Screen a batch against a COMMITTED [[saveBloomStore]] artifact.
+    * Refuses an uncommitted/torn store. */
+  def bloomServe(spark: org.apache.spark.sql.SparkSession, path: String,
+                 items: DataFrame, idCol: String, itemCol: String,
+                 k: Int = 3): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, BloomStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: bloom store at $path has no commit " +
+          s"marker ($BloomStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveBloomStore"))
+    bloomScreen(items, idCol, itemCol,
+      spark.read.parquet(s"$dir/bits"), k)
+  }
+
+  /** [[bloomScreenAudit]] against a COMMITTED store — the q218 face's
+    * one-pass serve+audit. Refuses an uncommitted/torn store. */
+  def bloomServeAudit(spark: org.apache.spark.sql.SparkSession,
+                      path: String, items: DataFrame, idCol: String,
+                      itemCol: String, ref: DataFrame,
+                      k: Int = 3): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, BloomStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: bloom store at $path has no commit " +
+          s"marker ($BloomStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveBloomStore"))
+    bloomScreenAudit(items, idCol, itemCol,
+      spark.read.parquet(s"$dir/bits"), ref, k)
+  }
+
+  /** Pay-once build for the q218 face. */
+  def ensureBloomStore(items: DataFrame, valueCol: String, path: String,
+                       k: Int = 3): Unit =
+    graft.sources.Stores.ensureCommitted(items.sparkSession, path,
+      BloomStoreMarker)(saveBloomStore(items, valueCol, path, k))
 }
 
 /** Builds one mergeable Greenwald-Khanna summary per group and emits it

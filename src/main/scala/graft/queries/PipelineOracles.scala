@@ -1099,7 +1099,180 @@ object PipelineOracles {
        |FROM cum CROSS JOIN tot
        |WHERE k IN (1, 5, 10, 20, 50) ORDER BY k""".stripMargin
 
+  // q214 Count-Min heavy hitters: the 4×16 counter matrix from
+  // first-nibble salted-md5 buckets, estimates = min over the 4
+  // addressed counters, heavy bar = est·100 ≥ N. Exact integers
+  // end-to-end — no float anywhere.
+  private val q214 = {
+    def bkt(salt: String, ref: String) =
+      s"(instr('0123456789abcdef', substr(md5('$salt' || $ref), 1, 1)) - 1)"
+    val js = (0 until 4)
+      .map(j => s"SELECT $j AS j, 'cms$j:' AS salt")
+      .mkString(" UNION ALL ")
+    s"""WITH ${toksCte("")},
+       |occ AS (SELECT unnest(toks) AS tok FROM t),
+       |js AS ($js),
+       |jb AS (SELECT j,
+       |    (instr('0123456789abcdef', substr(md5(salt || tok), 1, 1)) - 1)
+       |      AS b
+       |  FROM occ CROSS JOIN js),
+       |cnt AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM jb GROUP BY 1, 2),
+       |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM occ GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM ex),
+       |tb AS (SELECT e.tok, e.n_exact, j.j,
+       |    (instr('0123456789abcdef', substr(md5(j.salt || e.tok), 1, 1)) - 1)
+       |      AS b
+       |  FROM ex e CROSS JOIN js j),
+       |es AS (SELECT tok, n_exact, min(c.c) AS est
+       |  FROM tb JOIN cnt c USING (j, b) GROUP BY 1, 2)
+       |SELECT tok AS token, est, n_exact, est - n_exact AS overcount
+       |FROM es CROSS JOIN tot WHERE est * 100 >= n_total
+       |ORDER BY est DESC, token""".stripMargin
+  }
+
+  /** 12-bit Bloom position of hash `i`: first three md5 nibbles of the
+    * salted shingle — ONE definition string mirrored by
+    * [[graft.operators.Sketches]]' `bloomPos`. */
+  private def bfPos(i: Int, ref: String) = {
+    def nib(k: Int) =
+      s"(instr('0123456789abcdef', substr(md5('bf$i:' || $ref), $k, 1)) - 1)"
+    s"(${nib(1)}*256 + ${nib(2)}*16 + ${nib(3)})"
+  }
+
+  // q215 Bloom decontamination screen: the face tests the packed
+  // 64-long bit array; the oracle tests position-set membership —
+  // semantically identical (same positions, set bits ≡ member
+  // positions), so the hash gate proves the bit packing faithful.
+  // A shingle is Bloom-positive iff all 3 its union branches join the
+  // position set (duplicate positions within a shingle's 3 hashes
+  // contribute multiply on both sides of the count).
+  private val q215 =
+    s"""WITH ${toksCte("")},
+       |$shCte,
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+       |ps AS (SELECT DISTINCT p FROM (
+       |    SELECT ${bfPos(0, "s")} AS p FROM ev
+       |    UNION SELECT ${bfPos(1, "s")} FROM ev
+       |    UNION SELECT ${bfPos(2, "s")} FROM ev) px),
+       |tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+       |trp AS (SELECT doc_id, s, ${bfPos(0, "s")} AS p FROM tr
+       |  UNION ALL SELECT doc_id, s, ${bfPos(1, "s")} FROM tr
+       |  UNION ALL SELECT doc_id, s, ${bfPos(2, "s")} FROM tr),
+       |hit AS (SELECT doc_id, s FROM trp JOIN ps USING (p)
+       |  GROUP BY doc_id, s HAVING count(*) = 3),
+       |per AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |    CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bloom,
+       |    CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_exact
+       |  FROM tr LEFT JOIN hit h ON h.doc_id = tr.doc_id AND h.s = tr.s
+       |    LEFT JOIN ev e ON e.s = tr.s
+       |  GROUP BY 1)
+       |SELECT doc_id, n_sh, n_bloom, n_exact, n_bloom - n_exact AS n_fp
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  // q216 TextRank: the fixed-point iteration unrolled to 5 chained
+  // CTEs — exact BIGINT state (see Graphs.textRank's contract), so
+  // every iteration is bit-equal on both engines regardless of
+  // summation order. floor(x * 1.0 / y) over BIGINTs is the exact
+  // integer division while the product stays < 2^53.
+  private val q216 = {
+    val term = "CAST(floor(ew.w * r.r * 1.0 / ew.wdeg) AS BIGINT)"
+    def iter(i: Int) =
+      s"""r$i AS (SELECT ew.dst AS tok,
+         |    1500 + CAST(floor(CAST(sum($term) AS BIGINT) * 85 * 1.0 / 100)
+         |      AS BIGINT) AS r
+         |  FROM ew JOIN r${i - 1} r ON r.tok = ew.src GROUP BY 1)"""
+        .stripMargin
+    s"""WITH ${toksCte("")},
+       |ax AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |  FROM t WHERE len(toks) >= 2),
+       |pe AS (SELECT list_extract(toks, i) AS a,
+       |    list_extract(toks, i + 1) AS b
+       |  FROM ax WHERE list_extract(toks, i) <> list_extract(toks, i + 1)),
+       |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM
+       |  (SELECT a AS src, b AS dst FROM pe
+       |   UNION ALL SELECT b, a FROM pe) u
+       |  GROUP BY 1, 2),
+       |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+       |  FROM ed GROUP BY 1),
+       |ew AS (SELECT ed.src, ed.dst, ed.w, dg.wdeg
+       |  FROM ed JOIN dg USING (src)),
+       |r0 AS (SELECT src AS tok, CAST(10000 AS BIGINT) AS r FROM dg),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT tok AS token, r AS r_fp,
+       |  round(r / 10000.0, 4) + 0.0 AS rank
+       |FROM r5 ORDER BY r_fp DESC, token LIMIT 30""".stripMargin
+  }
+
+  // q217 RRF hybrid retrieval: q153's BM25 (identical constants,
+  // rank on the round-4 score) + q49's cosine (rank on the raw fixed-
+  // fold value), both tiebroken by id; rrf = fixed-order 2-term sum of
+  // exact divisions, re-ranked with id tiebreak, rounded AFTER
+  // ranking (q204's rule).
+  private val q217 =
+    s"""WITH ${toksCte("")},
+       |cd AS (SELECT doc_id, toks FROM t
+       |  WHERE doc_id >= 5 AND doc_id <= 199),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM cd),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl
+       |  FROM dl),
+       |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM cd) o
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |qt AS (SELECT DISTINCT probe, term FROM
+       |  (SELECT doc_id AS probe, unnest(toks) AS term FROM t
+       |   WHERE doc_id < 5) qx),
+       |bsc AS (SELECT q.probe, tf.doc_id AS id,
+       |    round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |      * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+       |      AS bscore
+       |  FROM qt q JOIN tf ON tf.term = q.term
+       |    JOIN df ON df.term = q.term
+       |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |ra AS (SELECT probe, id, CAST(rk AS BIGINT) AS bm25_rank FROM
+       |  (SELECT probe, id, row_number() OVER
+       |     (PARTITION BY probe ORDER BY bscore DESC, id) AS rk
+       |   FROM bsc) rx WHERE rk <= 20),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pv AS (SELECT vec_id AS probe, v AS vp FROM e WHERE vec_id < 5),
+       |cv AS (SELECT vec_id AS id, v AS vc FROM e
+       |  WHERE vec_id >= 5 AND vec_id <= 199),
+       |cs AS (SELECT probe, id, ${cos("vp", "vc")} AS cs
+       |  FROM pv CROSS JOIN cv),
+       |rb AS (SELECT probe, id, CAST(rk AS BIGINT) AS cos_rank FROM
+       |  (SELECT probe, id, row_number() OVER
+       |     (PARTITION BY probe ORDER BY cs DESC, id) AS rk
+       |   FROM cs) ry WHERE rk <= 20),
+       |fu AS (SELECT probe, id, bm25_rank, cos_rank,
+       |    coalesce(1.0 / (60 + bm25_rank), 0.0)
+       |      + coalesce(1.0 / (60 + cos_rank), 0.0) AS rrf
+       |  FROM ra FULL JOIN rb USING (probe, id)),
+       |rk AS (SELECT probe, id, bm25_rank, cos_rank, rrf,
+       |    row_number() OVER (PARTITION BY probe ORDER BY rrf DESC, id)
+       |      AS n_rank
+       |  FROM fu)
+       |SELECT probe, CAST(n_rank AS BIGINT) AS n_rank, id,
+       |  round(rrf, 6) + 0.0 AS rrf, bm25_rank, cos_rank
+       |FROM rk WHERE n_rank <= 10 ORDER BY probe, n_rank""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q214_cms_heavy"      -> q214,
+    "q215_bloom_screen"   -> q215,
+    "q216_textrank"       -> q216,
+    "q217_rrf_fusion"     -> q217,
+    // q218 shares q215's oracle VERBATIM (q198's rule): screening
+    // served from the committed packed filter must equal the inline
+    // build bit-for-bit
+    "q218_bloom_store"    -> q215,
     "q167_js_divergence" -> q167,
     "q178_coverage_curve" -> q178,
     "q168_good_turing"   -> q168,

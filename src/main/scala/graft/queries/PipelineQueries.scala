@@ -45,6 +45,22 @@ object PipelineQueries {
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.shingleSet("toks")).as("sh"))
 
+  /** The EXPLODED distinct (doc_id, shingle) frame — the inverted-
+    * index shape (q47's idiom: single-level generator over the
+    * transform + row-level distinct; exploding [[shingleSets]]'
+    * pre-built array instead trips InferFiltersFromGenerate into an
+    * interpreted per-scan-row shingle chain). Downstream doc_id
+    * filters push through the distinct on the grouping key into the
+    * scan. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.shingleTransform("toks")))
+          .as("s"))
+      .distinct()
+
   /** q46 MinHash signatures + LSH band keys (8 salted md5 min-hashes,
     * 4 bands × 2 rows). Documents sharing any band key are near-dup
     * candidates; at scale dedup is a self-join on the band columns.
@@ -1578,6 +1594,192 @@ object PipelineQueries {
     graft.operators.TextPipeline.dsirServe(s, path, docs, "doc_id", "text")
       .select(col("doc_id"), col("n_feats"),
         (round(col("logw"), 4) + 0.0).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  /** q214 Count-Min heavy hitters (round 16 —
+    * [[graft.operators.Sketches.cmsCounters]]/`cmsEstimate`'s contract
+    * face; Cormode & Muthukrishnan 2005): tokens whose CMS estimate
+    * crosses the 1% heavy-hitter bar, with the exact count and the
+    * collision overcount alongside — the audit a pipeline runs to pick
+    * a sketch width before trusting it at 100 TB. est ≥ exact ALWAYS
+    * (CMS never undercounts — SketchesSpec pins the property); the
+    * est·100 ≥ N gate means no true ≥1% token is ever missed.
+    *
+    * Scale shape: the counter matrix has a FIXED 4×16-cell key space —
+    * map-side partials collapse every partition to ≤ 64 rows, so the
+    * sketch build's exchange is metadata-sized at any corpus size. The
+    * audit face additionally pays the exact |vocab|-keyed count (that
+    * is what it audits); the production path is the counters + the
+    * broadcast estimate join alone. All arithmetic is exact integers —
+    * no float anywhere. */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(expr(graft.operators.TextHashes.toks("text")))
+        .as("tok"))
+    val counters = graft.operators.Sketches.cmsCounters(toks, "tok")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+    graft.operators.Sketches.cmsEstimate(exact.select("tok"), "tok", counters)
+      .join(exact, "tok")
+      .crossJoin(broadcast(tot))
+      .filter(col("est") * 100 >= col("n_total"))
+      .select(col("tok").as("token"), col("est"), col("n_exact"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
+  /** q215 Bloom-filter decontamination screen (round 16 —
+    * [[graft.operators.Sketches.bloomBits]]/`bloomScreen`'s contract
+    * face; Bloom 1970): a 4096-bit / 3-hash filter built from the
+    * eval slice's (doc_id < 20) distinct shingles, then every
+    * training doc screened against it — per doc, total shingles,
+    * Bloom-positive shingles, EXACT matches, and the false-positive
+    * count their difference isolates (no false negatives ever:
+    * n_bloom ≥ n_exact, pinned in SketchesSpec).
+    *
+    * Scale shape: the filter is a fixed 64-long array broadcast to
+    * every executor — the corpus side tests membership with row-level
+    * bit arithmetic and never exchanges before its own per-doc
+    * rollup. The AUDIT face additionally pays the exact eval-set join
+    * (that difference IS what it measures); the production screen is
+    * [[graft.operators.Sketches.bloomServe]] alone — one broadcast
+    * scan, which is why a Bloom pre-screen in front of q108's exact
+    * decontamination join is sound: flagged-only rows reach the join,
+    * missed contamination is impossible. */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    // single-level generator over the shingle TRANSFORM + row-level
+    // distinct — never explode the pre-built set array (q47's
+    // InferFiltersFromGenerate rule: the inferred size(sh) > 0 filter
+    // re-inlines the whole shingle chain as an interpreted per-scan-row
+    // predicate). This query's first cut tripped it AND paid the
+    // corpus twice (separate screen + exact-join passes): 10.1 s at
+    // sf0.1, vs 1.4 s for this shape (one generator pass, one fused
+    // audit aggregate — bloomScreenAudit)
+    val shx = shingleRows(documents(s, d))
+    val ev = shx.filter(col("doc_id") < 20).select("s").distinct()
+    val tr = shx.filter(col("doc_id") >= 20)
+    val bits = graft.operators.Sketches.bloomBits(ev, "s")
+    graft.operators.Sketches.bloomScreenAudit(tr, "doc_id", "s", bits, ev)
+      .select(col("doc_id"), col("n_items").as("n_sh"), col("n_bloom"),
+        col("n_exact"), (col("n_bloom") - col("n_exact")).as("n_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** q216 TextRank keyword extraction (round 16 —
+    * [[graft.operators.Graphs.textRank]]'s contract face; Mihalcea &
+    * Tarau 2004): top-30 tokens by 5-iteration fixed-point PageRank
+    * over the corpus co-occurrence graph. The fixed-point BIGINT
+    * contract (every division floors, every intermediate an exact
+    * integer — see the operator doc) is what makes an ITERATIVE graph
+    * computation differentially testable at all: a float PageRank
+    * compounds summation-order ulps across iterations. Ordering rides
+    * the exact `r_fp`, never the display double. */
+  def q216(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.textRank(documents(s, d), "text")
+      .orderBy(col("r_fp").desc, col("token"))
+      .limit(30)
+
+  /** q217 reciprocal-rank-fusion hybrid retrieval (round 16; Cormack,
+    * Clarke & Buettcher 2009): BM25 lexical top-20 (q153's exact
+    * scoring, df/avgdl over the candidate corpus) fused with
+    * embedding-cosine top-20 (q49's exact similarity) per probe query
+    * — rrf = Σ_retrievers 1/(60 + rank), missing-from-one-list terms
+    * contribute 0 — keeping the fused top-10. The shape RAG data
+    * curation runs to pick retrieval candidates from both signals
+    * without score calibration.
+    *
+    * Determinism: BM25 ranks on the ROUND-4 score (a float SUM of
+    * per-term contributions is summation-order-sensitive; q153's
+    * rule), cosine ranks on the raw fixed-fold similarity (q204's
+    * rule), both tiebroken by id; rrf itself is a fixed-order 2-term
+    * sum of exact divisions. Scale shape: the probe set is bounded by
+    * contract and broadcasts (q204's rule), so the candidate scan
+    * never exchanges; both top-20s ride WindowGroupLimit on the
+    * bounded probe key; the fusion join is |probes|·20 rows. */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      expr(graft.operators.TextHashes.toks("text")).as("toks"))
+    val cand = docs.filter(col("doc_id").between(5, 199))
+    val dl = cand.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = cand.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe"),
+        explode(expr("array_distinct(toks)")).as("term"))
+    val bm = qterms.join(tf, "term")
+      .join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("probe"), col("doc_id").as("id"),
+        (log(lit(1.0) +
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("probe"), col("id"))
+      .agg(round(sum(col("c")), 4).as("bscore"))
+    val wA = Window.partitionBy(col("probe"))
+      .orderBy(col("bscore").desc, col("id"))
+    val ra = bm.select(col("probe"), col("id"),
+        row_number().over(wA).as("bm25_rank"))
+      .filter(col("bm25_rank") <= 20)
+    val e = embeddings(s, d).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val pv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe"), col("v").as("vp"))
+    val cs = e.filter(col("vec_id").between(5, 199))
+      .select(col("vec_id").as("id"), col("v").as("vc"))
+      .join(broadcast(pv))
+      .select(col("probe"), col("id"),
+        Vectors.cosine(col("vp"), col("vc")).as("cs"))
+    val wB = Window.partitionBy(col("probe"))
+      .orderBy(col("cs").desc, col("id"))
+    val rb = cs.select(col("probe"), col("id"),
+        row_number().over(wB).as("cos_rank"))
+      .filter(col("cos_rank") <= 20)
+    val wF = Window.partitionBy(col("probe"))
+      .orderBy(col("rrf").desc, col("id"))
+    ra.join(rb, Seq("probe", "id"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+      .withColumn("n_rank", row_number().over(wF))
+      .filter(col("n_rank") <= 10)
+      .select(col("probe"), col("n_rank").cast("long").as("n_rank"),
+        col("id"), (round(col("rrf"), 6) + 0.0).as("rrf"),
+        col("bm25_rank").cast("long").as("bm25_rank"),
+        col("cos_rank").cast("long").as("cos_rank"))
+      .orderBy("probe", "n_rank")
+  }
+
+  /** q218 Bloom screening from the PERSISTED filter (round 16): q215
+    * rebuilds the filter per run; production lands it once from the
+    * benchmark/eval suite ([[graft.operators.Sketches.saveBloomStore]]
+    * under the versioned-commit protocol, pay-once via
+    * `ensureBloomStore`'s per-JVM memo) and screens every ingest batch
+    * against the committed artifact — the cheapest serve shape in the
+    * store family: a broadcast 64-long array tested with row-level bit
+    * arithmetic, no index join at all. Oracle = q215 VERBATIM (q198's
+    * shared-oracle rule): the hash gate proves the round-tripped
+    * packed filter screens bit-identically to the inline build.
+    * StreamingOpsSpec drives the micro-batch face
+    * (`bloomServeStream`) against the same store with restart
+    * determinism. */
+  def q218(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path =
+      s"$wh/graft_bloom_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val shx = shingleRows(documents(s, d))
+    val ev = shx.filter(col("doc_id") < 20).select("s").distinct()
+    graft.operators.Sketches.ensureBloomStore(ev, "s", path)
+    graft.operators.Sketches.bloomServeAudit(s, path,
+        shx.filter(col("doc_id") >= 20), "doc_id", "s", ev)
+      .select(col("doc_id"), col("n_items").as("n_sh"), col("n_bloom"),
+        col("n_exact"), (col("n_bloom") - col("n_exact")).as("n_fp"))
       .orderBy("doc_id")
   }
 }

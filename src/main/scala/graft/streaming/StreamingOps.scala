@@ -613,4 +613,49 @@ object StreamingOps {
         col("n"), col("psi"))
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
+
+  /** Continuous Bloom decontamination — the STREAMING face of
+    * [[graft.operators.Sketches.bloomServe]] (round 16; batch contract
+    * q215/q218): each micro-batch's docs are shingled and screened
+    * against the COMMITTED fixed-size filter, landing (`id`, n_items,
+    * n_bloom) per batch. Decisions depend only on committed state +
+    * the row's own text — deterministic across replays and restarts;
+    * exactly-once by the per-batch-directory overwrite discipline.
+    * The filter is a broadcast 64-long array, so the screen is a pure
+    * row-level scan — the cheapest serving shape in the store family
+    * (no index join at all). */
+  def bloomServeStream(docs: DataFrame, idCol: String, textCol: String,
+                       storePath: String, sinkPath: String,
+                       checkpoint: String,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        bloomServeBatch(batch.toDF(), bid, idCol, textCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def bloomServeBatch(batch: DataFrame, batchId: Long,
+                                         idCol: String, textCol: String,
+                                         storePath: String,
+                                         sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    // single-level generator + row-level distinct (q47/q215's
+    // InferFiltersFromGenerate rule — never explode the pre-built set)
+    val items = batch
+      .select(col(idCol),
+        expr(graft.operators.TextHashes.toks(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol),
+        explode(expr(graft.operators.TextHashes.shingleTransform("toks")))
+          .as("item"))
+      .distinct()
+    graft.operators.Sketches.bloomServe(batch.sparkSession, storePath,
+        items, idCol, "item")
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
 }

@@ -114,4 +114,66 @@ class SketchesSpec extends AnyFunSuite {
         s"$t: ${approx(t)} too far above ${exact(t)}")
     }
   }
+
+  test("portable CMS never under-counts, and counter matrices merge by union") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(expr(TextHashes.toks("text"))).as("tok"))
+    val counters = Sketches.cmsCounters(toks, "tok")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsEstimate(exact.select("tok"), "tok", counters)
+      .join(exact, "tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (t, e, n) =>
+      assert(e >= n, s"$t: CMS estimate $e under-counts exact $n")
+    }
+    // mergeability: counters over two disjoint slices, unioned and
+    // re-aggregated cell-wise, equal the counters over the whole stream
+    val docs = graft.Tables.documents(spark, sf)
+    def slice(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .select(explode(expr(TextHashes.toks("text"))).as("tok"))
+    val merged = Sketches
+      .cmsCounters(slice(col("doc_id") % 2 === 0), "tok")
+      .unionByName(Sketches.cmsCounters(slice(col("doc_id") % 2 === 1), "tok"))
+      .groupBy("j", "b").agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = counters
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "cell-wise union of slice counters must equal the whole-stream matrix")
+  }
+
+  test("bloom filter has no false negatives, and the committed store serves identically") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val items = docs
+      .select(col("doc_id"), expr(TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(TextHashes.shingleSet("toks"))).as("s"))
+    val ev = items.filter(col("doc_id") < 20).select("s").distinct()
+    val bits = Sketches.bloomBits(ev, "s")
+    // no false negatives: screening the EVAL docs against their own
+    // filter must flag every single shingle
+    val self = Sketches.bloomScreen(
+        items.filter(col("doc_id") < 20), "doc_id", "s", bits)
+      .collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.get(0)}: ${r.getLong(2)} of ${r.getLong(1)} shingles flagged — a Bloom false negative")
+    }
+    // store round-trip: bloomServe from the committed artifact must
+    // equal the inline screen bit-for-bit; an uncommitted path refuses
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bloom-spec").toString
+    val batch = items.filter(col("doc_id") >= 20)
+    intercept[IllegalArgumentException] {
+      Sketches.bloomServe(spark, path, batch, "doc_id", "s").collect()
+    }
+    Sketches.saveBloomStore(ev, "s", path)
+    val inline = Sketches.bloomScreen(batch, "doc_id", "s", bits)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val served = Sketches.bloomServe(spark, path, batch, "doc_id", "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served == inline, "store-served screen must equal the inline screen")
+  }
 }

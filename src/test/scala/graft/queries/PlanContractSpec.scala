@@ -775,4 +775,49 @@ class PlanContractSpec extends AnyFunSuite {
       s"serve-only q213 ($s213) must not exceed inline q187 ($i187)")
     info(s"steady-state: q212 $s212 vs q209 $i209; q213 $s213 vs q187 $i187")
   }
+
+  test("q214–q218 round-16 sketch/graph/fusion batch: CMS counters are " +
+      "cell-bounded, bloom screens are word+doc-bounded, textrank " +
+      "iterations carry the rank vector, fusion rides the bounded " +
+      "probe key, the bloom store serve matches inline") {
+    val m = Seq("q214_cms_heavy", "q215_bloom_screen", "q216_textrank",
+      "q217_rrf_fusion", "q218_bloom_store")
+      .map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    // q214: the counter matrix exchange is ≤ 4·16 cells × partitions
+    // (map-side partials collapse each partition to the cell space);
+    // the audit adds the |vocab|-keyed exact count + the est rollup
+    // (measured 151 at sf0.001)
+    assert(m("q214_cms_heavy") <= 700,
+      "CMS build must collapse to the fixed cell space map-side")
+    // q215: the distinct (doc, shingle) exchange is the dominant term
+    // (the inverted-index land — ~|shingle rows|, the deliberate trade
+    // that killed the 10 s InferFiltersFromGenerate interpreted chain);
+    // the filter agg is ≤ 64 words × partitions and the audit rollup
+    // is doc-keyed (measured 28,785 at sf0.001)
+    assert(m("q215_bloom_screen") <= 120000,
+      "bloom screen = one distinct shingle exchange + word/doc-bounded aggs")
+    // q216: edges agg ≤ |E| (distinct ordered bigrams) × partials +
+    // 5 iterations × (|V| rank vector broadcast-joined against the
+    // pinned edge frame + |V|-keyed contribution rollup) — the rank
+    // vector is the only per-iteration exchange
+    // (measured 1,987 at sf0.001)
+    assert(m("q216_textrank") <= 8000,
+      "each textrank iteration may exchange the rank vector, never the corpus")
+    // q217: BM25 side = |cand|-keyed tf/dl rollups + probe-bounded
+    // score frames; cosine side broadcasts the probe batch (q204's
+    // rule); the fusion join is |probes|·20 rows
+    // (measured 10,539 at sf0.001)
+    assert(m("q217_rrf_fusion") <= 40000,
+      "fusion must ride the bounded probe key")
+    // q218 (store already committed by the call above): serve-only
+    // bloom screening must not exceed the inline build+screen — the
+    // filter build (eval tokenize + word agg) is what the store
+    // deletes
+    val serveOnly = shuffled("q218_bloom_store")
+    val inline = shuffled("q215_bloom_screen")
+    assert(serveOnly <= inline,
+      s"serve-only q218 ($serveOnly) must not exceed inline q215 ($inline)")
+    info(s"steady-state: q218 $serveOnly vs q215 $inline")
+  }
 }

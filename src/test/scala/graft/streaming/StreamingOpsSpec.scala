@@ -937,4 +937,57 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == once,
       "a replayed batch id must rewrite, never append")
   }
+
+  test("bloomServeStream: micro-batches screen against the COMMITTED " +
+      "filter, equal the one-shot serve, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, expr, size}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bloom_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    def shingles(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.shingleSet("toks")))
+          .as("item"))
+    graft.operators.Sketches.saveBloomStore(
+      shingles(docs.filter(col("doc_id") < 20)).select("item").distinct()
+        .withColumnRenamed("item", "s"),
+      "s", store)
+    // batch: one doc reusing eval doc 0's text (every shingle must
+    // flag — the no-false-negative contract) + a fresh-vocabulary doc
+    // (flags only by 4096-bit collision, so only ≤ is asserted)
+    val d0 = docs.filter(col("doc_id") === 0)
+      .select("text").first().getString(0)
+    val b1 = Seq(Dc(900001L, d0),
+      Dc(900002L, "zb1 zb2 zb3 zb4 zb5 zb6"))
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.bloomServeStream(mem.toDF(), "doc_id", "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows(900001L)._1 == rows(900001L)._2,
+      s"an eval-text doc must flag every shingle, got ${rows(900001L)}")
+    assert(rows(900002L)._2 <= rows(900002L)._1)
+    // value-identity with the one-shot store serve
+    val oneShot = graft.operators.Sketches.bloomServe(spark, store,
+        shingles(b1.toDF()), "doc_id", "item")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows == oneShot,
+      "streamed screen must equal the one-shot store serve")
+    // replay rewrites, never dups
+    StreamingOps.bloomServeBatch(b1.toDF(), 0L, "doc_id", "text",
+      store, sink)
+    assert(spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap == rows)
+  }
 }
