@@ -271,8 +271,14 @@ object ScaleProbe {
       .distinct().count()
     val (spB, spS) = (nSpans(baseDir), nSpans(out))
     val (shB, shS) = (nShingles(baseDir), nShingles(out))
+    // round 16 additions: q214 under VOCABULARY growth — the counter
+    // matrix must stay cell-flat even as |vocab| grows ×mult (only the
+    // audit's exact-count frame may track the vocabulary); q216's edge
+    // frame must track the vocabulary LINEARLY (disjoint replica
+    // vocabularies add disjoint edge sets — quadratic growth would
+    // mean the co-occurrence build broke)
     val probes = Seq("q202_boilerplate", "q205_source_syndication",
-        "q209_winnow_pairs")
+        "q209_winnow_pairs", "q214_cms_heavy", "q216_textrank")
       .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d)))
     probes.foreach { case (_, f) =>
       try noop(f(baseDir)) catch { case _: Throwable => () }
@@ -609,6 +615,27 @@ object ScaleProbe {
                 concat(col("text"), lit(" u"),
                   col("doc_id").cast("string")).as("text")),
             "doc_id", "text", maxDf = Some(20L))),
+        // round 16: the portable Count-Min build+audit (q214) — the
+        // counter matrix has a FIXED 4×16 cell space, so its exchange
+        // must stay FLAT as tokens grow ×mult (the sketch's whole
+        // claim); replicas keep the vocabulary constant, so the
+        // audit's exact-count exchange is vocabulary-flat too — total
+        // shuffle ratio ≈ 1.0 is the expected (and strongest) result
+        "cms_heavy_full" -> ((d: String) =>
+          SparkEntry.queries("q214_cms_heavy")(spark, d)),
+        // round 16: the Bloom screen (q215) — the packed-filter agg is
+        // 64-word flat; the distinct (doc, shingle) inverted-index
+        // land is the only data-sized exchange and must track docs
+        // (ratio ≤ data ratio), never shingle×filter
+        "bloom_screen_full" -> ((d: String) =>
+          SparkEntry.queries("q215_bloom_screen")(spark, d)),
+        // round 16: fixed-point TextRank (q216) — replicas keep the
+        // vocabulary constant, so the edge frame, the per-iteration
+        // rank vector, and the contribution rollups are all
+        // vocabulary-bounded: total shuffle must stay ~flat while the
+        // tokenize scan grows ×mult (wall ∝ tokens, exchange ∝ |V|+|E|)
+        "textrank_full" -> ((d: String) =>
+          SparkEntry.queries("q216_textrank")(spark, d)),
         "dsir_perdoc_frame" -> ((d: String) =>
           graft.operators.TextPipeline.dsirPerDoc(
             Tables.documents(spark, d), "doc_id", "text",
