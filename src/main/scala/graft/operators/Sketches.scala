@@ -312,6 +312,59 @@ object Sketches {
                        k: Int = 3): Unit =
     graft.sources.Stores.ensureCommitted(items.sparkSession, path,
       BloomStoreMarker)(saveBloomStore(items, valueCol, path, k))
+
+  // ---------------------------------------------------------------
+  // Portable HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) —
+  // the oracle-checkable twin of [[hllDistinct]] (which stays the
+  // production primitive on its DataSketches binary): m = 16
+  // registers addressed by the first md5 nibble, ρ from the 32-bit
+  // value in nibbles 2–9 via pure integer CASE logic, the harmonic
+  // sum over EXACT dyadic terms 2^-M (order-free in IEEE — every
+  // partial sum of 16 such terms is exactly representable), α₁₆ =
+  // 0.673 and the small-range linear-counting branch as literal
+  // constants on both faces. Register tables from disjoint slices
+  // MERGE by cell-wise max — the same lambda-architecture property
+  // as the CMS counter matrix.
+  // ---------------------------------------------------------------
+
+  /** Per-group register table `(groupCol, j, mj)` — ALL 16 registers
+    * present (absent = 0) via a spine join, so downstream estimate
+    * arithmetic never depends on which registers happened to fill.
+    * The aggregate's key space is |groups|·16 — map-side partials
+    * collapse every partition to it regardless of stream size. */
+  def hllRegisters(items: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val regs = items
+      .withColumn("__m", md5(col(valueCol)))
+      .select(col(groupCol),
+        expr(TextHashes.hllRegister("__m")).as("j"),
+        expr(TextHashes.hllRho("__m")).as("rho"))
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    items.select(col(groupCol)).distinct()
+      .crossJoin(items.sparkSession.range(16).select(col("id").cast("int").as("j")))
+      .join(regs, Seq(groupCol, "j"), "left")
+      .select(col(groupCol), col("j"),
+        coalesce(col("mj"), lit(0)).as("mj"))
+  }
+
+  /** Distinct estimate per group from a [[hllRegisters]] table:
+    * harmonic-mean raw estimate with Flajolet's small-range
+    * linear-counting correction (`raw ≤ 2.5m` and empty registers
+    * present → m·ln(m/V)). Every input to the float ops is an exact
+    * integer or dyadic, so the estimate is engine-bit-identical. */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame =
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        sum(lit(1.0) / expr("cast(1L << mj as double)")).as("z"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+      .select(col(groupCol), col("v_empty"),
+        (lit(0.673) * lit(256.0) / col("z")).as("raw"))
+      .withColumn("est",
+        when(col("raw") <= 40.0 && col("v_empty") > 0,
+          lit(16.0) * log(lit(16.0) / col("v_empty")))
+          .otherwise(col("raw")))
 }
 
 /** Builds one mergeable Greenwald-Khanna summary per group and emits it

@@ -90,4 +90,29 @@ private[graft] object TextHashes {
        |ELSE transform(sequence(1, cast(greatest(size($hsRef) - ${w - 1}, 1) as bigint)),
        |  i -> array_min(slice($hsRef, cast(i as int), $w)))
        |END)""".stripMargin
+
+  private def nibAt(mRef: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($mRef, $i, 1)) - 1)"
+
+  /** HLL register index over an md5 HEX-STRING reference: the first
+    * nibble — 16 registers. */
+  def hllRegister(mRef: String): String = nibAt(mRef, 1)
+
+  /** HLL ρ-statistic over an md5 HEX-STRING reference: the position of
+    * the first 1-bit in the 32-bit value carried by nibbles 2–9
+    * (1-based; 33 when all zero — Flajolet et al. 2007's rank). Pure
+    * integer CASE logic: no log/float anywhere, so the value is
+    * bit-identical on any engine (a floor(log2(v)) formulation trips
+    * libm rounding at exact powers of two). The argument must already
+    * BE the md5 string (hash once — nib32's rule). */
+  def hllRho(mRef: String): String = {
+    def lz(nib: String) =
+      s"(CASE WHEN $nib >= 8 THEN 0 WHEN $nib >= 4 THEN 1 " +
+        s"WHEN $nib >= 2 THEN 2 ELSE 3 END)"
+    val branches = (2 to 9).map { i =>
+      val n = nibAt(mRef, i)
+      s"WHEN $n > 0 THEN ${4 * (i - 2)} + ${lz(n)} + 1"
+    }.mkString(" ")
+    s"(CASE $branches ELSE 33 END)"
+  }
 }

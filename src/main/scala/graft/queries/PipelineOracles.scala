@@ -1264,7 +1264,48 @@ object PipelineOracles {
        |  round(rrf, 6) + 0.0 AS rrf, bm25_rank, cos_rank
        |FROM rk WHERE n_rank <= 10 ORDER BY probe, n_rank""".stripMargin
 
+  // q219 portable HLL: register/ρ strings shared with the operator
+  // (TextHashes.hllRegister/hllRho — one definition, the parity
+  // contract); float ops only over exact integers/dyadics, fractional
+  // literals CAST to DOUBLE on both engines (a bare 0.673 literal is
+  // DECIMAL in both dialects and their decimal arithmetic disagrees).
+  private val q219 = {
+    import graft.operators.TextHashes.{hllRegister, hllRho}
+    s"""WITH o AS (SELECT source,
+       |    unnest(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT source, md5(tok) AS m FROM o),
+       |r AS (SELECT source, ${hllRegister("m")} AS j,
+       |    ${hllRho("m")} AS rho FROM h),
+       |mx AS (SELECT source, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |sp AS (SELECT s.source, g.j
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) g),
+       |fr AS (SELECT sp.source, sp.j, coalesce(mx.mj, 0) AS mj
+       |  FROM sp LEFT JOIN mx ON mx.source = sp.source AND mx.j = sp.j),
+       |ag AS (SELECT source,
+       |    sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE))
+       |      AS z,
+       |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_empty
+       |  FROM fr GROUP BY 1),
+       |e AS (SELECT source, v_empty,
+       |    CAST(0.673 AS DOUBLE) * 256 / z AS raw FROM ag),
+       |f AS (SELECT source, v_empty, raw,
+       |    CASE WHEN raw <= 40.0 AND v_empty > 0
+       |      THEN 16 * ln(CAST(16 AS DOUBLE) / v_empty) ELSE raw END
+       |      AS est
+       |  FROM e),
+       |x AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM o GROUP BY 1)
+       |SELECT f.source, x.n_exact, f.v_empty,
+       |  round(raw, 4) + 0.0 AS raw, round(est, 4) + 0.0 AS est
+       |FROM f JOIN x ON x.source = f.source ORDER BY f.source""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q219_hll_audit"      -> q219,
     "q214_cms_heavy"      -> q214,
     "q215_bloom_screen"   -> q215,
     "q216_textrank"       -> q216,

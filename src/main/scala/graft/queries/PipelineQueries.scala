@@ -1782,4 +1782,37 @@ object PipelineQueries {
         col("n_exact"), (col("n_bloom") - col("n_exact")).as("n_fp"))
       .orderBy("doc_id")
   }
+
+  /** q219 portable HyperLogLog audit (round 16 —
+    * [[graft.operators.Sketches.hllRegisters]]/`hllEstimate`'s
+    * contract face; Flajolet et al. 2007): per-source distinct-token
+    * estimate vs the exact count. The third portable sketch (CMS
+    * q214, Bloom q215): register index + ρ from ONE md5 digest via
+    * pure integer CASE logic, the harmonic sum over exact dyadic
+    * 2^-M terms (order-free in IEEE), α₁₆/linear-counting constants
+    * as literals both faces — an ESTIMATOR whose every bit the
+    * DuckDB gate replays, something the DataSketches binary
+    * ([[graft.operators.Sketches.hllDistinct]], the production
+    * primitive) can never offer a differential harness.
+    *
+    * Scale shape: the register aggregate's key space is |sources|·16
+    * — map-side partials collapse every partition to it no matter
+    * how many tokens stream through (q214's cell-space argument);
+    * register tables merge by cell-wise max. The AUDIT face
+    * additionally pays the exact |source×vocab|-keyed distinct (that
+    * is what it audits). */
+  def q219(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("source"),
+      explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+    val est = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(toks, "source", "tok"),
+      "source")
+    val exact = toks.groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact"), col("v_empty"),
+        (round(col("raw"), 4) + 0.0).as("raw"),
+        (round(col("est"), 4) + 0.0).as("est"))
+      .orderBy("source")
+  }
 }

@@ -142,6 +142,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole, "cell-wise union of slice counters must equal the whole-stream matrix")
   }
 
+  test("portable HLL tracks exact distinct within the m=16 bound, and register tables merge by max") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(expr(TextHashes.toks("text"))).as("tok"))
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(toks, "source", "tok"), "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = toks.groupBy("source").agg(countDistinct(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      // m=16 raw bound is ~26% rel. error; small cardinalities ride
+      // the linear-counting branch which is tighter — allow the loose
+      // raw bound plus absolute slack for tiny groups
+      assert(math.abs(est(k) - n) <= n * 0.35 + 3,
+        s"$k: estimate ${est(k)} vs exact $n")
+    }
+    // mergeability: register tables over two disjoint slices, unioned
+    // and re-maxed cell-wise, equal the whole-stream registers
+    val docs = graft.Tables.documents(spark, sf)
+    def slice(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .select(col("source"),
+        explode(expr(TextHashes.toks("text"))).as("tok"))
+    val merged = Sketches
+      .hllRegisters(slice(col("doc_id") % 2 === 0), "source", "tok")
+      .unionByName(
+        Sketches.hllRegisters(slice(col("doc_id") % 2 === 1), "source", "tok"))
+      .groupBy("source", "j").agg(max(col("mj")).as("mj"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val whole = Sketches.hllRegisters(toks, "source", "tok")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole,
+      "cell-wise max of slice registers must equal the whole-stream table")
+  }
+
   test("bloom filter has no false negatives, and the committed store serves identically") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val items = docs

@@ -819,5 +819,12 @@ class PlanContractSpec extends AnyFunSuite {
     assert(serveOnly <= inline,
       s"serve-only q218 ($serveOnly) must not exceed inline q215 ($inline)")
     info(s"steady-state: q218 $serveOnly vs q215 $inline")
+    // q219: the register aggregate's key space is |sources|·16 —
+    // map-side partials collapse to it regardless of token volume;
+    // the audit adds the |source×vocab|-keyed exact distinct
+    val s219 = shuffled("q219_hll_audit")
+    info(s"q219 measured $s219")
+    assert(s219 <= 4000,
+      "HLL registers must collapse to the |sources|·16 cell space map-side")
   }
 }
