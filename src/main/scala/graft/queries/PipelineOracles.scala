@@ -1304,8 +1304,55 @@ object PipelineOracles {
        |FROM f JOIN x ON x.source = f.source ORDER BY f.source""".stripMargin
   }
 
+  // q220 curation funnel: per-doc flags in CTEs (gate via exact
+  // cross-multiply, min-id dedup survivor among gate passers, lang,
+  // ceil-half per-source quota as rank*2 <= count+1), one aggregate,
+  // five stage rows via UNION ALL over the 1-row agg.
+  private val q220 =
+    s"""WITH b AS (SELECT doc_id, source, lang,
+       |    md5(lower(trim(text))) AS h,
+       |    CAST(len(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS BIGINT) AS n_toks,
+       |    CAST(len(list_distinct(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> ''))) AS BIGINT) AS n_types
+       |  FROM documents),
+       |f AS (SELECT *, (n_toks >= 20 AND n_toks <= 1000
+       |    AND n_types * 10 >= n_toks * 3) AS q FROM b),
+       |sv AS (SELECT h, min(doc_id) AS keep_id FROM f WHERE q GROUP BY h),
+       |f2 AS (SELECT f.*, (f.q AND f.doc_id = sv.keep_id) AS dd,
+       |    (f.q AND f.doc_id = sv.keep_id AND f.lang = 'en') AS ll
+       |  FROM f LEFT JOIN sv ON sv.h = f.h),
+       |lr AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |  FROM f2 WHERE ll),
+       |cn AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lr GROUP BY 1),
+       |kp AS (SELECT lr.doc_id FROM lr JOIN cn ON cn.source = lr.source
+       |  WHERE lr.rk * 2 <= cn.cnt + 1),
+       |f3 AS (SELECT f2.*, (kp.doc_id IS NOT NULL) AS kk
+       |  FROM f2 LEFT JOIN kp ON kp.doc_id = f2.doc_id),
+       |ag AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n0, CAST(sum(n_toks) AS BIGINT) AS t0,
+       |    CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN q THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(sum(CASE WHEN dd THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN dd THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(sum(CASE WHEN ll THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN ll THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+       |    CAST(sum(CASE WHEN kk THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |    CAST(sum(CASE WHEN kk THEN n_toks ELSE 0 END) AS BIGINT) AS t4
+       |  FROM f3)
+       |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+       |  n0 AS n_docs, t0 AS n_tokens FROM ag
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'quality', n1, t1 FROM ag
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'dedup', n2, t2 FROM ag
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'lang', n3, t3 FROM ag
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'quota', n4, t4 FROM ag
+       |ORDER BY stage""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
+    "q220_funnel"         -> q220,
     "q214_cms_heavy"      -> q214,
     "q215_bloom_screen"   -> q215,
     "q216_textrank"       -> q216,

@@ -1815,4 +1815,70 @@ object PipelineQueries {
         (round(col("est"), 4) + 0.0).as("est"))
       .orderBy("source")
   }
+
+  /** q220 curation funnel card (round 16): the stage-attrition audit a
+    * pipeline publishes with every dataset build — docs and tokens
+    * surviving each stage of raw → quality gate (20 ≤ tokens ≤ 1000
+    * and type-token ratio ≥ 0.3 via exact cross-multiply) → exact
+    * dedup (min-id survivor per content hash, among gate survivors —
+    * q41's semantics) → language filter (en) → per-source 50% quota
+    * (smallest ids, ceil — rank·2 ≤ count+1 exact-integer form). One
+    * row per stage, exact integers end-to-end.
+    *
+    * Scale shape: ONE corpus pass computes every per-doc flag (the
+    * per-doc projection is narrow; the dedup survivor join is the
+    * |distinct hashes| frame; the quota window partitions by source
+    * over gate survivors only — group-sized); the five stage rows
+    * fall out of ONE final aggregate exploded into the card. The
+    * funnel never re-scans per stage — the difference between an
+    * audit you run per build and one you skip at 100 TB. */
+  def q220(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(lower(trim(col("text")))).as("h"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("lang"), col("h"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("size(array_distinct(toks))").cast("long").as("n_types"))
+      .withColumn("q",
+        col("n_toks") >= 20 && col("n_toks") <= 1000 &&
+          col("n_types") * 10 >= col("n_toks") * 3)
+    val surv = base.filter(col("q"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("__keep"))
+    val f2 = base.join(surv, Seq("h"), "left")
+      .withColumn("dd", col("q") && col("doc_id") === col("__keep"))
+      .withColumn("ll", col("dd") && col("lang") === "en")
+    val lRows = f2.filter(col("ll")).select(col("doc_id"), col("source"))
+    val cnts = lRows.groupBy(col("source")).agg(count(lit(1)).as("__cnt"))
+    val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val kept = lRows
+      .select(col("doc_id"), col("source"),
+        row_number().over(wq).as("__rk"))
+      .join(cnts, "source")
+      .filter(col("__rk") * 2 <= col("__cnt") + 1)
+      .select(col("doc_id"), lit(true).as("kk"))
+    f2.join(kept, Seq("doc_id"), "left")
+      .withColumn("kk", coalesce(col("kk"), lit(false)))
+      .agg(
+        count(lit(1)).as("n0"), sum(col("n_toks")).as("t0"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("q"), col("n_toks")).otherwise(0L)).as("t1"),
+        sum(when(col("dd"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dd"), col("n_toks")).otherwise(0L)).as("t2"),
+        sum(when(col("ll"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("ll"), col("n_toks")).otherwise(0L)).as("t3"),
+        sum(when(col("kk"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("kk"), col("n_toks")).otherwise(0L)).as("t4"))
+      .select(explode(expr(
+        """array(
+          |  named_struct('stage', 0L, 'name', 'raw',     'n_docs', n0, 'n_tokens', t0),
+          |  named_struct('stage', 1L, 'name', 'quality', 'n_docs', n1, 'n_tokens', t1),
+          |  named_struct('stage', 2L, 'name', 'dedup',   'n_docs', n2, 'n_tokens', t2),
+          |  named_struct('stage', 3L, 'name', 'lang',    'n_docs', n3, 'n_tokens', t3),
+          |  named_struct('stage', 4L, 'name', 'quota',   'n_docs', n4, 'n_tokens', t4))"""
+          .stripMargin)).as("st"))
+      .select(col("st.stage").as("stage"), col("st.name").as("name"),
+        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
+      .orderBy("stage")
+  }
 }

@@ -826,5 +826,13 @@ class PlanContractSpec extends AnyFunSuite {
     info(s"q219 measured $s219")
     assert(s219 <= 4000,
       "HLL registers must collapse to the |sources|·16 cell space map-side")
+    // q220: one corpus pass — the dedup-survivor join is the
+    // |distinct hashes| frame, the quota window is source-partitioned
+    // over gate survivors, the card is a 1-row aggregate exploded
+    val s220 = shuffled("q220_funnel")
+    info(s"q220 measured $s220")
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(s220 <= 8 * docs + 4000,
+      "the funnel must flag in one pass — per-doc-frame exchanges only, never a per-stage re-scan blowup")
   }
 }

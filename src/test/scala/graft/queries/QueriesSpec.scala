@@ -523,4 +523,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact")
   }
+
+  test("q220 funnel is monotone non-increasing in docs AND tokens, " +
+      "starts at the corpus, and the quota stage keeps ceil-half") {
+    val st = run("q220_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(st.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val nraw = graft.Tables.documents(spark, sf).count()
+    assert(st.head._2 == nraw, "stage 0 must count the whole corpus")
+    st.sliding(2).foreach { case Array((s1, d1, t1), (s2, d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1,
+        s"stage $s2 must not grow the survivor set: $d1/$t1 -> $d2/$t2")
+    }
+    // the quota stage keeps per-source ceil(half) of the lang stage —
+    // globally that is at least half of stage 3 and at most half + the
+    // per-source ceil slack (< #sources)
+    val (d3, d4) = (st(3)._2, st(4)._2)
+    val nSources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(d4 * 2 >= d3 && d4 * 2 <= d3 + nSources,
+      s"quota must keep ceil-half per source: lang=$d3 quota=$d4")
+  }
 }
