@@ -313,6 +313,42 @@ object Sketches {
     graft.sources.Stores.ensureCommitted(items.sparkSession, path,
       BloomStoreMarker)(saveBloomStore(items, valueCol, path, k))
 
+  private val CmsStoreMarker = "_graft_cmsstore_committed"
+
+  /** Persist the counter matrix under [[graft.sources.Stores]]'
+    * versioned-commit protocol — the frequency contract a pipeline
+    * estimates once over its reference corpus and scores every batch
+    * against (rare-token detection, OOV screening) without re-counting
+    * the corpus. The landed artifact is depth·16 rows. */
+  def saveCmsStore(items: DataFrame, valueCol: String, path: String,
+                   depth: Int = 4): Unit =
+    graft.sources.Stores.commitVersioned(items.sparkSession, path,
+        CmsStoreMarker) { dir =>
+      cmsCounters(items, valueCol, depth)
+        .write.mode("overwrite").parquet(s"$dir/counters")
+    }
+
+  /** Estimate batch values against a COMMITTED [[saveCmsStore]]
+    * artifact. Refuses an uncommitted/torn store. */
+  def cmsServe(spark: org.apache.spark.sql.SparkSession, path: String,
+               values: DataFrame, valueCol: String,
+               depth: Int = 4): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, CmsStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: CMS store at $path has no commit " +
+          s"marker ($CmsStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveCmsStore"))
+    cmsEstimate(values, valueCol,
+      spark.read.parquet(s"$dir/counters"), depth)
+  }
+
+  /** Pay-once build for the q221 face. */
+  def ensureCmsStore(items: DataFrame, valueCol: String, path: String,
+                     depth: Int = 4): Unit =
+    graft.sources.Stores.ensureCommitted(items.sparkSession, path,
+      CmsStoreMarker)(saveCmsStore(items, valueCol, path, depth))
+
   // ---------------------------------------------------------------
   // Portable HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) —
   // the oracle-checkable twin of [[hllDistinct]] (which stays the
@@ -347,6 +383,53 @@ object Sketches {
       .select(col(groupCol), col("j"),
         coalesce(col("mj"), lit(0)).as("mj"))
   }
+
+  private val HllStoreMarker = "_graft_hllstore_committed"
+
+  /** Land per-SLICE register tables (e.g. one per ingested day) as ONE
+    * committed store — the merge-on-read distinct pattern: each slice
+    * is sketched once at ingest, and any later distinct question over
+    * any union of slices is answered by [[hllServe]]'s cell-wise max +
+    * estimate, never by re-scanning rows. All slices land under one
+    * versioned commit (q208's torn-pair rule: a reader can never see
+    * day N's registers without day N−1's). */
+  def saveHllStore(slices: Seq[DataFrame], groupCol: String,
+                   valueCol: String, path: String): Unit = {
+    require(slices.nonEmpty, "saveHllStore needs at least one slice")
+    graft.sources.Stores.commitVersioned(slices.head.sparkSession, path,
+        HllStoreMarker) { dir =>
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        hllRegisters(sl, groupCol, valueCol)
+          .write.mode("overwrite").parquet(s"$dir/slice=$i")
+      }
+    }
+  }
+
+  /** Merge-on-read distinct estimate from a COMMITTED [[saveHllStore]]
+    * artifact: union every slice's registers, cell-wise max, estimate
+    * — by the merge property (spec'd in SketchesSpec) this equals the
+    * single-pass sketch of the concatenated stream bit-for-bit.
+    * Refuses an uncommitted/torn store. */
+  def hllServe(spark: org.apache.spark.sql.SparkSession, path: String,
+               groupCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, HllStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: HLL store at $path has no commit " +
+          s"marker ($HllStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveHllStore"))
+    val merged = spark.read.parquet(s"$dir/slice=*")
+      .groupBy(col(groupCol), col("j"))
+      .agg(max(col("mj")).as("mj"))
+    hllEstimate(merged, groupCol)
+  }
+
+  /** Pay-once build for the q222 face. */
+  def ensureHllStore(slices: => Seq[DataFrame], spark: org.apache.spark.sql.SparkSession,
+                     groupCol: String, valueCol: String,
+                     path: String): Unit =
+    graft.sources.Stores.ensureCommitted(spark, path,
+      HllStoreMarker)(saveHllStore(slices, groupCol, valueCol, path))
 
   /** Distinct estimate per group from a [[hllRegisters]] table:
     * harmonic-mean raw estimate with Flajolet's small-range

@@ -1353,6 +1353,14 @@ object PipelineOracles {
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
+    // q221 shares q214's oracle VERBATIM (q198's rule): heavy hitters
+    // served from the committed counter matrix must equal the inline
+    // count bit-for-bit
+    "q221_cms_store"      -> q214,
+    // q222 shares q219's oracle VERBATIM: merge-on-read over committed
+    // per-slice registers must equal the single-pass sketch (the
+    // cell-wise-max merge property, spec'd)
+    "q222_hll_store"      -> q219,
     "q214_cms_heavy"      -> q214,
     "q215_bloom_screen"   -> q215,
     "q216_textrank"       -> q216,

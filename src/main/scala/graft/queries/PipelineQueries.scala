@@ -1881,4 +1881,62 @@ object PipelineQueries {
         col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
       .orderBy("stage")
   }
+
+  /** q221 CMS heavy hitters from the PERSISTED counter matrix (round
+    * 16): q214 re-counts the matrix per run; production estimates the
+    * reference corpus ONCE ([[graft.operators.Sketches.saveCmsStore]]
+    * under the versioned-commit protocol — the landed artifact is
+    * 64 rows) and scores every batch against the committed counters.
+    * Serving the corpus's own tokens against its committed matrix
+    * reproduces q214 exactly — oracle = q214 VERBATIM (the hash gate
+    * proves the round-tripped matrix estimates bit-identically).
+    * StreamingOpsSpec drives the micro-batch face (`cmsServeStream`)
+    * with replay idempotence. */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_cms_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val toks = documents(s, d)
+      .select(explode(expr(graft.operators.TextHashes.toks("text")))
+        .as("tok"))
+    graft.operators.Sketches.ensureCmsStore(toks, "tok", path)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+    graft.operators.Sketches.cmsServe(s, path, exact.select("tok"), "tok")
+      .join(exact, "tok")
+      .crossJoin(broadcast(tot))
+      .filter(col("est") * 100 >= col("n_total"))
+      .select(col("tok").as("token"), col("est"), col("n_exact"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
+  /** q222 merge-on-read distinct from PERSISTED per-slice HLL
+    * registers (round 16): the lambda-architecture shape q219's merge
+    * property exists for — each ingest slice sketched ONCE at landing
+    * ([[graft.operators.Sketches.saveHllStore]], here two disjoint
+    * halves of the corpus under one versioned commit so a reader can
+    * never see a torn slice set), any later distinct question answered
+    * by cell-wise max over the committed registers + the estimate
+    * ([[graft.operators.Sketches.hllServe]]) — rows never re-scanned.
+    * By the merge property (spec'd) this equals the single-pass sketch
+    * bit-for-bit — oracle = q219 VERBATIM. */
+  def q222(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_hll_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    def toks(p: Column) = documents(s, d).filter(p)
+      .select(col("source"),
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+    graft.operators.Sketches.ensureHllStore(
+      Seq(toks(col("doc_id") % 2 === 0), toks(col("doc_id") % 2 === 1)),
+      s, "source", "tok", path)
+    val all = toks(lit(true))
+    val exact = all.groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("n_exact"))
+    graft.operators.Sketches.hllServe(s, path, "source")
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("v_empty"),
+        (round(col("raw"), 4) + 0.0).as("raw"),
+        (round(col("est"), 4) + 0.0).as("est"))
+      .orderBy("source")
+  }
 }

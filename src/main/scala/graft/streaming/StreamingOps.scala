@@ -639,6 +639,43 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Continuous token-frequency scoring — the STREAMING face of
+    * [[graft.operators.Sketches.cmsServe]] (round 16; batch contract
+    * q214/q221): each micro-batch's distinct tokens are estimated
+    * against the COMMITTED counter matrix (rare-token / OOV
+    * monitoring of an ingest stream), landing (`tok`, n_batch, est)
+    * per batch. Estimates depend only on committed state + the
+    * batch's own tokens — deterministic across replays and restarts;
+    * exactly-once by the per-batch-directory overwrite discipline.
+    * Per-batch cost: one 64-row broadcast join — no corpus access. */
+  def cmsServeStream(docs: DataFrame, idCol: String, textCol: String,
+                     storePath: String, sinkPath: String,
+                     checkpoint: String,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        cmsServeBatch(batch.toDF(), bid, textCol, storePath, sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def cmsServeBatch(batch: DataFrame, batchId: Long,
+                                       textCol: String, storePath: String,
+                                       sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    val toks = batch.select(
+      explode(expr(graft.operators.TextHashes.toks(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_batch"))
+    graft.operators.Sketches.cmsServe(batch.sparkSession, storePath,
+        counts.select("tok"), "tok")
+      .join(counts, "tok")
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   private[streaming] def bloomServeBatch(batch: DataFrame, batchId: Long,
                                          idCol: String, textCol: String,
                                          storePath: String,

@@ -834,5 +834,23 @@ class PlanContractSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, sf).count()
     assert(s220 <= 8 * docs + 4000,
       "the funnel must flag in one pass — per-doc-frame exchanges only, never a per-stage re-scan blowup")
+    // q221/q222 (stores committed by the calls above): what the
+    // stores delete is the corpus-side COUNT/SKETCH pass — the
+    // serve-only exchange must not exceed the inline twin's
+    val s221 = shuffled("q221_cms_store")
+    val i214 = shuffled("q214_cms_heavy")
+    assert(s221 <= i214,
+      s"serve-only q221 ($s221) must not exceed inline q214 ($i214)")
+    // q222's dividend is NOT a smaller exchange (inline q219's
+    // exchanges are already metadata-sized) but never re-scanning
+    // rows: merge-on-read re-aggregates the committed per-slice
+    // register tables, a strictly register-bounded exchange — measured
+    // 1,337 at sf0.001 (2 slices × |sources|·16 spined registers + the
+    // same exact-distinct audit q219 carries); the bound is absolute
+    // in the register space, independent of corpus rows
+    val s222 = shuffled("q222_hll_store")
+    assert(s222 <= 6000,
+      s"merge-on-read q222 ($s222) must stay register-bounded")
+    info(s"steady-state: q221 $s221 vs q214 $i214; q222 $s222 (register-bounded)")
   }
 }

@@ -938,6 +938,39 @@ class StreamingOpsSpec extends AnyFunSuite {
       "a replayed batch id must rewrite, never append")
   }
 
+  test("cmsServeStream: micro-batch tokens estimate against the " +
+      "COMMITTED counter matrix, never undercount, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cms_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    val corpusToks = docs.select(
+      explode(expr(graft.operators.TextHashes.toks("text"))).as("tok"))
+    graft.operators.Sketches.saveCmsStore(corpusToks, "tok", store)
+    val exact = corpusToks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text")).as[Dc].collect().toSeq
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.cmsServeStream(mem.toDF(), "doc_id", "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, est, _) =>
+      assert(est >= exact(t),
+        s"$t: served estimate $est undercounts corpus exact ${exact(t)}")
+    }
+    // replay rewrites, never dups
+    StreamingOps.cmsServeBatch(b1.toDF(), 0L, "text", store, sink)
+    assert(spark.read.parquet(sink).count() == rows.length)
+  }
+
   test("bloomServeStream: micro-batches screen against the COMMITTED " +
       "filter, equal the one-shot serve, replay rewrites") {
     import spark.implicits._
