@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point distributed numeric linear algebra (round 16 — the
+  * second new operator class of the round, after [[Graphs]]' iterative
+  * graph computation): the top principal component of an embedding
+  * corpus by power iteration (von Mises & Pollaczek-Geiringer 1929;
+  * the anisotropy diagnostic an embedding pipeline checks before
+  * trusting cosine similarity — Ethayarajh 2019's observation that a
+  * dominant direction makes all cosines look alike).
+  *
+  * **Why fixed-point.** A float PCA is not differentially testable:
+  * covariance entries are float sums (partition-order ulps) and the
+  * iteration amplifies them. Here every stage is exact integers:
+  *  1. embeddings quantize to e = floor(x·1000) (BIGINT);
+  *  2. the covariance numerator C = n·Σe_j e_k − (Σe_j)(Σe_k) is an
+  *     exact integer identity (no mean subtraction, no float);
+  *  3. C scales down by an exact floor(C/1e7) to keep the iteration
+  *     inside double-exact range;
+  *  4. each iteration is w = C″v (exact BIGINT dot products) followed
+  *     by v′ = floor(w·1e4 / max|w|) — renormalized to 1e4 fixed
+  *     point. All floor(a·1.0/b) divisions sit in the safe zone
+  *     (products < 2^53, quotient ulp ≪ 1/divisor), so the result is
+  *     bit-identical on any engine, partitioning, or summation order.
+  * The quantization defines the operator's contract (a deterministic
+  * variant, like [[Graphs.textRank]]'s) — loadings converge to the
+  * true component's direction to ~1e-3, ample for the anisotropy
+  * decision the diagnostic feeds.
+  *
+  * **Scale shape.** The Gram pass is the standard n·d² explode: a
+  * self-join of the (id, dim, e) frame on the id (co-partitioned, one
+  * exchange of 2·n·d narrow rows) whose (j,k) aggregate collapses
+  * map-side to the FIXED d² = 4,096-cell space (q214's cell-space
+  * argument — the exchange is metadata-sized however many vectors
+  * stream through). Iterations run entirely on d- and d²-row frames.
+  * At extreme scale the compose-existing-ops form here gives way to a
+  * per-partition outer-product Aggregator (same d² output, one fewer
+  * join) — the exchange class is identical, so the declarative form
+  * is the contract face. */
+object Linalg {
+
+  /** Top principal component of `vecCol` (array<float>, fixed width):
+    * `(dim, v_fp, loading)` — 1-based dim, the exact BIGINT 1e4
+    * fixed-point component, and loading = v_fp/1e4 rounded to 4.
+    * Sign is iteration-determined (v₀ = all-ones) and deterministic. */
+  def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
+                   iterations: Int = 6): DataFrame = {
+    val rows = vecs
+      .select(col(idCol).as("__id"),
+        posexplode(graft.functions.Vectors.asDouble(col(vecCol)))
+          .as(Seq("__p", "__x")))
+      .select(col("__id"), (col("__p") + 1).as("j"),
+        floor(col("__x") * 1000).cast("long").as("e"))
+    val sums = rows.groupBy(col("j"))
+      .agg(sum(col("e")).as("sj"), count(lit(1)).as("cnt"))
+    val prods = rows.toDF("__id", "j", "ej")
+      .join(rows.toDF("__id", "k", "ek"), "__id")
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("ej") * col("ek")).as("p"))
+    // C = n·Σ e_j e_k − (Σ e_j)(Σ e_k), scaled by an exact floor —
+    // the covariance numerator as one integer identity; the C″ frame
+    // is d² rows, checkpoint-pinned (every iteration consumes it —
+    // q185's sibling-consumer rule)
+    val cMat = prods
+      .join(sums.select(col("j"), col("sj"), col("cnt")), "j")
+      .join(sums.select(col("j").as("k"), col("sj").as("sk")), "k")
+      .select(col("j"), col("k"),
+        floor((col("cnt") * col("p") - col("sj") * col("sk")) *
+          lit(1.0) / lit(1.0e7)).cast("long").as("c"))
+      .localCheckpoint(true)
+    // v₀ derives from the PINNED matrix (not from the corpus-scanning
+    // sums frame — that would re-run the tokenize-class scan inside
+    // the first iteration's join)
+    var v = cMat.select(col("j")).distinct()
+      .select(col("j").as("k"), lit(10000L).as("v"))
+    for (_ <- 1 to iterations) {
+      val w = cMat.join(v, "k")
+        .groupBy(col("j"))
+        .agg(sum(col("c") * col("v")).as("w"))
+      val wmax = w.agg(max(abs(col("w"))).as("wm"))
+      v = w.crossJoin(broadcast(wmax))
+        .select(col("j").as("k"),
+          floor(col("w") * lit(10000.0) /
+            when(col("wm") === 0, lit(null)).otherwise(col("wm")))
+            .cast("long").as("v"))
+    }
+    v.select(col("k").as("dim"), col("v").as("v_fp"),
+      (round(col("v") / 10000.0, 4) + 0.0).as("loading"))
+  }
+}

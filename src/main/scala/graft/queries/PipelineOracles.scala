@@ -1350,9 +1350,44 @@ object PipelineOracles {
        |UNION ALL SELECT CAST(4 AS BIGINT), 'quota', n4, t4 FROM ag
        |ORDER BY stage""".stripMargin
 
+  // q223 fixed-point power-iteration PCA: quantized integer
+  // covariance via the exact identity n·Σee − ΣeΣe, six unrolled
+  // iterations with exact floor renormalization; every fractional
+  // literal CAST to DOUBLE (q219's decimal-literal rule).
+  private val q223 = {
+    def iter(i: Int) =
+      s"""w$i AS (SELECT cm.j, CAST(sum(cm.c * v.v) AS BIGINT) AS w
+         |  FROM cm JOIN v${i - 1} v ON v.k = cm.k GROUP BY 1),
+         |m$i AS (SELECT max(abs(w)) AS wm FROM w$i),
+         |v$i AS (SELECT j AS k,
+         |    CAST(floor(w * CAST(10000 AS DOUBLE) / nullif(wm, 0))
+         |      AS BIGINT) AS v
+         |  FROM w$i CROSS JOIN m$i)""".stripMargin
+    s"""WITH rws AS (SELECT vec_id, i AS j,
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+       |      * 1000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, embedding,
+       |      unnest(generate_series(1, 64)) AS i FROM embeddings) u),
+       |sm AS (SELECT j, CAST(sum(e) AS BIGINT) AS sj,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM rws GROUP BY 1),
+       |pr AS (SELECT a.j, b.j AS k, CAST(sum(a.e * b.e) AS BIGINT) AS p
+       |  FROM rws a JOIN rws b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cm AS (SELECT pr.j, pr.k,
+       |    CAST(floor((s1.cnt * pr.p - s1.sj * s2.sj)
+       |      * CAST(1 AS DOUBLE) / CAST(10000000 AS DOUBLE))
+       |      AS BIGINT) AS c
+       |  FROM pr JOIN sm s1 ON s1.j = pr.j JOIN sm s2 ON s2.j = pr.k),
+       |v0 AS (SELECT j AS k, CAST(10000 AS BIGINT) AS v FROM sm),
+       |${(1 to 6).map(iter).mkString(",\n")}
+       |SELECT k AS dim, v AS v_fp,
+       |  round(v / 10000.0, 4) + 0.0 AS loading
+       |FROM v6 ORDER BY dim""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
+    "q223_pca_power"      -> q223,
     // q221 shares q214's oracle VERBATIM (q198's rule): heavy hitters
     // served from the committed counter matrix must equal the inline
     // count bit-for-bit

@@ -1939,4 +1939,19 @@ object PipelineQueries {
         (round(col("est"), 4) + 0.0).as("est"))
       .orderBy("source")
   }
+
+  /** q223 top principal component by fixed-point power iteration
+    * (round 16 — [[graft.operators.Linalg.topComponent]]'s contract
+    * face): the anisotropy diagnostic of the embedding corpus — the
+    * dominant direction whose strength decides whether raw cosine
+    * similarity is trustworthy (Ethayarajh 2019). The second member
+    * of the fixed-point-iteration class (q216's TextRank): quantized
+    * integer covariance (one exact identity, no mean subtraction, no
+    * float sums), six exactly-renormalized BIGINT iterations —
+    * engine-bit-identical, which is what lets a DuckDB gate replay a
+    * PCA at all. */
+  def q223(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linalg.topComponent(
+        embeddings(s, d), "vec_id", "embedding")
+      .orderBy("dim")
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Fixed-point power iteration (Linalg): recovers a PLANTED dominant
+  * direction, and the component satisfies the eigen-residual check on
+  * the true double covariance. Cross-engine bit-identity is the
+  * differential gate's job (q223). */
+class LinalgSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("recovers a planted dominant direction") {
+    val d = 8
+    val u = Array.tabulate(d)(i => (i + 1).toDouble)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val dir = u.map(_ / un)
+    // deterministic pseudo-noise; signal dominates (scale 0.4 vs 0.05)
+    def noise(i: Int, j: Int) =
+      0.05 * math.sin(i * 37 + j * 11)
+    val vecs = (0 until 200).map { i =>
+      val s = 0.4 * math.cos(i * 0.37)
+      (i.toLong, Array.tabulate(d)(j => (s * dir(j) + noise(i, j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = Linalg.topComponent(vecs, "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getDouble(2))
+    val c = math.abs(cos(v, dir))
+    assert(c >= 0.95, s"planted-direction cosine $c, loadings ${v.toSeq}")
+  }
+
+  test("component satisfies the eigen-residual check on the true covariance") {
+    val rows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val d = rows.head.length
+    val n = rows.length
+    val mean = Array.tabulate(d)(j => rows.map(_(j)).sum / n)
+    val cmat = Array.tabulate(d, d)((j, k) =>
+      rows.map(r => (r(j) - mean(j)) * (r(k) - mean(k))).sum)
+    val v = Linalg.topComponent(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getDouble(2))
+    val cv = Array.tabulate(d)(j => (0 until d).map(k => cmat(j)(k) * v(k)).sum)
+    // C·v must align with v — the eigenvector property, tolerant of
+    // the 1e-3-class quantization the fixed-point contract defines
+    val c = math.abs(cos(cv, v))
+    assert(c >= 0.98, s"eigen-residual cosine $c")
+  }
+}

@@ -852,5 +852,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(s222 <= 6000,
       s"merge-on-read q222 ($s222) must stay register-bounded")
     info(s"steady-state: q221 $s221 vs q214 $i214; q222 $s222 (register-bounded)")
+    // q223: the Gram self-join exchanges 2·n·d narrow rows; the (j,k)
+    // aggregate collapses map-side to the fixed d² = 4,096 cells; the
+    // six iterations run on d-/d²-row frames from the pinned matrix
+    val s223 = shuffled("q223_pca_power")
+    info(s"q223 measured $s223")
+    val vecs = graft.Tables.embeddings(spark, sf).count()
+    assert(s223 <= 4 * vecs * 64 + 64 * 1024,
+      "the Gram pass must exchange n·d rows + d²-cell partials, never n·d²")
   }
 }
