@@ -89,4 +89,67 @@ object Linalg {
     v.select(col("k").as("dim"), col("v").as("v_fp"),
       (round(col("v") / 10000.0, 4) + 0.0).as("loading"))
   }
+
+  /** Fixed-point Lloyd k-means (Lloyd 1957/1982) — the estimate stage
+    * SemDeDup-class semantic dedup consumes (q183's centroids are
+    * its output in production): `iterations` rounds of assign →
+    * integer-mean update over floor(x·1000)-quantized vectors, then
+    * `(cid, dim, c, n_members)` — the centroid table plus final
+    * membership counts.
+    *
+    * The fixed-point contract (q216/[[topComponent]]'s rule): squared
+    * L2 distances are exact BIGINT sums, argmin ties break to the
+    * smallest cid (min over (dist, cid) structs ≡ the oracle's
+    * row_number), centroid updates are exact floor(Σe/|members|), and
+    * empty clusters keep their previous centroid — every state is an
+    * exact integer, bit-identical on any engine. Seeding is the k
+    * smallest ids (deterministic; k-means++ adds nothing a
+    * differential contract can use).
+    *
+    * Scale shape: assignment is a broadcast cross join against the
+    * K-row centroid frame with a NARROW zip_with/aggregate distance
+    * fold (n·K rows, no exchange before the per-vector argmin
+    * partial); the update explode's (cid, dim) aggregate collapses
+    * map-side to the FIXED K·d cell space (q214's argument); the
+    * quantized corpus frame is checkpoint-pinned once and re-read per
+    * round (q185's rule). */
+  def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, iterations: Int = 2): DataFrame = {
+    val q = vecs.select(col(idCol).as("__id"),
+        expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("e"))
+      .localCheckpoint(true)
+    val dist = expr(
+      "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select(col("__id"), col("e"), col("cid"), dist.as("dist"))
+        .groupBy(col("__id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("e")).as("e"))
+        .select(col("__id"), col("e"), col("m.cid").as("cid"))
+    var cents: DataFrame = q.filter(col("__id") < k)
+      .select(col("__id").cast("int").as("cid"), col("e").as("c"))
+    for (_ <- 1 to iterations) {
+      val cells = assign(cents)
+        .select(col("cid"), posexplode(col("e")).as(Seq("d", "ev")))
+        .groupBy(col("cid"), col("d"))
+        .agg(floor(sum(col("ev")) * lit(1.0) / count(lit(1)))
+          .cast("long").as("cv"))
+      val newC = cells.groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(d, cv))), z -> z.cv)")
+          .as("cNew"))
+      cents = cents.join(newC, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cNew"), col("c")).as("c"))
+    }
+    val counts = assign(cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    cents
+      .select(col("cid"), posexplode(col("c")).as(Seq("d", "cv")))
+      .select(col("cid"), (col("d") + 1).cast("long").as("dim"),
+        col("cv").as("c"))
+      .join(counts, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
 }

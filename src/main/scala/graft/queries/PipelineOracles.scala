@@ -1384,10 +1384,54 @@ object PipelineOracles {
        |FROM v6 ORDER BY dim""".stripMargin
   }
 
+  // q224 fixed-point Lloyd k-means: centroids as (cid, dim, cv) row
+  // tables (the face's array form computes identical values through
+  // zip_with folds); argmin via row_number ORDER BY dist, cid ≡ the
+  // face's min-struct; exact floor means; empty clusters coalesce to
+  // the previous centroid.
+  private val q224 = {
+    def round_(i: Int, prev: String) =
+      s"""d$i AS (SELECT e.vec_id, c.cid,
+         |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM e JOIN $prev c ON c.dim = e.dim GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+         |      AS rk FROM d$i) x WHERE rk = 1),
+         |u$i AS (SELECT a.cid, e.dim,
+         |    CAST(floor(sum(e.ev) * CAST(1 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM a$i a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$i AS (SELECT c.cid, c.dim, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN u$i u
+         |    ON u.cid = c.cid AND u.dim = c.dim)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+       |      * 1000) AS BIGINT) AS ev
+       |  FROM (SELECT vec_id, embedding,
+       |      unnest(generate_series(1, 64)) AS i FROM embeddings) u),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, ev AS cv
+       |  FROM e WHERE vec_id < 8),
+       |${round_(1, "c0")},
+       |${round_(2, "c1")},
+       |d3 AS (SELECT e.vec_id, c.cid,
+       |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS dist
+       |  FROM e JOIN c2 c ON c.dim = e.dim GROUP BY 1, 2),
+       |a3 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+       |      AS rk FROM d3) x WHERE rk = 1),
+       |nm AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a3 GROUP BY 1)
+       |SELECT c2.cid, c2.dim, c2.cv AS c,
+       |  coalesce(nm.n_members, 0) AS n_members
+       |FROM c2 LEFT JOIN nm ON nm.cid = c2.cid
+       |ORDER BY c2.cid, c2.dim""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
     "q223_pca_power"      -> q223,
+    "q224_kmeans"         -> q224,
     // q221 shares q214's oracle VERBATIM (q198's rule): heavy hitters
     // served from the committed counter matrix must equal the inline
     // count bit-for-bit

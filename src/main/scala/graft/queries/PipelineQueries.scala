@@ -1954,4 +1954,18 @@ object PipelineQueries {
     graft.operators.Linalg.topComponent(
         embeddings(s, d), "vec_id", "embedding")
       .orderBy("dim")
+
+  /** q224 fixed-point Lloyd k-means (round 16 —
+    * [[graft.operators.Linalg.kmeansQuantized]]'s contract face): two
+    * assign→update rounds over the quantized embedding corpus, K = 8
+    * seeded by the smallest ids — the estimate stage behind q183's
+    * SemDeDup centroids, as a differentially-testable operator (the
+    * third fixed-point-iteration member after q216/q223: exact BIGINT
+    * distances, smallest-cid ties, exact floor centroid means, empty
+    * clusters keep their previous centroid). Output = the centroid
+    * table + final membership counts. */
+  def q224(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linalg.kmeansQuantized(
+        embeddings(s, d), "vec_id", "embedding")
+      .orderBy("cid", "dim")
 }

@@ -35,6 +35,33 @@ class LinalgSpec extends AnyFunSuite {
     assert(c >= 0.95, s"planted-direction cosine $c, loadings ${v.toSeq}")
   }
 
+  test("kmeans recovers planted well-separated clusters with exact counts") {
+    val d = 8
+    // three centers far apart vs noise; ids 0,1,2 seed one per cluster
+    val centers = Array(
+      Array.fill(d)(0.3), Array.fill(d)(-0.3),
+      Array.tabulate(d)(j => if (j % 2 == 0) 0.3 else -0.3))
+    val vecs = (0 until 180).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, Array.tabulate(d)(j =>
+        (c(j) + 0.02 * math.sin(i * 13 + j * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Linalg.kmeansQuantized(vecs, "vec_id", "embedding", k = 3)
+      .collect()
+    val counts = out.groupBy(_.getInt(0))
+      .map { case (cid, rs) => cid -> rs.head.getLong(3) }
+    assert(counts == Map(0 -> 60L, 1 -> 60L, 2 -> 60L), s"got $counts")
+    // each centroid sits on its planted center (quantized 1e3 scale)
+    out.groupBy(_.getInt(0)).foreach { case (cid, rs) =>
+      val cent = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      val planted = centers(cid).map(x => math.floor(x * 1000))
+      cent.zip(planted).foreach { case (c, p) =>
+        assert(math.abs(c - p) <= 25,
+          s"cid $cid centroid $c vs planted $p")
+      }
+    }
+  }
+
   test("component satisfies the eigen-residual check on the true covariance") {
     val rows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding")).collect()

@@ -860,5 +860,12 @@ class PlanContractSpec extends AnyFunSuite {
     val vecs = graft.Tables.embeddings(spark, sf).count()
     assert(s223 <= 4 * vecs * 64 + 64 * 1024,
       "the Gram pass must exchange n·d rows + d²-cell partials, never n·d²")
+    // q224: per round, the argmin partial is n-keyed and the update
+    // aggregate collapses to the K·d cell space; the centroid frame
+    // broadcasts — nothing n·K-sized ever crosses an exchange
+    val s224 = shuffled("q224_kmeans")
+    info(s"q224 measured $s224")
+    assert(s224 <= 8 * vecs + 64 * 1024,
+      "k-means rounds must exchange n-keyed argmin partials + K·d cells only")
   }
 }
