@@ -74,4 +74,61 @@ object Profile {
       .select(col("gap_start"), col("gap_end"),
         (col("gap_end") - col("gap_start") + 1).as("gap_len"))
   }
+
+  /** The Gopher quality-rule battery (Rae et al. 2021 Table A1, the
+    * constants verbatim) — per doc, the exact-integer counters and the
+    * per-rule verdicts a curation pipeline gates on:
+    *  - r_words:  50 ≤ word count ≤ 100,000
+    *  - r_mwl:    3 ≤ mean word length ≤ 10 (exact cross-multiply)
+    *  - r_sym:    (# count + ellipsis count) / words ≤ 0.1
+    *  - r_alpha:  ≥ 80% of words carry an alphabetic character
+    *  - r_stop:   ≥ 2 distinct words from the paper's stop set
+    * plus `gopher_pass` = AND of all five. The paper's line-shape
+    * rules (bullet/ellipsis line fractions) are q202's span machinery
+    * and are vacuous on a single-line corpus — deliberately out of
+    * this battery's scope.
+    *
+    * Fully narrow: every counter is a per-row HOF fold over the token
+    * array (one tokenize, one regexp class per word for the alpha
+    * test, exact integer arithmetic; the only float is the reported
+    * mean word length, floor-idiom'd). Nothing exchanges until the
+    * caller's own sort/aggregate — at 100 TB this is embarrassingly
+    * parallel scan work, the cheapest possible gate shape. */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .select(col(idCol),
+        expr(TextHashes.toks(textCol)).as("toks"), col(textCol).as("__t"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+          .as("sum_len"),
+        expr("cast(size(filter(toks, x -> " +
+          "length(regexp_replace(x, '[A-Za-z]', '')) < length(x))) as bigint)")
+          .as("n_alpha"),
+        // plain replace (not regexp): replaces ALL occurrences on both
+        // engines, and the ellipsis length-delta is always a multiple
+        // of 3 so the division is exact
+        (expr("length(__t) - length(replace(__t, '#', ''))")
+          + expr("(length(__t) - length(replace(__t, '...', ''))) / 3"))
+          .cast("long").as("n_sym"),
+        expr(s"cast(size(array_intersect(array_distinct(toks), $stopArr)) as bigint)")
+          .as("n_stop"))
+      .select(col(idCol), col("n_words"),
+        (floor(col("sum_len") * lit(10000.0) /
+          when(col("n_words") === 0, lit(null)).otherwise(col("n_words")))
+          / 10000.0).as("mwl"),
+        col("n_alpha"), col("n_sym"), col("n_stop"),
+        (col("n_words") >= 50 && col("n_words") <= 100000L).as("r_words"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).as("r_mwl"),
+        (col("n_sym") * 10 <= col("n_words")).as("r_sym"),
+        (col("n_alpha") * 10 >= col("n_words") * 8).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("gopher_pass",
+        col("r_words") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"))
+  }
 }

@@ -1427,11 +1427,51 @@ object PipelineOracles {
        |ORDER BY c2.cid, c2.dim""".stripMargin
   }
 
+  // q225 Gopher rule battery: per-doc exact-integer counters + the
+  // paper's rule verdicts; alpha test via the 'g'-flagged class strip
+  // (SqlCompat maps the DuckDB flag to Spark's replace-all), symbol
+  // counts via plain replace (all-occurrence on both engines, the
+  // ellipsis delta always divisible by 3).
+  private val q225 =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    list_filter(string_split(trim(text), ' '), x -> x <> '')
+       |      AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, x -> length(x)))
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(toks, x ->
+       |      length(regexp_replace(x, '[A-Za-z]', '', 'g')) < length(x)))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) / 3
+       |      AS BIGINT) AS n_sym,
+       |    CAST(len(list_intersect(list_distinct(toks),
+       |      list_value('the', 'be', 'to', 'of', 'and', 'that',
+       |        'have', 'with'))) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  floor(sum_len * 10000.0 / nullif(n_words, 0)) / 10000.0 AS mwl,
+       |  n_alpha, n_sym, n_stop,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+       |  (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r_mwl,
+       |  (n_sym * 10 <= n_words) AS r_sym,
+       |  (n_alpha * 10 >= n_words * 8) AS r_alpha,
+       |  (n_stop >= 2) AS r_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+       |    AND n_sym * 10 <= n_words
+       |    AND n_alpha * 10 >= n_words * 8
+       |    AND n_stop >= 2) AS gopher_pass
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
     "q223_pca_power"      -> q223,
     "q224_kmeans"         -> q224,
+    "q225_gopher_rules"   -> q225,
     // q221 shares q214's oracle VERBATIM (q198's rule): heavy hitters
     // served from the committed counter matrix must equal the inline
     // count bit-for-bit

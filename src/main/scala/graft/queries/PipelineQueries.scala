@@ -1968,4 +1968,18 @@ object PipelineQueries {
     graft.operators.Linalg.kmeansQuantized(
         embeddings(s, d), "vec_id", "embedding")
       .orderBy("cid", "dim")
+
+  /** q225 Gopher quality-rule battery (round 16 —
+    * [[graft.operators.Profile.gopherRules]]'s contract face; Rae et
+    * al. 2021 Table A1 constants verbatim): per doc, the exact-integer
+    * counters and per-rule verdicts behind the standard pre-training
+    * quality gate — word-count bounds, mean-word-length bounds,
+    * symbol ratio, alphabetic-word fraction, stop-word presence, and
+    * the AND. Fully narrow (one tokenize, per-row HOF folds) — at
+    * 100 TB this gate is pure scan work, the cheapest shape a filter
+    * can have. q51/q119 keep their own heuristics; this face is the
+    * PAPER's battery, constants and all. */
+  def q225(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.gopherRules(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
 }

@@ -867,5 +867,11 @@ class PlanContractSpec extends AnyFunSuite {
     info(s"q224 measured $s224")
     assert(s224 <= 8 * vecs + 64 * 1024,
       "k-means rounds must exchange n-keyed argmin partials + K·d cells only")
+    // q225: fully narrow rule battery — the only exchange is the
+    // contract sort (∝ docs; q203's class)
+    val s225 = shuffled("q225_gopher_rules")
+    info(s"q225 measured $s225")
+    assert(s225 <= 4 * docs,
+      "the Gopher battery must stay narrow — contract sort only")
   }
 }
