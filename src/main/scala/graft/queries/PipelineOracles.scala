@@ -1466,12 +1466,99 @@ object PipelineOracles {
        |    AND n_stop >= 2) AS gopher_pass
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // q226 stupid-backoff trigram scoring: train tables from doc_id <
+  // 250, 3→2→1 backoff CASE with α = 0.4 per level and a Laplace
+  // unigram floor; backoff constants CAST to DOUBLE (the decimal-
+  // literal rule); avg ln score round-4 (cancellable-sum rule).
+  private val q226 =
+    s"""WITH ${toksCte("")},
+       |tr AS (SELECT doc_id, toks FROM t WHERE doc_id < 250),
+       |uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cu
+       |  FROM (SELECT unnest(toks) AS tok FROM tr) o GROUP BY 1),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM
+       |  (SELECT list_extract(toks, i) AS w1,
+       |      list_extract(toks, i + 1) AS w2
+       |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+       |       AS i FROM tr WHERE len(toks) >= 2) bx) b GROUP BY 1, 2),
+       |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS ct FROM
+       |  (SELECT list_extract(toks, i) AS w1,
+       |      list_extract(toks, i + 1) AS w2,
+       |      list_extract(toks, i + 2) AS w3
+       |   FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2))
+       |       AS i FROM tr WHERE len(toks) >= 3) tx) g GROUP BY 1, 2, 3),
+       |nv AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
+       |    CAST(count(*) AS BIGINT) AS vv FROM uni),
+       |st AS (SELECT doc_id, list_extract(toks, i) AS w1,
+       |    list_extract(toks, i + 1) AS w2,
+       |    list_extract(toks, i + 2) AS w3
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks) - 2)) AS i
+       |    FROM t WHERE doc_id >= 250 AND len(toks) >= 3) sx),
+       |sc AS (SELECT st.doc_id,
+       |    CASE WHEN tri.ct IS NOT NULL THEN 3
+       |         WHEN b2.cb IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+       |    CASE WHEN tri.ct IS NOT NULL THEN tri.ct / b1.cb
+       |         WHEN b2.cb IS NOT NULL
+       |           THEN CAST(0.4 AS DOUBLE) * b2.cb / u2.cu
+       |         ELSE CAST(0.16 AS DOUBLE) * (coalesce(u3.cu, 0) + 1)
+       |           / (nv.nn + nv.vv) END AS s
+       |  FROM st
+       |  LEFT JOIN tri ON tri.w1 = st.w1 AND tri.w2 = st.w2
+       |    AND tri.w3 = st.w3
+       |  LEFT JOIN bi b1 ON b1.w1 = st.w1 AND b1.w2 = st.w2
+       |  LEFT JOIN bi b2 ON b2.w1 = st.w2 AND b2.w2 = st.w3
+       |  LEFT JOIN uni u2 ON u2.w = st.w2
+       |  LEFT JOIN uni u3 ON u3.w = st.w3
+       |  CROSS JOIN nv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tri_hit,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bi_hit,
+       |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_uni,
+       |  round(sum(ln(s)) / count(*), 4) + 0.0 AS avg_ll
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
     "q223_pca_power"      -> q223,
     "q224_kmeans"         -> q224,
     "q225_gopher_rules"   -> q225,
+    "q226_lm_backoff"     -> q226,
+    // q227 dedup threshold curve: q47's inverted-index pair machinery
+    // swept over 5 thresholds with exact cross-multiply predicates —
+    // no float enters a comparison
+    "q227_dedup_curve"    ->
+      s"""WITH ${toksCte("WHERE doc_id < 100")},
+         |$shCte,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY doc_id),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pu AS (SELECT p.a, p.b, p.inter,
+         |    ca.n + cb.n - p.inter AS uni
+         |  FROM p JOIN cnt ca ON ca.doc_id = p.a
+         |    JOIN cnt cb ON cb.doc_id = p.b),
+         |th AS (SELECT unnest(list_value(1, 2, 3, 5, 10, 50, 80))
+         |  AS t100),
+         |kp AS (SELECT th.t100, pu.a, pu.b FROM pu CROSS JOIN th
+         |  WHERE pu.inter * 100 >= th.t100 * pu.uni),
+         |np AS (SELECT t100, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM kp GROUP BY 1),
+         |nd AS (SELECT t100, CAST(count(*) AS BIGINT) AS n_docs FROM
+         |  (SELECT DISTINCT t100, d FROM
+         |    (SELECT t100, a AS d FROM kp
+         |     UNION ALL SELECT t100, b FROM kp) dx) dd GROUP BY 1)
+         |SELECT CAST(th.t100 AS DOUBLE) / 100 AS threshold,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN np ON np.t100 = th.t100
+         |  LEFT JOIN nd ON nd.t100 = th.t100
+         |ORDER BY threshold""".stripMargin,
     // q221 shares q214's oracle VERBATIM (q198's rule): heavy hitters
     // served from the committed counter matrix must equal the inline
     // count bit-for-bit

@@ -1982,4 +1982,139 @@ object PipelineQueries {
   def q225(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.gopherRules(documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** q226 trigram stupid-backoff LM scoring (round 16; Brants et al.
+    * 2007 "Large Language Models in Machine Translation" — the
+    * web-scale backoff that made KenLM-class corpus scoring feasible
+    * without discounting): n-gram tables from the doc_id < 250 TRAIN
+    * slice, every other doc scored trigram-by-trigram with the
+    * 3→2→1 backoff chain (α = 0.4 per level, Laplace unigram floor so
+    * OOV words score instead of crashing) — per doc the backoff-level
+    * census (exact integers, the strong hash signal) and the average
+    * log score (round-4 on the cancellable ln sum, §2.9's rule).
+    * q107/q152 stop at bigrams with interpolation; this face is the
+    * production backoff shape.
+    *
+    * Scale: count tables are vocabulary-bounded (|V|³ worst case,
+    * far below token volume in practice) and join UNHINTED against
+    * the trigram stream (q114's rule — at real vocabulary they flip
+    * to SMJ exactly when they should; a 100-TB deployment lands them
+    * once under a q198-style store, bucketed by (w1, w2)). The
+    * stream explode is narrow; the only data-sized exchange is the
+    * per-doc rollup. */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      expr(graft.operators.TextHashes.toks("text")).as("toks"))
+    val train = docs.filter(col("doc_id") < 250)
+    val uniT = train.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    // size guards BEFORE the transforms: sequence(1, 0) runs DOWNWARD
+    // (q184's zero-token trap) and element_at(toks, 0) throws
+    val biT = train.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1)))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val triT = train.filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1),
+          |                    'w3', element_at(toks, i + 2)))"""
+          .stripMargin)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+    val nv = uniT.agg(sum(col("cu")).as("nn"), count(lit(1)).as("vv"))
+    val stream = docs.filter(col("doc_id") >= 250)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1),
+          |                    'w3', element_at(toks, i + 2)))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+    stream
+      .join(triT, Seq("w1", "w2", "w3"), "left")
+      .join(biT, Seq("w1", "w2"), "left")
+      .join(biT.toDF("w2", "w3", "cb2"), Seq("w2", "w3"), "left")
+      .join(uniT.toDF("w2", "cu2"), Seq("w2"), "left")
+      .join(uniT.toDF("w3", "cu3"), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lvl",
+        when(col("ct").isNotNull, 3)
+          .when(col("cb2").isNotNull, 2).otherwise(1))
+      .withColumn("sc",
+        when(col("ct").isNotNull, col("ct") / col("cb"))
+          .when(col("cb2").isNotNull,
+            lit(0.4) * col("cb2") / col("cu2"))
+          .otherwise(lit(0.16) * (coalesce(col("cu3"), lit(0L)) + 1) /
+            (col("nn") + col("vv"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_hit"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        (round(sum(log(col("sc"))) / count(lit(1)), 4) + 0.0)
+          .as("avg_ll"))
+      .orderBy("doc_id")
+  }
+
+  /** q227 dedup threshold sensitivity curve (round 16): the tuning
+    * table a curator reads BEFORE picking the near-dup threshold —
+    * for each candidate threshold (percent scale {1,2,3,5,10,50,80} —
+    * spanning the corpus's similarity tail AND the planted-dup regime,
+    * q60's tune-to-the-tail rule), how many document pairs exceed it
+    * and how many documents are touched. Jaccard comparisons are
+    * exact cross-multiplies (100·inter ≥ t·union — no float ever
+    * enters the predicate); the pair set is q47's
+    * inverted-index join over the bounded doc_id < 100 audit universe
+    * (the production estimator for the full corpus is q118's banded
+    * sampling — this face is the exact audit that CALIBRATES it).
+    * The 5-threshold sweep re-reads the ONE pair frame — thresholds
+    * explode against it, never recompute it. */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        expr(graft.operators.TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val cnt = base.select(col("doc_id"),
+      expr(s"size(${graft.operators.TextHashes.shingleSet("toks")})")
+        .cast("long").as("n"))
+    val inv = base.select(col("doc_id"),
+        explode(expr(graft.operators.TextHashes.shingleTransform("toks")))
+          .as("sh"))
+      .distinct()
+    val pairs = inv.toDF("a", "sh")
+      .join(inv.toDF("b", "sh2"),
+        col("sh") === col("sh2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(cnt.toDF("a", "na"), "a")
+      .join(cnt.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+    val thr = s.range(1)
+      .select(explode(expr("array(1, 2, 3, 5, 10, 50, 80)")).as("t100"))
+    val kept = pairs.crossJoin(broadcast(thr))
+      .filter(col("inter") * 100 >= col("t100") * col("uni"))
+    val nPairs = kept.groupBy(col("t100"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = kept
+      .select(col("t100"), explode(array(col("a"), col("b"))).as("d"))
+      .distinct()
+      .groupBy(col("t100")).agg(count(lit(1)).as("n_docs"))
+    thr
+      .join(nPairs, Seq("t100"), "left")
+      .join(nDocs, Seq("t100"), "left")
+      .select((col("t100") / lit(100.0)).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
 }
