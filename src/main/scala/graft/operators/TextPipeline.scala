@@ -703,4 +703,130 @@ object TextPipeline {
     graft.sources.Stores.ensureCommitted(reference.sparkSession, path,
       DsirStoreMarker)(
       saveDsirStore(reference, idCol, textCol, isTarget, path))
+
+  // ---------------------------------------------------------------
+  // Trigram stupid-backoff LM (Brants et al. 2007) — train-once /
+  // score-many. q226 is the inline contract face; the store faces
+  // land the count tables under the versioned-commit protocol so a
+  // perplexity gate scores every ingest batch (or stream) without
+  // touching the reference corpus again — CCNet's deploy shape.
+  // ---------------------------------------------------------------
+
+  /** The n-gram count tables of a training corpus: `(uni(w, cu),
+    * bi(w1, w2, cb), tri(w1, w2, w3, ct), nv(nn, vv))`. Vocabulary-
+    * bounded frames; size guards before every transform (q184's
+    * sequence(1,0) trap). */
+  def lmCounts(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val t = train.select(expr(TextHashes.toks(textCol)).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1)))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tri = t.filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1),
+          |                    'w3', element_at(toks, i + 2)))"""
+          .stripMargin)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+    val nv = uni.agg(sum(col("cu")).as("nn"), count(lit(1)).as("vv"))
+    (uni, bi, tri, nv)
+  }
+
+  /** Score `docs` trigram-by-trigram against count tables (the 3→2→1
+    * stupid-backoff chain, α = 0.4 per level, Laplace unigram floor):
+    * per doc `(idCol, n_tri, n_tri_hit, n_bi_hit, n_uni, avg_ll)` —
+    * the backoff-level census (exact integers) + the round-4 average
+    * ln score. Count-table joins are UNHINTED (q114's rule): at real
+    * vocabulary they flip to SMJ exactly when they should; the only
+    * data-sized exchange is the per-doc rollup. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              uni: DataFrame, bi: DataFrame, tri: DataFrame,
+              nv: DataFrame): DataFrame = {
+    val stream = docs
+      .select(col(idCol), expr(TextHashes.toks(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> named_struct('w1', element_at(toks, i),
+          |                    'w2', element_at(toks, i + 1),
+          |                    'w3', element_at(toks, i + 2)))"""
+          .stripMargin)).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+    stream
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.toDF("w2", "w3", "cb2"), Seq("w2", "w3"), "left")
+      .join(uni.toDF("w2", "cu2"), Seq("w2"), "left")
+      .join(uni.toDF("w3", "cu3"), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lvl",
+        when(col("ct").isNotNull, 3)
+          .when(col("cb2").isNotNull, 2).otherwise(1))
+      .withColumn("sc",
+        when(col("ct").isNotNull, col("ct") / col("cb"))
+          .when(col("cb2").isNotNull,
+            lit(0.4) * col("cb2") / col("cu2"))
+          .otherwise(lit(0.16) * (coalesce(col("cu3"), lit(0L)) + 1) /
+            (col("nn") + col("vv"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_hit"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        (round(sum(log(col("sc"))) / count(lit(1)), 4) + 0.0)
+          .as("avg_ll"))
+  }
+
+  private val LmStoreMarker = "_graft_lmstore_committed"
+
+  /** Persist the count tables under [[graft.sources.Stores]]' protocol
+    * — all four artifacts under ONE versioned commit (the q208
+    * torn-pair rule: a scorer can never read new trigrams against old
+    * unigrams). */
+  def saveLmStore(train: DataFrame, textCol: String, path: String): Unit =
+    graft.sources.Stores.commitVersioned(train.sparkSession, path,
+        LmStoreMarker) { dir =>
+      val (uni, bi, tri, nv) = lmCounts(train, textCol)
+      uni.write.mode("overwrite").parquet(s"$dir/uni")
+      bi.write.mode("overwrite").parquet(s"$dir/bi")
+      tri.write.mode("overwrite").parquet(s"$dir/tri")
+      nv.write.mode("overwrite").parquet(s"$dir/nv")
+    }
+
+  /** Score a batch against a COMMITTED [[saveLmStore]] artifact.
+    * Refuses an uncommitted/torn store. */
+  def lmServe(spark: org.apache.spark.sql.SparkSession, path: String,
+              docs: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, LmStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: LM store at $path has no commit marker " +
+          s"($LmStoreMarker) — it is mid-build, torn, or absent; " +
+          "rebuild with saveLmStore"))
+    lmScore(docs, idCol, textCol,
+      spark.read.parquet(s"$dir/uni"),
+      spark.read.parquet(s"$dir/bi"),
+      spark.read.parquet(s"$dir/tri"),
+      spark.read.parquet(s"$dir/nv"))
+  }
+
+  /** Pay-once build for the q228 face. */
+  def ensureLmStore(train: DataFrame, textCol: String,
+                    path: String): Unit =
+    graft.sources.Stores.ensureCommitted(train.sparkSession, path,
+      LmStoreMarker)(saveLmStore(train, textCol, path))
 }

@@ -1527,6 +1527,10 @@ object PipelineOracles {
     "q224_kmeans"         -> q224,
     "q225_gopher_rules"   -> q225,
     "q226_lm_backoff"     -> q226,
+    // q228 shares q226's oracle VERBATIM (q198's rule): scoring served
+    // from the committed count tables must equal the inline
+    // train-and-score bit-for-bit
+    "q228_lm_store"       -> q226,
     // q227 dedup threshold curve: q47's inverted-index pair machinery
     // swept over 5 thresholds with exact cross-multiply predicates —
     // no float enters a comparison

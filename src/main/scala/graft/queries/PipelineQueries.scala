@@ -2003,66 +2003,12 @@ object PipelineQueries {
     * stream explode is narrow; the only data-sized exchange is the
     * per-doc rollup. */
   def q226(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"),
-      expr(graft.operators.TextHashes.toks("text")).as("toks"))
-    val train = docs.filter(col("doc_id") < 250)
-    val uniT = train.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    // size guards BEFORE the transforms: sequence(1, 0) runs DOWNWARD
-    // (q184's zero-token trap) and element_at(toks, 0) throws
-    val biT = train.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> named_struct('w1', element_at(toks, i),
-          |                    'w2', element_at(toks, i + 1)))"""
-          .stripMargin)).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val triT = train.filter(size(col("toks")) >= 3)
-      .select(explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> named_struct('w1', element_at(toks, i),
-          |                    'w2', element_at(toks, i + 1),
-          |                    'w3', element_at(toks, i + 2)))"""
-          .stripMargin)).as("g"))
-      .select(col("g.w1").as("w1"), col("g.w2").as("w2"),
-        col("g.w3").as("w3"))
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("ct"))
-    val nv = uniT.agg(sum(col("cu")).as("nn"), count(lit(1)).as("vv"))
-    val stream = docs.filter(col("doc_id") >= 250)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> named_struct('w1', element_at(toks, i),
-          |                    'w2', element_at(toks, i + 1),
-          |                    'w3', element_at(toks, i + 2)))"""
-          .stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"),
-        col("g.w2").as("w2"), col("g.w3").as("w3"))
-    stream
-      .join(triT, Seq("w1", "w2", "w3"), "left")
-      .join(biT, Seq("w1", "w2"), "left")
-      .join(biT.toDF("w2", "w3", "cb2"), Seq("w2", "w3"), "left")
-      .join(uniT.toDF("w2", "cu2"), Seq("w2"), "left")
-      .join(uniT.toDF("w3", "cu3"), Seq("w3"), "left")
-      .crossJoin(broadcast(nv))
-      .withColumn("lvl",
-        when(col("ct").isNotNull, 3)
-          .when(col("cb2").isNotNull, 2).otherwise(1))
-      .withColumn("sc",
-        when(col("ct").isNotNull, col("ct") / col("cb"))
-          .when(col("cb2").isNotNull,
-            lit(0.4) * col("cb2") / col("cu2"))
-          .otherwise(lit(0.16) * (coalesce(col("cu3"), lit(0L)) + 1) /
-            (col("nn") + col("vv"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
-        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_hit"),
-        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
-        (round(sum(log(col("sc"))) / count(lit(1)), 4) + 0.0)
-          .as("avg_ll"))
+    val docs = documents(s, d)
+    val (uni, bi, tri, nv) = graft.operators.TextPipeline.lmCounts(
+      docs.filter(col("doc_id") < 250), "text")
+    graft.operators.TextPipeline.lmScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        uni, bi, tri, nv)
       .orderBy("doc_id")
   }
 
@@ -2116,5 +2062,28 @@ object PipelineQueries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy("threshold")
+  }
+
+  /** q228 LM scoring from the PERSISTED count tables (round 16): q226
+    * re-trains the n-gram tables per run; production lands them once
+    * from the reference corpus
+    * ([[graft.operators.TextPipeline.saveLmStore]] — all four tables
+    * under ONE versioned commit, the q208 torn-pair rule) and scores
+    * every batch against the committed store
+    * ([[graft.operators.TextPipeline.lmServe]]) — CCNet's perplexity-
+    * gate deploy shape: train the LM on the reference, score the
+    * crawl, re-tune the keep threshold without re-training. Oracle =
+    * q226 VERBATIM (the hash gate proves store-served scoring ≡ the
+    * inline train-and-score bit-for-bit). StreamingOpsSpec drives the
+    * micro-batch face (`lmServeStream`) with restart determinism. */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_lm_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val docs = documents(s, d)
+    graft.operators.TextPipeline.ensureLmStore(
+      docs.filter(col("doc_id") < 250), "text", path)
+    graft.operators.TextPipeline.lmServe(s, path,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      .orderBy("doc_id")
   }
 }

@@ -662,6 +662,39 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Continuous LM quality scoring — the STREAMING face of
+    * [[graft.operators.TextPipeline.lmServe]] (round 16; batch
+    * contract q226/q228): each micro-batch is scored against the
+    * COMMITTED n-gram tables (CCNet's perplexity gate on the ingest
+    * stream), landing the per-doc backoff census + avg ln score per
+    * batch. Scores depend only on committed state + the row's own
+    * text — deterministic across replays and restarts; exactly-once
+    * by the per-batch-directory overwrite discipline. */
+  def lmServeStream(docs: DataFrame, idCol: String, textCol: String,
+                    storePath: String, sinkPath: String,
+                    checkpoint: String,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        lmServeBatch(batch.toDF(), bid, idCol, textCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def lmServeBatch(batch: DataFrame, batchId: Long,
+                                      idCol: String, textCol: String,
+                                      storePath: String,
+                                      sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextPipeline.lmServe(batch.sparkSession, storePath,
+        batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   private[streaming] def cmsServeBatch(batch: DataFrame, batchId: Long,
                                        textCol: String, storePath: String,
                                        sinkPath: String): Unit = {

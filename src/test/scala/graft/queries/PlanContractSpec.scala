@@ -873,5 +873,19 @@ class PlanContractSpec extends AnyFunSuite {
     info(s"q225 measured $s225")
     assert(s225 <= 4 * docs,
       "the Gopher battery must stay narrow — contract sort only")
+    // q226/q228: count tables are vocabulary-bounded; the stream-side
+    // exchange is the per-doc rollup. The store face (already
+    // committed by the earlier call) deletes the TRAINING pass — its
+    // serve-only exchange must not exceed the inline twin's
+    val i226 = shuffled("q226_lm_backoff")
+    val s228 = shuffled("q228_lm_store")
+    info(s"q226 inline $i226; q228 serve-only $s228")
+    // the store deletes the TRAINING scan; the committed tables read
+    // back unpartitioned, so the vocabulary-bounded count tables may
+    // re-shuffle (measured +31 records at sf0.001 — the uni table) —
+    // the allowance is strictly table-sized, never stream-sized
+    assert(s228 <= i226 + 4096,
+      s"serve-only q228 ($s228) must stay within a vocabulary-bounded " +
+        s"allowance of inline q226 ($i226)")
   }
 }

@@ -938,6 +938,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       "a replayed batch id must rewrite, never append")
   }
 
+  test("lmServeStream: micro-batches score against the COMMITTED " +
+      "n-gram tables, equal the inline train-and-score, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lm_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    val train = docs.filter(col("doc_id") < 250)
+    graft.operators.TextPipeline.saveLmStore(train, "text", store)
+    val b1 = docs.filter(col("doc_id").between(300, 302))
+      .select(col("doc_id"), col("text")).as[Dc].collect().toSeq
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.lmServeStream(mem.toDF(), "doc_id", "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = spark.read.parquet(sink)
+      .select("doc_id", "n_tri", "n_tri_hit", "n_bi_hit", "n_uni",
+        "avg_ll")
+      .collect().map(key).toMap
+    val (uni, bi, tri, nv) =
+      graft.operators.TextPipeline.lmCounts(train, "text")
+    val inline = graft.operators.TextPipeline.lmScore(
+        b1.toDF(), "doc_id", "text", uni, bi, tri, nv)
+      .select("doc_id", "n_tri", "n_tri_hit", "n_bi_hit", "n_uni",
+        "avg_ll")
+      .collect().map(key).toMap
+    assert(streamed.size == 3 && streamed == inline,
+      s"store-served LM scores must equal inline: $streamed vs $inline")
+    // replay rewrites, never dups
+    StreamingOps.lmServeBatch(b1.toDF(), 0L, "doc_id", "text",
+      store, sink)
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
   test("cmsServeStream: micro-batch tokens estimate against the " +
       "COMMITTED counter matrix, never undercount, replay rewrites") {
     import spark.implicits._
