@@ -152,4 +152,55 @@ object Linalg {
       .select(col("cid"), col("dim"), col("c"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
+
+  /** Per-cluster embedding outlier census — the hygiene pass run
+    * before an embedding corpus feeds dedup/retrieval (a vector far
+    * from every centroid is mojibake, truncation, or a modality mixup;
+    * its cosine neighborhoods are noise): assign each quantized vector
+    * to its nearest centroid (the [[kmeansQuantized]] distance/tie
+    * contract), then flag members whose distance sits more than 3σ
+    * ABOVE the cluster mean (one-sided — the sign guard matters: the
+    * squared form alone also flags vectors 3σ BELOW the mean, i.e.
+    * near-clones of the centroid seed, which are the opposite of
+    * outliers) — with the WHOLE test in exact integers via the
+    * n²-scaled cross-multiply
+    *
+    *   n·d − Σd > 0  AND  (n·d − Σd)² > 9 · (n·Σd² − (Σd)²)
+    *
+    * (≡ d − μ > 3σ, both sides ×n²). Distances scale down by an
+    * exact floor(dist/1000) first so every product stays < 2^53 (the
+    * bound analysis lives in the q229 face doc). Returns per cluster
+    * `(cid, n, mean_d, n_outliers)` — mean_d under the floor idiom.
+    *
+    * Scale shape: assignment is [[kmeansQuantized]]'s broadcast
+    * cross join (argmin partial n-keyed); the stats and the flag
+    * join-back are |K|-row frames; nothing n·K-sized exchanges. */
+  def embeddingOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val q = vecs.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+        .as("e"))
+    val dist = expr(
+      "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val assigned = q.crossJoin(broadcast(centroids))
+      .select(col("__id"), col("cid"), dist.as("dist"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("__id"), col("m.cid").as("cid"),
+        floor(col("m.dist") / lit(1000.0)).cast("long").as("dp"))
+    val stats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dp")).as("sd"),
+        sum(col("dp") * col("dp")).as("sdd"))
+    assigned.join(stats, "cid")
+      .withColumn("__out",
+        col("n") * col("dp") - col("sd") > 0 &&
+          (col("n") * col("dp") - col("sd")) *
+            (col("n") * col("dp") - col("sd")) >
+            lit(9L) * (col("n") * col("sdd") - col("sd") * col("sd")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("dp")) * lit(10000.0) / count(lit(1))) / 10000.0)
+          .as("mean_d"),
+        sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -1531,6 +1531,38 @@ object PipelineOracles {
     // from the committed count tables must equal the inline
     // train-and-score bit-for-bit
     "q228_lm_store"       -> q226,
+    // q229 embedding outlier census: nearest-of-8-seeds assignment
+    // (row_number ≡ the face's min-struct), distances scaled by an
+    // exact floor, the 3σ rule as the n²-scaled integer
+    // cross-multiply — no float enters the predicate
+    "q229_embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+         |      * 1000) AS BIGINT) AS ev
+         |  FROM (SELECT vec_id, embedding,
+         |      unnest(generate_series(1, 64)) AS i FROM embeddings) u),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, ev AS cv
+         |  FROM e WHERE vec_id < 8),
+         |dd AS (SELECT e.vec_id, c.cid,
+         |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM e JOIN c0 c ON c.dim = e.dim GROUP BY 1, 2),
+         |aa AS (SELECT vec_id, cid,
+         |    CAST(floor(dist / 1000.0) AS BIGINT) AS dp
+         |  FROM (SELECT vec_id, cid, dist, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM dd) x WHERE rk = 1),
+         |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dp) AS BIGINT) AS sd,
+         |    CAST(sum(dp * dp) AS BIGINT) AS sdd
+         |  FROM aa GROUP BY 1)
+         |SELECT aa.cid, st.n,
+         |  floor(sum(aa.dp) * 10000.0 / count(*)) / 10000.0 AS mean_d,
+  CAST(sum(CASE WHEN st.n * aa.dp - st.sd > 0
+         |      AND (st.n * aa.dp - st.sd) * (st.n * aa.dp - st.sd)
+         |      > 9 * (st.n * st.sdd - st.sd * st.sd)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM aa JOIN st ON st.cid = aa.cid
+         |GROUP BY aa.cid, st.n ORDER BY aa.cid""".stripMargin,
     // q227 dedup threshold curve: q47's inverted-index pair machinery
     // swept over 5 thresholds with exact cross-multiply predicates —
     // no float enters a comparison

@@ -2086,4 +2086,28 @@ object PipelineQueries {
         docs.filter(col("doc_id") >= 250), "doc_id", "text")
       .orderBy("doc_id")
   }
+
+  /** q229 per-cluster embedding outlier census (round 16 —
+    * [[graft.operators.Linalg.embeddingOutliers]]'s contract face):
+    * vectors assigned to the 8 fixed seed centroids (vec_id < 8,
+    * q183's fixed-centroid convention), members flagged > 3σ above
+    * their cluster's mean distance (one-sided: the sign guard keeps
+    * near-clones of the seed — 3σ BELOW the mean — from being
+    * miscounted) with the WHOLE test in exact integers — the
+    * n²-scaled cross-multiply n·d − Σd > 0 AND (n·d − Σd)² >
+    * 9·(n·Σd² − (Σd)²). Bound analysis for the 2^53-exactness: the
+    * scaled distance d ≤ 64·933²/1000 ≈ 5.6e4; n·d ≤ 2.8e7 (square
+    * 7.8e14); n·Σd² ≤ 7.8e14, ×9 = 7e15 — all < 2^53. The hygiene
+    * pass an embedding corpus gets before dedup/retrieval trusts its
+    * cosines. */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c"))
+    graft.operators.Linalg.embeddingOutliers(e, "vec_id", "embedding",
+        cents)
+      .orderBy("cid")
+  }
 }

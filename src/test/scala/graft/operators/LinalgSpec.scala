@@ -62,6 +62,31 @@ class LinalgSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingOutliers flags a planted far vector, one-sided: " +
+      "seed near-clones are NOT outliers") {
+    val d = 8
+    // cluster 0: 60 tight members + 1 planted far vector; cluster 1:
+    // 30 tight members including near-clones of the seed
+    val vecs = ((0 until 2).map(i => (i.toLong,
+        Array.fill(d)((0.3 * (1 - 2 * i)).toFloat))) ++
+      (2 until 62).map(i => (i.toLong,
+        Array.tabulate(d)(j => (0.3 + 0.02 * math.sin(i + j)).toFloat))) ++
+      Seq((62L, Array.fill(d)(0.9f))) ++ // far from both centroids but nearest 0
+      (63 until 93).map(i => (i.toLong,
+        Array.tabulate(d)(j => (-0.3 - 0.001 * (i % 3)).toFloat)))
+      ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c"))
+    val out = Linalg.embeddingOutliers(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out(0) == 1L,
+      s"the planted far vector must be cluster 0's one outlier, got $out")
+    assert(out(1) == 0L,
+      s"seed near-clones must not count as outliers, got $out")
+  }
+
   test("component satisfies the eigen-residual check on the true covariance") {
     val rows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding")).collect()
