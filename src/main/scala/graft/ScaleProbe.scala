@@ -636,6 +636,21 @@ object ScaleProbe {
         // tokenize scan grows ×mult (wall ∝ tokens, exchange ∝ |V|+|E|)
         "textrank_full" -> ((d: String) =>
           SparkEntry.queries("q216_textrank")(spark, d)),
+        // round 16: fixed-point power-iteration PCA (q223) — the Gram
+        // self-join exchanges 2·n·d narrow rows (data-linear) and the
+        // (j,k) aggregate collapses map-side to the FIXED d² = 4,096
+        // cells; iterations run on d-/d²-row frames. Contract: shuffle
+        // ratio ≤ data ratio (the n·d join inputs dominate), never n·d²
+        "pca_power_full" -> ((d: String) =>
+          graft.operators.Linalg.topComponent(
+            Tables.embeddings(spark, d), "vec_id", "embedding")),
+        // round 16: fixed-point Lloyd k-means (q224) — per round the
+        // argmin partial is n-keyed and the update aggregate collapses
+        // to the FIXED K·d cell space; the centroid frame broadcasts.
+        // Contract: shuffle ratio ≤ data ratio, never n·K
+        "kmeans_full" -> ((d: String) =>
+          graft.operators.Linalg.kmeansQuantized(
+            Tables.embeddings(spark, d), "vec_id", "embedding")),
         "dsir_perdoc_frame" -> ((d: String) =>
           graft.operators.TextPipeline.dsirPerDoc(
             Tables.documents(spark, d), "doc_id", "text",

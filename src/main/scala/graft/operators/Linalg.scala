@@ -29,16 +29,16 @@ import org.apache.spark.sql.functions._
   * true component's direction to ~1e-3, ample for the anisotropy
   * decision the diagnostic feeds.
   *
-  * **Scale shape.** The Gram pass is the standard n·d² explode: a
-  * self-join of the (id, dim, e) frame on the id (co-partitioned, one
-  * exchange of 2·n·d narrow rows) whose (j,k) aggregate collapses
-  * map-side to the FIXED d² = 4,096-cell space (q214's cell-space
-  * argument — the exchange is metadata-sized however many vectors
-  * stream through). Iterations run entirely on d- and d²-row frames.
-  * At extreme scale the compose-existing-ops form here gives way to a
-  * per-partition outer-product Aggregator (same d² output, one fewer
-  * join) — the exchange class is identical, so the declarative form
-  * is the contract face. */
+  * **Scale shape.** The Gram pass is a per-row OUTER-PRODUCT
+  * GENERATE — each vector explodes its own d² = 4,096 (j, k, e_j·e_k)
+  * structs in a narrow lambda and the (j,k) aggregate collapses
+  * map-side to the fixed cell space (q214's argument): ZERO joins,
+  * zero exchange on the corpus side, the sketch-build shape. The
+  * first cut self-joined the (id, dim, e) frame on the id instead —
+  * and the ×10/×30 probe caught the planner BROADCASTING one n·d side
+  * (flat shuffle records for the wrong reason: a data-sized broadcast
+  * is an OOM at 1000×, exactly what the probes exist to catch).
+  * Iterations run entirely on d- and d²-row frames. */
 object Linalg {
 
   /** Top principal component of `vecCol` (array<float>, fixed width):
@@ -47,18 +47,26 @@ object Linalg {
     * Sign is iteration-determined (v₀ = all-ones) and deterministic. */
   def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
                    iterations: Int = 6): DataFrame = {
-    val rows = vecs
-      .select(col(idCol).as("__id"),
-        posexplode(graft.functions.Vectors.asDouble(col(vecCol)))
-          .as(Seq("__p", "__x")))
-      .select(col("__id"), (col("__p") + 1).as("j"),
-        floor(col("__x") * 1000).cast("long").as("e"))
-    val sums = rows.groupBy(col("j"))
-      .agg(sum(col("e")).as("sj"), count(lit(1)).as("cnt"))
-    val prods = rows.toDF("__id", "j", "ej")
-      .join(rows.toDF("__id", "k", "ek"), "__id")
+    val q = vecs.select(expr(
+      s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+      .as("e"))
+    val sums = q
+      .select(posexplode(col("e")).as(Seq("__p", "ev")))
+      .select((col("__p") + 1).as("j"), col("ev"))
+      .groupBy(col("j"))
+      .agg(sum(col("ev")).as("sj"), count(lit(1)).as("cnt"))
+    // per-row outer product: d² plain longs per vector (one flat
+    // array — struct-free, the 0-based position recovers (j, k)
+    // arithmetically after the generate), no join
+    val prods = q
+      .select(size(col("e")).as("__d"), posexplode(expr(
+        """flatten(transform(sequence(1, size(e)), j ->
+          |  transform(e, x -> element_at(e, j) * x)))"""
+          .stripMargin)).as(Seq("__p0", "prod")))
+      .select(expr("cast(__p0 div __d + 1 as int)").as("j"),
+        expr("cast(__p0 % __d + 1 as int)").as("k"), col("prod"))
       .groupBy(col("j"), col("k"))
-      .agg(sum(col("ej") * col("ek")).as("p"))
+      .agg(sum(col("prod")).as("p"))
     // C = n·Σ e_j e_k − (Σ e_j)(Σ e_k), scaled by an exact floor —
     // the covariance numerator as one integer identity; the C″ frame
     // is d² rows, checkpoint-pinned (every iteration consumes it —
