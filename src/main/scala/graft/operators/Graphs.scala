@@ -44,22 +44,25 @@ object Graphs {
 
   /** The undirected co-occurrence edge frame `(src, dst, w)`: adjacent
     * token pairs within each doc, both directions, self-loops dropped,
-    * w = occurrence count. */
-  def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
-    val adj = docs
+    * w = occurrence count. Both orientations come out of ONE generate
+    * (each adjacent pair emits its two directed structs inside the
+    * same flatten) — a union of two references to the unpinned
+    * tokenize subtree would run the corpus scan twice (q185's
+    * sibling-consumer rule applies INSIDE an operator build too). */
+  def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(expr(TextHashes.toks(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> named_struct('a', element_at(toks, i),
-          |                    'b', element_at(toks, i + 1)))"""
+        """flatten(transform(sequence(1, size(toks) - 1),
+          |  i -> array(named_struct('src', element_at(toks, i),
+          |                          'dst', element_at(toks, i + 1)),
+          |             named_struct('src', element_at(toks, i + 1),
+          |                          'dst', element_at(toks, i)))))"""
           .stripMargin)).as("p"))
-      .filter(col("p.a") =!= col("p.b"))
-    adj.select(col("p.a").as("src"), col("p.b").as("dst"))
-      .union(adj.select(col("p.b").as("src"), col("p.a").as("dst")))
-      .groupBy(col("src"), col("dst"))
+      .filter(col("p.src") =!= col("p.dst"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
       .agg(count(lit(1)).as("w"))
-  }
 
   /** Fixed-point TextRank over [[cooccurrenceEdges]]: `(token, r_fp,
     * rank)` with `r_fp` the exact BIGINT fixed-point rank (the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-point distributed numeric linear algebra (round 16 — the
@@ -44,7 +45,13 @@ object Linalg {
   /** Top principal component of `vecCol` (array<float>, fixed width):
     * `(dim, v_fp, loading)` — 1-based dim, the exact BIGINT 1e4
     * fixed-point component, and loading = v_fp/1e4 rounded to 4.
-    * Sign is iteration-determined (v₀ = all-ones) and deterministic. */
+    * Sign is iteration-determined (v₀ = all-ones) and deterministic.
+    *
+    * Width boundary: the Gram generate materializes one flat d²-long
+    * array per row (~32 KB at the contract d=64) — fine through
+    * d≈256, but at d≥512 the per-row array is multi-MB and the
+    * escape hatch is a j-BLOCKED generate (emit d·B cells per pass
+    * over ⌈d/B⌉ passes); build it when a d≥512 fixture exists. */
   def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
                    iterations: Int = 6): DataFrame = {
     val q = vecs.select(expr(
@@ -111,8 +118,12 @@ object Linalg {
     * row_number), centroid updates are exact floor(Σe/|members|), and
     * empty clusters keep their previous centroid — every state is an
     * exact integer, bit-identical on any engine. Seeding is the k
-    * smallest ids (deterministic; k-means++ adds nothing a
-    * differential contract can use).
+    * smallest ids — the ACTUAL k smallest (TakeOrdered over the id,
+    * cid = 0-based rank among the seeds), not an `id < k` predicate
+    * that silently under-seeds any id space not densely numbered from
+    * 0 — with a loud `require` when the corpus has fewer than k rows
+    * (deterministic; k-means++ adds nothing a differential contract
+    * can use).
     *
     * Scale shape: assignment is a broadcast cross join against the
     * K-row centroid frame with a NARROW zip_with/aggregate distance
@@ -136,8 +147,17 @@ object Linalg {
         .agg(min(struct(col("dist"), col("cid"))).as("m"),
           first(col("e")).as("e"))
         .select(col("__id"), col("e"), col("m.cid").as("cid"))
-    var cents: DataFrame = q.filter(col("__id") < k)
-      .select(col("__id").cast("int").as("cid"), col("e").as("c"))
+    // seeds = the k actually-smallest ids (TakeOrderedAndProject — k
+    // rows off per-partition heaps, never a global sort); the window
+    // ranks only the k-row seed frame. A `__id < k` filter would
+    // silently under-seed sparse or offset id spaces.
+    val seeds = q.orderBy(col("__id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
+    val nSeeds = seeds.count()
+    require(nSeeds == k,
+      s"kmeansQuantized: corpus has only $nSeeds rows, cannot seed k=$k")
+    var cents: DataFrame = seeds.select(col("cid"), col("e").as("c"))
     for (_ <- 1 to iterations) {
       val cells = assign(cents)
         .select(col("cid"), posexplode(col("e")).as(Seq("d", "ev")))

@@ -80,7 +80,11 @@ object Profile {
     * per-rule verdicts a curation pipeline gates on:
     *  - r_words:  50 ≤ word count ≤ 100,000
     *  - r_mwl:    3 ≤ mean word length ≤ 10 (exact cross-multiply)
-    *  - r_sym:    (# count + ellipsis count) / words ≤ 0.1
+    *  - r_sym:    hash ratio ≤ 0.1 AND ellipsis ratio ≤ 0.1 — the
+    *    paper applies the 0.1 threshold to EACH symbol separately
+    *    ("either the hash symbol or the ellipsis"), so the counters
+    *    are reported separately (`n_hash`, `n_ellipsis`) and the rule
+    *    is the conjunction of two cross-multiplies
     *  - r_alpha:  ≥ 80% of words carry an alphabetic character
     *  - r_stop:   ≥ 2 distinct words from the paper's stop set
     * plus `gopher_pass` = AND of all five. The paper's line-shape
@@ -111,20 +115,22 @@ object Profile {
         // plain replace (not regexp): replaces ALL occurrences on both
         // engines, and the ellipsis length-delta is always a multiple
         // of 3 so the division is exact
-        (expr("length(__t) - length(replace(__t, '#', ''))")
-          + expr("(length(__t) - length(replace(__t, '...', ''))) / 3"))
-          .cast("long").as("n_sym"),
+        expr("length(__t) - length(replace(__t, '#', ''))")
+          .cast("long").as("n_hash"),
+        expr("(length(__t) - length(replace(__t, '...', ''))) / 3")
+          .cast("long").as("n_ellipsis"),
         expr(s"cast(size(array_intersect(array_distinct(toks), $stopArr)) as bigint)")
           .as("n_stop"))
       .select(col(idCol), col("n_words"),
         (floor(col("sum_len") * lit(10000.0) /
           when(col("n_words") === 0, lit(null)).otherwise(col("n_words")))
           / 10000.0).as("mwl"),
-        col("n_alpha"), col("n_sym"), col("n_stop"),
+        col("n_alpha"), col("n_hash"), col("n_ellipsis"), col("n_stop"),
         (col("n_words") >= 50 && col("n_words") <= 100000L).as("r_words"),
         (col("sum_len") >= col("n_words") * 3 &&
           col("sum_len") <= col("n_words") * 10).as("r_mwl"),
-        (col("n_sym") * 10 <= col("n_words")).as("r_sym"),
+        (col("n_hash") * 10 <= col("n_words") &&
+          col("n_ellipsis") * 10 <= col("n_words")).as("r_sym"),
         (col("n_alpha") * 10 >= col("n_words") * 8).as("r_alpha"),
         (col("n_stop") >= 2).as("r_stop"))
       .withColumn("gopher_pass",

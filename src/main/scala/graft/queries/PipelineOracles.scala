@@ -1388,7 +1388,9 @@ object PipelineOracles {
   // tables (the face's array form computes identical values through
   // zip_with folds); argmin via row_number ORDER BY dist, cid ≡ the
   // face's min-struct; exact floor means; empty clusters coalesce to
-  // the previous centroid.
+  // the previous centroid. Seeds = the 8 ACTUALLY-smallest vec_ids
+  // with cid = 0-based rank (the face's TakeOrdered seeding contract —
+  // not a `vec_id < 8` predicate, which under-seeds sparse id spaces).
   private val q224 = {
     def round_(i: Int, prev: String) =
       s"""d$i AS (SELECT e.vec_id, c.cid,
@@ -1409,8 +1411,11 @@ object PipelineOracles {
        |      * 1000) AS BIGINT) AS ev
        |  FROM (SELECT vec_id, embedding,
        |      unnest(generate_series(1, 64)) AS i FROM embeddings) u),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, ev AS cv
-       |  FROM e WHERE vec_id < 8),
+       |sd AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT 8) z),
+       |c0 AS (SELECT sd.cid, e.dim, e.ev AS cv
+       |  FROM e JOIN sd ON sd.vec_id = e.vec_id),
        |${round_(1, "c0")},
        |${round_(2, "c1")},
        |d3 AS (SELECT e.vec_id, c.cid,
@@ -1445,23 +1450,24 @@ object PipelineOracles {
        |      length(regexp_replace(x, '[A-Za-z]', '', 'g')) < length(x)))
        |      AS BIGINT) AS n_alpha,
        |    CAST(length(text) - length(replace(text, '#', ''))
-       |      + (length(text) - length(replace(text, '...', ''))) / 3
-       |      AS BIGINT) AS n_sym,
+       |      AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+       |      AS BIGINT) AS n_ellipsis,
        |    CAST(len(list_intersect(list_distinct(toks),
        |      list_value('the', 'be', 'to', 'of', 'and', 'that',
        |        'have', 'with'))) AS BIGINT) AS n_stop
        |  FROM t)
        |SELECT doc_id, n_words,
        |  floor(sum_len * 10000.0 / nullif(n_words, 0)) / 10000.0 AS mwl,
-       |  n_alpha, n_sym, n_stop,
+       |  n_alpha, n_hash, n_ellipsis, n_stop,
        |  (n_words >= 50 AND n_words <= 100000) AS r_words,
        |  (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r_mwl,
-       |  (n_sym * 10 <= n_words) AS r_sym,
+       |  (n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words) AS r_sym,
        |  (n_alpha * 10 >= n_words * 8) AS r_alpha,
        |  (n_stop >= 2) AS r_stop,
        |  (n_words >= 50 AND n_words <= 100000
        |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
-       |    AND n_sym * 10 <= n_words
+       |    AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
        |    AND n_alpha * 10 >= n_words * 8
        |    AND n_stop >= 2) AS gopher_pass
        |FROM c ORDER BY doc_id""".stripMargin
@@ -1557,7 +1563,7 @@ object PipelineOracles {
          |  FROM aa GROUP BY 1)
          |SELECT aa.cid, st.n,
          |  floor(sum(aa.dp) * 10000.0 / count(*)) / 10000.0 AS mean_d,
-  CAST(sum(CASE WHEN st.n * aa.dp - st.sd > 0
+         |  CAST(sum(CASE WHEN st.n * aa.dp - st.sd > 0
          |      AND (st.n * aa.dp - st.sd) * (st.n * aa.dp - st.sd)
          |      > 9 * (st.n * st.sdd - st.sd * st.sd)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
