@@ -277,8 +277,13 @@ object ScaleProbe {
     // frame must track the vocabulary LINEARLY (disjoint replica
     // vocabularies add disjoint edge sets — quadratic growth would
     // mean the co-occurrence build broke)
+    // round 17 addition: q230 under vocabulary growth — the gram
+    // df/keeper frame must track ×mult (it IS vocabulary-sized) and
+    // cover mass must track within-replica dup mass (×mult), with NO
+    // doc×doc term anywhere (the cover identity has no pair join)
     val probes = Seq("q202_boilerplate", "q205_source_syndication",
-        "q209_winnow_pairs", "q214_cms_heavy", "q216_textrank")
+        "q209_winnow_pairs", "q214_cms_heavy", "q216_textrank",
+        "q230_substr_removal")
       .map(n => n -> ((d: String) => SparkEntry.queries(n)(spark, d)))
     probes.foreach { case (_, f) =>
       try noop(f(baseDir)) catch { case _: Throwable => () }

@@ -1084,4 +1084,128 @@ object Dedup {
     graft.sources.Stores.ensureCommitted(docs.sparkSession, path,
       WinnowStoreMarker)(
       saveWinnowIndex(docs, idCol, textCol, path, maxDf))
+
+  /** Cross-document repeated-substring REMOVAL at arbitrary length
+    * (round 17; Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr transform): delete from
+    * each document every token passage of length ≥ `minRun` that also
+    * appears verbatim in an EARLIER document, keeping one canonical
+    * copy. The dedup family so far only DETECTS shared runs
+    * ([[winnowingPairs]]' fingerprint witnesses, q151/q205's
+    * whole-stream containment, q202's fixed 4-token corpus-common
+    * spans); this is the transform that actually removes them.
+    *
+    * **The cover identity — why no pair join exists.** "Remove every
+    * maximal cross-document shared run of length ≥ L" is EXACTLY
+    * "remove every token position covered by some L-gram whose
+    * cross-document frequency is ≥ 2": a shared run of length R ≥ L
+    * covers each of its positions with at least one L-window lying
+    * fully inside the run, and conversely a duplicated L-gram IS a
+    * shared run of length ≥ L containing every position it covers. So
+    * the transform needs only the L-gram document-frequency table —
+    * never the identity of the partner document, never a doc×doc (or
+    * even candidate-pair) join. Candidate volume is the
+    * duplicated-gram occurrence mass, strictly below the winnowing
+    * route (anchor at a shared fingerprint, extend by pairwise token
+    * comparison), which must materialize pairs before extending.
+    *
+    * **Keeper contract (deterministic keep-one-copy).** Each
+    * duplicated gram's KEEPER is the smallest doc id containing it; a
+    * position is removed iff some covering gram has df ≥ 2 AND this
+    * doc is not that gram's keeper. For a passage shared by docs
+    * a < b < …, doc a keeps it and every later doc loses it — the
+    * paper's remove-all-but-one-copy, pinned to min-id so any engine
+    * replays it. (A position in the keeper itself can still fall to a
+    * DIFFERENT overlapping gram kept by an even earlier doc — the
+    * per-gram-keeper semantics, stated here so the contract is exact.)
+    *
+    * **Output is segment-preserving.** `kept_text` joins surviving
+    * segments with '\n' (tokens within a segment by ' '): downstream
+    * L-grams can never span a removal point, which is what makes a
+    * second pass a no-op on the planted regime (every duplicated gram
+    * survives only in its keeper, so its df collapses to 1) —
+    * re-cleaning cleaned text is spec-tested.
+    *
+    * `maxDf` is a SEMANTIC dial here, not a scale valve (no pair join
+    * exists to blow up): grams in more than `maxDf` docs are
+    * corpus-common boilerplate better handled by q202's span gate, and
+    * a caller can exclude them from run removal. The contract face
+    * leaves it off.
+    *
+    * Scale shape: one tokenize pass (checkpoint-pinned — the gram
+    * index and the final reassembly both consume it, q185's rule); the
+    * df/keeper aggregate exchanges |distinct L-grams| rows; the cover
+    * join ships the tiny dup-gram table against gram occurrences
+    * UNHINTED (q114's rule); covered positions collapse per doc in one
+    * partial-aggregable collect_set (bounded by doc length); the final
+    * doc-keyed marry joins token arrays to the docs-with-removals
+    * frame (AQE broadcasts it in the sparse-dup regime; when dup mass
+    * is corpus-scale the key-partitioned join is intrinsic to the
+    * transform). Returns `(idCol, n_toks, n_removed, n_runs,
+    * clean_sig, kept_text)` — census, removed-segment count, the
+    * order-faithful commutative digest of kept (pos:token) pairs
+    * (q202's idiom — differential gates can't hash engine-ordered
+    * strings, so position bakes into each term of a plain SUM), and
+    * the cleaned text itself. */
+  def removeSharedRuns(docs: DataFrame, idCol: String, textCol: String,
+                       minRun: Int = 5,
+                       maxDf: Option[Long] = None): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val toksF = docs
+      .select(col(idCol).as("__id"),
+        expr(TextHashes.toks(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val grams = toksF
+      .filter(size(col("toks")) >= minRun)
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${minRun - 1}),
+           |  g -> array_join(slice(toks, cast(g as int), $minRun), ' '))"""
+          .stripMargin)).as(Seq("__p0", "gram")))
+      .select(col("__id"), (col("__p0") + 1).as("pos"), col("gram"))
+    val dup = grams
+      .groupBy(col("gram"))
+      .agg(count_distinct(col("__id")).as("df"),
+        min(col("__id")).as("keeper"))
+      .filter(col("df") >= 2 &&
+        maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)))
+      .select(col("gram"), col("keeper"))
+    val covered = grams.join(dup, Seq("gram"))
+      .filter(col("__id") =!= col("keeper"))
+      .select(col("__id"),
+        explode(expr(s"sequence(pos, pos + ${minRun - 1})")).as("cpos"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("cpos"))).as("covered"))
+    toksF.join(covered, Seq("__id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), expr("cast(array() as array<int>)")))
+      .withColumn("kept",
+        expr("array_except(sequence(1, size(toks)), covered)"))
+      .select(col("__id").as(idCol),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("covered")).cast("long").as("n_removed"),
+        // maximal removed segments: covered positions whose
+        // predecessor position is not covered (i is the lambda's
+        // 0-based index; element_at is 1-based, so element_at(covered,
+        // i) IS the previous element — the i = 0 branch short-circuits
+        // before the would-be element_at(covered, 0) error)
+        expr("""cast(size(filter(covered, (x, i) ->
+          |  i = 0 OR element_at(covered, i) <> x - 1)) as bigint)"""
+          .stripMargin).as("n_runs"),
+        // commutative order-faithful digest of the kept (pos:token)
+        // pairs — md5 once per kept token (the two-step map, nib32's
+        // rule), nibbles folded in the aggregate
+        expr(s"""cast(aggregate(
+          |  transform(kept, p -> md5(concat(cast(p as string), ':',
+          |    element_at(toks, p)))),
+          |  0L, (acc, m) -> acc + ${TextHashes.nib32("m")}) as bigint)"""
+          .stripMargin).as("clean_sig"),
+        // segments joined by newline (char(10) — ANSI mode leaves
+        // '\n' as two literal characters) so re-tokenization cannot
+        // form grams across a removal point
+        expr("""concat_ws('', transform(kept, (p, i) -> concat(
+          |  case when i = 0 then ''
+          |       when element_at(kept, i) = p - 1 then ' '
+          |       else char(10) end,
+          |  element_at(toks, p))))""".stripMargin).as("kept_text"))
+  }
 }

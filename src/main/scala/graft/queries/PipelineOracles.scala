@@ -1526,7 +1526,170 @@ object PipelineOracles {
        |  round(sum(ln(s)) / count(*), 4) + 0.0 AS avg_ll
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // q230 cross-document repeated-substring removal: the brute-force
+  // cover identity — a position is removed iff some duplicated 5-gram
+  // covers it and this doc is not the gram's min-id keeper; census via
+  // per-doc cover counts, maximal segments via lag islands, cleaned
+  // sequence pinned by the commutative SUM of 32-bit md5-nibble hashes
+  // of 'pos:token' over KEPT positions (q202's order-faithful idiom).
+  private val q230 = {
+    val v32 = (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(pos AS STRING) || ':' || tok), $i, 1)) - 1)" +
+        s" * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""WITH ${toksCte("")},
+       |g0 AS (SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - 4)) AS pos
+       |  FROM t WHERE len(toks) >= 5),
+       |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    array_to_string(array_slice(toks, pos, pos + 4), ' ') AS gram
+       |  FROM g0),
+       |d AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |    min(doc_id) AS keeper
+       |  FROM g GROUP BY gram),
+       |cv AS (SELECT DISTINCT doc_id, cpos FROM
+       |  (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS cpos
+       |   FROM g JOIN d ON d.gram = g.gram
+       |   WHERE d.df >= 2 AND d.keeper <> g.doc_id) cx),
+       |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+       |  FROM cv GROUP BY doc_id),
+       |rn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs FROM
+       |  (SELECT doc_id, cpos,
+       |     lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) AS prev
+       |   FROM cv) ix
+       |  WHERE prev IS NULL OR prev <> cpos - 1 GROUP BY doc_id),
+       |ap0 AS (SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks))) AS pos FROM t),
+       |ap AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    list_extract(toks, pos) AS tok FROM ap0),
+       |ks AS (SELECT ap.doc_id, CAST(sum($v32) AS BIGINT) AS sig
+       |  FROM ap LEFT JOIN cv ON cv.doc_id = ap.doc_id AND cv.cpos = ap.pos
+       |  WHERE cv.cpos IS NULL GROUP BY ap.doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+       |  coalesce(rm.n_removed, 0) AS n_removed,
+       |  coalesce(rn.n_runs, 0) AS n_runs,
+       |  CAST(coalesce(ks.sig, 0) AS BIGINT) AS clean_sig
+       |FROM t LEFT JOIN rm ON rm.doc_id = t.doc_id
+       |LEFT JOIN rn ON rn.doc_id = t.doc_id
+       |LEFT JOIN ks ON ks.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // q231–q235 product quantization: q224's k-means CTE shape with
+  // `sub` threaded through — all 8 subspace codebooks train in one
+  // chain; encoding/LUT/ADC are argmin/lookup joins over exact
+  // integers, so every face hash-gates. Subspace mapping via the
+  // floor-double idiom (integer `/` diverges between engines); seeds =
+  // the 16 smallest INDEXED vec_ids with cid = 0-based rank (q224's
+  // r17 seeding contract).
+  private val pqChain: String = {
+    def round_(i: Int, prev: String) =
+      s"""pd$i AS (SELECT ec.vec_id, ec.sub, c.cid,
+         |    CAST(sum((ec.ev - c.cv) * (ec.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM ec JOIN $prev c ON c.sub = ec.sub AND c.dim = ec.dim
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid)
+         |      AS rk FROM pd$i) x WHERE rk = 1),
+         |pu$i AS (SELECT a.sub, a.cid, ec.dim,
+         |    CAST(floor(sum(ec.ev) * CAST(1 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM pa$i a JOIN ec ON ec.vec_id = a.vec_id AND ec.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |pc$i AS (SELECT c.sub, c.cid, c.dim, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN pu$i u
+         |    ON u.sub = c.sub AND u.cid = c.cid AND u.dim = c.dim)"""
+        .stripMargin
+    s"""e0 AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+       |      * 1000) AS BIGINT) AS ev
+       |  FROM (SELECT vec_id, embedding,
+       |      unnest(generate_series(1, 64)) AS i FROM embeddings) u0),
+       |es AS (SELECT vec_id,
+       |    CAST(floor((i - 1) / CAST(8 AS DOUBLE)) AS BIGINT) AS sub,
+       |    CAST((i - 1) % 8 + 1 AS BIGINT) AS dim, ev FROM e0),
+       |ec AS (SELECT * FROM es WHERE vec_id >= 10),
+       |psd AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM ec ORDER BY vec_id LIMIT 16) z),
+       |pc0 AS (SELECT ec.sub, psd.cid, ec.dim, ec.ev AS cv
+       |  FROM ec JOIN psd ON psd.vec_id = ec.vec_id),
+       |${round_(1, "pc0")},
+       |${round_(2, "pc1")}""".stripMargin
+  }
+
+  /** Final-codebook encoding of the indexed corpus (requires pqChain). */
+  private val pqEnc =
+    """enc AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub,
+      |    cid, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist, cid) AS rk
+      |  FROM (SELECT ec.vec_id, ec.sub, c.cid,
+      |      CAST(sum((ec.ev - c.cv) * (ec.ev - c.cv)) AS BIGINT) AS dist
+      |    FROM ec JOIN pc2 c ON c.sub = ec.sub AND c.dim = ec.dim
+      |    GROUP BY 1, 2, 3) dd) x WHERE rk = 1)""".stripMargin
+
+  /** Probe LUT + ADC top-3 (requires pqChain + pqEnc). */
+  private val pqAdc =
+    """ep AS (SELECT * FROM es WHERE vec_id BETWEEN 4 AND 9),
+      |pl AS (SELECT ep.vec_id AS probe, c.sub, c.cid AS code,
+      |    CAST(sum((ep.ev - c.cv) * (ep.ev - c.cv)) AS BIGINT) AS pd
+      |  FROM ep JOIN pc2 c ON c.sub = ep.sub AND c.dim = ep.dim
+      |  GROUP BY 1, 2, 3),
+      |ad AS (SELECT pl.probe, enc.vec_id AS cand,
+      |    CAST(sum(pl.pd) AS BIGINT) AS adc
+      |  FROM enc JOIN pl ON pl.sub = enc.sub AND pl.code = enc.code
+      |  GROUP BY 1, 2),
+      |at3 AS (SELECT probe, CAST(rk AS BIGINT) AS rk, cand, adc FROM (
+      |  SELECT probe, cand, adc,
+      |    row_number() OVER (PARTITION BY probe ORDER BY adc, cand) AS rk
+      |  FROM ad) x WHERE rk <= 3)""".stripMargin
+
+  private val q231 =
+    s"""WITH $pqChain
+       |SELECT sub, cid, dim, cv AS c FROM pc2
+       |ORDER BY sub, cid, dim""".stripMargin
+
+  private val q232 =
+    s"""WITH $pqChain,
+       |$pqEnc
+       |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  private val q233 =
+    s"""WITH $pqChain,
+       |$pqEnc,
+       |$pqAdc
+       |SELECT probe, rk, cand, adc FROM at3 ORDER BY probe, rk""".stripMargin
+
+  private val q234 =
+    s"""WITH $pqChain,
+       |$pqEnc,
+       |$pqAdc,
+       |ex AS (SELECT probe, cand FROM (SELECT p.vec_id AS probe,
+       |    c.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      sum((p.ev - c.ev) * (p.ev - c.ev)), c.vec_id) AS rk
+       |  FROM es p JOIN es c ON c.sub = p.sub AND c.dim = p.dim
+       |  WHERE p.vec_id BETWEEN 4 AND 9 AND c.vec_id >= 10
+       |  GROUP BY p.vec_id, c.vec_id) x WHERE rk <= 3),
+       |pr AS (SELECT DISTINCT vec_id AS probe FROM ep),
+       |hits AS (SELECT a.probe, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM at3 a JOIN ex ON ex.probe = a.probe AND ex.cand = a.cand
+       |  GROUP BY 1)
+       |SELECT pr.probe, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / 3.0, 4) AS recall
+       |FROM pr LEFT JOIN hits h ON h.probe = pr.probe
+       |ORDER BY pr.probe""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q230_substr_removal" -> q230,
+    "q231_pq_train"       -> q231,
+    "q232_pq_encode"      -> q232,
+    "q233_pq_search"      -> q233,
+    "q234_pq_recall"      -> q234,
+    // q235 shares q233's oracle VERBATIM (q198's rule): ADC served from
+    // the committed codebooks+codes must equal the inline
+    // train-encode-search bit-for-bit
+    "q235_pq_store"       -> q233,
     "q219_hll_audit"      -> q219,
     "q220_funnel"         -> q220,
     "q223_pca_power"      -> q223,

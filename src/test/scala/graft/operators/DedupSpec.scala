@@ -454,4 +454,119 @@ class DedupSpec extends AnyFunSuite {
     assert(audit.map(_._2).toSet.subsetOf(keptReal),
       "every representative survives")
   }
+
+  // ---- removeSharedRuns (q230): Lee et al. 2021 ExactSubstr ----------
+
+  /** Scalar reference of the cover contract: a position is removed iff
+    * some duplicated minRun-gram covers it and this doc is not that
+    * gram's min-id keeper. Returns (n_toks, n_removed, n_runs,
+    * clean_sig, kept_text) per doc. */
+  private def scalarRemoveRuns(docs: Seq[(Long, String)], minRun: Int)
+      : Map[Long, (Long, Long, Long, Long, String)] = {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 8).map { i =>
+        val c = hex(i)
+        val v = if (c <= '9') c - '0' else c - 'a' + 10
+        v.toLong << (4 * (7 - i))
+      }.sum
+    }
+    val toks: Map[Long, Array[String]] = docs.map { case (id, t) =>
+      id -> t.trim.split(" ").filter(_.nonEmpty) }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      if ts.length >= minRun
+      i <- 1 to ts.length - minRun + 1
+    } yield (ts.slice(i - 1, i - 1 + minRun).mkString(" "), id, i)
+    val keeper: Map[String, Long] = occ.groupBy(_._1).collect {
+      case (g, os) if os.map(_._2).distinct.size >= 2 => g -> os.map(_._2).min
+    }
+    val covered: Map[Long, Set[Int]] = occ
+      .filter(o => keeper.get(o._1).exists(_ != o._2))
+      .flatMap(o => (o._3 until o._3 + minRun).map(p => o._2 -> p))
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    toks.map { case (id, ts) =>
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = (1 to ts.length).filterNot(cov)
+      val runs = cov.count(p => !cov(p - 1))
+      val sb = new StringBuilder
+      kept.zipWithIndex.foreach { case (p, i) =>
+        if (i > 0) sb.append(if (kept(i - 1) == p - 1) " " else "\n")
+        sb.append(ts(p - 1))
+      }
+      val sig = kept.map(p => h32(s"$p:${ts(p - 1)}")).sum
+      id -> ((ts.length.toLong, cov.size.toLong, runs.toLong, sig, sb.toString))
+    }
+  }
+
+  private def runsOut(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long, Long, String)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))).toMap
+
+  test("removeSharedRuns: planted run — keeper keeps, later doc loses " +
+      "exactly the run as one segment gap") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6 r7"
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3 a4"),
+      (2L, s"b1 b2 b3 $run b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")
+    ).toDF("doc_id", "text")
+    val out = runsOut(Dedup.removeSharedRuns(docs, "doc_id", "text"))
+    assert(out(1L)._5 == s"a1 a2 $run a3 a4", "min-id keeper is intact")
+    assert(out(1L)._2 == 0L)
+    assert(out(2L)._5 == "b1 b2 b3\nb4",
+      s"later doc loses exactly the run: ${out(2L)}")
+    assert(out(2L)._2 == 7L && out(2L)._3 == 1L)
+    assert(out(3L)._2 == 0L, "unrelated doc untouched")
+  }
+
+  test("removeSharedRuns: a shared run shorter than minRun is untouched; " +
+      "intra-doc repetition alone never removes (cross-document only)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 x1 x2 x3 x4 x5 x6"),
+      (2L, "s1 s2 s3 s4 y1 y2 y3 y4 y5 y6"), // shares only 4 tokens
+      (3L, "p1 p2 p3 p4 p5 z9 p1 p2 p3 p4 p5") // 5-gram twice, ONE doc
+    ).toDF("doc_id", "text")
+    val out = runsOut(Dedup.removeSharedRuns(docs, "doc_id", "text"))
+    assert(out.values.forall(_._2 == 0L),
+      s"nothing reaches the df>=2 5-gram bar: $out")
+  }
+
+  test("removeSharedRuns: 40 random shared-phrase corpora match the " +
+      "scalar cover reference, and re-cleaning cleaned text is a no-op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (c <- 1 to 40) {
+      val pool = (0 until 6).map(_ =>
+        Array.fill(3 + rnd.nextInt(6))(s"w${rnd.nextInt(9)}").mkString(" "))
+      val nDocs = 6 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val parts = (0 until 2 + rnd.nextInt(3)).map(_ =>
+          if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+          else Array.fill(2 + rnd.nextInt(6))(s"u${i}_${rnd.nextInt(50)}")
+            .mkString(" "))
+        (i.toLong, parts.mkString(" "))
+      }
+      val expect = scalarRemoveRuns(docs, 5)
+      val got = runsOut(Dedup.removeSharedRuns(
+        docs.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got == expect, s"case $c: corpus $docs")
+      // idempotence: every duplicated gram survives only in its keeper,
+      // so a second pass sees df = 1 everywhere; the '\n' segment joins
+      // keep re-tokenized grams from spanning removal points
+      val cleaned = got.toSeq.map { case (id, v) => (id, v._5) }
+        .filter(_._2.nonEmpty)
+      val again = runsOut(Dedup.removeSharedRuns(
+        cleaned.toDF("doc_id", "text"), "doc_id", "text"))
+      cleaned.foreach { case (id, t) =>
+        assert(again(id)._2 == 0L && again(id)._5 == t,
+          s"case $c: re-clean must be a no-op for doc $id")
+      }
+    }
+  }
 }

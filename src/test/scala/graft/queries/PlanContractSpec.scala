@@ -888,4 +888,51 @@ class PlanContractSpec extends AnyFunSuite {
       s"serve-only q228 ($s228) must stay within a vocabulary-bounded " +
         s"allowance of inline q226 ($i226)")
   }
+
+  test("q230 substring removal: exchanges are gram-table- and " +
+      "cover-mass-bounded — no pair join exists to blow up") {
+    val s230 = shuffled("q230_substr_removal")
+    info(s"q230 measured $s230")
+    // the df/keeper aggregate ships |distinct 5-grams| (≈ token volume
+    // at this corpus size, count_distinct two-phase), the cover join
+    // re-keys gram occurrences once, the covered-position collect is
+    // duplicated-gram mass × 5, and the final marry is doc-keyed; every
+    // term is linear in token volume with NO doc×doc term anywhere
+    // (measured 51,062 at sf0.001 ≈ 1.9× token volume)
+    val docs = graft.Tables.documents(spark, sf).count()
+    val toks = 55L * docs // corpus mean ≈ 54.3 tokens/doc
+    assert(s230 <= 6 * toks,
+      "substring removal must stay within a small multiple of token volume")
+  }
+
+  test("q231–q235 product quantization: training partials are " +
+      "(vector, sub)-keyed, update cells are fixed-space, the ADC " +
+      "rollup is probe-bounded, and the store serve matches inline") {
+    val m = Seq("q231_pq_train", "q232_pq_encode", "q233_pq_search",
+      "q234_pq_recall", "q235_pq_store")
+      .map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    val vecs = graft.Tables.embeddings(spark, sf).count()
+    // q231: 2 Lloyd rounds × (n·m argmin partials + ≤1,024 update
+    // cells × partitions) + the m·k codebook frame
+    assert(m("q231_pq_train") <= 2 * 8 * vecs + 64 * 1024,
+      "codebook training must exchange argmin partials + fixed cells only")
+    // q232: one more assignment pass over the trained books (n·m codes)
+    assert(m("q232_pq_encode") <= 3 * 8 * vecs + 64 * 1024,
+      "encoding is one assignment pass over the committed books")
+    // q233/q235: + the (probe, cand) ADC rollup (≤ |probes|·n partials)
+    // — probe-bounded by the audit contract; the LUT broadcasts
+    assert(m("q233_pq_search") <= 10 * 8 * vecs + 64 * 1024,
+      "ADC search adds only the probe-bounded rollup")
+    // the store face deletes the train+encode passes at serve time;
+    // within one JVM the build already ran, so its measured shuffle
+    // must stay at-or-below the inline twin's
+    assert(m("q235_pq_store") <= m("q233_pq_search"),
+      s"serve-only q235 (${m("q235_pq_store")}) must not exceed " +
+        s"inline q233 (${m("q233_pq_search")})")
+    // q234 adds the brute-force truth: probes×corpus ranked per probe
+    // (WindowGroupLimit prunes map-side) — audit-only cost
+    assert(m("q234_pq_recall") <= 20 * 8 * vecs + 64 * 1024,
+      "the recall audit stays probe-bounded")
+  }
 }
