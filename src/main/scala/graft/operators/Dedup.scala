@@ -731,7 +731,16 @@ object Dedup {
     * per band → finer pruning (2^bits buckets per band); more bands →
     * higher recall. The round-1 single-band/16-bucket default stopped
     * pruning at corpus scale; the default here is 2 bands × 8 bits
-    * (256 buckets each). Hot buckets star-link via `maxBucketSize`. */
+    * (256 buckets each). Hot buckets star-link via `maxBucketSize`.
+    *
+    * Choosing `bandDims` is a measured decision — q236's audit sweeps
+    * (bands × bits) against brute-force truth: the 2×8 default is the
+    * NEAR-DUP-regime config (θ→1 pairs collide in every band; the
+    * planted-dup recall DedupSpec pins), while at a θ=0.4 gray-zone
+    * threshold the measured curve shows no config both prunes and
+    * recalls (0.95 recall ⇒ 16×4 ⇒ 65% of all-pairs) — that regime
+    * belongs to [[semantic]]/[[semanticAudit]] (SemDeDup), not to more
+    * bands. */
   def embeddingCosine(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double,
                       bandDims: Seq[Seq[Int]] =
@@ -1084,6 +1093,21 @@ object Dedup {
     graft.sources.Stores.ensureCommitted(docs.sparkSession, path,
       WinnowStoreMarker)(
       saveWinnowIndex(docs, idCol, textCol, path, maxDf))
+
+  /** The q236 banding-audit sweep: (bands, bits) sign-LSH configs.
+    * Shared by the face AND the oracle generator so the two can never
+    * drift (TextHashes' one-definition rule). Dim layout per config:
+    * band j's bit i reads dim [[signLshDim]] — stride 64/bits with
+    * per-band offset j·(64/(bits·bands)), which reproduces
+    * [[embeddingCosine]]'s default 2×8 interleave exactly as the
+    * (2, 8) row. */
+  val signLshAuditConfigs: Seq[(Int, Int)] =
+    Seq((1, 8), (2, 8), (4, 8), (8, 8), (2, 4), (4, 4), (8, 4), (16, 4))
+
+  /** 1-based embedding dim read by band `j`'s bit `i` under config
+    * (bands, bits); requires bands·bits ≤ 64. */
+  def signLshDim(bands: Int, bits: Int, j: Int, i: Int): Int =
+    1 + j * (64 / (bits * bands)) + i * (64 / bits)
 
   /** Cross-document repeated-substring REMOVAL at arbitrary length
     * (round 17; Lee et al. 2021, "Deduplicating Training Data Makes

@@ -1680,8 +1680,55 @@ object PipelineOracles {
        |FROM pr LEFT JOIN hits h ON h.probe = pr.probe
        |ORDER BY pr.probe""".stripMargin
 
+  // q236 sign-LSH banding audit: per (bands × bits) config the
+  // band-bucket candidate pairs vs brute-force cosine ≥ 0.4 truth on
+  // the bounded universe; configs and dim layout come from
+  // Dedup.signLshAuditConfigs/signLshDim — ONE definition, zero drift.
+  private val q236 = {
+    val bandSelects = for {
+      (bb, rr) <- graft.operators.Dedup.signLshAuditConfigs
+      j <- 0 until bb
+    } yield {
+      val key = (0 until rr).map { i =>
+        val dim = graft.operators.Dedup.signLshDim(bb, rr, j, i)
+        s"(CASE WHEN CAST(list_extract(v, $dim) AS DOUBLE) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""SELECT vec_id, CAST($bb AS BIGINT) AS bands,
+         |    CAST($rr AS BIGINT) AS bits, $j AS band, $key AS key
+         |  FROM ve""".stripMargin
+    }
+    s"""WITH ve AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |tr AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM ve x JOIN ve y ON x.vec_id < y.vec_id
+       |  WHERE ${cos("x.v", "y.v")} >= 0.4),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr),
+       |bk AS (${bandSelects.mkString("\n  UNION ALL\n")}),
+       |cand AS (SELECT DISTINCT x.bands, x.bits, x.vec_id AS a,
+       |    y.vec_id AS b
+       |  FROM bk x JOIN bk y ON x.bands = y.bands AND x.bits = y.bits
+       |    AND x.band = y.band AND x.key = y.key
+       |    AND x.vec_id < y.vec_id),
+       |nc AS (SELECT bands, bits, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cand GROUP BY 1, 2),
+       |hit AS (SELECT c.bands, c.bits, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM cand c JOIN tr ON tr.a = c.a AND tr.b = c.b
+       |  GROUP BY 1, 2)
+       |SELECT nc.bands, nc.bits, tc.n_true, nc.n_cand,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  floor(coalesce(h.n_hit, 0) * 10000.0 / nullif(nc.n_cand, 0))
+       |    / 10000.0 AS precision,
+       |  floor(coalesce(h.n_hit, 0) * 10000.0 / nullif(tc.n_true, 0))
+       |    / 10000.0 AS recall
+       |FROM nc LEFT JOIN hit h ON h.bands = nc.bands AND h.bits = nc.bits
+       |CROSS JOIN tc
+       |ORDER BY nc.bands, nc.bits""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q230_substr_removal" -> q230,
+    "q236_signlsh_audit"  -> q236,
     "q231_pq_train"       -> q231,
     "q232_pq_encode"      -> q232,
     "q233_pq_search"      -> q233,

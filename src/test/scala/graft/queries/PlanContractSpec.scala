@@ -935,4 +935,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(m("q234_pq_recall") <= 20 * 8 * vecs + 64 * 1024,
       "the recall audit stays probe-bounded")
   }
+
+  test("q236 sign-LSH banding audit: exchanges are bucket- and " +
+      "candidate-mass-bounded on the audit universe") {
+    val s236 = shuffled("q236_signlsh_audit")
+    info(s"q236 measured $s236")
+    // 44 band rows per vector (Σ bands over the 8 configs) on the
+    // ≤300-vector universe + the distinct candidate set (≤ all-pairs
+    // on the universe by construction) + config-sized rollups; the
+    // truth side is a broadcast NLJ over the bounded universe and
+    // never shuffles data rows (measured 64,912 at sf0.001)
+    assert(s236 <= 600000,
+      "the banding audit must stay inside audit-universe mass")
+  }
 }
