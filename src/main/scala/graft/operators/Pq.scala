@@ -192,11 +192,15 @@ object Pq {
       topK)
   }
 
-  /** Pay-once build for the q235 face. */
-  def ensureStore(corpus: DataFrame, idCol: String, vecCol: String,
+  /** Pay-once build for the q235 face. `corpus` is BY-NAME: under
+    * trust-committed serving ([[graft.sources.Stores.TrustConf]]) a
+    * fresh process must be able to serve a committed store without
+    * even CONSTRUCTING the corpus frame (its parquet may be archived
+    * or gone — `StoresTrustSpec` serves against a deleted corpus). */
+  def ensureStore(spark: SparkSession, corpus: => DataFrame,
+                  idCol: String, vecCol: String,
                   path: String, m: Int = 8, dsub: Int = 8, k: Int = 16,
                   iterations: Int = 2): Unit =
-    graft.sources.Stores.ensureCommitted(corpus.sparkSession, path,
-      PqStoreMarker)(
+    graft.sources.Stores.ensureCommitted(spark, path, PqStoreMarker)(
       saveStore(corpus, idCol, vecCol, path, m, dsub, k, iterations))
 }

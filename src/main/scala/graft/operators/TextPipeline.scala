@@ -829,4 +829,157 @@ object TextPipeline {
                     path: String): Unit =
     graft.sources.Stores.ensureCommitted(train.sparkSession, path,
       LmStoreMarker)(saveLmStore(train, textCol, path))
+
+  // ---- iterative subword-vocabulary trainer (round 17, verdict #4) --
+
+  /** Distinct-word frame `(word, wc, len)` — occurrence counts over
+    * whitespace tokens, capped at `maxWordLen` chars (longer words are
+    * out of the training universe by contract; they are tail noise on
+    * this corpus and a fixed cap is what lets the oracle unroll the
+    * segmentation walk as a bounded CTE chain). */
+  private def wordFrame(docs: DataFrame, textCol: String,
+                        maxWordLen: Int): DataFrame =
+    docs.select(explode(expr(TextHashes.toks(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("len", length(col("word")))
+      .filter(col("len") <= maxWordLen)
+
+  /** Seed candidate pieces: every 2..maxPieceLen-char substring whose
+    * occurrence-weighted count reaches `minCount`. Single characters
+    * are IMPLICIT vocabulary (the segmenter's unconditional fallback),
+    * so no piece table ever carries them. */
+  private def seedPieces(words: DataFrame, maxPieceLen: Int,
+                         minCount: Long): DataFrame =
+    words
+      .select(col("wc"), explode(expr(
+        s"""flatten(transform(sequence(2, $maxPieceLen), l ->
+           |  CASE WHEN len < l THEN cast(array() as array<string>)
+           |  ELSE transform(sequence(1, len - l + 1),
+           |    p -> substring(word, cast(p as int), cast(l as int)))
+           |  END))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("piece"))
+
+  /** Longest-match step table: for every (word, position) the piece a
+    * greedy segmenter takes there — the longest vocab piece matching
+    * at `pos` (three unhinted left joins, maxPieceLen..2), single-char
+    * fallback. `substring` truncates at the word end on both engines,
+    * so an end-of-word probe can only match a correspondingly shorter
+    * piece — which IS the longest match there. */
+  private def stepFrame(words: DataFrame, vocab: DataFrame,
+                        maxPieceLen: Int): DataFrame = {
+    val pos = words.select(col("word"),
+      explode(expr("sequence(1, len)")).as("pos"))
+    val joined = (maxPieceLen to 2 by -1).foldLeft(pos) { (df, l) =>
+      df.join(vocab.select(col("piece").as(s"__p$l")),
+        expr(s"substring(word, pos, $l)") === col(s"__p$l"), "left")
+    }
+    val pick = coalesce(
+      ((maxPieceLen to 2 by -1).map(l => col(s"__p$l")) :+
+        expr("substring(word, pos, 1)")): _*)
+    joined.select(col("word"), col("pos"), pick.as("piece"))
+  }
+
+  /** Greedy longest-match segmentation of the word frame under a
+    * piece vocabulary: `(word, wc, len, n_pieces, seg)` with `seg` the
+    * pieces joined by ' '. The per-position step table collapses to
+    * one array per word (q96's positional reassembly), and the walk is
+    * a NARROW aggregate over at most `maxWordLen` steps — no iteration
+    * ever re-joins the corpus. */
+  private[graft] def greedySegment(words: DataFrame, vocab: DataFrame,
+                                   maxPieceLen: Int = 4,
+                                   maxWordLen: Int = 12): DataFrame = {
+    val arr = stepFrame(words, vocab, maxPieceLen)
+      .groupBy(col("word"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, piece))), z -> z.piece)")
+        .as("pieces"))
+    words.join(arr, Seq("word"))
+      .withColumn("__w", expr(
+        s"""aggregate(sequence(1, $maxWordLen),
+           |  named_struct('pos', 1, 'np', 0, 'seg', ''),
+           |  (st, x) -> CASE WHEN st.pos > len THEN st
+           |    ELSE named_struct(
+           |      'pos', st.pos + length(element_at(pieces, st.pos)),
+           |      'np', st.np + 1,
+           |      'seg', CASE WHEN st.seg = '' THEN element_at(pieces, st.pos)
+           |             ELSE concat(st.seg, ' ', element_at(pieces, st.pos))
+           |             END)
+           |    END)""".stripMargin))
+      .select(col("word"), col("wc"), col("len"),
+        col("__w.np").as("n_pieces"), col("__w.seg").as("seg"))
+  }
+
+  /** Iterative subword-vocabulary trainer (round 17, r16 verdict #4 —
+    * the BPE sibling): HARD-EM with greedy longest-match segmentation,
+    * the deterministic variant of Kudo 2018's unigram-LM trainer
+    * (SentencePiece) in the WordPiece encode style (Schuster &
+    * Nakajima 2012). Kudo's E-step is forward-backward EXPECTED counts
+    * — float sums a differential gate cannot replay bit-for-bit; the
+    * hard-EM E-step segments each word greedily (exact string matching
+    * only), the M-step recounts piece usage in exact integers, and the
+    * between-round prune is a plain threshold — every trainer state is
+    * a string or a BIGINT, so DuckDB replays the whole training run
+    * (the q216/q223/q224 fixed-point-iteration discipline applied to a
+    * tokenizer). Declared variant, stated openly: greedy-match hard-EM
+    * maximizes a different objective than unigram-LM marginal
+    * likelihood; what it keeps is the train/prune/re-segment loop and
+    * the subword vocabulary shape.
+    *
+    * Protocol: seed = all 2..maxPieceLen-char substrings with count ≥
+    * minCount; each round segments the word universe and keeps pieces
+    * with usage ≥ minCount; the returned table is the FINAL round's
+    * usage (single characters included as the implicit fallback they
+    * are; multi-char rows are exactly the final vocabulary, since the
+    * last segmentation only uses survivors).
+    *
+    * Scale shape: ONE corpus pass (the token count behind the word
+    * frame, checkpoint-pinned); everything after is word-vocabulary-
+    * bounded — (word, pos) step joins ≤ maxWordLen·|words| rows,
+    * usage aggregates |pieces|-bounded, the walk narrow. Train-once /
+    * serve-many like BPE (q185's family). */
+  def subwordTrain(docs: DataFrame, textCol: String,
+                   maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                   minCount: Long = 5, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = wordFrame(docs, textCol, maxWordLen).localCheckpoint(true)
+    var vocab = seedPieces(words, maxPieceLen, minCount)
+      .localCheckpoint(true)
+    var usage: DataFrame = null
+    for (r <- 1 to rounds) {
+      usage = greedySegment(words, vocab, maxPieceLen, maxWordLen)
+        .select(col("wc"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
+      if (r < rounds)
+        vocab = usage
+          .filter(length(col("piece")) >= 2 && col("usage") >= minCount)
+          .select(col("piece"))
+          .localCheckpoint(true)
+    }
+    usage
+  }
+
+  /** The final-vocabulary piece set a [[subwordTrain]] table implies:
+    * its multi-char rows, NO usage re-filter — every multi-char row
+    * was picked by the final segmentation pass, and greedy walks
+    * depend only on pieces picked at visited positions, so segmenting
+    * the same universe under exactly these pieces REPLAYS the final
+    * training round bit-for-bit (a second prune here would knock out
+    * low-usage survivors and silently change the encode). Single
+    * chars are the implicit fallback and never live in a table. */
+  def subwordVocab(trained: DataFrame): DataFrame =
+    trained.filter(length(col("piece")) >= 2)
+      .select(col("piece"))
+
+  /** Greedy segmentation of a corpus' word universe under a trained
+    * vocabulary — `(token, n_pieces, seg)`; replays the trainer's
+    * final round exactly when given [[subwordVocab]] of its output. */
+  def subwordSegment(docs: DataFrame, textCol: String, vocab: DataFrame,
+                     maxPieceLen: Int = 4,
+                     maxWordLen: Int = 12): DataFrame =
+    greedySegment(wordFrame(docs, textCol, maxWordLen), vocab,
+        maxPieceLen, maxWordLen)
+      .select(col("word").as("token"),
+        col("n_pieces").cast("long").as("n_pieces"), col("seg"))
 }

@@ -1726,9 +1726,107 @@ object PipelineOracles {
        |ORDER BY nc.bands, nc.bits""".stripMargin
   }
 
+  // q237–q239 subword trainer: the hard-EM greedy-match loop replayed
+  // CTE by CTE — seed substring counts, longest-match step tables
+  // (three LEFT JOINs, maxPieceLen..2, single-char fallback), the
+  // 12-round segmentation walk unrolled (q223's iteration-unroll
+  // discipline), usage → prune → re-segment. Every state is a string
+  // or BIGINT, so both rounds hash-gate.
+  private def swStep(name: String, vocab: String): String =
+    s"""${name}p AS (SELECT word, len,
+       |    CAST(pos AS INT) AS pos FROM
+       |  (SELECT word, len, unnest(generate_series(1, len)) AS pos
+       |   FROM wd) px),
+       |$name AS (SELECT p.word, p.pos,
+       |    coalesce(v4.piece, v3.piece, v2x.piece,
+       |      substr(p.word, p.pos, 1)) AS piece
+       |  FROM ${name}p p
+       |  LEFT JOIN $vocab v4 ON v4.piece = substr(p.word, p.pos, 4)
+       |  LEFT JOIN $vocab v3 ON v3.piece = substr(p.word, p.pos, 3)
+       |  LEFT JOIN $vocab v2x ON v2x.piece = substr(p.word, p.pos, 2))"""
+      .stripMargin
+
+  private def swRounds(tag: String, st: String): String = {
+    val rounds = (1 to 12).map { r =>
+      s"""w$tag$r AS (SELECT w.word, w.wc, w.len,
+         |    CASE WHEN w.pos > w.len THEN w.pos
+         |         ELSE w.pos + length(s.piece) END AS pos,
+         |    CASE WHEN w.pos > w.len THEN w.np ELSE w.np + 1 END AS np,
+         |    CASE WHEN w.pos > w.len THEN w.seg
+         |         WHEN w.seg = '' THEN s.piece
+         |         ELSE w.seg || ' ' || s.piece END AS seg
+         |  FROM w$tag${r - 1} w LEFT JOIN $st s
+         |    ON s.word = w.word AND s.pos = w.pos)""".stripMargin
+    }
+    s"""w${tag}0 AS (SELECT word, wc, len, 1 AS pos, 0 AS np, '' AS seg
+       |  FROM wd),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val swBase =
+    s"""${toksCte("")},
+       |wd AS (SELECT word, CAST(count(*) AS BIGINT) AS wc,
+       |    length(word) AS len
+       |  FROM (SELECT unnest(toks) AS word FROM t) wx
+       |  WHERE length(word) <= 12 GROUP BY word),
+       |sd0 AS (SELECT word, wc, len,
+       |    CAST(pos AS INT) AS pos FROM
+       |  (SELECT word, wc, len, unnest(generate_series(1, len)) AS pos
+       |   FROM wd) sx),
+       |sd1 AS (SELECT word, wc, len, pos, CAST(l AS INT) AS l FROM
+       |  (SELECT word, wc, len, pos, unnest(generate_series(2, 4)) AS l
+       |   FROM sd0) lx),
+       |v1 AS (SELECT piece FROM
+       |  (SELECT substr(word, pos, l) AS piece,
+       |      CAST(sum(wc) AS BIGINT) AS cnt
+       |   FROM sd1 WHERE pos + l - 1 <= len
+       |   GROUP BY substr(word, pos, l)) sc
+       |  WHERE cnt >= 5),
+       |${swStep("st1", "v1")},
+       |${swRounds("a", "st1")},
+       |u1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS usage FROM
+       |  (SELECT wc, unnest(string_split(seg, ' ')) AS piece
+       |   FROM wa12) ux GROUP BY piece),
+       |v2 AS (SELECT piece FROM u1
+       |  WHERE length(piece) >= 2 AND usage >= 5),
+       |${swStep("st2", "v2")},
+       |${swRounds("b", "st2")},
+       |u2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS usage FROM
+       |  (SELECT wc, unnest(string_split(seg, ' ')) AS piece
+       |   FROM wb12) uy GROUP BY piece)""".stripMargin
+
+  private val q237 =
+    s"""WITH $swBase
+       |SELECT piece, usage FROM u2 ORDER BY piece""".stripMargin
+
+  private val q238 =
+    s"""WITH $swBase
+       |SELECT word AS token, CAST(np AS BIGINT) AS n_pieces, seg
+       |FROM wb12 ORDER BY token""".stripMargin
+
+  private val q239 =
+    s"""WITH $swBase,
+       |tw AS (SELECT lang,
+       |    unnest(list_filter(string_split(trim(text), ' '),
+       |      x -> x <> '')) AS token
+       |  FROM documents),
+       |tl AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tw WHERE length(token) <= 12 GROUP BY 1, 2),
+       |f AS (SELECT tl.lang,
+       |    CAST(sum(tl.cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tl.cnt * w.np) AS BIGINT) AS n_pieces
+       |  FROM tl JOIN wb12 w ON w.word = tl.token GROUP BY 1)
+       |SELECT lang, n_tokens, n_pieces,
+       |  floor(n_pieces * 10000.0 / nullif(n_tokens, 0)) / 10000.0
+       |    AS fertility
+       |FROM f ORDER BY lang""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q230_substr_removal" -> q230,
     "q236_signlsh_audit"  -> q236,
+    "q237_subword_train"  -> q237,
+    "q238_subword_encode" -> q238,
+    "q239_subword_fert"   -> q239,
     "q231_pq_train"       -> q231,
     "q232_pq_encode"      -> q232,
     "q233_pq_search"      -> q233,

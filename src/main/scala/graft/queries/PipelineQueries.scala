@@ -2254,6 +2254,64 @@ object PipelineQueries {
       .orderBy("probe")
   }
 
+  /** q237 iterative subword-vocabulary training (round 17, r16 verdict
+    * #4 — [[graft.operators.TextPipeline.subwordTrain]]'s contract
+    * face): hard-EM with greedy longest-match segmentation, the
+    * deterministic variant of Kudo 2018's unigram-LM trainer in the
+    * WordPiece encode style (Schuster & Nakajima 2012) — the declared
+    * trade is stated in the operator doc (forward-backward EXPECTED
+    * counts are float state no hash gate can replay; greedy hard-EM
+    * keeps every trainer state a string or BIGINT, so the oracle
+    * replays the seed → segment → prune → re-segment loop CTE by CTE,
+    * the q216/q223/q224 discipline applied to a tokenizer). Contract:
+    * pieces ≤ 4 chars, words ≤ 12 chars, minCount 5, 2 rounds; output
+    * = the final round's exact usage table. */
+  def q237(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline.subwordTrain(documents(s, d), "text")
+      .orderBy("piece")
+
+  /** q238 subword encode face (round 17): greedy segmentation of the
+    * word universe under q237's final vocabulary
+    * ([[graft.operators.TextPipeline.subwordVocab]] — multi-char rows
+    * verbatim, no re-prune: greedy walks depend only on pieces picked
+    * at visited positions, so this REPLAYS the final training round
+    * bit-for-bit; q186's train→encode story for the subword family). */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.operators.TextPipeline.subwordSegment(docs, "text",
+        graft.operators.TextPipeline.subwordVocab(
+          graft.operators.TextPipeline.subwordTrain(docs, "text")))
+      .orderBy("token")
+  }
+
+  /** q239 subword fertility per language (round 17 — q193's audit for
+    * the subword family): occurrence-weighted pieces/token per lang
+    * under q237's vocabulary; the number that says whether the learned
+    * pieces actually compress each language or just memorize the head
+    * (fertility → 1 means whole words survive; → word length means
+    * the vocab degenerated to characters). Token volume appears only
+    * in the narrow explode feeding one (lang, token) count; the
+    * fertility join is vocabulary-sized both sides (unhinted). */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val seg = graft.operators.TextPipeline.subwordSegment(docs, "text",
+      graft.operators.TextPipeline.subwordVocab(
+        graft.operators.TextPipeline.subwordTrain(docs, "text")))
+    val tl = docs.select(col("lang"),
+        explode(expr(graft.operators.TextHashes.toks("text"))).as("token"))
+      .filter(length(col("token")) <= 12)
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    tl.join(seg, Seq("token"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_tokens"), col("n_pieces"),
+        (floor(col("n_pieces") * lit(10000.0) /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")))
+          / 10000.0).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** q236 sign-LSH banding-configuration audit (round 17, r16 verdict
     * #5 — q159's audit pattern for the EMBEDDING modality, q227's
     * sweep shape): measured precision/recall of sign-LSH CANDIDATE
@@ -2336,7 +2394,7 @@ object PipelineQueries {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = s"$wh/graft_pq_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
     val e = embeddings(s, d)
-    graft.operators.Pq.ensureStore(
+    graft.operators.Pq.ensureStore(s,
       e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("cand"), col("embedding")),
       "cand", "embedding", path)

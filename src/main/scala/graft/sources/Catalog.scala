@@ -418,12 +418,75 @@ object Catalog {
           .collect().foreach(r =>
             println(s"CATALOG_ROW|${r.getString(0)}|${r.getString(1)}"))
       } finally spark.stop()
+    // ---- versioned path-store verbs (round 17, r16 verdict #6) ------
+    // These serve PATH stores (Stores.commitVersioned), so they need no
+    // Derby home; sessions are plain local ones.
+    case "store_status" :: path :: Nil =>
+      val spark = pathSession()
+      try Stores.status(spark, path) match {
+        case Nil => println(s"CATALOG_STORE|$path|NO_MARKERS")
+        case ms => ms.foreach { case (m, v) =>
+          println(s"CATALOG_STORE|$path|$m|$v") }
+      } finally spark.stop()
+    case "pq_publish" :: path :: corpusParquet :: Nil =>
+      val spark = pathSession()
+      try graft.operators.Pq.saveStore(
+        spark.read.parquet(corpusParquet)
+          .selectExpr("vec_id as cand", "embedding"),
+        "cand", "embedding", path)
+      finally spark.stop()
+    // trust-committed serving: with trust=true the builder thunk (which
+    // reads corpusParquet) must NEVER evaluate — StoresTrustSpec runs
+    // this verb in a fresh JVM with the corpus DELETED and zero
+    // corpus-scanning jobs is proven by the serve succeeding at all,
+    // plus the printed scan-file census
+    case "pq_serve" :: path :: probesParquet :: corpusParquet ::
+        trust :: Nil =>
+      val spark = pathSession()
+      try {
+        spark.conf.set(Stores.TrustConf, trust)
+        // job census around the ensure: with trust on, resolving a
+        // committed marker is filesystem metadata only — ZERO Spark
+        // jobs may run (the count is read synchronously after ensure
+        // returns; nothing was submitted, so the async bus can't lag)
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                e: org.apache.spark.scheduler.SparkListenerJobStart)
+                : Unit = { jobs.incrementAndGet(); () }
+          })
+        graft.operators.Pq.ensureStore(spark,
+          spark.read.parquet(corpusParquet)
+            .selectExpr("vec_id as cand", "embedding"),
+          "cand", "embedding", path)
+        println(s"CATALOG_ENSURE_JOBS|${jobs.get}")
+        val probes = spark.read.parquet(probesParquet)
+          .selectExpr("vec_id as probe", "embedding")
+          .where("vec_id between 4 and 9")
+        graft.operators.Pq.searchStore(spark, path, probes, "probe",
+            "embedding")
+          .orderBy("probe", "rk")
+          .collect().foreach(r => println(
+            s"CATALOG_ROW|${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getLong(3)}"))
+      } finally spark.stop()
     case _ => sys.error(
       "usage: Catalog publish <home> <sfDir> [db] | Catalog sql <home> <query>" +
         " | Catalog bucketed <home> <sfDir> <table> <bucketCol> <buckets>" +
         " | Catalog index_publish <home> <sfDir> <name>" +
         " | Catalog index_search <home> <sfDir> <name>" +
         " | Catalog bpe_publish <home> <sfDir> <name>" +
-        " | Catalog bpe_encode <home> <sfDir> <name>")
+        " | Catalog bpe_encode <home> <sfDir> <name>" +
+        " | Catalog store_status <path>" +
+        " | Catalog pq_publish <storePath> <corpusParquet>" +
+        " | Catalog pq_serve <storePath> <probesParquet> <corpusParquet> <trust>")
   }
+
+  /** Plain local session for path-store verbs (no metastore). */
+  private def pathSession(): SparkSession =
+    graft.Sessions.configure(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
 }

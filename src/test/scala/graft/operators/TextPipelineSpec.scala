@@ -310,4 +310,92 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(5L)._2 > poolMax && got(5L)._2 < tgtMin,
       s"mixed doc (${got(5L)._2}) sits between the camps")
   }
+
+  // ---- subword trainer (q237–q239): scalar-reference parity ----------
+
+  /** Scalar replay of the hard-EM greedy-match contract. */
+  private def scalarSubword(texts: Seq[String], minCount: Long = 5,
+      rounds: Int = 2): (Map[String, Long], Set[String]) = {
+    val words = texts.flatMap(_.trim.split(" ").filter(_.nonEmpty))
+      .filter(_.length <= 12)
+    val wc = words.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val seedCnt = collection.mutable.Map[String, Long]()
+    for ((w, c) <- wc; l <- 2 to 4; p <- 0 to w.length - l) {
+      val s = w.substring(p, p + l)
+      seedCnt(s) = seedCnt.getOrElse(s, 0L) + c
+    }
+    def segment(w: String, vocab: Set[String]): Seq[String] = {
+      var pos = 0
+      val out = collection.mutable.Buffer[String]()
+      while (pos < w.length) {
+        val cand = Seq(4, 3, 2)
+          .map(l => w.substring(pos, math.min(pos + l, w.length)))
+        val hit = cand.find(vocab.contains)
+          .getOrElse(w.substring(pos, pos + 1))
+        out += hit
+        pos += hit.length
+      }
+      out.toSeq
+    }
+    var vocab: Set[String] = seedCnt.filter(_._2 >= minCount).keySet.toSet
+    var usage: Map[String, Long] = Map.empty
+    for (r <- 1 to rounds) {
+      usage = wc.toSeq
+        .flatMap { case (w, c) => segment(w, vocab).map(_ -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (r < rounds)
+        vocab = usage.collect {
+          case (p, u) if p.length >= 2 && u >= minCount => p }.toSet
+    }
+    (usage, usage.keySet.filter(_.length >= 2))
+  }
+
+  test("subwordTrain matches the scalar hard-EM reference on the real " +
+      "corpus slice; encode replays the final round and reconstructs " +
+      "every word") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 120).select("doc_id", "text")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val (expUsage, expVocab) = scalarSubword(texts)
+    val trained = TextPipeline.subwordTrain(docs, "text")
+    val gotUsage = trained.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotUsage == expUsage,
+      s"usage drift: extra=${(gotUsage.keySet -- expUsage.keySet).take(5)} " +
+        s"missing=${(expUsage.keySet -- gotUsage.keySet).take(5)}")
+    assert(expVocab.exists(_.length >= 2),
+      "the trainer must learn at least one multi-char piece")
+    val seg = TextPipeline.subwordSegment(docs, "text",
+        TextPipeline.subwordVocab(trained))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    seg.foreach { case (tok, np, s) =>
+      assert(s.replace(" ", "") == tok,
+        s"segmentation must reconstruct the word: $tok -> $s")
+      assert(np == s.split(" ").length.toLong)
+      s.split(" ").foreach(p => assert(p.length <= 4))
+    }
+    // encode ≡ the final training round: every multi-char piece used
+    // by the encode is a trained-vocab piece with matching usage mass
+    val encUsage = seg.flatMap { case (tok, _, s) =>
+      val c = texts.flatMap(_.trim.split(" ").filter(_.nonEmpty))
+        .count(_ == tok).toLong
+      s.split(" ").map(_ -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(encUsage == expUsage, "encode must replay the final round")
+  }
+
+  test("subword trainer: planted corpus learns the repeated stem and " +
+      "prunes the one-off junk") {
+    import spark.implicits._
+    // 'abcd' appears in many words; 'zxqw' appears once
+    val docs = ((1 to 10).map(i => (i.toLong, s"abcdef$i abcdxy"))
+      ++ Seq((99L, "zxqwpt"))).toDF("doc_id", "text")
+    val trained = TextPipeline.subwordTrain(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trained.contains("abcd"),
+      s"the repeated 4-char stem must survive training: $trained")
+    assert(!trained.keySet.exists(p => p.length >= 2 && p.contains("zxqw")
+        && trained(p) >= 5),
+      s"one-off junk must not reach the vocabulary: $trained")
+  }
 }

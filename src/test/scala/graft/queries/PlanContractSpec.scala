@@ -948,4 +948,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(s236 <= 600000,
       "the banding audit must stay inside audit-universe mass")
   }
+
+  test("q237–q239 subword trainer: everything after the one token " +
+      "count is word-vocabulary-bounded") {
+    val m = Seq("q237_subword_train", "q238_subword_encode",
+      "q239_subword_fert").map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    // the corpus-proportional exchange is the single (word) count
+    // behind the word frame (+ q239's (lang, token) count); step
+    // tables are ≤ 12·|words| rows per pass, usage aggregates
+    // |pieces|-bounded, the walk narrow
+    // (measured q237 595, q238 774, q239 908 at sf0.001 — the token
+    // count collapses map-side to the word vocabulary)
+    val docs = graft.Tables.documents(spark, sf).count()
+    val toks = 55L * docs
+    assert(m("q237_subword_train") <= 6 * toks,
+      "training must stay within a small multiple of the word universe")
+    assert(m("q238_subword_encode") <= 10 * toks,
+      "encode adds one more segmentation pass")
+    assert(m("q239_subword_fert") <= 12 * toks,
+      "fertility adds one (lang, token) count + a vocab-sized join")
+  }
 }
