@@ -317,6 +317,112 @@ object ScaleProbe {
     catch { case _: Throwable => () }
   }
 
+  /** STORE-SERVE latency probe (round 17, r16 verdict #7):
+    * `serving_probe.json` (round 11) predates the store family — this
+    * mode pins the per-batch serve cost of every committed-store face
+    * at TWO batch sizes, the way ANN's dividend was pinned. All stores
+    * build once from the full base corpus OUTSIDE the timers (build is
+    * the pay-once ingest side, reported separately); each serve is
+    * then measured warm — wall seconds + shuffle records — for a small
+    * (25-doc/vec) and a 10× (250-doc/vec) batch. The serve-side
+    * contract: cost tracks the BATCH (and the store's table sizes),
+    * never the corpus — the ratio between the two batch rows is the
+    * evidence. HLL has no batch side (merge-on-read of the committed
+    * registers) and reports one row. */
+  private def storeServeProbe(spark: SparkSession, baseDir: String): Unit = {
+    import graft.operators.{Dedup, Pq, Sketches, TextHashes, TextPipeline}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_storeserve").toString
+    val docs = Tables.documents(spark, baseDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
+    val embs = Tables.embeddings(spark, baseDir)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def shingles(d: DataFrame) = d
+      .select(col("doc_id"),
+        expr(TextHashes.toks("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(TextHashes.shingleTransform("toks"))).as("s"))
+      .distinct()
+    def words(d: DataFrame) = d
+      .select(explode(expr(TextHashes.toks("text"))).as("tok"))
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+
+    // ---- builds (pay-once, outside serve timers) ---------------------
+    def timed(f: => Unit): Double = time(f)
+    val builds = Seq(
+      "boilerplate" -> timed(TextPipeline.saveBoilerplateStore(
+        docs, "doc_id", "text", s"$root/bp")),
+      "winnow" -> timed(Dedup.saveWinnowIndex(
+        docs, "doc_id", "text", s"$root/win", maxDf = Some(64))),
+      "dsir" -> timed(TextPipeline.saveDsirStore(
+        docs, "doc_id", "text", col("lang") === "en", s"$root/dsir")),
+      "bloom" -> timed(Sketches.saveBloomStore(
+        shingles(docs).select(col("s")), "s", s"$root/bloom")),
+      "cms" -> timed(Sketches.saveCmsStore(
+        words(docs), "tok", s"$root/cms")),
+      "hll" -> timed(Sketches.saveHllStore(
+        Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+          .map(d => d.select(col("source"),
+            explode(expr(TextHashes.toks("text"))).as("tok"))),
+        "source", "tok", s"$root/hll")),
+      "lm" -> timed(TextPipeline.saveLmStore(
+        docs.filter(col("doc_id") % 2 === 0), "text", s"$root/lm")),
+      "semantic" -> timed(Dedup.saveSemanticStore(
+        embs, "vec_id", "embedding", cents, "cid", "embedding",
+        s"$root/sem")),
+      "pq" -> timed(Pq.saveStore(
+        embs.select(col("vec_id").as("cand"), col("embedding")),
+        "cand", "embedding", s"$root/pq")))
+
+    // ---- serves at two batch sizes -----------------------------------
+    def dBatch(n: Int) = docs.filter(col("doc_id") < n)
+    def eBatch(n: Int) = embs.filter(col("vec_id") < n)
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val serves: Seq[(String, Int, () => DataFrame)] =
+      Seq(25, 250).flatMap { n =>
+        Seq(
+          ("boilerplate", n, () => TextPipeline.boilerplateServe(
+            spark, s"$root/bp", dBatch(n), "doc_id", "text")),
+          ("winnow", n, () => Dedup.winnowServe(
+            spark, s"$root/win", dBatch(n), "doc_id", "text")),
+          ("dsir", n, () => TextPipeline.dsirServe(
+            spark, s"$root/dsir", dBatch(n), "doc_id", "text")),
+          ("bloom", n, () => Sketches.bloomServe(
+            spark, s"$root/bloom", shingles(dBatch(n)), "doc_id", "s")),
+          ("cms", n, () => Sketches.cmsServe(
+            spark, s"$root/cms", words(dBatch(n)).distinct(), "tok")),
+          ("lm", n, () => TextPipeline.lmServe(
+            spark, s"$root/lm", dBatch(n), "doc_id", "text")),
+          ("semantic", n, () => Dedup.semanticServeAudit(
+            spark, s"$root/sem",
+            embs.filter(col("vec_id") < n), "vec_id", "embedding")),
+          ("pq", n, () => Pq.searchStore(
+            spark, s"$root/pq", eBatch(n), "probe", "embedding")))
+      } :+ (("hll", 0, () => Sketches.hllServe(spark, s"$root/hll", "source")))
+    serves.foreach { case (_, _, f) =>
+      try noop(f()) catch { case _: Throwable => () } // warm
+    }
+    val rows = serves.map { case (name, n, f) =>
+      var ss: Metrics.ShuffleStats = null
+      val t = { val t0 = System.nanoTime()
+        ss = Metrics.shuffleOf(spark)(noop(f()))
+        (System.nanoTime() - t0) / 1e9 }
+      f""""${name}_b$n":{"wall":$t%.3f,"shuffle_rec":${ss.recordsWritten}}"""
+    }
+    val bjson = builds
+      .map { case (n, t) => f""""$n":$t%.3f""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"storeserve_probe","base":"$baseDir",""" +
+      s""""build_s":$bjson,"serves":${rows.mkString("{", ",", "}")}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("serving_probe_r17.json"), json + "\n")
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("spanvocab")) {
       val mult = args.lift(1).map(_.toInt).getOrElse(10)
@@ -357,6 +463,19 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try servingProbe(spark, baseDir) finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("storeserve")) {
+      val baseDir = args.lift(1).getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = Sessions.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try storeServeProbe(spark, baseDir) finally spark.stop()
       return
     }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
