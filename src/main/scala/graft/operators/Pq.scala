@@ -43,18 +43,24 @@ import org.apache.spark.sql.functions._
   * even re-sees the raw vector corpus. */
 object Pq {
 
-  /** Quantized subvector frame: `(__id, sub, e)` — sub 0-based,
-    * e = dsub BIGINT components at the 1e3 fixed point. */
-  private def subvecs(vecs: DataFrame, idCol: String, vecCol: String,
-                      m: Int, dsub: Int): DataFrame =
-    vecs
-      .select(col(idCol).as("__id"),
-        expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
-          .as("q"))
-      .select(col("__id"), posexplode(expr(
+  /** Float vectors → `(__id, q)` at the 1e3 fixed point. */
+  private def quantize(vecs: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+        .as("q"))
+
+  /** Subvector split of an already-quantized `(__id, q)` frame:
+    * `(__id, sub, e)` — sub 0-based, e = dsub BIGINT components. */
+  private def subvecsOf(qf: DataFrame, m: Int, dsub: Int): DataFrame =
+    qf.select(col("__id"), posexplode(expr(
         s"transform(sequence(1, $m), s -> slice(q, cast((s - 1) * $dsub + 1 as int), $dsub))"))
         .as(Seq("__s0", "e")))
       .select(col("__id"), col("__s0").cast("int").as("sub"), col("e"))
+
+  private def subvecs(vecs: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dsub: Int): DataFrame =
+    subvecsOf(quantize(vecs, idCol, vecCol), m, dsub)
 
   private val dist = expr(
     "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
@@ -73,9 +79,16 @@ object Pq {
     * `c` the dsub-wide exact-integer centroid. */
   def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
                      m: Int = 8, dsub: Int = 8, k: Int = 16,
+                     iterations: Int = 2): DataFrame =
+    trainQuantized(quantize(vecs, idCol, vecCol), m, dsub, k, iterations)
+
+  /** [[trainCodebooks]] over an already-quantized `(__id, q)` frame —
+    * the form IVF-ADC trains on exact-integer RESIDUALS. */
+  private[graft] def trainQuantized(qf: DataFrame,
+                     m: Int = 8, dsub: Int = 8, k: Int = 16,
                      iterations: Int = 2): DataFrame = {
-    val sv = subvecs(vecs, idCol, vecCol, m, dsub).localCheckpoint(true)
-    val seedIds = vecs.select(col(idCol).as("__id"))
+    val sv = subvecsOf(qf, m, dsub).localCheckpoint(true)
+    val seedIds = qf.select(col("__id"))
       .orderBy(col("__id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
@@ -107,8 +120,14 @@ object Pq {
     * `(idCol, sub, code)`. */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
              codebooks: DataFrame, m: Int = 8, dsub: Int = 8): DataFrame =
-    assign(subvecs(vecs, idCol, vecCol, m, dsub), codebooks)
-      .select(col("__id").as(idCol), col("sub"), col("cid").as("code"))
+    encodeQuantized(quantize(vecs, idCol, vecCol), codebooks, m, dsub)
+      .withColumnRenamed("__id", idCol)
+
+  /** [[encode]] over an already-quantized `(__id, q)` frame. */
+  private[graft] def encodeQuantized(qf: DataFrame, codebooks: DataFrame,
+             m: Int = 8, dsub: Int = 8): DataFrame =
+    assign(subvecsOf(qf, m, dsub), codebooks)
+      .select(col("__id"), col("sub"), col("cid").as("code"))
 
   /** The probe-side ADC lookup table — `(probe, sub, code, pd)`:
     * exact subspace distance from each probe subvector to each
@@ -191,6 +210,161 @@ object Pq {
     searchCodes(codes, "cand", probes, probeIdCol, vecCol, cb, m, dsub,
       topK)
   }
+
+  // ---- IVF-ADC (Jégou 2011 §IV — the composed serving index) --------
+
+  private val coarseDist = expr(
+    "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** Top-`keep` coarse lists per vector: `(__id, cid, q, c)` rows for
+    * the nearest `keep` centroids under the exact-integer distance +
+    * (dist, cid) tie rule. `coarse` = (cid int, c array<bigint>). */
+  private def coarseAssign(qf: DataFrame, coarse: DataFrame,
+                           keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cd").asc, col("cid").asc)
+    qf.crossJoin(broadcast(coarse))
+      .select(col("__id"), col("cid"), col("q"), col("c"),
+        coarseDist.as("__cd"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= keep)
+      .select(col("__id"), col("cid"),
+        expr("zip_with(q, c, (a, b) -> a - b)").as("q"))
+  }
+
+  /** IVF-ADC search, inline (round 17 — the composition the store-
+    * serve probe named as PQ's at-scale escape, made real): corpus
+    * vectors assign to their nearest coarse centroid (q224's exact
+    * distance/tie contract), PQ codebooks train on the exact-integer
+    * RESIDUALS (x − coarse centroid — Jégou §IV's key move: residual
+    * energy is what the codes must capture), and each probe searches
+    * only its `nprobe` nearest lists with a per-(probe, list) residual
+    * LUT. Candidate cost per probe drops from |corpus codes| (q233's
+    * flat ADC) to the probed lists' share — the partition-pruned store
+    * twin is [[saveIvfAdcStore]]/[[searchIvfAdcStore]].
+    *
+    * Everything stays in the fixed-point contract (quantized BIGINT
+    * vectors, integer residuals, exact distances, (dist, id) ties), so
+    * the DuckDB oracle replays coarse assignment, residual codebook
+    * training, encoding, AND the probed-list ADC bit-for-bit. */
+  def ivfAdcSearch(corpus: DataFrame, candIdCol: String,
+                   probes: DataFrame, probeIdCol: String, vecCol: String,
+                   coarse: DataFrame, m: Int = 8, dsub: Int = 8,
+                   k: Int = 16, iterations: Int = 2, nprobe: Int = 2,
+                   topK: Int = 3): DataFrame = {
+    val assigned = coarseAssign(
+        quantize(corpus, candIdCol, vecCol), coarse, 1)
+      .localCheckpoint(true) // residual frame: train + encode + list map
+    val cb = trainQuantized(assigned.select(col("__id"), col("q")),
+      m, dsub, k, iterations)
+    val codes = encodeQuantized(assigned.select(col("__id"), col("q")),
+        cb, m, dsub)
+      .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
+    searchIvfCodes(codes.select(col("__id").as("cand"), col("cid"),
+        col("sub"), col("code")),
+      probes, probeIdCol, vecCol, coarse, cb, m, dsub, nprobe, topK)
+      .withColumnRenamed("cand", candIdCol)
+  }
+
+  /** Probed-list ADC over an IVF-partitioned codes frame
+    * `(cand, cid, sub, code)`: per-(probe, list) residual LUT
+    * broadcast, candidates meet it ONLY on their own list's key —
+    * `(probe, rk, cand, adc)`. */
+  private def searchIvfCodes(codes: DataFrame,
+                             probes: DataFrame, probeIdCol: String,
+                             vecCol: String, coarse: DataFrame,
+                             codebooks: DataFrame, m: Int, dsub: Int,
+                             nprobe: Int, topK: Int): DataFrame = {
+    val probed = coarseAssign(
+      quantize(probes, probeIdCol, vecCol), coarse, nprobe)
+    val plut = probed
+      .select(col("__id").as("probe"), col("cid"), posexplode(expr(
+        s"transform(sequence(1, $m), s -> slice(q, cast((s - 1) * $dsub + 1 as int), $dsub))"))
+        .as(Seq("__s0", "e")))
+      .select(col("probe"), col("cid"),
+        col("__s0").cast("int").as("sub"), col("e"))
+      .join(broadcast(codebooks
+        .select(col("sub"), col("cid").as("code"), col("c"))), Seq("sub"))
+      .select(col("probe"), col("cid"), col("sub"), col("code"),
+        dist.as("pd"))
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("adc").asc, col("cand").asc)
+    codes.join(broadcast(plut), Seq("cid", "sub", "code"))
+      .groupBy(col("probe"), col("cand"))
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("probe"), col("rk"), col("cand"), col("adc"))
+  }
+
+  private val IvfAdcStoreMarker = "_graft_ivfadcstore_committed"
+
+  /** Land the IVF-ADC index under ONE versioned commit: coarse
+    * centroids, residual codebooks, and codes PARTITIONED BY list id —
+    * the layout where a serve's IO is the probed lists' directories
+    * and nothing else (`Ann.saveIndex`'s partition-pruning discipline
+    * applied to PQ codes). */
+  def saveIvfAdcStore(corpus: DataFrame, idCol: String, vecCol: String,
+                      coarse: DataFrame, path: String, m: Int = 8,
+                      dsub: Int = 8, k: Int = 16, iterations: Int = 2)
+      : Unit = {
+    val spark = corpus.sparkSession
+    graft.sources.Stores.commitVersioned(spark, path,
+        IvfAdcStoreMarker) { dir =>
+      val assigned = coarseAssign(
+          quantize(corpus, idCol, vecCol), coarse, 1)
+        .localCheckpoint(true)
+      val cb = trainQuantized(assigned.select(col("__id"), col("q")),
+        m, dsub, k, iterations)
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+      encodeQuantized(assigned.select(col("__id"), col("q")), cb, m, dsub)
+        .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
+        .select(col("__id").as("cand"), col("cid"), col("sub"),
+          col("code"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$dir/codes")
+    }
+  }
+
+  /** Serve IVF-ADC from a COMMITTED store: the probed list ids are
+    * resolved driver-side (≤ nprobe·|probes| values — probe batches
+    * are bounded, q115's discipline) and pushed as PARTITION filters
+    * into the codes scan, so serve-time IO is the probed directories
+    * only; identical results to [[ivfAdcSearch]] (the q235 hash
+    * discipline). Refuses an uncommitted/torn store. */
+  def searchIvfAdcStore(spark: SparkSession, path: String,
+                        probes: DataFrame, probeIdCol: String,
+                        vecCol: String, m: Int = 8, dsub: Int = 8,
+                        nprobe: Int = 2, topK: Int = 3): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, IvfAdcStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: IVF-ADC store at $path has no commit " +
+          s"marker ($IvfAdcStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveIvfAdcStore"))
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val probedLists = coarseAssign(
+        quantize(probes, probeIdCol, vecCol), coarse, nprobe)
+      .select(col("cid")).distinct()
+      .collect().map(_.getInt(0)) // metadata: ≤ |coarse| values
+    val codes = spark.read.parquet(s"$dir/codes")
+      .where(col("cid").isin(probedLists.toSeq: _*))
+    searchIvfCodes(codes, probes, probeIdCol, vecCol, coarse, cb,
+      m, dsub, nprobe, topK)
+  }
+
+  /** Pay-once build for the q241 face (by-name corpus — the trust-mode
+    * rule [[ensureStore]] documents). */
+  def ensureIvfAdcStore(spark: SparkSession, corpus: => DataFrame,
+                        idCol: String, vecCol: String,
+                        coarse: => DataFrame, path: String, m: Int = 8,
+                        dsub: Int = 8, k: Int = 16,
+                        iterations: Int = 2): Unit =
+    graft.sources.Stores.ensureCommitted(spark, path, IvfAdcStoreMarker)(
+      saveIvfAdcStore(corpus, idCol, vecCol, coarse, path, m, dsub, k,
+        iterations))
 
   /** Pay-once build for the q235 face. `corpus` is BY-NAME: under
     * trust-committed serving ([[graft.sources.Stores.TrustConf]]) a

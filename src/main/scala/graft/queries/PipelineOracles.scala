@@ -1821,9 +1821,96 @@ object PipelineOracles {
        |    AS fertility
        |FROM f ORDER BY lang""".stripMargin
 
+  // q240/q241 IVF-ADC: coarse assignment to the 8 pinned centroids,
+  // PQ codebooks trained on exact-integer RESIDUALS (q231's CTE shape
+  // over the residual frame), probed-list ADC with per-(probe, list)
+  // residual LUTs — the whole composed index replayed bit-for-bit.
+  private val q240 = {
+    def round_(i: Int, prev: String) =
+      s"""rd$i AS (SELECT rc.vec_id, rc.sub, c.cid,
+         |    CAST(sum((rc.ev - c.cv) * (rc.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM rc JOIN $prev c ON c.sub = rc.sub AND c.dim = rc.dim
+         |  GROUP BY 1, 2, 3),
+         |ra$i AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid)
+         |      AS rk FROM rd$i) x WHERE rk = 1),
+         |ru$i AS (SELECT a.sub, a.cid, rc.dim,
+         |    CAST(floor(sum(rc.ev) * CAST(1 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM ra$i a JOIN rc ON rc.vec_id = a.vec_id AND rc.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |rc$i AS (SELECT c.sub, c.cid, c.dim, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN ru$i u
+         |    ON u.sub = c.sub AND u.cid = c.cid AND u.dim = c.dim)"""
+        .stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+       |      * 1000) AS BIGINT) AS ev
+       |  FROM (SELECT vec_id, embedding,
+       |      unnest(generate_series(1, 64)) AS i FROM embeddings) u0),
+       |cc AS (SELECT CAST(vec_id AS INT) AS ccid, i, ev AS cv
+       |  FROM e0 WHERE vec_id < 8),
+       |cd AS (SELECT e.vec_id, c.ccid,
+       |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS cdist
+       |  FROM e0 e JOIN cc c ON c.i = e.i WHERE e.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ca AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid)
+       |      AS rk FROM cd) x WHERE rk = 1),
+       |rc AS (SELECT e.vec_id,
+       |    CAST(floor((e.i - 1) / CAST(8 AS DOUBLE)) AS BIGINT) AS sub,
+       |    CAST((e.i - 1) % 8 + 1 AS BIGINT) AS dim, e.ev - c.cv AS ev
+       |  FROM e0 e JOIN ca ON ca.vec_id = e.vec_id
+       |  JOIN cc c ON c.ccid = ca.ccid AND c.i = e.i),
+       |rsd AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM rc ORDER BY vec_id LIMIT 16) z),
+       |rc0 AS (SELECT rc.sub, rsd.cid, rc.dim, rc.ev AS cv
+       |  FROM rc JOIN rsd ON rsd.vec_id = rc.vec_id),
+       |${round_(1, "rc0")},
+       |${round_(2, "rc1")},
+       |enc AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub,
+       |    cid, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist, cid) AS rk
+       |  FROM (SELECT rc.vec_id, rc.sub, c.cid,
+       |      CAST(sum((rc.ev - c.cv) * (rc.ev - c.cv)) AS BIGINT) AS dist
+       |    FROM rc JOIN rc2 c ON c.sub = rc.sub AND c.dim = rc.dim
+       |    GROUP BY 1, 2, 3) dd) x WHERE rk = 1),
+       |pcd AS (SELECT e.vec_id AS probe, c.ccid,
+       |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS cdist
+       |  FROM e0 e JOIN cc c ON c.i = e.i
+       |  WHERE e.vec_id BETWEEN 4 AND 9 GROUP BY 1, 2),
+       |pp AS (SELECT probe, ccid FROM (SELECT probe, ccid,
+       |    row_number() OVER (PARTITION BY probe ORDER BY cdist, ccid)
+       |      AS rk FROM pcd) x WHERE rk <= 2),
+       |pres AS (SELECT p.probe, p.ccid,
+       |    CAST(floor((e.i - 1) / CAST(8 AS DOUBLE)) AS BIGINT) AS sub,
+       |    CAST((e.i - 1) % 8 + 1 AS BIGINT) AS dim, e.ev - c.cv AS ev
+       |  FROM pp p JOIN e0 e ON e.vec_id = p.probe
+       |  JOIN cc c ON c.ccid = p.ccid AND c.i = e.i),
+       |pl AS (SELECT pr.probe, pr.ccid, pr.sub, b.cid AS code,
+       |    CAST(sum((pr.ev - b.cv) * (pr.ev - b.cv)) AS BIGINT) AS pd
+       |  FROM pres pr JOIN rc2 b ON b.sub = pr.sub AND b.dim = pr.dim
+       |  GROUP BY 1, 2, 3, 4),
+       |ad AS (SELECT pl.probe, enc.vec_id AS cand,
+       |    CAST(sum(pl.pd) AS BIGINT) AS adc
+       |  FROM enc JOIN ca ON ca.vec_id = enc.vec_id
+       |  JOIN pl ON pl.ccid = ca.ccid AND pl.sub = enc.sub
+       |    AND pl.code = enc.code
+       |  GROUP BY 1, 2)
+       |SELECT probe, CAST(rk AS BIGINT) AS rk, cand, adc FROM (
+       |  SELECT probe, cand, adc,
+       |    row_number() OVER (PARTITION BY probe ORDER BY adc, cand) AS rk
+       |  FROM ad) x WHERE rk <= 3 ORDER BY probe, rk""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q230_substr_removal" -> q230,
     "q236_signlsh_audit"  -> q236,
+    "q240_ivfadc"         -> q240,
+    // q241 shares q240's oracle VERBATIM (q198's rule): partition-
+    // pruned store-served IVF-ADC ≡ inline bit-for-bit
+    "q241_ivfadc_store"   -> q240,
     "q237_subword_train"  -> q237,
     "q238_subword_encode" -> q238,
     "q239_subword_fert"   -> q239,

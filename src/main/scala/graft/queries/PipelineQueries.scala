@@ -2254,6 +2254,60 @@ object PipelineQueries {
       .orderBy("probe")
   }
 
+  /** The q240/q241 coarse quantizer: the 8 fixed seed centroids
+    * (vec_id < 8, quantized — q183/q229's pinned-pivot convention). */
+  private def pqCoarse(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c"))
+
+  /** q240 IVF-ADC search, inline (round 17 —
+    * [[graft.operators.Pq.ivfAdcSearch]]'s contract face; Jégou 2011
+    * §IV): corpus vectors assign to their nearest of the 8 pinned
+    * coarse centroids, PQ codebooks train on the exact-integer
+    * RESIDUALS, each probe searches only its nprobe = 2 nearest lists
+    * through a per-(probe, list) residual LUT. This is the composition
+    * the store-serve probe adjudicated as PQ's at-scale escape (q233's
+    * flat ADC scans every code; here candidate mass is the probed
+    * lists' share) — and the whole chain stays in the fixed-point
+    * contract, so the oracle replays coarse assignment, residual
+    * training, encoding, and the probed-list ADC bit-for-bit. */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    graft.operators.Pq.ivfAdcSearch(
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand"), col("embedding")), "cand",
+        e.filter(col("vec_id").between(4, 9))
+          .select(col("vec_id").as("probe"), col("embedding")), "probe",
+        "embedding", pqCoarse(s, d))
+      .orderBy("probe", "rk")
+  }
+
+  /** q241 IVF-ADC from the COMMITTED partition-pruned store (round
+    * 17): coarse centroids + residual codebooks + codes PARTITIONED BY
+    * list id under ONE versioned commit
+    * ([[graft.operators.Pq.saveIvfAdcStore]]); at serve time the
+    * probed list ids resolve driver-side (metadata, ≤ nprobe·|probes|)
+    * and push down as PARTITION filters, so the codes scan reads the
+    * probed directories only — `Ann.saveIndex`'s pruning discipline
+    * applied to PQ codes. Oracle = q240 VERBATIM (store-served ≡
+    * inline bit-for-bit). */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_ivfadc_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val e = embeddings(s, d)
+    graft.operators.Pq.ensureIvfAdcStore(s,
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand"), col("embedding")),
+      "cand", "embedding", pqCoarse(s, d), path)
+    graft.operators.Pq.searchIvfAdcStore(s, path,
+        e.filter(col("vec_id").between(4, 9))
+          .select(col("vec_id").as("probe"), col("embedding")),
+        "probe", "embedding")
+      .orderBy("probe", "rk")
+  }
+
   /** q237 iterative subword-vocabulary training (round 17, r16 verdict
     * #4 — [[graft.operators.TextPipeline.subwordTrain]]'s contract
     * face): hard-EM with greedy longest-match segmentation, the

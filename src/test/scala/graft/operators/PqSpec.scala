@@ -104,6 +104,45 @@ class PqSpec extends AnyFunSuite {
     assert(served == inline, "store-served ADC must equal inline")
   }
 
+  test("IVF-ADC: probes search only their coarse cluster; the committed " +
+      "store serves identically with PARTITION-pruned codes scans") {
+    import spark.implicits._
+    // two well-separated coarse clusters: even ids ~ +0.5, odd ~ -0.5
+    val ivfCorpus = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) 0.5 else -0.5
+      (i.toLong, Array.tabulate(4)(j =>
+        (s + 0.02 * math.sin(i * 11 + j * 3)).toFloat))
+    }.toDF("cand", "embedding")
+    val coarse = Seq(
+      (0, Seq(500L, 500L, 500L, 500L)),
+      (1, Seq(-500L, -500L, -500L, -500L))).toDF("cid", "c")
+    val probes = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (101L, Array(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("probe", "embedding")
+    val inline = Pq.ivfAdcSearch(ivfCorpus, "cand", probes, "probe",
+      "embedding", coarse, m = 2, dsub = 2, k = 2, nprobe = 1)
+    val rows = inline.collect()
+    rows.filter(_.getLong(0) == 100L).foreach(r =>
+      assert(r.getLong(2) % 2 == 0,
+        s"probe 100 must only see even-id (cluster-0) candidates: $r"))
+    rows.filter(_.getLong(0) == 101L).foreach(r =>
+      assert(r.getLong(2) % 2 == 1,
+        s"probe 101 must only see odd-id (cluster-1) candidates: $r"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc").toString + "/store"
+    Pq.saveIvfAdcStore(ivfCorpus, "cand", "embedding", coarse, path,
+      m = 2, dsub = 2, k = 2)
+    val served = Pq.searchIvfAdcStore(spark, path, probes, "probe",
+      "embedding", m = 2, dsub = 2, nprobe = 1)
+    assert(served.collect().map(_.toSeq).toSet ==
+      rows.map(_.toSeq).toSet, "store-served IVF-ADC must equal inline")
+    // the codes scan must carry the probed-list PARTITION filter —
+    // serve-time IO is the probed directories only
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probed lists must push down as partition filters:\n$plan")
+  }
+
   test("seeding fails loudly when the corpus has fewer than k rows") {
     import spark.implicits._
     val tiny = (0 until 3).map(i =>

@@ -969,4 +969,26 @@ class PlanContractSpec extends AnyFunSuite {
     assert(m("q239_subword_fert") <= 12 * toks,
       "fertility adds one (lang, token) count + a vocab-sized join")
   }
+
+  test("q240/q241 IVF-ADC: residual training + probed-list ADC stay " +
+      "inside the q231-class bounds; the store serve never exceeds " +
+      "inline") {
+    // q241's FIRST call in a JVM pays the ensure-build; warm it so the
+    // measured row is the steady-state serve (the q212 discipline)
+    shuffled("q241_ivfadc_store")
+    val m = Seq("q240_ivfadc", "q241_ivfadc_store")
+      .map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    val vecs = graft.Tables.embeddings(spark, sf).count()
+    // coarse assignment is a broadcast 8-row cross join (argmin
+    // partials n-keyed), residual training = q231's shape, the ADC
+    // rollup is bounded by the PROBED lists' share of (probe × codes)
+    // (measured: inline 15,951; steady-state store serve 797 — the
+    // build pass deleted, a 20× serve dividend at sf0.001)
+    assert(m("q240_ivfadc") <= 12 * 8 * vecs + 64 * 1024,
+      "IVF-ADC must stay within assignment + training + probed-ADC mass")
+    assert(m("q241_ivfadc_store") <= m("q240_ivfadc"),
+      s"store-served IVF-ADC (${m("q241_ivfadc_store")}) must not " +
+        s"exceed inline (${m("q240_ivfadc")})")
+  }
 }
