@@ -728,4 +728,40 @@ object StreamingOps {
         items, idCol, "item")
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
+
+  /** Continuous vector search — the STREAMING face of
+    * [[graft.operators.Pq.searchIvfAdcStore]] (round 17; batch
+    * contract q240/q241): each micro-batch of query vectors is served
+    * against the COMMITTED IVF-ADC store (coarse centroids + residual
+    * codebooks + list-partitioned codes), landing
+    * (probe, rk, cand, adc) per batch. Results depend only on
+    * committed state + the batch's own vectors — deterministic across
+    * replays and restarts; exactly-once by the per-batch-directory
+    * overwrite discipline. Per-batch cost: the probed list
+    * DIRECTORIES only (the partition-pruned codes scan) + broadcast
+    * LUTs — the raw vector corpus is never read. */
+  def pqServeStream(probes: DataFrame, probeIdCol: String,
+                    vecCol: String, storePath: String, sinkPath: String,
+                    checkpoint: String,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = probes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        pqServeBatch(batch.toDF(), bid, probeIdCol, vecCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def pqServeBatch(batch: DataFrame, batchId: Long,
+                                      probeIdCol: String, vecCol: String,
+                                      storePath: String,
+                                      sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Pq.searchIvfAdcStore(batch.sparkSession, storePath,
+        batch, probeIdCol, vecCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
 }
