@@ -193,9 +193,16 @@ object Bench {
     // q134 (runningAgg over orders) is that family's control; any
     // shared-query mover beyond ~×1.5 gets adjudicated in the
     // round-close note against THIS ratio, not the global median.
+    // Widened again in round 18 (r17 verdict #8): q216 (the one r17
+    // mover whose code was touched that round — single-generate edge
+    // build) and q221 (the untouched store face that swung ×1.82 in
+    // the r17 window, past the documented jitter band) join the map so
+    // the next window adjudicates both mechanically instead of by
+    // round-close prose.
     val controlNames =
       Seq("q01_scan_project", "q11_join_inner", "q27_window_running",
-        "q30_str_funcs", "q99_null_battery", "q134_running_total")
+        "q30_str_funcs", "q99_null_battery", "q134_running_total",
+        "q216_textrank", "q221_cms_store")
     val controlsJson = {
       val prior = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])

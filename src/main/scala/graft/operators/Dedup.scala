@@ -1202,8 +1202,15 @@ object Dedup {
     toksF.join(covered, Seq("__id"), "left")
       .withColumn("covered",
         coalesce(col("covered"), expr("cast(array() as array<int>)")))
+      // zero-token docs (empty/whitespace-only input, or a fully-
+      // removed doc re-cleaned): sequence(1, 0) is the DESCENDING
+      // [1, 0] (the CurationQueries.scala:35 trap) and position 0
+      // would blow up element_at below — guard to an empty kept set,
+      // matching the oracle's generate_series(1, 0) = ∅ (r17 ADVICE)
       .withColumn("kept",
-        expr("array_except(sequence(1, size(toks)), covered)"))
+        when(size(col("toks")) > 0,
+          expr("array_except(sequence(1, size(toks)), covered)"))
+          .otherwise(expr("cast(array() as array<int>)")))
       .select(col("__id").as(idCol),
         size(col("toks")).cast("long").as("n_toks"),
         size(col("covered")).cast("long").as("n_removed"),

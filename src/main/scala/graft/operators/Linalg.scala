@@ -115,7 +115,11 @@ object Linalg {
     * The fixed-point contract (q216/[[topComponent]]'s rule): squared
     * L2 distances are exact BIGINT sums, argmin ties break to the
     * smallest cid (min over (dist, cid) structs ≡ the oracle's
-    * row_number), centroid updates are exact floor(Σe/|members|), and
+    * row_number), centroid updates are the shared floor(Σe·1.0/n)
+    * double idiom — identical on both engines unconditionally, and
+    * equal to the exact integer floor while |Σe| < 2⁵³ (~4.5·10¹²
+    * members per cell at the 1e3 quantization — the r17-stated bound,
+    * see Pq.trainQuantized), and
     * empty clusters keep their previous centroid — every state is an
     * exact integer, bit-identical on any engine. Seeding is the k
     * smallest ids — the ACTUAL k smallest (TakeOrdered over the id,

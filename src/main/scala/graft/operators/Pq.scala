@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * a DuckDB oracle replay codebook training, encoding, AND search
   * bit-for-bit): vectors quantize to floor(x·1000) BIGINT; distances
   * are exact BIGINT squared-L2 sums; argmin ties break to the smallest
-  * cid (min-struct ≡ row_number); centroid updates are exact
-  * floor(Σe/n); empty clusters keep their previous centroid; seeding
+  * cid (min-struct ≡ row_number); centroid updates are the shared
+  * floor(Σe·1.0/n) idiom — exact while |Σe| < 2⁵³ (see
+  * [[trainQuantized]] for the stated bound); empty clusters keep their
+  * previous centroid; seeding
   * is the k actually-smallest vector ids (TakeOrdered + 0-based rank,
   * q224's r16-fixed rule) — the SAME k seed vectors provide every
   * subspace's seeds.
@@ -83,7 +85,18 @@ object Pq {
     trainQuantized(quantize(vecs, idCol, vecCol), m, dsub, k, iterations)
 
   /** [[trainCodebooks]] over an already-quantized `(__id, q)` frame —
-    * the form IVF-ADC trains on exact-integer RESIDUALS. */
+    * the form IVF-ADC trains on exact-integer RESIDUALS.
+    *
+    * Centroid-mean bound (r17 verdict #7 — the q223/q229 documented-
+    * bound discipline): the update is `floor(sum(ev) * 1.0 / count)`,
+    * a double division shared verbatim with the DuckDB oracle, so the
+    * differential gate holds unconditionally — but the result equals
+    * the exact integer floor only while |Σev| stays under 2⁵³. At the
+    * 1e3 quantization (|ev| ≲ 2·10³ for unit-ish embeddings) that
+    * bounds a cluster CELL at ~4.5·10¹² members — ~4.5 PB of 64-dim
+    * float vectors in one subspace cell, far past any real corpus;
+    * past it, both engines drift together (value identity survives,
+    * the "exact floor" reading does not). */
   private[graft] def trainQuantized(qf: DataFrame,
                      m: Int = 8, dsub: Int = 8, k: Int = 16,
                      iterations: Int = 2): DataFrame = {
@@ -349,8 +362,41 @@ object Pq {
         quantize(probes, probeIdCol, vecCol), coarse, nprobe)
       .select(col("cid")).distinct()
       .collect().map(_.getInt(0)) // metadata: ≤ |coarse| values
-    val codes = spark.read.parquet(s"$dir/codes")
-      .where(col("cid").isin(probedLists.toSeq: _*))
+    // Serve-time listing must be O(probed lists), not O(nlist) — the
+    // round-11 Ann.searchIndex lesson (r17 verdict #1 applied it here):
+    // `spark.read.parquet(s"$dir/codes")` builds a file index over
+    // EVERY `cid=` partition directory before partition pruning, the
+    // measured 0.49 s → 1.55 s driver term from nlist 8 → 240 with
+    // CONSTANT probed data — the term that buries a 100k-list index on
+    // an object store. The probed ids are already driver-side, so the
+    // probed partition DIRECTORIES are addressed directly (Hive-escaped
+    // `cid=` names, existence-checked — an empty list has no dir) under
+    // a `basePath`; the listing touches ≤ nprobe·|probes| dirs. The IN
+    // filter stays as the semantic gate. `cid` is declared int in the
+    // read schema (the store writes int list ids), so partition values
+    // parse as the type searchIvfCodes joins on.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val esc = (v: Int) => org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+    val probedPaths = probedLists.toIndexedSeq
+      .map(v => new org.apache.hadoop.fs.Path(s"$dir/codes", s"cid=${esc(v)}"))
+      .filter(fs.exists(_))
+      .map(_.toString)
+    val codes =
+      if (probedPaths.isEmpty)
+        // every probed list is empty (no dir was ever written for it):
+        // zero candidate rows either way — the full-index read keeps
+        // the plan shape and is rare enough that its listing is moot
+        spark.read.parquet(s"$dir/codes")
+          .where(col("cid").isin(probedLists.toSeq: _*))
+      else {
+        val codeSchema = spark.read.parquet(probedPaths.head).schema
+          .add("cid", org.apache.spark.sql.types.IntegerType)
+        spark.read.option("basePath", s"$dir/codes").schema(codeSchema)
+          .parquet(probedPaths: _*)
+          .where(col("cid").isin(probedLists.toSeq: _*))
+      }
     searchIvfCodes(codes, probes, probeIdCol, vecCol, coarse, cb,
       m, dsub, nprobe, topK)
   }

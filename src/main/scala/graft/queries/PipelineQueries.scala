@@ -2371,7 +2371,8 @@ object PipelineQueries {
     * sweep shape): measured precision/recall of sign-LSH CANDIDATE
     * generation against brute-force cosine ≥ 0.4 truth (q60's θ
     * contract) on the bounded vec_id < 300 universe (q201's), swept
-    * over six (bands × bits) configs — including q60's 2×8 default as
+    * over the [[graft.operators.Dedup.signLshAuditConfigs]] sweep
+    * (eight configs) — including q60's 2×8 default as
     * the (2, 8) row, from [[graft.operators.Dedup.signLshAuditConfigs]]
     * (ONE definition feeds face and oracle). q201 pinned the 2×8
     * recall at θ≈0.3 as a single point; this face supplies the CURVE a

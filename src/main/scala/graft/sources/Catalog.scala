@@ -447,19 +447,34 @@ object Catalog {
         spark.conf.set(Stores.TrustConf, trust)
         // job census around the ensure: with trust on, resolving a
         // committed marker is filesystem metadata only — ZERO Spark
-        // jobs may run (the count is read synchronously after ensure
-        // returns; nothing was submitted, so the async bus can't lag)
+        // jobs may run. SparkListener events ride an ASYNC bus (r17
+        // ADVICE: a bare post-ensure read could see 0 with a job still
+        // in flight), so the census is sealed with a SENTINEL job run
+        // AFTER ensure: the bus is FIFO, so once the sentinel's
+        // JobStart has been delivered every ensure-phase JobStart has
+        // been too — the census is jobs_seen − 1 (the sentinel).
         val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val sentinelSeen = new java.util.concurrent.CountDownLatch(1)
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
                 e: org.apache.spark.scheduler.SparkListenerJobStart)
-                : Unit = { jobs.incrementAndGet(); () }
+                : Unit = {
+              val grp = Option(e.properties)
+                .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+              if (grp == "graft_census_sentinel") sentinelSeen.countDown()
+              else jobs.incrementAndGet()
+              ()
+            }
           })
         graft.operators.Pq.ensureStore(spark,
           spark.read.parquet(corpusParquet)
             .selectExpr("vec_id as cand", "embedding"),
           "cand", "embedding", path)
+        spark.sparkContext.setJobGroup("graft_census_sentinel", "census")
+        spark.range(1).count()
+        spark.sparkContext.clearJobGroup()
+        sentinelSeen.await(30, java.util.concurrent.TimeUnit.SECONDS)
         println(s"CATALOG_ENSURE_JOBS|${jobs.get}")
         val probes = spark.read.parquet(probesParquet)
           .selectExpr("vec_id as probe", "embedding")

@@ -537,6 +537,24 @@ class DedupSpec extends AnyFunSuite {
       s"nothing reaches the df>=2 5-gram bar: $out")
   }
 
+  test("removeSharedRuns: zero-token docs (empty, whitespace-only) and a " +
+      "fully-removed doc survive the reassembly (r17 ADVICE)") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5"
+    val docs = Seq(
+      (1L, run),            // keeper — keeps the whole text
+      (2L, run),            // later doc — fully removed
+      (3L, ""),             // empty input
+      (4L, "   "),          // whitespace-only input
+      (5L, "k1 k2 k3 k4 k5 k6")
+    ).toDF("doc_id", "text")
+    val out = runsOut(Dedup.removeSharedRuns(docs, "doc_id", "text"))
+    assert(out(1L) == ((5L, 0L, 0L, out(1L)._4, run)), "keeper intact")
+    assert(out(2L) == ((5L, 5L, 1L, 0L, "")), s"fully removed: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0L, "")), s"empty doc: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 0L, "")), s"whitespace doc: ${out(4L)}")
+  }
+
   test("removeSharedRuns: 40 random shared-phrase corpora match the " +
       "scalar cover reference, and re-cleaning cleaned text is a no-op") {
     import spark.implicits._
@@ -558,9 +576,11 @@ class DedupSpec extends AnyFunSuite {
       assert(got == expect, s"case $c: corpus $docs")
       // idempotence: every duplicated gram survives only in its keeper,
       // so a second pass sees df = 1 everywhere; the '\n' segment joins
-      // keep re-tokenized grams from spanning removal points
+      // keep re-tokenized grams from spanning removal points. Fully-
+      // removed (empty) docs feed back in UNFILTERED — the r17 ADVICE
+      // case: a zero-token doc must come back (0, 0, 0, 0, ""), not
+      // trip sequence(1, 0)'s descending-[1, 0] position-0 trap
       val cleaned = got.toSeq.map { case (id, v) => (id, v._5) }
-        .filter(_._2.nonEmpty)
       val again = runsOut(Dedup.removeSharedRuns(
         cleaned.toDF("doc_id", "text"), "doc_id", "text"))
       cleaned.foreach { case (id, t) =>
