@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1175,25 +1175,55 @@ object Dedup {
                        minRun: Int = 5,
                        maxDf: Option[Long] = None): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val toksF = docs
-      .select(col(idCol).as("__id"),
-        expr(TextHashes.toks(textCol)).as("toks"))
-      .localCheckpoint(true)
-    val grams = toksF
+    val toksF = runToks(docs, idCol, textCol).localCheckpoint(true)
+    applyRunGate(toksF, gateOf(runGrams(toksF, minRun), maxDf), minRun,
+      idCol)
+  }
+
+  /** `(__id, toks)` token frame of a doc batch — the shared input of
+    * the run-gate build and the gate apply. */
+  private def runToks(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      expr(TextHashes.toks(textCol)).as("toks"))
+
+  /** minRun-gram occurrence frame `(__id, pos, gram)`. */
+  private def runGrams(toksF: DataFrame, minRun: Int): DataFrame =
+    toksF
       .filter(size(col("toks")) >= minRun)
       .select(col("__id"), posexplode(expr(
         s"""transform(sequence(1, size(toks) - ${minRun - 1}),
            |  g -> array_join(slice(toks, cast(g as int), $minRun), ' '))"""
           .stripMargin)).as(Seq("__p0", "gram")))
       .select(col("__id"), (col("__p0") + 1).as("pos"), col("gram"))
-    val dup = grams
+
+  /** The duplicated-gram KEEPER GATE over a gram frame:
+    * `(gram, keeper)` for grams with 2 ≤ df (≤ maxDf). */
+  private def gateOf(grams: DataFrame,
+                     maxDf: Option[Long]): DataFrame =
+    grams
       .groupBy(col("gram"))
       .agg(count_distinct(col("__id")).as("df"),
         min(col("__id")).as("keeper"))
       .filter(col("df") >= 2 &&
         maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)))
       .select(col("gram"), col("keeper"))
-    val covered = grams.join(dup, Seq("gram"))
+
+  /** The [[removeSharedRuns]] keeper gate as a standalone frame —
+    * what [[saveSubstrStore]] commits. */
+  private[graft] def sharedRunGate(docs: DataFrame, idCol: String,
+                                   textCol: String, minRun: Int = 5,
+                                   maxDf: Option[Long] = None): DataFrame =
+    gateOf(runGrams(runToks(docs, idCol, textCol), minRun), maxDf)
+
+  /** [[removeSharedRuns]]'s cover-and-reassemble body against a
+    * supplied `(gram, keeper)` gate — a position is removed iff a gate
+    * gram covers it and this doc is not that gram's keeper (a batch
+    * doc absent from the gate's training corpus keeps nothing it
+    * shares with the gate — its id is never the keeper). */
+  private def applyRunGate(toksF: DataFrame, gate: DataFrame,
+                           minRun: Int, idCol: String): DataFrame = {
+    val covered = runGrams(toksF, minRun).join(gate, Seq("gram"))
       .filter(col("__id") =!= col("keeper"))
       .select(col("__id"),
         explode(expr(s"sequence(pos, pos + ${minRun - 1})")).as("cpos"))
@@ -1239,4 +1269,76 @@ object Dedup {
           |       else char(10) end,
           |  element_at(toks, p))))""".stripMargin).as("kept_text"))
   }
+
+  // ---- substring-removal store (round 18, r17 verdict #6) -----------
+
+  private val SubstrStoreMarker = "_graft_substrstore_committed"
+
+  /** Persist the [[removeSharedRuns]] keeper gate (r17 verdict #6 —
+    * ExactSubstr's deploy shape, the q202→q211 convention): the
+    * duplicated-gram `(gram, keeper)` table is computed ONCE over the
+    * reference corpus and landed at `<path>/v<N>/grams` under the
+    * versioned-commit protocol, with a one-row `params` table pinning
+    * `minRun`/`maxDf` — cleaning against a gate built at a different
+    * gram length is a different transform, so the geometry travels
+    * WITH the artifact (the q208 torn-pair rule for hyper-parameters).
+    * Every subsequent batch cleans against the COMMITTED gate instead
+    * of re-aggregating the corpus, so removal decisions are stable
+    * across serving runs and replay-deterministic in the streaming
+    * face — CCNet's clean-new-data-against-a-reference stance. Build
+    * cost is the pay-once tokenize + gram-df pass; the landed artifact
+    * is |duplicated grams|-row. */
+  def saveSubstrStore(docs: DataFrame, idCol: String, textCol: String,
+                      path: String, minRun: Int = 5,
+                      maxDf: Option[Long] = None): Unit = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val spark = docs.sparkSession
+    graft.sources.Stores.commitVersioned(spark, path,
+        SubstrStoreMarker) { dir =>
+      sharedRunGate(docs, idCol, textCol, minRun, maxDf)
+        .write.mode("overwrite").parquet(s"$dir/grams")
+      spark.range(1)
+        .select(lit(minRun).as("min_run"),
+          lit(maxDf.getOrElse(-1L)).as("max_df"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+    }
+  }
+
+  /** Clean a batch against a COMMITTED [[saveSubstrStore]] gate:
+    * q230's exact output contract (`(idCol, n_toks, n_removed,
+    * n_runs, clean_sig, kept_text)`) with the gate supplied by the
+    * store — a position is removed iff a committed duplicated gram
+    * covers it and this doc is not that gram's keeper, so a NEW doc
+    * (id absent from the training corpus) loses every passage the
+    * reference corpus already carries, and serving the training
+    * corpus against its own gate replays [[removeSharedRuns]]
+    * bit-for-bit (the q244 hash gate). The gate join is unhinted
+    * (q114's rule); per-batch cost is one batch tokenize + the gram
+    * join — the training corpus is never re-read. Refuses an
+    * uncommitted/torn store. */
+  def substrServe(spark: SparkSession, path: String, docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, SubstrStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: substring-removal store at $path has no " +
+          s"commit marker ($SubstrStoreMarker) — it is mid-build, " +
+          "torn, or absent; rebuild with saveSubstrStore"))
+    val minRun = spark.read.parquet(s"$dir/params")
+      .first().getAs[Int]("min_run")
+    applyRunGate(runToks(docs, idCol, textCol),
+      spark.read.parquet(s"$dir/grams"), minRun, idCol)
+  }
+
+  /** Pay-once build for the q244 face. `docs` is BY-NAME: under
+    * trust-committed serving ([[graft.sources.Stores.TrustConf]]) a
+    * fresh process serves the committed gate without even
+    * CONSTRUCTING the corpus frame. */
+  def ensureSubstrStore(spark: SparkSession, docs: => DataFrame,
+                        idCol: String, textCol: String, path: String,
+                        minRun: Int = 5,
+                        maxDf: Option[Long] = None): Unit =
+    graft.sources.Stores.ensureCommitted(spark, path,
+      SubstrStoreMarker)(saveSubstrStore(docs, idCol, textCol, path,
+        minRun, maxDf))
 }

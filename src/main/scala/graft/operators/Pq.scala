@@ -229,21 +229,27 @@ object Pq {
   private val coarseDist = expr(
     "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
 
-  /** Top-`keep` coarse lists per vector: `(__id, cid, q, c)` rows for
-    * the nearest `keep` centroids under the exact-integer distance +
-    * (dist, cid) tie rule. `coarse` = (cid int, c array<bigint>). */
-  private def coarseAssign(qf: DataFrame, coarse: DataFrame,
-                           keep: Int): DataFrame = {
+  /** Top-`keep` coarse lists per vector with the list's rank kept:
+    * `(__id, cid, lrk, q)` — `lrk` is the 1-based rank of `cid` among
+    * the vector's nearest centroids under the exact-integer distance +
+    * (dist, cid) tie rule, `q` the RESIDUAL against that centroid.
+    * `coarse` = (cid int, c array<bigint>). */
+  private def coarseAssignRanked(qf: DataFrame, coarse: DataFrame,
+                                 keep: Int): DataFrame = {
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__cd").asc, col("cid").asc)
     qf.crossJoin(broadcast(coarse))
       .select(col("__id"), col("cid"), col("q"), col("c"),
         coarseDist.as("__cd"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= keep)
-      .select(col("__id"), col("cid"),
+      .withColumn("lrk", row_number().over(w))
+      .filter(col("lrk") <= keep)
+      .select(col("__id"), col("cid"), col("lrk"),
         expr("zip_with(q, c, (a, b) -> a - b)").as("q"))
   }
+
+  private def coarseAssign(qf: DataFrame, coarse: DataFrame,
+                           keep: Int): DataFrame =
+    coarseAssignRanked(qf, coarse, keep).drop("lrk")
 
   /** IVF-ADC search, inline (round 17 — the composition the store-
     * serve probe named as PQ's at-scale escape, made real): corpus
@@ -279,35 +285,81 @@ object Pq {
       .withColumnRenamed("cand", candIdCol)
   }
 
+  /** Per-(probe, candidate) ADC frame over an IVF-partitioned codes
+    * frame `(cand, cid, sub, code)` at probe depth `maxNprobe`:
+    * `(probe, cand, adc, lrk)` — per-(probe, list) residual LUT
+    * broadcast, candidates meet it ONLY on their own list's key, and
+    * `lrk` is the rank of the candidate's list among the probe's
+    * nearest coarse lists. A candidate lives in exactly ONE list, so
+    * its `adc` is nprobe-independent — an nprobe sweep is a FILTER
+    * `lrk <= nprobe` over this one frame, never a re-search (q242's
+    * whole trick). */
+  private def ivfCandidateFrame(codes: DataFrame,
+                                probes: DataFrame, probeIdCol: String,
+                                vecCol: String, coarse: DataFrame,
+                                codebooks: DataFrame, m: Int, dsub: Int,
+                                maxNprobe: Int): DataFrame = {
+    val probed = coarseAssignRanked(
+      quantize(probes, probeIdCol, vecCol), coarse, maxNprobe)
+    val plut = probed
+      .select(col("__id").as("probe"), col("cid"), col("lrk"),
+        posexplode(expr(
+          s"transform(sequence(1, $m), s -> slice(q, cast((s - 1) * $dsub + 1 as int), $dsub))"))
+          .as(Seq("__s0", "e")))
+      .select(col("probe"), col("cid"), col("lrk"),
+        col("__s0").cast("int").as("sub"), col("e"))
+      .join(broadcast(codebooks
+        .select(col("sub"), col("cid").as("code"), col("c"))), Seq("sub"))
+      .select(col("probe"), col("cid"), col("lrk"), col("sub"),
+        col("code"), dist.as("pd"))
+    codes.join(broadcast(plut), Seq("cid", "sub", "code"))
+      .groupBy(col("probe"), col("cand"))
+      // all m LUT rows of one (probe, cand) share the candidate's one
+      // list, hence one lrk — min is just the aggregate-safe read
+      .agg(sum(col("pd")).as("adc"), min(col("lrk")).as("lrk"))
+  }
+
   /** Probed-list ADC over an IVF-partitioned codes frame
-    * `(cand, cid, sub, code)`: per-(probe, list) residual LUT
-    * broadcast, candidates meet it ONLY on their own list's key —
-    * `(probe, rk, cand, adc)`. */
+    * `(cand, cid, sub, code)` — `(probe, rk, cand, adc)`. */
   private def searchIvfCodes(codes: DataFrame,
                              probes: DataFrame, probeIdCol: String,
                              vecCol: String, coarse: DataFrame,
                              codebooks: DataFrame, m: Int, dsub: Int,
                              nprobe: Int, topK: Int): DataFrame = {
-    val probed = coarseAssign(
-      quantize(probes, probeIdCol, vecCol), coarse, nprobe)
-    val plut = probed
-      .select(col("__id").as("probe"), col("cid"), posexplode(expr(
-        s"transform(sequence(1, $m), s -> slice(q, cast((s - 1) * $dsub + 1 as int), $dsub))"))
-        .as(Seq("__s0", "e")))
-      .select(col("probe"), col("cid"),
-        col("__s0").cast("int").as("sub"), col("e"))
-      .join(broadcast(codebooks
-        .select(col("sub"), col("cid").as("code"), col("c"))), Seq("sub"))
-      .select(col("probe"), col("cid"), col("sub"), col("code"),
-        dist.as("pd"))
     val w = Window.partitionBy(col("probe"))
       .orderBy(col("adc").asc, col("cand").asc)
-    codes.join(broadcast(plut), Seq("cid", "sub", "code"))
-      .groupBy(col("probe"), col("cand"))
-      .agg(sum(col("pd")).as("adc"))
+    ivfCandidateFrame(codes, probes, probeIdCol, vecCol, coarse,
+        codebooks, m, dsub, nprobe)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("probe"), col("rk"), col("cand"), col("adc"))
+  }
+
+  /** The q242 sweep frame (round 18, r17 verdict #3): train + encode
+    * the IVF-ADC index ONCE, then return every (probe, candidate) pair
+    * at probe depth `maxNprobe` as `(probe, <candIdCol>, adc, lrk)` —
+    * recall/candidate-mass at ANY nprobe ≤ maxNprobe reads off this
+    * one frame by filtering `lrk <= nprobe`, which is what makes an
+    * nprobe sensitivity audit one index build instead of
+    * |sweep| re-searches. `lrk` is int, `adc` exact BIGINT. */
+  def ivfAdcCandidates(corpus: DataFrame, candIdCol: String,
+                       probes: DataFrame, probeIdCol: String,
+                       vecCol: String, coarse: DataFrame, m: Int = 8,
+                       dsub: Int = 8, k: Int = 16, iterations: Int = 2,
+                       maxNprobe: Int = 8): DataFrame = {
+    val assigned = coarseAssign(
+        quantize(corpus, candIdCol, vecCol), coarse, 1)
+      .localCheckpoint(true) // residual frame: train + encode + list map
+    val cb = trainQuantized(assigned.select(col("__id"), col("q")),
+      m, dsub, k, iterations)
+    val codes = encodeQuantized(assigned.select(col("__id"), col("q")),
+        cb, m, dsub)
+      .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
+      .select(col("__id").as("cand"), col("cid"), col("sub"),
+        col("code"))
+    ivfCandidateFrame(codes, probes, probeIdCol, vecCol, coarse, cb,
+        m, dsub, maxNprobe)
+      .withColumnRenamed("cand", candIdCol)
   }
 
   private val IvfAdcStoreMarker = "_graft_ivfadcstore_committed"

@@ -982,4 +982,75 @@ object TextPipeline {
         maxPieceLen, maxWordLen)
       .select(col("word").as("token"),
         col("n_pieces").cast("long").as("n_pieces"), col("seg"))
+
+  // ---- subword vocabulary store (round 18, r17 verdict #5) ----------
+
+  private val SubwordStoreMarker = "_graft_subwordstore_committed"
+
+  /** Persist the TRAINED subword tokenizer (r17 verdict #5 — the
+    * q198/q208 discipline applied to [[subwordTrain]]): the final
+    * usage table lands at `<path>/v<N>/usage` under the versioned-
+    * commit protocol, together with a one-row `params` table pinning
+    * the training geometry (maxPieceLen/maxWordLen/minCount/rounds) —
+    * a served segmentation must replay the trainer's final round, and
+    * segmenting under a different piece-length cap than the one the
+    * vocabulary was trained with would silently change every walk, so
+    * the geometry travels WITH the artifact (the q208 torn-pair rule
+    * for hyper-parameters). Build pays the one-corpus-pass train;
+    * the landed artifact is |pieces|-row metadata. */
+  def saveSubwordStore(docs: DataFrame, textCol: String, path: String,
+                       maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                       minCount: Long = 5, rounds: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Stores.commitVersioned(spark, path,
+        SubwordStoreMarker) { dir =>
+      subwordTrain(docs, textCol, maxPieceLen, maxWordLen, minCount,
+          rounds)
+        .write.mode("overwrite").parquet(s"$dir/usage")
+      spark.range(1)
+        .select(lit(maxPieceLen).as("max_piece_len"),
+          lit(maxWordLen).as("max_word_len"),
+          lit(minCount).as("min_count"), lit(rounds).as("rounds"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+    }
+  }
+
+  /** Segment a batch's word universe under a COMMITTED
+    * [[saveSubwordStore]] vocabulary: q238's exact output contract
+    * (`(token, n_pieces, seg)`) with the vocabulary AND geometry
+    * supplied by the store — decisions depend only on committed state
+    * + the batch's own text. Serving the training corpus replays the
+    * trainer's final round bit-for-bit ([[subwordVocab]]'s no-re-prune
+    * rule), which is exactly what the q243 hash gate proves. Per-batch
+    * cost: one batch tokenize + word-vocabulary-bounded step joins;
+    * the training corpus is never re-read. Refuses an
+    * uncommitted/torn store. */
+  def subwordServe(spark: org.apache.spark.sql.SparkSession,
+                   path: String, docs: DataFrame,
+                   textCol: String): DataFrame = {
+    val dir = graft.sources.Stores
+      .resolveCommitted(spark, path, SubwordStoreMarker)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: subword store at $path has no commit " +
+          s"marker ($SubwordStoreMarker) — it is mid-build, torn, or " +
+          "absent; rebuild with saveSubwordStore"))
+    val p = spark.read.parquet(s"$dir/params").first()
+    subwordSegment(docs, textCol,
+      subwordVocab(spark.read.parquet(s"$dir/usage")),
+      maxPieceLen = p.getAs[Int]("max_piece_len"),
+      maxWordLen = p.getAs[Int]("max_word_len"))
+  }
+
+  /** Pay-once build for the q243 face. `docs` is BY-NAME: under
+    * trust-committed serving ([[graft.sources.Stores.TrustConf]]) a
+    * fresh process serves the committed vocabulary without even
+    * CONSTRUCTING the corpus frame. */
+  def ensureSubwordStore(spark: org.apache.spark.sql.SparkSession,
+                         docs: => DataFrame, textCol: String,
+                         path: String, maxPieceLen: Int = 4,
+                         maxWordLen: Int = 12, minCount: Long = 5,
+                         rounds: Int = 2): Unit =
+    graft.sources.Stores.ensureCommitted(spark, path,
+      SubwordStoreMarker)(saveSubwordStore(docs, textCol, path,
+        maxPieceLen, maxWordLen, minCount, rounds))
 }

@@ -1904,15 +1904,151 @@ object PipelineOracles {
        |  FROM ad) x WHERE rk <= 3 ORDER BY probe, rk""".stripMargin
   }
 
+  // q242 IVF-ADC recall/nprobe sweep: q240's residual chain with the
+  // coarse quantizer TRAINED (q224's k-means CTE shape, K = 8, over
+  // the indexed corpus' full vectors), probe assignment RANKED to
+  // lrk ≤ 8, and the sweep read off one (probe, cand, adc, lrk) frame
+  // by nprobe filter — recall graded against the exact quantized
+  // full-vector top-3 (q234's truth).
+  private val q242 = {
+    def kround(i: Int, prev: String) =
+      s"""kd$i AS (SELECT e.vec_id, c.ccid,
+         |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM ecf e JOIN $prev c ON c.i = e.i GROUP BY 1, 2),
+         |ka$i AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid)
+         |      AS rk FROM kd$i) x WHERE rk = 1),
+         |ku$i AS (SELECT a.ccid, e.i,
+         |    CAST(floor(sum(e.ev) * CAST(1 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM ka$i a JOIN ecf e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |kc$i AS (SELECT c.ccid, c.i, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN ku$i u
+         |    ON u.ccid = c.ccid AND u.i = c.i)""".stripMargin
+    def rround(i: Int, prev: String) =
+      s"""rd$i AS (SELECT rc.vec_id, rc.sub, c.cid,
+         |    CAST(sum((rc.ev - c.cv) * (rc.ev - c.cv)) AS BIGINT) AS dist
+         |  FROM rc JOIN $prev c ON c.sub = rc.sub AND c.dim = rc.dim
+         |  GROUP BY 1, 2, 3),
+         |ra$i AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid)
+         |      AS rk FROM rd$i) x WHERE rk = 1),
+         |ru$i AS (SELECT a.sub, a.cid, rc.dim,
+         |    CAST(floor(sum(rc.ev) * CAST(1 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM ra$i a JOIN rc ON rc.vec_id = a.vec_id AND rc.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |rc$i AS (SELECT c.sub, c.cid, c.dim, coalesce(u.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN ru$i u
+         |    ON u.sub = c.sub AND u.cid = c.cid AND u.dim = c.dim)"""
+        .stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+       |      * 1000) AS BIGINT) AS ev
+       |  FROM (SELECT vec_id, embedding,
+       |      unnest(generate_series(1, 64)) AS i FROM embeddings) u0),
+       |ecf AS (SELECT * FROM e0 WHERE vec_id >= 10),
+       |ksd AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid
+       |  FROM (SELECT DISTINCT vec_id FROM ecf ORDER BY vec_id LIMIT 8) z),
+       |kc0 AS (SELECT ksd.ccid, e.i, e.ev AS cv
+       |  FROM ecf e JOIN ksd ON ksd.vec_id = e.vec_id),
+       |${kround(1, "kc0")},
+       |${kround(2, "kc1")},
+       |cc AS (SELECT ccid, i, cv FROM kc2),
+       |cd AS (SELECT e.vec_id, c.ccid,
+       |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS cdist
+       |  FROM ecf e JOIN cc c ON c.i = e.i GROUP BY 1, 2),
+       |ca AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cdist, ccid)
+       |      AS rk FROM cd) x WHERE rk = 1),
+       |rc AS (SELECT e.vec_id,
+       |    CAST(floor((e.i - 1) / CAST(8 AS DOUBLE)) AS BIGINT) AS sub,
+       |    CAST((e.i - 1) % 8 + 1 AS BIGINT) AS dim, e.ev - c.cv AS ev
+       |  FROM ecf e JOIN ca ON ca.vec_id = e.vec_id
+       |  JOIN cc c ON c.ccid = ca.ccid AND c.i = e.i),
+       |rsd AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM rc ORDER BY vec_id LIMIT 16) z),
+       |rc0 AS (SELECT rc.sub, rsd.cid, rc.dim, rc.ev AS cv
+       |  FROM rc JOIN rsd ON rsd.vec_id = rc.vec_id),
+       |${rround(1, "rc0")},
+       |${rround(2, "rc1")},
+       |enc AS (SELECT vec_id, sub, cid AS code FROM (SELECT vec_id, sub,
+       |    cid, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist, cid) AS rk
+       |  FROM (SELECT rc.vec_id, rc.sub, c.cid,
+       |      CAST(sum((rc.ev - c.cv) * (rc.ev - c.cv)) AS BIGINT) AS dist
+       |    FROM rc JOIN rc2 c ON c.sub = rc.sub AND c.dim = rc.dim
+       |    GROUP BY 1, 2, 3) dd) x WHERE rk = 1),
+       |pcd AS (SELECT e.vec_id AS probe, c.ccid,
+       |    CAST(sum((e.ev - c.cv) * (e.ev - c.cv)) AS BIGINT) AS cdist
+       |  FROM e0 e JOIN cc c ON c.i = e.i
+       |  WHERE e.vec_id BETWEEN 4 AND 9 GROUP BY 1, 2),
+       |pp AS (SELECT probe, ccid, CAST(rk AS INT) AS lrk
+       |  FROM (SELECT probe, ccid,
+       |    row_number() OVER (PARTITION BY probe ORDER BY cdist, ccid)
+       |      AS rk FROM pcd) x WHERE rk <= 8),
+       |pres AS (SELECT p.probe, p.ccid, p.lrk,
+       |    CAST(floor((e.i - 1) / CAST(8 AS DOUBLE)) AS BIGINT) AS sub,
+       |    CAST((e.i - 1) % 8 + 1 AS BIGINT) AS dim, e.ev - c.cv AS ev
+       |  FROM pp p JOIN e0 e ON e.vec_id = p.probe
+       |  JOIN cc c ON c.ccid = p.ccid AND c.i = e.i),
+       |pl AS (SELECT pr.probe, pr.ccid, pr.lrk, pr.sub, b.cid AS code,
+       |    CAST(sum((pr.ev - b.cv) * (pr.ev - b.cv)) AS BIGINT) AS pd
+       |  FROM pres pr JOIN rc2 b ON b.sub = pr.sub AND b.dim = pr.dim
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |ad AS (SELECT pl.probe, enc.vec_id AS cand,
+       |    CAST(sum(pl.pd) AS BIGINT) AS adc, min(pl.lrk) AS lrk
+       |  FROM enc JOIN ca ON ca.vec_id = enc.vec_id
+       |  JOIN pl ON pl.ccid = ca.ccid AND pl.sub = enc.sub
+       |    AND pl.code = enc.code
+       |  GROUP BY 1, 2),
+       |np AS (SELECT unnest(list_value(1, 2, 4, 8)) AS nprobe),
+       |sw AS (SELECT np.nprobe, ad.probe, ad.cand, ad.adc
+       |  FROM ad JOIN np ON ad.lrk <= np.nprobe),
+       |t3 AS (SELECT nprobe, probe, cand FROM (SELECT nprobe, probe,
+       |    cand, row_number() OVER (PARTITION BY nprobe, probe
+       |      ORDER BY adc, cand) AS rk FROM sw) x WHERE rk <= 3),
+       |ex AS (SELECT probe, cand FROM (SELECT p.vec_id AS probe,
+       |    c.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      sum((p.ev - c.ev) * (p.ev - c.ev)), c.vec_id) AS rk
+       |  FROM e0 p JOIN e0 c ON c.i = p.i
+       |  WHERE p.vec_id BETWEEN 4 AND 9 AND c.vec_id >= 10
+       |  GROUP BY p.vec_id, c.vec_id) x WHERE rk <= 3),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
+       |mass AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM sw GROUP BY 1),
+       |hits AS (SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM t3 t JOIN ex ON ex.probe = t.probe AND ex.cand = t.cand
+       |  GROUP BY 1)
+       |SELECT CAST(m.nprobe AS BIGINT) AS nprobe, m.n_cand,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  floor(coalesce(h.n_hit, 0) * 10000.0 / nullif(tc.n_true, 0))
+       |    / 10000.0 AS recall
+       |FROM mass m LEFT JOIN hits h ON h.nprobe = m.nprobe
+       |CROSS JOIN tc ORDER BY nprobe""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q230_substr_removal" -> q230,
+    // q244 shares q230's oracle VERBATIM (q198's rule): serving the
+    // corpus against its own COMMITTED keeper gate must replay the
+    // inline removal bit-for-bit
+    "q244_substr_store"   -> q230,
     "q236_signlsh_audit"  -> q236,
     "q240_ivfadc"         -> q240,
     // q241 shares q240's oracle VERBATIM (q198's rule): partition-
     // pruned store-served IVF-ADC ≡ inline bit-for-bit
     "q241_ivfadc_store"   -> q240,
+    "q242_ivfadc_sweep"   -> q242,
     "q237_subword_train"  -> q237,
     "q238_subword_encode" -> q238,
+    // q243 shares q238's oracle VERBATIM (q198's rule): segmentation
+    // served from the committed vocabulary+geometry must equal the
+    // inline train→encode bit-for-bit
+    "q243_subword_store"  -> q238,
     "q239_subword_fert"   -> q239,
     "q231_pq_train"       -> q231,
     "q232_pq_encode"      -> q232,

@@ -2308,6 +2308,83 @@ object PipelineQueries {
       .orderBy("probe", "rk")
   }
 
+  /** q242 IVF-ADC recall/nprobe sensitivity audit (round 18, r17
+    * verdict #3 — q115's grading + q227's sweep shape applied to the
+    * COMPOSED index): recall@3 and candidate mass vs
+    * nprobe ∈ {1, 2, 4, 8} against the engine-exact quantized
+    * full-vector truth (q234's discipline), with the coarse quantizer
+    * TRAINED — [[graft.operators.Linalg.kmeansQuantized]] over the
+    * indexed corpus (K = 8, 2 rounds, the q224 contract), not q240's
+    * pinned pivots — so the audit grades the composition a deployment
+    * actually ships (`trainCentroids`-style learned lists + residual
+    * PQ), and nprobe, the knob that deployment actually tunes, gets
+    * its measured curve. One index build serves the whole sweep:
+    * [[graft.operators.Pq.ivfAdcCandidates]] carries each candidate's
+    * list rank `lrk`, so every nprobe row is a filter over ONE
+    * (probe, cand, adc, lrk) frame — never a re-search. At nprobe = 8
+    * (= nlist) the probed share is the whole corpus, so n_cand pins
+    * the full-ADC ceiling the sweep converges to. The whole chain
+    * stays in the fixed-point contract, so the DuckDB oracle replays
+    * coarse TRAINING, assignment, residual training, encoding, the
+    * sweep, and the exact-truth ranking bit-for-bit. */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    val coarse = graft.operators.Linalg.kmeansQuantized(
+        cands, "cand", "embedding", k = 8, iterations = 2)
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), z -> z.c)")
+        .as("c"))
+      .select(col("cid").cast("int").as("cid"), col("c"))
+    // the sweep frame feeds BOTH the candidate-mass census and the
+    // top-3 ranking (q185's sibling-consumer rule: unpinned, the whole
+    // train+encode chain would re-run per consumer); ≤ |probes|·|corpus|
+    // rows by the bounded-probe-batch contract
+    val cf = graft.operators.Pq.ivfAdcCandidates(cands, "cand",
+        probes, "probe", "embedding", coarse, maxNprobe = 8)
+      .localCheckpoint(true)
+    val sw = cf.crossJoin(
+        broadcast(s.range(1).select(explode(expr("array(1, 2, 4, 8)"))
+          .as("nprobe"))))
+      .filter(col("lrk") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("probe"))
+      .orderBy(col("adc").asc, col("cand").asc)
+    val top3 = sw
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("nprobe"), col("probe"), col("cand"))
+    def quant(c: String) = expr(
+      s"transform($c, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+    val wx = Window.partitionBy(col("probe"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    val exact = probes.select(col("probe"), quant("embedding").as("qp"))
+      .crossJoin(cands.select(col("cand"), quant("embedding").as("qc")))
+      .select(col("probe"), col("cand"), expr(
+        "aggregate(zip_with(qp, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("dist"))
+      .withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= 3)
+      .select(col("probe"), col("cand"))
+      .localCheckpoint(true) // n_true + the hit join (sibling consumers)
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val mass = sw.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_cand"))
+    val hits = top3.join(exact, Seq("probe", "cand"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    mass.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (floor(coalesce(col("n_hit"), lit(0L)) * lit(10000.0) /
+          when(col("n_true") === 0, lit(null)).otherwise(col("n_true")))
+          / 10000.0).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** q237 iterative subword-vocabulary training (round 17, r16 verdict
     * #4 — [[graft.operators.TextPipeline.subwordTrain]]'s contract
     * face): hard-EM with greedy longest-match segmentation, the
@@ -2458,5 +2535,47 @@ object PipelineQueries {
           .select(col("vec_id").as("probe"), col("embedding")),
         "probe", "embedding")
       .orderBy("probe", "rk")
+  }
+
+  /** q243 subword segmentation from the COMMITTED store (round 18,
+    * r17 verdict #5 — the q198/q208 discipline for the subword
+    * family): the trained usage table AND the training geometry land
+    * under one versioned commit
+    * ([[graft.operators.TextPipeline.saveSubwordStore]]); the batch is
+    * segmented against the committed vocabulary with the training
+    * corpus never re-read. Oracle = q238 VERBATIM (the hash gate
+    * proves store-served segmentation ≡ inline train→encode
+    * bit-for-bit — every other trained artifact in the repo serves
+    * train-once/serve-many, and the tokenizer a pipeline actually
+    * deploys is the committed one). */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_subword_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.TextPipeline.ensureSubwordStore(s,
+      documents(s, d), "text", path)
+    graft.operators.TextPipeline.subwordServe(s, path,
+        documents(s, d), "text")
+      .orderBy("token")
+  }
+
+  /** q244 cross-document substring removal from the COMMITTED gate
+    * (round 18, r17 verdict #6 — ExactSubstr's deploy shape, the
+    * q202→q211 convention applied to q230): the duplicated-gram keeper
+    * gate commits once ([[graft.operators.Dedup.saveSubstrStore]],
+    * minRun pinned in the artifact); every batch cleans against the
+    * COMMITTED gate — CCNet's clean-new-data-against-a-reference
+    * stance, replay-deterministic in the streaming face
+    * (`substrServeStream`). Oracle = q230 VERBATIM (serving the corpus
+    * against its own gate replays the inline removal bit-for-bit);
+    * serve-only shuffle ≤ inline is plan-pinned in DedupSpec. */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_substr_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.Dedup.ensureSubstrStore(s,
+      documents(s, d), "doc_id", "text", path)
+    graft.operators.Dedup.substrServe(s, path, documents(s, d),
+        "doc_id", "text")
+      .select("doc_id", "n_toks", "n_removed", "n_runs", "clean_sig")
+      .orderBy("doc_id")
   }
 }

@@ -764,4 +764,72 @@ object StreamingOps {
         batch, probeIdCol, vecCol)
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
+
+  /** Continuous subword segmentation — the STREAMING face of
+    * [[graft.operators.TextPipeline.subwordServe]] (round 18; batch
+    * contract q237/q238/q243): each micro-batch's word universe is
+    * segmented under the COMMITTED vocabulary + geometry, landing
+    * (token, n_pieces, seg) per batch. Segmentations depend only on
+    * committed state + the batch's own text — deterministic across
+    * replays and restarts; exactly-once by the per-batch-directory
+    * overwrite discipline. */
+  def subwordServeStream(docs: DataFrame, textCol: String,
+                         storePath: String, sinkPath: String,
+                         checkpoint: String,
+                         trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        subwordServeBatch(batch.toDF(), bid, textCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def subwordServeBatch(batch: DataFrame,
+                                           batchId: Long, textCol: String,
+                                           storePath: String,
+                                           sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextPipeline.subwordServe(batch.sparkSession,
+        storePath, batch, textCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
+  /** Continuous cross-corpus substring removal — the STREAMING face of
+    * [[graft.operators.Dedup.substrServe]] (round 18; batch contract
+    * q230/q244): each micro-batch is cleaned against the COMMITTED
+    * duplicated-gram keeper gate (ExactSubstr's
+    * clean-new-data-against-a-reference deploy shape), landing the
+    * per-doc removal census + cleaned text per batch. Removal
+    * decisions depend only on committed state + the row's own text —
+    * deterministic across replays and restarts; exactly-once by the
+    * per-batch-directory overwrite discipline. */
+  def substrServeStream(docs: DataFrame, idCol: String, textCol: String,
+                        storePath: String, sinkPath: String,
+                        checkpoint: String,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        substrServeBatch(batch.toDF(), bid, idCol, textCol, storePath,
+          sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def substrServeBatch(batch: DataFrame,
+                                          batchId: Long, idCol: String,
+                                          textCol: String,
+                                          storePath: String,
+                                          sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Dedup.substrServe(batch.sparkSession, storePath,
+        batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
 }

@@ -555,6 +555,50 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L, 0L, "")), s"whitespace doc: ${out(4L)}")
   }
 
+  test("substrServe (q244): serving the training corpus against its " +
+      "own COMMITTED gate replays removeSharedRuns; a NEW doc loses " +
+      "the reference passage; minRun travels with the artifact; an " +
+      "uncommitted store is refused") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),
+      (2L, s"b1 $run b2"),
+      (3L, "c1 c2 c3 c4 c5 c6")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substrstore").toString + "/store"
+    intercept[IllegalArgumentException] {
+      Dedup.substrServe(spark, path, docs, "doc_id", "text").collect()
+    }
+    Dedup.saveSubstrStore(docs, "doc_id", "text", path)
+    val inline = runsOut(Dedup.removeSharedRuns(docs, "doc_id", "text"))
+    val served = runsOut(
+      Dedup.substrServe(spark, path, docs, "doc_id", "text"))
+    assert(served == inline,
+      "serving the corpus against its own gate must replay the inline removal")
+    // CCNet's deploy stance: a NEW doc (id 99, absent from the training
+    // corpus — never a keeper) loses the passage the reference corpus
+    // already carries, and keeps its own content as two segments
+    val out = runsOut(Dedup.substrServe(spark, path,
+      Seq((99L, s"n1 $run n2")).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(out(99L)._5 == "n1\nn2" && out(99L)._2 == 6L && out(99L)._3 == 1L,
+      s"new doc must lose the committed passage: ${out(99L)}")
+    // minRun is pinned IN the artifact: a gate built at minRun = 3
+    // removes a 3-token shared phrase that the default-5 gate ignores
+    val path3 = java.nio.file.Files
+      .createTempDirectory("graft_substrstore3").toString + "/store"
+    val short3 = Seq((1L, "s1 s2 s3 x1"), (2L, "y1 s1 s2 s3"))
+      .toDF("doc_id", "text")
+    Dedup.saveSubstrStore(short3, "doc_id", "text", path3, minRun = 3)
+    val out3 = runsOut(Dedup.substrServe(spark, path3,
+      Seq((99L, "z1 s1 s2 s3 z2")).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(out3(99L)._2 == 3L && out3(99L)._5 == "z1\nz2",
+      s"the committed minRun=3 must drive the serve: ${out3(99L)}")
+  }
+
   test("removeSharedRuns: 40 random shared-phrase corpora match the " +
       "scalar cover reference, and re-cleaning cleaned text is a no-op") {
     import spark.implicits._

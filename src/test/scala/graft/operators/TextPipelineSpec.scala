@@ -398,4 +398,43 @@ class TextPipelineSpec extends AnyFunSuite {
         && trained(p) >= 5),
       s"one-off junk must not reach the vocabulary: $trained")
   }
+
+  test("subword store (q243): serving the training corpus replays the " +
+      "inline train→segment; the training GEOMETRY travels with the " +
+      "artifact; an uncommitted store is refused") {
+    import spark.implicits._
+    // 'overlong11' (10 chars) exceeds the stored max_word_len = 8 and
+    // must be OUT of the served universe (it would fit the default 12)
+    val docs = ((1 to 10).map(i => (i.toLong, s"abcdef$i abcdxy wxy wxyz"))
+      ++ Seq((99L, "qrs qrs overlong11 overlong11"))).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_subwordstore").toString + "/store"
+    intercept[IllegalArgumentException] {
+      TextPipeline.subwordServe(spark, path, docs, "text").collect()
+    }
+    // NON-default geometry: pieces ≤ 3 chars, words ≤ 8, minCount 2
+    TextPipeline.saveSubwordStore(docs, "text", path,
+      maxPieceLen = 3, maxWordLen = 8, minCount = 2, rounds = 2)
+    val inline = TextPipeline.subwordSegment(docs, "text",
+        TextPipeline.subwordVocab(TextPipeline.subwordTrain(docs, "text",
+          maxPieceLen = 3, maxWordLen = 8, minCount = 2, rounds = 2)),
+        maxPieceLen = 3, maxWordLen = 8)
+      .collect().map(_.toSeq).toSet
+    val served = TextPipeline.subwordServe(spark, path, docs, "text")
+      .collect().map(_.toSeq).toSet
+    assert(served == inline,
+      "store-served segmentation must equal the inline train→encode")
+    // geometry pinned IN the store: a serve segments under the stored
+    // 3-char piece cap and 8-char word cap, not the defaults — a 4-char
+    // piece or a 9+-char token in the output would mean the serve
+    // ignored the committed params
+    served.foreach { r =>
+      assert(r(0).toString.length <= 8,
+        s"stored max_word_len must bound the served universe: $r")
+      r(2).toString.split(' ').foreach(p => assert(p.length <= 3,
+        s"stored max_piece_len must bound every served piece: $r"))
+    }
+    assert(served.exists(_(2).toString.split(' ').exists(_.length == 3)),
+      "the planted stem must yield at least one 3-char piece")
+  }
 }

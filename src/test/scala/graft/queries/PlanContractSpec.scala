@@ -991,4 +991,41 @@ class PlanContractSpec extends AnyFunSuite {
       s"store-served IVF-ADC (${m("q241_ivfadc_store")}) must not " +
         s"exceed inline (${m("q240_ivfadc")})")
   }
+
+  test("q242–q244 round-18 batch: the nprobe sweep rides ONE index " +
+      "build, and the subword/substring store serves never exceed " +
+      "their inline twins") {
+    // first calls pay the ensure-builds; warm so the measured rows are
+    // steady-state serves (the q212 discipline)
+    shuffled("q243_subword_store"); shuffled("q244_substr_store")
+    val m = Seq("q242_ivfadc_sweep", "q243_subword_store",
+      "q244_substr_store").map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    val vecs = graft.Tables.embeddings(spark, sf).count()
+    // q242: coarse k-means (n-keyed argmin partials, fixed-cell
+    // updates) + one residual train/encode (q240's mass) + the ONE
+    // maxNprobe=8 candidate frame (≤ |probes|·n ADC partials — nprobe
+    // = nlist IS the full-ADC ceiling by design) + the bounded exact-
+    // truth audit (6×n window). What must NOT appear: 4× re-search
+    // mass — the sweep is a filter over one frame. (Measured at
+    // sf0.001: 22,337 — ~1.4× the single q240 search, against ~64k
+    // for four re-searches; q243 serve 62 vs inline 774; q244 serve
+    // 1,030 vs inline 51,062 — the committed gate deletes the gram-df
+    // aggregate, a ~50× serve dividend.)
+    assert(m("q242_ivfadc_sweep") <= 40 * 8 * vecs + 128 * 1024,
+      "the nprobe sweep must ride one index build + one candidate frame")
+    // q243/q244: what the stores delete is the TRAIN side (subword:
+    // the seed/segment/prune loop; substring: the gram df/keeper
+    // aggregate) — serve-only exchange must not exceed the inline twin
+    val i238 = shuffled("q238_subword_encode")
+    assert(m("q243_subword_store") <= i238,
+      s"serve-only q243 (${m("q243_subword_store")}) must not exceed " +
+        s"inline q238 ($i238)")
+    val i230 = shuffled("q230_substr_removal")
+    assert(m("q244_substr_store") <= i230,
+      s"serve-only q244 (${m("q244_substr_store")}) must not exceed " +
+        s"inline q230 ($i230)")
+    info(s"steady-state: q243 ${m("q243_subword_store")} vs q238 $i238; " +
+      s"q244 ${m("q244_substr_store")} vs q230 $i230")
+  }
 }

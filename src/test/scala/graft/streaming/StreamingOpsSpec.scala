@@ -1103,4 +1103,71 @@ class StreamingOpsSpec extends AnyFunSuite {
       store, sink)
     assert(key(spark.read.parquet(sink)) == rows)
   }
+
+  test("subwordServeStream: micro-batch docs segment under the " +
+      "COMMITTED vocabulary, equal the one-shot serve, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 120)
+      .select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_subword_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    graft.operators.TextPipeline.saveSubwordStore(docs, "text", store)
+    val b1 = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .collect().map(r => Dc(r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.subwordServeStream(mem.toDF(), "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val rows = key(spark.read.parquet(sink))
+    assert(rows.nonEmpty)
+    val oneShot = key(graft.operators.TextPipeline.subwordServe(spark,
+      store, b1.toDF(), "text"))
+    assert(rows == oneShot,
+      "streamed segmentation must equal the one-shot store serve")
+    // replay rewrites, never dups
+    StreamingOps.subwordServeBatch(b1.toDF(), 0L, "text", store, sink)
+    assert(key(spark.read.parquet(sink)) == rows)
+  }
+
+  test("substrServeStream: micro-batch docs clean against the " +
+      "COMMITTED keeper gate, equal the one-shot serve, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = "r1 r2 r3 r4 r5 r6"
+    val ref = Seq(Dc(1L, s"a1 a2 $run a3"), Dc(2L, s"b1 $run b2"),
+      Dc(3L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_substr_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    graft.operators.Dedup.saveSubstrStore(ref, "doc_id", "text", store)
+    // a NEW doc carrying the committed passage + a clean one
+    val b1 = Seq(Dc(99L, s"n1 $run n2"), Dc(98L, "m1 m2 m3"))
+    val mem = MemoryStream[Dc]
+    val q = StreamingOps.substrServeStream(mem.toDF(), "doc_id", "text",
+      store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    val rows = key(spark.read.parquet(sink))
+    assert(rows(99L)._5 == "n1\nn2" && rows(99L)._2 == 6L,
+      s"the streamed batch must lose the committed passage: ${rows(99L)}")
+    assert(rows(98L)._2 == 0L && rows(98L)._5 == "m1 m2 m3")
+    val oneShot = key(graft.operators.Dedup.substrServe(spark, store,
+      b1.toDF(), "doc_id", "text"))
+    assert(rows == oneShot,
+      "streamed cleaning must equal the one-shot store serve")
+    // replay rewrites, never dups
+    StreamingOps.substrServeBatch(b1.toDF(), 0L, "doc_id", "text",
+      store, sink)
+    assert(key(spark.read.parquet(sink)) == rows)
+  }
 }
