@@ -783,6 +783,28 @@ object ScaleProbe {
           graft.operators.TextPipeline.dsirLogWeights(
             Tables.documents(spark, d), "doc_id", "text",
             isTarget = col("lang") === "en")),
+        // round 18 (r17 verdict #4): the PQ family under embedding
+        // growth (probes stay the fixed replica-0 vec_id 4–9 batch;
+        // the coarse pivots stay the fixed replica-0 8).
+        // q231: per-Lloyd-round exchange = (vector, sub)-keyed argmin
+        // partials (∝ n·m — the data term) + the update aggregate,
+        // which must collapse map-side to the FIXED 1,024-cell space:
+        // total ratio ≤ data ratio, never n·k (cells tracking the
+        // corpus would read as a ×16 blowup)
+        "pq_train_full" -> ((d: String) =>
+          SparkEntry.queries("q231_pq_train")(spark, d)),
+        // q233: flat ADC scans every code — the (probe, cand) rollup
+        // is the data term at the fixed 6-probe batch; shuffle must
+        // track codes LINEARLY (ratio ≈ data ratio)
+        "pq_adc_full" -> ((d: String) =>
+          SparkEntry.queries("q233_pq_search")(spark, d)),
+        // q240: probed-list ADC — candidate mass = the probed lists'
+        // share of (probe × codes); at fixed nlist = 8 / nprobe = 2
+        // the rollup still grows with the corpus, but its ABSOLUTE
+        // mass must stay the probed fraction of q233's flat scan at
+        // every mult (the IVF pruning claim); train side shared
+        "ivfadc_full" -> ((d: String) =>
+          SparkEntry.queries("q240_ivfadc")(spark, d)),
         "ivf_ann_full" -> ((d: String) => {
           val e = Tables.embeddings(spark, d)
           graft.operators.Ann.ivfSearch(

@@ -36,13 +36,16 @@ import org.apache.spark.sql.functions._
   * a broadcast join against the m·k-row codebook frame with an
   * (id, sub)-keyed argmin partial; nothing exchanges the corpus.
   * Encoding is the same assignment shape (n·m code rows out). Search
-  * broadcasts the |probes|·m·k LUT (probe batches are bounded — q115's
-  * audit discipline) and the (probe, cand) ADC rollup partial-
-  * aggregates map-side. The committed store ([[saveStore]]) lands
-  * codebooks AND codes under ONE versioned commit (q208's torn-pair
-  * rule: codes must never be read against a codebook generation they
-  * were not encoded with), so serving never re-reads, re-encodes, or
-  * even re-sees the raw vector corpus. */
+  * packs codes one-row-per-vector ([[packCodes]] — round 18: the r17
+  * ×30 probe measured the row-form (probe, cand) rollup at ×54
+  * shuffle for ×30 data, m partials per pair; packed, ADC is a NARROW
+  * fold against broadcast per-probe LUT ARRAYS and the only exchange
+  * is the map-side-pruned rank). The committed store ([[saveStore]])
+  * lands codebooks AND PACKED codes under ONE versioned commit
+  * (q208's torn-pair rule: codes must never be read against a
+  * codebook generation they were not encoded with), so serving never
+  * re-reads, re-encodes, or even re-sees the raw vector corpus — and
+  * never pays the pack either. */
 object Pq {
 
   /** Float vectors → `(__id, q)` at the 1e3 fixed point. */
@@ -153,26 +156,75 @@ object Pq {
       .select(col("__id").as("probe"), col("sub"),
         col("cid").as("code"), dist.as("pd"))
 
-  /** ADC top-k search of an ENCODED corpus: `(probe, rk, cand, adc)` —
-    * each candidate's distance is the sum of its m codes' LUT entries
-    * (exact BIGINT), ranked per probe by (adc, cand). The codes frame
-    * never sees vector arithmetic; the rank filter prunes map-side
-    * (WindowGroupLimit). */
-  def searchCodes(codes: DataFrame, candIdCol: String,
-                  probes: DataFrame, probeIdCol: String, vecCol: String,
-                  codebooks: DataFrame, m: Int = 8, dsub: Int = 8,
-                  topK: Int = 3): DataFrame = {
+  /** Row-form `(idCol, sub, code)` codes PACKED one row per vector —
+    * `(idCol, cs)`, `cs` the m codes in subspace order. This is the
+    * layout a PQ deployment actually ships (m small ints per vector,
+    * ONE row): 8× fewer rows than the encode contract's row form, and
+    * the layout that makes ADC a NARROW fold (round 18 — the r17 ×30
+    * probe measured the row-form (probe, cand) rollup shipping up to m
+    * partials per pair, ×54 shuffle at ×30 data, because a vector's m
+    * code rows land in m different partitions after the encode
+    * exchange; packed, the pair never shuffles at all). */
+  private[graft] def packCodes(codes: DataFrame,
+                               candIdCol: String): DataFrame =
+    codes.groupBy(col(candIdCol))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code))), z -> z.code)")
+        .as("cs"))
+
+  /** Per-probe LUT as ONE sub-major array — `(probe, lt)` with
+    * `lt[(s−1)·k + code + 1]` the exact subspace-s distance to `code`
+    * (k is read back as size(lt)/m inside the fold, so no engine ever
+    * threads k separately). */
+  private def probeLut(probes: DataFrame, probeIdCol: String,
+                       vecCol: String, codebooks: DataFrame, m: Int,
+                       dsub: Int): DataFrame =
+    lut(probes, probeIdCol, vecCol, codebooks, m, dsub)
+      .groupBy(col("probe"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code, pd))), z -> z.pd)")
+        .as("lt"))
+
+  /** The narrow ADC fold over a packed codes row met by a LUT array:
+    * exact BIGINT sum of the m looked-up subspace distances. */
+  private def adcFold(m: Int) = expr(
+    s"""aggregate(transform(sequence(1, $m), s ->
+       |  element_at(lt, (cast(s as int) - 1)
+       |    * cast(size(lt) / $m as int)
+       |    + element_at(cs, cast(s as int)) + 1)),
+       |0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /** ADC top-k search over PACKED codes `(candIdCol, cs)`:
+    * `(probe, rk, cand, adc)` — the probe batch's LUT arrays broadcast
+    * against the packed corpus, every candidate's distance ONE narrow
+    * aggregate fold (exact BIGINT), ranked per probe by (adc, cand)
+    * with the rank filter pruning map-side (WindowGroupLimit). Nothing
+    * n-keyed ever shuffles: the only exchange is the pruned rank. */
+  private def searchPacked(packed: DataFrame, candIdCol: String,
+                           probes: DataFrame, probeIdCol: String,
+                           vecCol: String, codebooks: DataFrame,
+                           m: Int, dsub: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("probe"))
       .orderBy(col("adc").asc, col(candIdCol).asc)
-    codes
-      .join(broadcast(lut(probes, probeIdCol, vecCol, codebooks, m, dsub)),
-        Seq("sub", "code"))
-      .groupBy(col("probe"), col(candIdCol))
-      .agg(sum(col("pd")).as("adc"))
+    packed
+      .crossJoin(broadcast(
+        probeLut(probes, probeIdCol, vecCol, codebooks, m, dsub)))
+      .select(col("probe"), col(candIdCol), adcFold(m).as("adc"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("probe"), col("rk"), col(candIdCol), col("adc"))
   }
+
+  /** ADC top-k search of an ENCODED corpus (row-form codes —
+    * [[encode]]'s contract shape; they are packed once, then searched
+    * through the narrow [[searchPacked]] fold): `(probe, rk, cand,
+    * adc)`, exact BIGINT distances, (adc, cand) ties. */
+  def searchCodes(codes: DataFrame, candIdCol: String,
+                  probes: DataFrame, probeIdCol: String, vecCol: String,
+                  codebooks: DataFrame, m: Int = 8, dsub: Int = 8,
+                  topK: Int = 3): DataFrame =
+    searchPacked(packCodes(codes, candIdCol), candIdCol, probes,
+      probeIdCol, vecCol, codebooks, m, dsub, topK)
 
   /** Train + encode + search in one call (the inline contract face —
     * [[saveStore]]/[[searchStore]] is the deploy shape). */
@@ -188,7 +240,12 @@ object Pq {
   /** Land codebooks + encoded corpus under ONE versioned commit
     * (q208's torn-pair rule: codes are meaningless against any other
     * codebook generation). Build pays the corpus pass once; serving
-    * reads 1-byte-per-subspace codes and never the raw vectors. */
+    * reads the codes and never the raw vectors. Codes land PACKED —
+    * one row per vector, the m codes as an array (round 18): the
+    * layout a real PQ store ships (m small ints standing in for the
+    * vector), 8× fewer rows than the encode contract's row form, and
+    * the shape that makes every serve's ADC a narrow fold with ZERO
+    * n-keyed exchange (the pack cost is paid HERE, once). */
   def saveStore(corpus: DataFrame, idCol: String, vecCol: String,
                 path: String, m: Int = 8, dsub: Int = 8, k: Int = 16,
                 iterations: Int = 2): Unit = {
@@ -198,8 +255,8 @@ object Pq {
         .localCheckpoint(true)
       cb.select(col("sub"), col("cid"), col("c"))
         .write.mode("overwrite").parquet(s"$dir/codebooks")
-      encode(corpus, idCol, vecCol, cb, m, dsub)
-        .toDF("cand", "sub", "code")
+      packCodes(encode(corpus, idCol, vecCol, cb, m, dsub)
+          .toDF("cand", "sub", "code"), "cand")
         .write.mode("overwrite").parquet(s"$dir/codes")
     }
   }
@@ -207,8 +264,9 @@ object Pq {
   /** ADC search served from a COMMITTED [[saveStore]] artifact:
     * identical results to the inline [[search]] (the q212/q228 hash
     * discipline), with the corpus pass deleted — per batch the store
-    * side is one column-pruned codes scan + the broadcast LUT join.
-    * Refuses an uncommitted/torn store. */
+    * side is one scan of the PACKED codes met by the broadcast LUT
+    * arrays in a narrow fold, and the only exchange is the map-side-
+    * pruned rank. Refuses an uncommitted/torn store. */
   def searchStore(spark: SparkSession, path: String,
                   probes: DataFrame, probeIdCol: String, vecCol: String,
                   m: Int = 8, dsub: Int = 8, topK: Int = 3): DataFrame = {
@@ -219,9 +277,9 @@ object Pq {
           s"($PqStoreMarker) — it is mid-build, torn, or absent; " +
           "rebuild with saveStore"))
     val cb = spark.read.parquet(s"$dir/codebooks")
-    val codes = spark.read.parquet(s"$dir/codes")
-    searchCodes(codes, "cand", probes, probeIdCol, vecCol, cb, m, dsub,
-      topK)
+    val packed = spark.read.parquet(s"$dir/codes")
+    searchPacked(packed, "cand", probes, probeIdCol, vecCol, cb, m,
+      dsub, topK)
   }
 
   // ---- IVF-ADC (Jégou 2011 §IV — the composed serving index) --------
@@ -285,16 +343,26 @@ object Pq {
       .withColumnRenamed("cand", candIdCol)
   }
 
-  /** Per-(probe, candidate) ADC frame over an IVF-partitioned codes
-    * frame `(cand, cid, sub, code)` at probe depth `maxNprobe`:
-    * `(probe, cand, adc, lrk)` — per-(probe, list) residual LUT
-    * broadcast, candidates meet it ONLY on their own list's key, and
-    * `lrk` is the rank of the candidate's list among the probe's
-    * nearest coarse lists. A candidate lives in exactly ONE list, so
-    * its `adc` is nprobe-independent — an nprobe sweep is a FILTER
-    * `lrk <= nprobe` over this one frame, never a re-search (q242's
-    * whole trick). */
-  private def ivfCandidateFrame(codes: DataFrame,
+  /** Row-form IVF codes `(cand, cid, sub, code)` PACKED one row per
+    * vector — `(cand, cid, cs)` ([[packCodes]] with the list id
+    * carried). */
+  private[graft] def packIvfCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("cand"), col("cid"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code))), z -> z.code)")
+        .as("cs"))
+
+  /** Per-(probe, candidate) ADC frame over PACKED IVF codes
+    * `(cand, cid, cs)` at probe depth `maxNprobe`:
+    * `(probe, cand, adc, lrk)` — the per-(probe, list) residual LUT
+    * ARRAYS broadcast, candidates meet them on their own list's key
+    * in a narrow [[adcFold]] (nothing n-keyed shuffles — the round-18
+    * packed discipline), and `lrk` is the rank of the candidate's
+    * list among the probe's nearest coarse lists. A candidate lives
+    * in exactly ONE list, so its `adc` is nprobe-independent — an
+    * nprobe sweep is a FILTER `lrk <= nprobe` over this one frame,
+    * never a re-search (q242's whole trick). */
+  private def ivfCandidateFrame(packed: DataFrame,
                                 probes: DataFrame, probeIdCol: String,
                                 vecCol: String, coarse: DataFrame,
                                 codebooks: DataFrame, m: Int, dsub: Int,
@@ -312,23 +380,36 @@ object Pq {
         .select(col("sub"), col("cid").as("code"), col("c"))), Seq("sub"))
       .select(col("probe"), col("cid"), col("lrk"), col("sub"),
         col("code"), dist.as("pd"))
-    codes.join(broadcast(plut), Seq("cid", "sub", "code"))
-      .groupBy(col("probe"), col("cand"))
-      // all m LUT rows of one (probe, cand) share the candidate's one
-      // list, hence one lrk — min is just the aggregate-safe read
-      .agg(sum(col("pd")).as("adc"), min(col("lrk")).as("lrk"))
+      .groupBy(col("probe"), col("cid"), col("lrk"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code, pd))), z -> z.pd)")
+        .as("lt"))
+    packed.join(broadcast(plut), Seq("cid"))
+      .select(col("probe"), col("cand"), adcFold(m).as("adc"),
+        col("lrk"))
   }
 
-  /** Probed-list ADC over an IVF-partitioned codes frame
-    * `(cand, cid, sub, code)` — `(probe, rk, cand, adc)`. */
+  /** Probed-list ADC over an IVF-partitioned ROW-FORM codes frame
+    * `(cand, cid, sub, code)` (packed once, then searched through the
+    * narrow fold) — `(probe, rk, cand, adc)`. */
   private def searchIvfCodes(codes: DataFrame,
                              probes: DataFrame, probeIdCol: String,
                              vecCol: String, coarse: DataFrame,
                              codebooks: DataFrame, m: Int, dsub: Int,
-                             nprobe: Int, topK: Int): DataFrame = {
+                             nprobe: Int, topK: Int): DataFrame =
+    searchIvfPacked(packIvfCodes(codes), probes, probeIdCol, vecCol,
+      coarse, codebooks, m, dsub, nprobe, topK)
+
+  /** Probed-list ADC over PACKED IVF codes — `(probe, rk, cand, adc)`;
+    * the rank filter prunes map-side (WindowGroupLimit). */
+  private def searchIvfPacked(packed: DataFrame,
+                              probes: DataFrame, probeIdCol: String,
+                              vecCol: String, coarse: DataFrame,
+                              codebooks: DataFrame, m: Int, dsub: Int,
+                              nprobe: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("probe"))
       .orderBy(col("adc").asc, col("cand").asc)
-    ivfCandidateFrame(codes, probes, probeIdCol, vecCol, coarse,
+    ivfCandidateFrame(packed, probes, probeIdCol, vecCol, coarse,
         codebooks, m, dsub, nprobe)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -357,8 +438,8 @@ object Pq {
       .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
       .select(col("__id").as("cand"), col("cid"), col("sub"),
         col("code"))
-    ivfCandidateFrame(codes, probes, probeIdCol, vecCol, coarse, cb,
-        m, dsub, maxNprobe)
+    ivfCandidateFrame(packIvfCodes(codes), probes, probeIdCol, vecCol,
+        coarse, cb, m, dsub, maxNprobe)
       .withColumnRenamed("cand", candIdCol)
   }
 
@@ -383,10 +464,15 @@ object Pq {
         m, dsub, k, iterations)
       coarse.write.mode("overwrite").parquet(s"$dir/coarse")
       cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-      encodeQuantized(assigned.select(col("__id"), col("q")), cb, m, dsub)
-        .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
-        .select(col("__id").as("cand"), col("cid"), col("sub"),
-          col("code"))
+      // codes land PACKED (round 18 — one row per vector, the serve's
+      // ADC a narrow fold) AND partitioned by list id (the pruning
+      // layout): the pack exchange is build-side, paid once
+      packIvfCodes(
+          encodeQuantized(assigned.select(col("__id"), col("q")), cb,
+              m, dsub)
+            .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
+            .select(col("__id").as("cand"), col("cid"), col("sub"),
+              col("code")))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/codes")
     }
@@ -435,7 +521,7 @@ object Pq {
       .map(v => new org.apache.hadoop.fs.Path(s"$dir/codes", s"cid=${esc(v)}"))
       .filter(fs.exists(_))
       .map(_.toString)
-    val codes =
+    val packed =
       if (probedPaths.isEmpty)
         // every probed list is empty (no dir was ever written for it):
         // zero candidate rows either way — the full-index read keeps
@@ -449,7 +535,7 @@ object Pq {
           .parquet(probedPaths: _*)
           .where(col("cid").isin(probedLists.toSeq: _*))
       }
-    searchIvfCodes(codes, probes, probeIdCol, vecCol, coarse, cb,
+    searchIvfPacked(packed, probes, probeIdCol, vecCol, coarse, cb,
       m, dsub, nprobe, topK)
   }
 

@@ -982,9 +982,11 @@ class PlanContractSpec extends AnyFunSuite {
     val vecs = graft.Tables.embeddings(spark, sf).count()
     // coarse assignment is a broadcast 8-row cross join (argmin
     // partials n-keyed), residual training = q231's shape, the ADC
-    // rollup is bounded by the PROBED lists' share of (probe × codes)
-    // (measured: inline 15,951; steady-state store serve 797 — the
-    // build pass deleted, a 20× serve dividend at sf0.001)
+    // is a narrow packed-codes fold bounded by the PROBED lists'
+    // share (measured: inline 15,710; steady-state store serve 78 —
+    // the r17 row-form rollup's 797 cut 10× again by the round-18
+    // packed layout: serve-side exchange is just the map-side-pruned
+    // rank, a 200× dividend vs inline at sf0.001)
     assert(m("q240_ivfadc") <= 12 * 8 * vecs + 64 * 1024,
       "IVF-ADC must stay within assignment + training + probed-ADC mass")
     assert(m("q241_ivfadc_store") <= m("q240_ivfadc"),
@@ -1008,7 +1010,7 @@ class PlanContractSpec extends AnyFunSuite {
     // = nlist IS the full-ADC ceiling by design) + the bounded exact-
     // truth audit (6×n window). What must NOT appear: 4× re-search
     // mass — the sweep is a filter over one frame. (Measured at
-    // sf0.001: 22,337 — ~1.4× the single q240 search, against ~64k
+    // sf0.001: 19,887 — ~1.3× the single q240 search, against ~63k
     // for four re-searches; q243 serve 62 vs inline 774; q244 serve
     // 1,030 vs inline 51,062 — the committed gate deletes the gram-df
     // aggregate, a ~50× serve dividend.)
