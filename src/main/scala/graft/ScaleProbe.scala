@@ -376,7 +376,18 @@ object ScaleProbe {
         s"$root/sem")),
       "pq" -> timed(Pq.saveStore(
         embs.select(col("vec_id").as("cand"), col("embedding")),
-        "cand", "embedding", s"$root/pq")))
+        "cand", "embedding", s"$root/pq")),
+      // round 18: the two new store faces + the composed IVF-ADC store
+      "ivfadc" -> timed(Pq.saveIvfAdcStore(
+        embs.select(col("vec_id").as("cand"), col("embedding")),
+        "cand", "embedding",
+        cents.select(col("cid"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c")), s"$root/ivfadc")),
+      "subword" -> timed(TextPipeline.saveSubwordStore(
+        docs, "text", s"$root/subword")),
+      "substr" -> timed(Dedup.saveSubstrStore(
+        docs, "doc_id", "text", s"$root/substr")))
 
     // ---- serves at two batch sizes -----------------------------------
     def dBatch(n: Int) = docs.filter(col("doc_id") < n)
@@ -401,7 +412,13 @@ object ScaleProbe {
             spark, s"$root/sem",
             embs.filter(col("vec_id") < n), "vec_id", "embedding")),
           ("pq", n, () => Pq.searchStore(
-            spark, s"$root/pq", eBatch(n), "probe", "embedding")))
+            spark, s"$root/pq", eBatch(n), "probe", "embedding")),
+          ("ivfadc", n, () => Pq.searchIvfAdcStore(
+            spark, s"$root/ivfadc", eBatch(n), "probe", "embedding")),
+          ("subword", n, () => TextPipeline.subwordServe(
+            spark, s"$root/subword", dBatch(n), "text")),
+          ("substr", n, () => Dedup.substrServe(
+            spark, s"$root/substr", dBatch(n), "doc_id", "text")))
       } :+ (("hll", 0, () => Sketches.hllServe(spark, s"$root/hll", "source")))
     serves.foreach { case (_, _, f) =>
       try noop(f()) catch { case _: Throwable => () } // warm
@@ -419,7 +436,7 @@ object ScaleProbe {
       s""""build_s":$bjson,"serves":${rows.mkString("{", ",", "}")}}"""
     println(json)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("serving_probe_r17.json"), json + "\n")
+      java.nio.file.Paths.get("serving_probe_r18.json"), json + "\n")
     catch { case _: Throwable => () }
   }
 
