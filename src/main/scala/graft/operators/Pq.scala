@@ -467,14 +467,26 @@ object Pq {
       // codes land PACKED (round 18 — one row per vector, the serve's
       // ADC a narrow fold) AND partitioned by list id (the pruning
       // layout): the pack exchange is build-side, paid once
-      packIvfCodes(
-          encodeQuantized(assigned.select(col("__id"), col("q")), cb,
-              m, dsub)
-            .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
-            .select(col("__id").as("cand"), col("cid"), col("sub"),
-              col("code")))
-        .write.mode("overwrite").partitionBy("cid")
+      val packed = packIvfCodes(
+        encodeQuantized(assigned.select(col("__id"), col("q")), cb,
+            m, dsub)
+          .join(assigned.select(col("__id"), col("cid")), Seq("__id"))
+          .select(col("__id").as("cand"), col("cid"), col("sub"),
+            col("code")))
+      packed.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/codes")
+      // the file schema (minus the cid partition col) lands as DDL so
+      // a serve never opens a parquet footer just to learn it — at
+      // nlist = 100k the footer open is a per-call object-store GET
+      // the store can delete for the price of one tiny text file
+      val ddl = org.apache.spark.sql.types.StructType(
+        packed.schema.filterNot(_.name == "cid")).toDDL
+      val fsb = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fsb.create(
+        new org.apache.hadoop.fs.Path(s"$dir/codes_schema.ddl"), true)
+      try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 
@@ -529,7 +541,19 @@ object Pq {
         spark.read.parquet(s"$dir/codes")
           .where(col("cid").isin(probedLists.toSeq: _*))
       else {
-        val codeSchema = spark.read.parquet(probedPaths.head).schema
+        // schema from the committed DDL file (one tiny read; the
+        // footer-open fallback covers stores built before round 18)
+        val ddlPath = new org.apache.hadoop.fs.Path(
+          s"$dir/codes_schema.ddl")
+        val fileSchema =
+          if (fs.exists(ddlPath)) {
+            val in = fs.open(ddlPath)
+            val txt =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            org.apache.spark.sql.types.StructType.fromDDL(txt)
+          } else spark.read.parquet(probedPaths.head).schema
+        val codeSchema = fileSchema
           .add("cid", org.apache.spark.sql.types.IntegerType)
         spark.read.option("basePath", s"$dir/codes").schema(codeSchema)
           .parquet(probedPaths: _*)
