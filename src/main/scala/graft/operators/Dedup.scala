@@ -1315,7 +1315,19 @@ object Dedup {
     * bit-for-bit (the q244 hash gate). The gate join is unhinted
     * (q114's rule); per-batch cost is one batch tokenize + the gram
     * join — the training corpus is never re-read. Refuses an
-    * uncommitted/torn store. */
+    * uncommitted/torn store.
+    *
+    * Scale note (stated, not hidden): the committed gate is
+    * |duplicated grams|-row — spans-gate-sized on clean corpora but
+    * corpus-scale on dup-heavy ones. Unhinted, AQE broadcasts a sane
+    * gate; past broadcast range the join degrades to a shuffle join
+    * whose GATE-side exchange repeats per batch. A standing
+    * high-throughput deployment over a corpus-scale gate wants the
+    * q212 winnow-index discipline instead — land the gate as a
+    * gram-bucketed catalog table ([[graft.sources.Lake]]'s bucketed
+    * layout) so serving exchanges only the batch side; this path-store
+    * face keeps the versioned-commit + trust semantics both shapes
+    * share. */
   def substrServe(spark: SparkSession, path: String, docs: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
     val dir = graft.sources.Stores
