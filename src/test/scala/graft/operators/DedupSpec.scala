@@ -599,6 +599,32 @@ class DedupSpec extends AnyFunSuite {
       s"the committed minRun=3 must drive the serve: ${out3(99L)}")
   }
 
+  test("substr store under trust-committed serving: ensure never " +
+      "CONSTRUCTS the corpus frame when a commit exists; hermetic " +
+      "default still rebuilds") {
+    import spark.implicits._
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 x"), (2L, "y t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_trust").toString + "/store"
+    // committed DIRECTLY (saveSubstrStore does not touch the ensure
+    // memo — the same state a fresh serving process sees)
+    Dedup.saveSubstrStore(docs, "doc_id", "text", path)
+    var touched = 0
+    def poisoned: org.apache.spark.sql.DataFrame = { touched += 1; docs }
+    spark.conf.set(graft.sources.Stores.TrustConf, "true")
+    try {
+      Dedup.ensureSubstrStore(spark, poisoned, "doc_id", "text", path)
+      assert(touched == 0,
+        "trust-committed ensure must not even construct the corpus frame")
+    } finally spark.conf.unset(graft.sources.Stores.TrustConf)
+    // hermetic default on a DIFFERENT path: the thunk must evaluate
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_substr_trust2").toString + "/store"
+    Dedup.ensureSubstrStore(spark, poisoned, "doc_id", "text", path2)
+    assert(touched == 1, "hermetic default must rebuild from the corpus")
+  }
+
   test("removeSharedRuns: 40 random shared-phrase corpora match the " +
       "scalar cover reference, and re-cleaning cleaned text is a no-op") {
     import spark.implicits._

@@ -399,6 +399,24 @@ class TextPipelineSpec extends AnyFunSuite {
       s"one-off junk must not reach the vocabulary: $trained")
   }
 
+  test("subword store under trust-committed serving: ensure never " +
+      "CONSTRUCTS the corpus frame when a commit exists") {
+    import spark.implicits._
+    val docs = (1 to 8).map(i => (i.toLong, s"abcd$i abcd"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_subword_trust").toString + "/store"
+    TextPipeline.saveSubwordStore(docs, "text", path)
+    var touched = 0
+    def poisoned: org.apache.spark.sql.DataFrame = { touched += 1; docs }
+    spark.conf.set(graft.sources.Stores.TrustConf, "true")
+    try {
+      TextPipeline.ensureSubwordStore(spark, poisoned, "text", path)
+      assert(touched == 0,
+        "trust-committed ensure must not even construct the corpus frame")
+    } finally spark.conf.unset(graft.sources.Stores.TrustConf)
+  }
+
   test("subword store (q243): serving the training corpus replays the " +
       "inline train→segment; the training GEOMETRY travels with the " +
       "artifact; an uncommitted store is refused") {
