@@ -443,6 +443,51 @@ object Pq {
       .withColumnRenamed("cand", candIdCol)
   }
 
+  /** IVFADC+R re-ranked search (round 18; Jégou 2011 §V): the probed-
+    * list ADC produces a SHORTLIST of `shortlist` candidates per probe
+    * (code-approximate — cheap), then the refine step re-ranks ONLY
+    * those |probes|·shortlist candidates by the EXACT quantized
+    * full-vector distance and returns the top `topK` by (dist, cand).
+    * This is the deployment pattern that buys back the recall PQ codes
+    * give up (q234 prices it) for the cost of `shortlist` source-
+    * vector reads per probe — R is the second knob a deployment tunes
+    * (q242's nprobe is the first).
+    *
+    * Scale shape: the shortlist frame is |probes|·R rows (metadata by
+    * the bounded-probe-batch contract) and the refine join against the
+    * corpus is unhinted — AQE broadcasts the shortlist, so the corpus
+    * side is one column-pruned scan with a broadcast semi-shaped
+    * probe; at deployment scale the refine is R point lookups by
+    * primary key against the bucketed source table, never a scan. The
+    * whole chain stays in the fixed-point contract (exact BIGINT
+    * distances both stages), so the oracle replays shortlist AND
+    * refine bit-for-bit. */
+  def ivfAdcRerank(corpus: DataFrame, candIdCol: String,
+                   probes: DataFrame, probeIdCol: String, vecCol: String,
+                   coarse: DataFrame, m: Int = 8, dsub: Int = 8,
+                   k: Int = 16, iterations: Int = 2, nprobe: Int = 2,
+                   shortlist: Int = 10, topK: Int = 3): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist ($shortlist) must cover topK ($topK)")
+    val sl = ivfAdcSearch(corpus, candIdCol, probes, probeIdCol, vecCol,
+        coarse, m, dsub, k, iterations, nprobe, topK = shortlist)
+      .select(col("probe"), col(candIdCol))
+    val cq = quantize(corpus, candIdCol, vecCol)
+      .withColumnRenamed("__id", candIdCol)
+    val pq = quantize(probes, probeIdCol, vecCol)
+      .select(col("__id").as("probe"), col("q").as("qp"))
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("dist").asc, col(candIdCol).asc)
+    sl.join(cq, Seq(candIdCol))
+      .join(broadcast(pq), Seq("probe"))
+      .select(col("probe"), col(candIdCol), expr(
+        "aggregate(zip_with(q, qp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("probe"), col("rk"), col(candIdCol), col("dist"))
+  }
+
   private val IvfAdcStoreMarker = "_graft_ivfadcstore_committed"
 
   /** Land the IVF-ADC index under ONE versioned commit: coarse

@@ -1825,7 +1825,9 @@ object PipelineOracles {
   // PQ codebooks trained on exact-integer RESIDUALS (q231's CTE shape
   // over the residual frame), probed-list ADC with per-(probe, list)
   // residual LUTs — the whole composed index replayed bit-for-bit.
-  private val q240 = {
+  // The chain (through the per-(probe, cand) `ad` frame) is shared
+  // with q245, which re-ranks the ADC top-R by exact distance.
+  private val ivfAdcChain = {
     def round_(i: Int, prev: String) =
       s"""rd$i AS (SELECT rc.vec_id, rc.sub, c.cid,
          |    CAST(sum((rc.ev - c.cv) * (rc.ev - c.cv)) AS BIGINT) AS dist
@@ -1897,12 +1899,33 @@ object PipelineOracles {
        |  FROM enc JOIN ca ON ca.vec_id = enc.vec_id
        |  JOIN pl ON pl.ccid = ca.ccid AND pl.sub = enc.sub
        |    AND pl.code = enc.code
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val q240 =
+    s"""$ivfAdcChain
        |SELECT probe, CAST(rk AS BIGINT) AS rk, cand, adc FROM (
        |  SELECT probe, cand, adc,
        |    row_number() OVER (PARTITION BY probe ORDER BY adc, cand) AS rk
        |  FROM ad) x WHERE rk <= 3 ORDER BY probe, rk""".stripMargin
-  }
+
+  // q245 IVFADC+R (Jégou 2011 §V): ADC top-R = 10 shortlist per probe,
+  // refined by the EXACT quantized full-vector distance over just
+  // those candidates — both stages exact BIGINT, both replayed.
+  private val q245 =
+    s"""$ivfAdcChain,
+       |sl AS (SELECT probe, cand FROM (SELECT probe, cand, adc,
+       |    row_number() OVER (PARTITION BY probe ORDER BY adc, cand)
+       |      AS rk FROM ad) x WHERE rk <= 10),
+       |rr AS (SELECT sl.probe, sl.cand,
+       |    CAST(sum((p.ev - c.ev) * (p.ev - c.ev)) AS BIGINT) AS dist
+       |  FROM sl JOIN e0 p ON p.vec_id = sl.probe
+       |  JOIN e0 c ON c.vec_id = sl.cand AND c.i = p.i
+       |  GROUP BY 1, 2)
+       |SELECT probe, CAST(rk AS BIGINT) AS rk, cand, dist FROM (
+       |  SELECT probe, cand, dist,
+       |    row_number() OVER (PARTITION BY probe ORDER BY dist, cand) AS rk
+       |  FROM rr) x WHERE rk <= 3 ORDER BY probe, rk""".stripMargin
 
   // q242 IVF-ADC recall/nprobe sweep: q240's residual chain with the
   // coarse quantizer TRAINED (q224's k-means CTE shape, K = 8, over
@@ -2043,6 +2066,7 @@ object PipelineOracles {
     // pruned store-served IVF-ADC ≡ inline bit-for-bit
     "q241_ivfadc_store"   -> q240,
     "q242_ivfadc_sweep"   -> q242,
+    "q245_ivfadc_rerank"  -> q245,
     "q237_subword_train"  -> q237,
     "q238_subword_encode" -> q238,
     // q243 shares q238's oracle VERBATIM (q198's rule): segmentation

@@ -2385,6 +2385,28 @@ object PipelineQueries {
       .orderBy("nprobe")
   }
 
+  /** q245 IVFADC+R re-ranked search (round 18; Jégou 2011 §V — the
+    * deployment pattern that buys back the recall PQ codes give up):
+    * q240's geometry (8 pinned coarse pivots, nprobe = 2) produces an
+    * ADC shortlist of R = 10 candidates per probe, and the refine step
+    * re-ranks ONLY those 60 candidates by the EXACT quantized
+    * full-vector distance — R source-vector reads per probe against
+    * the 64× compression everywhere else. R is the second knob a
+    * deployment tunes (q242's nprobe is the first); q234 prices what
+    * the codes lose, this face is the standard buy-back. Both stages
+    * are exact BIGINT, so the oracle replays shortlist AND refine
+    * bit-for-bit. */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    graft.operators.Pq.ivfAdcRerank(
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand"), col("embedding")), "cand",
+        e.filter(col("vec_id").between(4, 9))
+          .select(col("vec_id").as("probe"), col("embedding")), "probe",
+        "embedding", pqCoarse(s, d))
+      .orderBy("probe", "rk")
+  }
+
   /** q237 iterative subword-vocabulary training (round 17, r16 verdict
     * #4 — [[graft.operators.TextPipeline.subwordTrain]]'s contract
     * face): hard-EM with greedy longest-match segmentation, the

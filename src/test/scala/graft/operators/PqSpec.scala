@@ -220,6 +220,35 @@ class PqSpec extends AnyFunSuite {
       "lrk-filtered sweep frame must replay the per-nprobe search")
   }
 
+  test("ivfAdcRerank (q245): with R covering the probed list, the " +
+      "refine stage returns the EXACT quantized ranking within it — " +
+      "code distortion cannot misrank past the re-rank") {
+    import spark.implicits._
+    val coarse = Seq(
+      (0, Seq(500L, 500L, 500L, 500L)),
+      (1, Seq(-500L, -500L, -500L, -500L))).toDF("cid", "c")
+    val probes = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("probe", "embedding")
+    val got = Pq.ivfAdcRerank(ivfCorpus, "cand", probes, "probe",
+        "embedding", coarse, m = 2, dsub = 2, k = 2, nprobe = 1,
+        shortlist = 20, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // scalar truth: exact quantized distance to every even-id (cluster
+    // 0) candidate, top-3 by (dist, cand)
+    def qz(x: Double) = math.floor(x * 1000).toLong
+    val pv = Array(0.5f, 0.5f, 0.5f, 0.5f).map(x => qz(x.toDouble))
+    val expect = (0 until 40).filter(_ % 2 == 0).map { i =>
+      val s = 0.5
+      val v = Array.tabulate(4)(j =>
+        qz((s + 0.02 * math.sin(i * 11 + j * 3)).toFloat.toDouble))
+      (i.toLong, v.zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (c, d) => (d, c) }.take(3)
+      .zipWithIndex.map { case ((c, d), r) => ((r + 1).toLong, c, d) }
+    assert(got.toSeq == expect,
+      s"refined ranking must be the exact within-list ranking: " +
+        s"got ${got.toSeq}, want $expect")
+  }
+
   test("serve-time listing is bounded by PROBED dirs, not nlist " +
       "(r17 verdict #1): at nlist = 240 the served scan's file index " +
       "holds only the probed lists' directories") {

@@ -1001,7 +1001,8 @@ class PlanContractSpec extends AnyFunSuite {
     // steady-state serves (the q212 discipline)
     shuffled("q243_subword_store"); shuffled("q244_substr_store")
     val m = Seq("q242_ivfadc_sweep", "q243_subword_store",
-      "q244_substr_store").map(n => n -> shuffled(n)).toMap
+      "q244_substr_store", "q245_ivfadc_rerank")
+      .map(n => n -> shuffled(n)).toMap
     info(s"measured $m")
     val vecs = graft.Tables.embeddings(spark, sf).count()
     // q242: coarse k-means (n-keyed argmin partials, fixed-cell
@@ -1029,5 +1030,13 @@ class PlanContractSpec extends AnyFunSuite {
         s"inline q230 ($i230)")
     info(s"steady-state: q243 ${m("q243_subword_store")} vs q238 $i238; " +
       s"q244 ${m("q244_substr_store")} vs q230 $i230")
+    // q245 = q240's build mass + the refine, whose join BROADCASTS the
+    // |probes|·R shortlist (the corpus side never exchanges) and whose
+    // rank is a 60-row window — the re-rank must cost ~nothing beyond
+    // the shortlist search it refines
+    val i240 = shuffled("q240_ivfadc")
+    assert(m("q245_ivfadc_rerank") <= i240 + 4096,
+      s"the refine stage must add only shortlist-bounded exchange: " +
+        s"q245 ${m("q245_ivfadc_rerank")} vs q240 $i240")
   }
 }
