@@ -198,11 +198,13 @@ object Bench {
     // build) and q221 (the untouched store face that swung ×1.82 in
     // the r17 window, past the documented jitter band) join the map so
     // the next window adjudicates both mechanically instead of by
-    // round-close prose.
+    // round-close prose. Round 19 (r18 verdict #6): q94, the r18
+    // window's one untouched mover past ×1.3 (×1.41), joins on the
+    // same precedent.
     val controlNames =
       Seq("q01_scan_project", "q11_join_inner", "q27_window_running",
-        "q30_str_funcs", "q99_null_battery", "q134_running_total",
-        "q216_textrank", "q221_cms_store")
+        "q30_str_funcs", "q94_profile", "q99_null_battery",
+        "q134_running_total", "q216_textrank", "q221_cms_store")
     val controlsJson = {
       val prior = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])

@@ -235,7 +235,76 @@ object Pq {
     searchCodes(encode(corpus, candIdCol, vecCol, codebooks, m, dsub),
       candIdCol, probes, probeIdCol, vecCol, codebooks, m, dsub, topK)
 
-  private val PqStoreMarker = "_graft_pqstore_committed"
+  /** Round-19 marker (r18 ADVICE #1/#2): the layout now pins the
+    * geometry IN the artifact and the codes are packed, so the marker
+    * name is generation-bumped — a store committed under the old
+    * marker (row-form codes and/or caller-supplied geometry) is
+    * REFUSED with an explicit rebuild message instead of failing on an
+    * unresolved `cs` column or silently mis-folding under a wrong m. */
+  private val PqStoreMarker = "_graft_pqstore2_committed"
+  private val PqStoreLegacyMarker = "_graft_pqstore_committed"
+
+  /** Serve-time GEOMETRY of a committed store — (m, dsub), read from
+    * the artifact, never from caller arguments (r18 ADVICE #2: with
+    * packed codes a wrong caller m makes `element_at` index past the
+    * LUT in non-ANSI mode, NULL adc, garbage top-k — so the geometry
+    * travels WITH the store, the q208 torn-pair rule the subword/
+    * substring stores already follow). A plain text file, not a
+    * one-row parquet table: reading it is driver-side filesystem IO,
+    * zero Spark jobs per serve (the `codes_schema.ddl` rationale). */
+  private def writeGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, m: Int, dsub: Int, k: Int,
+                            iterations: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/geometry"), true)
+    try out.write(s"m=$m\ndsub=$dsub\nk=$k\niterations=$iterations\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/geometry")
+    require(fs.exists(p),
+      s"committed store at $dir carries no geometry file — torn commit")
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.filter(_.contains('='))
+      .map { l => val Array(a, b) = l.split("=", 2); a.trim -> b.trim.toInt }
+      .toMap
+    (kv("m"), kv("dsub"))
+  }
+
+  private def fsOf(spark: SparkSession,
+                   dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve a committed v2 store dir, refusing a pre-round-19 layout
+    * with an explicit rebuild message (r18 ADVICE #1: the old commit
+    * holds row-form codes / no pinned geometry; feeding it to the
+    * packed reader would throw an unresolved-column AnalysisException
+    * or rank NULL adc — fail loudly at resolve time instead). */
+  private def resolveV2(spark: SparkSession, path: String,
+                        marker: String, legacy: String, kind: String,
+                        rebuild: String): String =
+    graft.sources.Stores.resolveCommitted(spark, path, marker)
+      .getOrElse {
+        val msg =
+          if (graft.sources.Stores
+              .resolveCommitted(spark, path, legacy).nonEmpty)
+            s"requirement failed: $kind store at $path was committed " +
+              "under a pre-round-19 layout (row-form codes and/or " +
+              "caller-supplied geometry); the packed geometry-pinned " +
+              s"reader cannot serve it — rebuild with $rebuild"
+          else
+            s"requirement failed: $kind store at $path has no commit " +
+              s"marker ($marker) — it is mid-build, torn, or absent; " +
+              s"rebuild with $rebuild"
+        throw new IllegalArgumentException(msg)
+      }
 
   /** Land codebooks + encoded corpus under ONE versioned commit
     * (q208's torn-pair rule: codes are meaningless against any other
@@ -245,7 +314,9 @@ object Pq {
     * layout a real PQ store ships (m small ints standing in for the
     * vector), 8× fewer rows than the encode contract's row form, and
     * the shape that makes every serve's ADC a narrow fold with ZERO
-    * n-keyed exchange (the pack cost is paid HERE, once). */
+    * n-keyed exchange (the pack cost is paid HERE, once). The
+    * geometry (m/dsub/k/iterations) commits WITH the artifact and the
+    * serve faces read it from there (round 19, r18 ADVICE #2). */
   def saveStore(corpus: DataFrame, idCol: String, vecCol: String,
                 path: String, m: Int = 8, dsub: Int = 8, k: Int = 16,
                 iterations: Int = 2): Unit = {
@@ -258,6 +329,7 @@ object Pq {
       packCodes(encode(corpus, idCol, vecCol, cb, m, dsub)
           .toDF("cand", "sub", "code"), "cand")
         .write.mode("overwrite").parquet(s"$dir/codes")
+      writeGeometry(fsOf(spark, dir), dir, m, dsub, k, iterations)
     }
   }
 
@@ -266,16 +338,14 @@ object Pq {
     * discipline), with the corpus pass deleted — per batch the store
     * side is one scan of the PACKED codes met by the broadcast LUT
     * arrays in a narrow fold, and the only exchange is the map-side-
-    * pruned rank. Refuses an uncommitted/torn store. */
+    * pruned rank. Geometry comes from the artifact, never the caller
+    * (round 19). Refuses an uncommitted/torn/pre-round-19 store. */
   def searchStore(spark: SparkSession, path: String,
                   probes: DataFrame, probeIdCol: String, vecCol: String,
-                  m: Int = 8, dsub: Int = 8, topK: Int = 3): DataFrame = {
-    val dir = graft.sources.Stores
-      .resolveCommitted(spark, path, PqStoreMarker)
-      .getOrElse(throw new IllegalArgumentException(
-        s"requirement failed: PQ store at $path has no commit marker " +
-          s"($PqStoreMarker) — it is mid-build, torn, or absent; " +
-          "rebuild with saveStore"))
+                  topK: Int = 3): DataFrame = {
+    val dir = resolveV2(spark, path, PqStoreMarker, PqStoreLegacyMarker,
+      "PQ", "saveStore")
+    val (m, dsub) = readGeometry(fsOf(spark, dir), dir)
     val cb = spark.read.parquet(s"$dir/codebooks")
     val packed = spark.read.parquet(s"$dir/codes")
     searchPacked(packed, "cand", probes, probeIdCol, vecCol, cb, m,
@@ -458,10 +528,11 @@ object Pq {
     * corpus is unhinted — AQE broadcasts the shortlist, so the corpus
     * side is one column-pruned scan with a broadcast semi-shaped
     * probe; at deployment scale the refine is R point lookups by
-    * primary key against the bucketed source table, never a scan. The
-    * whole chain stays in the fixed-point contract (exact BIGINT
-    * distances both stages), so the oracle replays shortlist AND
-    * refine bit-for-bit. */
+    * primary key against the id-clustered vectors table, never a scan
+    * — [[searchIvfAdcStoreRerank]] is that committed-store face
+    * (round 19). The whole chain stays in the fixed-point contract
+    * (exact BIGINT distances both stages), so the oracle replays
+    * shortlist AND refine bit-for-bit. */
   def ivfAdcRerank(corpus: DataFrame, candIdCol: String,
                    probes: DataFrame, probeIdCol: String, vecCol: String,
                    coarse: DataFrame, m: Int = 8, dsub: Int = 8,
@@ -469,41 +540,107 @@ object Pq {
                    shortlist: Int = 10, topK: Int = 3): DataFrame = {
     require(shortlist >= topK,
       s"shortlist ($shortlist) must cover topK ($topK)")
+    refineTopK(
+      ivfAdcRerankCandidates(corpus, candIdCol, probes, probeIdCol,
+        vecCol, coarse, m, dsub, k, iterations, nprobe, shortlist),
+      candIdCol, topK)
+  }
+
+  /** The q247 sweep frame (round 19, r18 verdict #5 — q242's lrk trick
+    * applied to the refine stage): shortlist + refine ONCE at probe
+    * depth `nprobe` and shortlist depth `maxShortlist`, returning every
+    * refined pair as `(probe, <candIdCol>, srk, dist)` — `srk` the
+    * candidate's 1-based ADC-shortlist rank, `dist` its EXACT quantized
+    * full-vector distance. [[ivfAdcRerank]] at ANY R ≤ maxShortlist
+    * reads off this one frame by filtering `srk <= R` and re-ranking by
+    * (dist, cand) — a recall-vs-R sensitivity audit is ONE index build
+    * + ONE refine join, never |sweep| re-searches. Both stages stay
+    * exact BIGINT, so the oracle replays shortlist AND refine. */
+  def ivfAdcRerankCandidates(corpus: DataFrame, candIdCol: String,
+                             probes: DataFrame, probeIdCol: String,
+                             vecCol: String, coarse: DataFrame,
+                             m: Int = 8, dsub: Int = 8, k: Int = 16,
+                             iterations: Int = 2, nprobe: Int = 2,
+                             maxShortlist: Int = 20): DataFrame = {
     val sl = ivfAdcSearch(corpus, candIdCol, probes, probeIdCol, vecCol,
-        coarse, m, dsub, k, iterations, nprobe, topK = shortlist)
-      .select(col("probe"), col(candIdCol))
-    val cq = quantize(corpus, candIdCol, vecCol)
-      .withColumnRenamed("__id", candIdCol)
+        coarse, m, dsub, k, iterations, nprobe, topK = maxShortlist)
+      .select(col("probe"), col("rk").cast("int").as("srk"),
+        col(candIdCol))
+    refineJoin(sl, quantize(corpus, candIdCol, vecCol)
+        .withColumnRenamed("__id", candIdCol),
+      probes, probeIdCol, vecCol, candIdCol)
+  }
+
+  /** The refine join shared by the inline, sweep, and store-served
+    * rerank faces: a shortlist frame `(probe, srk, <candIdCol>)` meets
+    * the QUANTIZED candidate vectors `(candIdCol, q)` and the broadcast
+    * quantized probes, producing `(probe, <candIdCol>, srk, dist)`
+    * with `dist` the exact BIGINT squared-L2 full-vector distance. The
+    * shortlist is |probes|·R rows (metadata by the bounded-probe-batch
+    * contract), so AQE broadcasts it and the vector side is one
+    * column-pruned probe — at deployment scale, R point lookups by
+    * primary key against the id-clustered vectors table. */
+  private def refineJoin(sl: DataFrame, candVecs: DataFrame,
+                         probes: DataFrame, probeIdCol: String,
+                         vecCol: String, candIdCol: String): DataFrame = {
     val pq = quantize(probes, probeIdCol, vecCol)
       .select(col("__id").as("probe"), col("q").as("qp"))
-    val w = Window.partitionBy(col("probe"))
-      .orderBy(col("dist").asc, col(candIdCol).asc)
-    sl.join(cq, Seq(candIdCol))
+    sl.join(candVecs, Seq(candIdCol))
       .join(broadcast(pq), Seq("probe"))
-      .select(col("probe"), col(candIdCol), expr(
+      .select(col("probe"), col(candIdCol), col("srk"), expr(
         "aggregate(zip_with(q, qp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
         .as("dist"))
+  }
+
+  /** Top-`topK` by (dist, cand) over a refined frame — the final
+    * ranking shared by [[ivfAdcRerank]] and
+    * [[searchIvfAdcStoreRerank]]. */
+  private def refineTopK(refined: DataFrame, candIdCol: String,
+                         topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("dist").asc, col(candIdCol).asc)
+    refined
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("probe"), col("rk"), col(candIdCol), col("dist"))
   }
 
-  private val IvfAdcStoreMarker = "_graft_ivfadcstore_committed"
+  /** Round-19 marker — same generation bump and rationale as
+    * [[PqStoreMarker]]. */
+  private val IvfAdcStoreMarker = "_graft_ivfadcstore2_committed"
+  private val IvfAdcStoreLegacyMarker = "_graft_ivfadcstore_committed"
 
   /** Land the IVF-ADC index under ONE versioned commit: coarse
-    * centroids, residual codebooks, and codes PARTITIONED BY list id —
-    * the layout where a serve's IO is the probed lists' directories
-    * and nothing else (`Ann.saveIndex`'s partition-pruning discipline
-    * applied to PQ codes). */
+    * centroids, residual codebooks, geometry, and codes PARTITIONED BY
+    * list id — the layout where a serve's IO is the probed lists'
+    * directories and nothing else (`Ann.saveIndex`'s partition-pruning
+    * discipline applied to PQ codes). The committed artifact is
+    * COARSE-AGNOSTIC: `coarse` may be pinned pivots or
+    * `Linalg.kmeansQuantized`-trained centroids — the store carries
+    * whatever (cid, c) frame indexed the corpus, and every serve
+    * resolves assignments against exactly that committed frame
+    * (round 19, r18 verdict #4; `PqSpec` round-trips trained coarse).
+    *
+    * `withVectors = true` additionally commits the QUANTIZED source
+    * vectors for [[searchIvfAdcStoreRerank]]'s refine stage (round 19,
+    * r18 verdict #2 — the IVFADC+R deploy shape `Pq.scala`'s q245 doc
+    * declares): `(cand, q)` repartitioned BY id and sorted within
+    * files by id — the point-lookup layout (a shortlist id hashes to
+    * one file cluster and row-group min/max prunes within it), so a
+    * refine is R point reads, never a corpus scan. Same single commit:
+    * codes, codebooks, and refine vectors can never tear apart. */
   def saveIvfAdcStore(corpus: DataFrame, idCol: String, vecCol: String,
                       coarse: DataFrame, path: String, m: Int = 8,
-                      dsub: Int = 8, k: Int = 16, iterations: Int = 2)
-      : Unit = {
+                      dsub: Int = 8, k: Int = 16, iterations: Int = 2,
+                      withVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     graft.sources.Stores.commitVersioned(spark, path,
         IvfAdcStoreMarker) { dir =>
-      val assigned = coarseAssign(
-          quantize(corpus, idCol, vecCol), coarse, 1)
+      // with vectors the quantized frame is dual-consumed (assignment
+      // + the vectors write) — pin it; without, it flows once
+      val qf0 = quantize(corpus, idCol, vecCol)
+      val qf = if (withVectors) qf0.localCheckpoint(true) else qf0
+      val assigned = coarseAssign(qf, coarse, 1)
         .localCheckpoint(true)
       val cb = trainQuantized(assigned.select(col("__id"), col("q")),
         m, dsub, k, iterations)
@@ -520,18 +657,22 @@ object Pq {
             col("code")))
       packed.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/codes")
+      if (withVectors)
+        qf.select(col("__id").as("cand"), col("q"))
+          .repartition(col("cand")).sortWithinPartitions(col("cand"))
+          .write.mode("overwrite").parquet(s"$dir/vectors")
       // the file schema (minus the cid partition col) lands as DDL so
       // a serve never opens a parquet footer just to learn it — at
       // nlist = 100k the footer open is a per-call object-store GET
       // the store can delete for the price of one tiny text file
       val ddl = org.apache.spark.sql.types.StructType(
         packed.schema.filterNot(_.name == "cid")).toDDL
-      val fsb = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fsb = fsOf(spark, dir)
       val out = fsb.create(
         new org.apache.hadoop.fs.Path(s"$dir/codes_schema.ddl"), true)
       try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      writeGeometry(fsb, dir, m, dsub, k, iterations)
     }
   }
 
@@ -543,14 +684,12 @@ object Pq {
     * discipline). Refuses an uncommitted/torn store. */
   def searchIvfAdcStore(spark: SparkSession, path: String,
                         probes: DataFrame, probeIdCol: String,
-                        vecCol: String, m: Int = 8, dsub: Int = 8,
-                        nprobe: Int = 2, topK: Int = 3): DataFrame = {
-    val dir = graft.sources.Stores
-      .resolveCommitted(spark, path, IvfAdcStoreMarker)
-      .getOrElse(throw new IllegalArgumentException(
-        s"requirement failed: IVF-ADC store at $path has no commit " +
-          s"marker ($IvfAdcStoreMarker) — it is mid-build, torn, or " +
-          "absent; rebuild with saveIvfAdcStore"))
+                        vecCol: String, nprobe: Int = 2,
+                        topK: Int = 3): DataFrame = {
+    val dir = resolveV2(spark, path, IvfAdcStoreMarker,
+      IvfAdcStoreLegacyMarker, "IVF-ADC", "saveIvfAdcStore")
+    val fs = fsOf(spark, dir)
+    val (m, dsub) = readGeometry(fs, dir)
     val coarse = spark.read.parquet(s"$dir/coarse")
     val cb = spark.read.parquet(s"$dir/codebooks")
     val probedLists = coarseAssign(
@@ -569,9 +708,24 @@ object Pq {
     // a `basePath`; the listing touches ≤ nprobe·|probes| dirs. The IN
     // filter stays as the semantic gate. `cid` is declared int in the
     // read schema (the store writes int list ids), so partition values
-    // parse as the type searchIvfCodes joins on.
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parse as the type searchIvfCodes joins on. The file schema comes
+    // from the DDL file the commit lands — a v2 store always carries
+    // it, so NO branch of this serve ever opens a parquet footer for
+    // schema or builds an O(nlist) file index (round 19, r18 verdict
+    // #8: the empty-probed-dirs branch previously fell back to the
+    // full-index read; it now returns an empty frame with the
+    // committed schema, so the O(probed) guarantee is unconditional).
+    val ddlPath = new org.apache.hadoop.fs.Path(s"$dir/codes_schema.ddl")
+    require(fs.exists(ddlPath),
+      s"committed IVF-ADC store at $dir carries no codes_schema.ddl — " +
+        "torn commit")
+    val ddlIn = fs.open(ddlPath)
+    val ddlTxt =
+      try scala.io.Source.fromInputStream(ddlIn, "UTF-8").mkString
+      finally ddlIn.close()
+    val codeSchema = org.apache.spark.sql.types.StructType
+      .fromDDL(ddlTxt)
+      .add("cid", org.apache.spark.sql.types.IntegerType)
     val esc = (v: Int) => org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(String.valueOf(v))
     val probedPaths = probedLists.toIndexedSeq
@@ -581,31 +735,51 @@ object Pq {
     val packed =
       if (probedPaths.isEmpty)
         // every probed list is empty (no dir was ever written for it):
-        // zero candidate rows either way — the full-index read keeps
-        // the plan shape and is rare enough that its listing is moot
-        spark.read.parquet(s"$dir/codes")
-          .where(col("cid").isin(probedLists.toSeq: _*))
-      else {
-        // schema from the committed DDL file (one tiny read; the
-        // footer-open fallback covers stores built before round 18)
-        val ddlPath = new org.apache.hadoop.fs.Path(
-          s"$dir/codes_schema.ddl")
-        val fileSchema =
-          if (fs.exists(ddlPath)) {
-            val in = fs.open(ddlPath)
-            val txt =
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            org.apache.spark.sql.types.StructType.fromDDL(txt)
-          } else spark.read.parquet(probedPaths.head).schema
-        val codeSchema = fileSchema
-          .add("cid", org.apache.spark.sql.types.IntegerType)
+        // zero candidates by construction — an empty frame with the
+        // committed schema, never a listing
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), codeSchema)
+      else
         spark.read.option("basePath", s"$dir/codes").schema(codeSchema)
           .parquet(probedPaths: _*)
           .where(col("cid").isin(probedLists.toSeq: _*))
-      }
     searchIvfPacked(packed, probes, probeIdCol, vecCol, coarse, cb,
       m, dsub, nprobe, topK)
+  }
+
+  /** IVFADC+R served ENTIRELY from a COMMITTED
+    * [[saveIvfAdcStore]]`(withVectors = true)` artifact (round 19, r18
+    * verdict #2 — the deploy shape the q245 scaladoc declared): the
+    * shortlist comes from [[searchIvfAdcStore]] at `topK = shortlist`
+    * (probed-directory IO only), and the refine stage re-ranks it by
+    * exact quantized distance against the vectors COMMITTED ALONGSIDE
+    * the codes — the raw corpus is never constructed, read, or even
+    * reachable (trust-mode serves against a deleted corpus). Identical
+    * results to the inline [[ivfAdcRerank]] (the q241/q244 hash
+    * discipline). The refine join broadcasts the |probes|·R shortlist
+    * against the id-clustered vectors table — R point lookups at
+    * deployment scale, never a scan. Refuses a store committed without
+    * vectors. */
+  def searchIvfAdcStoreRerank(spark: SparkSession, path: String,
+                              probes: DataFrame, probeIdCol: String,
+                              vecCol: String, nprobe: Int = 2,
+                              shortlist: Int = 10, topK: Int = 3)
+      : DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist ($shortlist) must cover topK ($topK)")
+    val dir = resolveV2(spark, path, IvfAdcStoreMarker,
+      IvfAdcStoreLegacyMarker, "IVF-ADC", "saveIvfAdcStore")
+    require(fsOf(spark, dir)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/vectors")),
+      s"IVF-ADC store at $path was committed WITHOUT refine vectors — " +
+        "rerank serving needs saveIvfAdcStore(withVectors = true)")
+    val sl = searchIvfAdcStore(spark, path, probes, probeIdCol, vecCol,
+        nprobe, topK = shortlist)
+      .select(col("probe"), col("rk").cast("int").as("srk"), col("cand"))
+    refineTopK(
+      refineJoin(sl, spark.read.parquet(s"$dir/vectors"), probes,
+        probeIdCol, vecCol, "cand"),
+      "cand", topK)
   }
 
   /** Pay-once build for the q241 face (by-name corpus — the trust-mode
@@ -613,11 +787,11 @@ object Pq {
   def ensureIvfAdcStore(spark: SparkSession, corpus: => DataFrame,
                         idCol: String, vecCol: String,
                         coarse: => DataFrame, path: String, m: Int = 8,
-                        dsub: Int = 8, k: Int = 16,
-                        iterations: Int = 2): Unit =
+                        dsub: Int = 8, k: Int = 16, iterations: Int = 2,
+                        withVectors: Boolean = false): Unit =
     graft.sources.Stores.ensureCommitted(spark, path, IvfAdcStoreMarker)(
       saveIvfAdcStore(corpus, idCol, vecCol, coarse, path, m, dsub, k,
-        iterations))
+        iterations, withVectors))
 
   /** Pay-once build for the q235 face. `corpus` is BY-NAME: under
     * trust-committed serving ([[graft.sources.Stores.TrustConf]]) a

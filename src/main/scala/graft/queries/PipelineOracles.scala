@@ -1927,6 +1927,47 @@ object PipelineOracles {
        |    row_number() OVER (PARTITION BY probe ORDER BY dist, cand) AS rk
        |  FROM rr) x WHERE rk <= 3 ORDER BY probe, rk""".stripMargin
 
+  // q247 IVFADC+R recall-vs-R sweep: q245's shortlist+refine computed
+  // ONCE at maxShortlist = 20 with the shortlist rank carried, every
+  // R row a filter + re-rank over that one refined frame, graded
+  // against the exact quantized full-vector top-3 (q234's truth).
+  private val q247 =
+    s"""$ivfAdcChain,
+       |sl AS (SELECT probe, cand,
+       |    row_number() OVER (PARTITION BY probe ORDER BY adc, cand)
+       |      AS srk FROM ad),
+       |rf AS (SELECT sl.probe, sl.cand, sl.srk,
+       |    CAST(sum((p.ev - c.ev) * (p.ev - c.ev)) AS BIGINT) AS dist
+       |  FROM sl JOIN e0 p ON p.vec_id = sl.probe
+       |  JOIN e0 c ON c.vec_id = sl.cand AND c.i = p.i
+       |  WHERE sl.srk <= 20
+       |  GROUP BY 1, 2, 3),
+       |rv AS (SELECT unnest(list_value(3, 5, 10, 20)) AS r),
+       |sw AS (SELECT rv.r, rf.probe, rf.cand, rf.dist
+       |  FROM rf JOIN rv ON rf.srk <= rv.r),
+       |t3 AS (SELECT r, probe, cand FROM (SELECT r, probe, cand,
+       |    row_number() OVER (PARTITION BY r, probe ORDER BY dist, cand)
+       |      AS rk FROM sw) x WHERE rk <= 3),
+       |ex AS (SELECT probe, cand FROM (SELECT p.vec_id AS probe,
+       |    c.vec_id AS cand,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      sum((p.ev - c.ev) * (p.ev - c.ev)), c.vec_id) AS rk
+       |  FROM e0 p JOIN e0 c ON c.i = p.i
+       |  WHERE p.vec_id BETWEEN 4 AND 9 AND c.vec_id >= 10
+       |  GROUP BY p.vec_id, c.vec_id) x WHERE rk <= 3),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
+       |mass AS (SELECT r, CAST(count(*) AS BIGINT) AS n_refine
+       |  FROM sw GROUP BY 1),
+       |hits AS (SELECT t.r, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM t3 t JOIN ex ON ex.probe = t.probe AND ex.cand = t.cand
+       |  GROUP BY 1)
+       |SELECT CAST(m.r AS BIGINT) AS r, m.n_refine,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  floor(coalesce(h.n_hit, 0) * 10000.0 / nullif(tc.n_true, 0))
+       |    / 10000.0 AS recall
+       |FROM mass m LEFT JOIN hits h ON h.r = m.r
+       |CROSS JOIN tc ORDER BY r""".stripMargin
+
   // q242 IVF-ADC recall/nprobe sweep: q240's residual chain with the
   // coarse quantizer TRAINED (q224's k-means CTE shape, K = 8, over
   // the indexed corpus' full vectors), probe assignment RANKED to
@@ -2067,6 +2108,14 @@ object PipelineOracles {
     "q241_ivfadc_store"   -> q240,
     "q242_ivfadc_sweep"   -> q242,
     "q245_ivfadc_rerank"  -> q245,
+    // q246 shares q245's oracle VERBATIM (q198's rule): shortlist +
+    // refine served entirely from the committed store (codes AND
+    // vectors) must replay the inline rerank bit-for-bit
+    "q246_ivfadcr_store"  -> q245,
+    "q247_rerank_sweep"   -> q247,
+    // q248 shares q230's oracle VERBATIM (q106's hash-gate stance):
+    // the gram-bucketed gate layout must be invisible to semantics
+    "q248_substr_bucketed" -> q230,
     "q237_subword_train"  -> q237,
     "q238_subword_encode" -> q238,
     // q243 shares q238's oracle VERBATIM (q198's rule): segmentation

@@ -2600,4 +2600,121 @@ object PipelineQueries {
       .select("doc_id", "n_toks", "n_removed", "n_runs", "clean_sig")
       .orderBy("doc_id")
   }
+
+  /** q246 IVFADC+R from the COMMITTED store (round 19, r18 verdict #2
+    * — the q245 deploy shape made a committed-store face, the
+    * q240→q241 convention): ONE versioned commit lands coarse +
+    * residual codebooks + list-partitioned packed codes + the
+    * QUANTIZED source vectors id-clustered for point lookups
+    * ([[graft.operators.Pq.saveIvfAdcStore]] `withVectors = true`);
+    * the serve takes its R = 10 shortlist from the partition-pruned
+    * codes and refines against the committed vectors — the raw corpus
+    * is never re-read (trust-mode serves it against a deleted corpus,
+    * `StoresTrustSpec`'s stance). Oracle = q245 VERBATIM (the hash
+    * gate proves store-served shortlist+refine ≡ inline
+    * bit-for-bit). */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_ivfadcr_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val e = embeddings(s, d)
+    graft.operators.Pq.ensureIvfAdcStore(s,
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand"), col("embedding")),
+      "cand", "embedding", pqCoarse(s, d), path, withVectors = true)
+    graft.operators.Pq.searchIvfAdcStoreRerank(s, path,
+        e.filter(col("vec_id").between(4, 9))
+          .select(col("vec_id").as("probe"), col("embedding")),
+        "probe", "embedding")
+      .orderBy("probe", "rk")
+  }
+
+  /** q247 IVFADC+R recall-vs-R sensitivity audit (round 19, r18
+    * verdict #5 — q242's one-frame sweep trick applied to the SECOND
+    * deployment knob): q245's geometry (8 pinned coarse pivots,
+    * nprobe = 2) shortlists and refines ONCE at maxShortlist = 20
+    * ([[graft.operators.Pq.ivfAdcRerankCandidates]] carries each
+    * refined pair's shortlist rank `srk`), and every
+    * R ∈ {3, 5, 10, 20} row is a FILTER `srk <= R` + re-rank over
+    * that one frame — never a re-search, never a re-refine. Graded
+    * against the engine-exact quantized full-vector top-3 (q234's
+    * truth): `n_refine` prices the refine work R buys, `recall` what
+    * it buys back — the measured curve for the knob q245 fixes at 10.
+    * At R = 20 ≥ the probed share the curve hits the nprobe = 2
+    * ceiling: past that, nprobe (q242's knob) is the binding one.
+    * Exact BIGINT both stages; the oracle replays shortlist, refine,
+    * sweep, and truth. */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand"), col("embedding"))
+    val probes = e.filter(col("vec_id").between(4, 9))
+      .select(col("vec_id").as("probe"), col("embedding"))
+    // the refined frame feeds BOTH the refine-mass census and the
+    // per-R ranking (q185's sibling-consumer rule)
+    val rf = graft.operators.Pq.ivfAdcRerankCandidates(cands, "cand",
+        probes, "probe", "embedding", pqCoarse(s, d), maxShortlist = 20)
+      .localCheckpoint(true)
+    val sw = rf.crossJoin(
+        broadcast(s.range(1).select(explode(expr("array(3, 5, 10, 20)"))
+          .as("r"))))
+      .filter(col("srk") <= col("r"))
+    val w = Window.partitionBy(col("r"), col("probe"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    val top3 = sw
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("r"), col("probe"), col("cand"))
+    def quant(c: String) = expr(
+      s"transform($c, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+    val wx = Window.partitionBy(col("probe"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    val exact = probes.select(col("probe"), quant("embedding").as("qp"))
+      .crossJoin(cands.select(col("cand"), quant("embedding").as("qc")))
+      .select(col("probe"), col("cand"), expr(
+        "aggregate(zip_with(qp, qc, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("dist"))
+      .withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= 3)
+      .select(col("probe"), col("cand"))
+      .localCheckpoint(true) // n_true + the hit join (sibling consumers)
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val mass = sw.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_refine"))
+    val hits = top3.join(exact, Seq("probe", "cand"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_hit"))
+    mass.join(hits, Seq("r"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("r").cast("long").as("r"), col("n_refine"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (floor(coalesce(col("n_hit"), lit(0L)) * lit(10000.0) /
+          when(col("n_true") === 0, lit(null)).otherwise(col("n_true")))
+          / 10000.0).as("recall"))
+      .orderBy("r")
+  }
+
+  /** q248 substring removal from the GRAM-BUCKETED gate (round 19,
+    * r18 verdict #1 — the q244 scale note made real, q212's
+    * winnow-index discipline for this family): the duplicated-gram
+    * keeper gate lands as a gram-BUCKETED catalog table
+    * ([[graft.operators.Dedup.saveSubstrGateBucketed]], minRun pinned
+    * in the params companion), so a standing serve's cover join runs
+    * on the store's bucket partitioning and exchanges ONLY the batch
+    * side — on a dup-heavy corpus whose gate is past broadcast range,
+    * the layout that deletes the per-batch gate re-shuffle
+    * (plan-pinned in `PlanContractSpec`; q244's path store remains the
+    * modest-gate/object-store shape). Oracle = q230 VERBATIM (the hash
+    * gate proves the layout is invisible to semantics — serving the
+    * corpus against its own bucketed gate replays the inline removal
+    * bit-for-bit; `DedupSpec` additionally pins parity between the
+    * two store layouts). */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val table = s"graft_substr_gate${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.Dedup.ensureSubstrGateBucketed(s,
+      documents(s, d), "doc_id", "text", table)
+    graft.operators.Dedup.substrServeBucketed(s, table,
+        documents(s, d), "doc_id", "text")
+      .select("doc_id", "n_toks", "n_removed", "n_runs", "clean_sig")
+      .orderBy("doc_id")
+  }
 }

@@ -452,7 +452,9 @@ object Catalog {
         // in flight), so the census is sealed with a SENTINEL job run
         // AFTER ensure: the bus is FIFO, so once the sentinel's
         // JobStart has been delivered every ensure-phase JobStart has
-        // been too — the census is jobs_seen − 1 (the sentinel).
+        // been too. The sentinel itself is EXCLUDED from the counter
+        // by its job group, so `jobs` IS the census — no subtraction
+        // (r18 ADVICE #3 fixed this comment to match the code).
         val jobs = new java.util.concurrent.atomic.AtomicInteger
         val sentinelSeen = new java.util.concurrent.CountDownLatch(1)
         spark.sparkContext.addSparkListener(
@@ -474,7 +476,13 @@ object Catalog {
         spark.sparkContext.setJobGroup("graft_census_sentinel", "census")
         spark.range(1).count()
         spark.sparkContext.clearJobGroup()
-        sentinelSeen.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        // a timed-out seal means the bus never delivered the sentinel
+        // and the census may UNDERCOUNT — say so instead of printing a
+        // clean-looking stale zero (r18 ADVICE #3: the await result
+        // was silently discarded)
+        val sealOk = sentinelSeen
+          .await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (!sealOk) println("CATALOG_ENSURE_JOBS_SEAL_TIMEOUT")
         println(s"CATALOG_ENSURE_JOBS|${jobs.get}")
         val probes = spark.read.parquet(probesParquet)
           .selectExpr("vec_id as probe", "embedding")

@@ -373,6 +373,23 @@ object Lake {
     }
   }
 
+  /** Plain (unbucketed) managed catalog table with [[writeBucketed]]'s
+    * cross-session idempotence (stale-registration + orphaned-location
+    * reap before the write) — for the tiny PARAMS companions a
+    * bucketed artifact carries (e.g. the substring gate's pinned
+    * minRun): one row of metadata has nothing to bucket, but the
+    * rewrite discipline must match its bucketed sibling's. */
+  def writeSmallTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Small-file compaction: rewrite a parquet directory's files into
     * ~`targetBytes` outputs. Streaming upserts and incremental batch
     * appends accrete thousands of tiny files per partition; at 100 TB

@@ -88,8 +88,8 @@ class PqSpec extends AnyFunSuite {
       (101L, Array(-0.3f, -0.3f, -0.3f, -0.3f))
     ).toDF("probe", "embedding")
     intercept[IllegalArgumentException] {
-      Pq.searchStore(spark, path, probes, "probe", "embedding",
-        m = 2, dsub = 2).collect()
+      Pq.searchStore(spark, path, probes, "probe", "embedding")
+        .collect()
     }
     Pq.saveStore(corpus.toDF("cand", "embedding"), "cand", "embedding",
       path, m = 2, dsub = 2, k = 2)
@@ -99,7 +99,7 @@ class PqSpec extends AnyFunSuite {
         probes, "probe", "embedding", cb, m = 2, dsub = 2)
       .collect().map(_.toSeq).toSet
     val served = Pq.searchStore(spark, path, probes, "probe",
-        "embedding", m = 2, dsub = 2)
+        "embedding")
       .collect().map(_.toSeq).toSet
     assert(served == inline, "store-served ADC must equal inline")
   }
@@ -133,7 +133,7 @@ class PqSpec extends AnyFunSuite {
     Pq.saveIvfAdcStore(ivfCorpus, "cand", "embedding", coarse, path,
       m = 2, dsub = 2, k = 2)
     val served = Pq.searchIvfAdcStore(spark, path, probes, "probe",
-      "embedding", m = 2, dsub = 2, nprobe = 1)
+      "embedding", nprobe = 1)
     assert(served.collect().map(_.toSeq).toSet ==
       rows.map(_.toSeq).toSet, "store-served IVF-ADC must equal inline")
     // the codes scan must carry the probed-list PARTITION filter —
@@ -271,7 +271,7 @@ class PqSpec extends AnyFunSuite {
       (101L, Array.tabulate(4)(j => ((123 * 100 + j) / 1000.0).toFloat))
     ).toDF("probe", "embedding")
     val served = Pq.searchIvfAdcStore(spark, path, probes, "probe",
-      "embedding", m = 2, dsub = 2, nprobe = 2)
+      "embedding", nprobe = 2)
     // inputFiles reads the plan's FILE INDEX (pre-pruning): with direct
     // probed-dir addressing it holds only nprobe·|probes| dirs; the
     // O(nlist) form would list all 240
