@@ -659,4 +659,48 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("substrServeBucketed (q248): the gram-bucketed gate layout is " +
+      "invisible to semantics — parity with the path store AND the " +
+      "inline removal; geometry reads from the params companion") {
+    import spark.implicits._
+    val run = "g1 g2 g3 g4 g5 g6"
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),
+      (2L, s"b1 $run b2"),
+      (3L, "c1 c2 c3 c4 c5 c6")
+    ).toDF("doc_id", "text")
+    val table = "graft_test_substr_gate_parity"
+    Dedup.saveSubstrGateBucketed(docs, "doc_id", "text", table)
+    val inline = runsOut(Dedup.removeSharedRuns(docs, "doc_id", "text"))
+    val bucketed = runsOut(
+      Dedup.substrServeBucketed(spark, table, docs, "doc_id", "text"))
+    assert(bucketed == inline,
+      "bucketed-gate serve must replay the inline removal bit-for-bit")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_parity").toString + "/store"
+    Dedup.saveSubstrStore(docs, "doc_id", "text", path)
+    val served = runsOut(
+      Dedup.substrServe(spark, path, docs, "doc_id", "text"))
+    assert(bucketed == served,
+      "the two gate layouts must serve identical removals")
+    // a NEW doc against the bucketed gate — CCNet's deploy stance,
+    // same as the path store's
+    val out = runsOut(Dedup.substrServeBucketed(spark, table,
+      Seq((99L, s"n1 $run n2")).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(out(99L)._5 == "n1\nn2" && out(99L)._2 == 6L,
+      s"new doc must lose the committed passage: ${out(99L)}")
+    // minRun pins in the params companion: a minRun = 3 gate removes a
+    // 3-token phrase the default-5 gate ignores
+    val t3 = "graft_test_substr_gate_min3"
+    Dedup.saveSubstrGateBucketed(
+      Seq((1L, "s1 s2 s3 x1"), (2L, "y1 s1 s2 s3")).toDF("doc_id", "text"),
+      "doc_id", "text", t3, minRun = 3)
+    val out3 = runsOut(Dedup.substrServeBucketed(spark, t3,
+      Seq((99L, "z1 s1 s2 s3 z2")).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(out3(99L)._2 == 3L && out3(99L)._5 == "z1\nz2",
+      s"the committed minRun=3 must drive the serve: ${out3(99L)}")
+  }
 }

@@ -303,4 +303,172 @@ class PqSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("cannot seed"))
   }
+
+  test("TRAINED coarse round-trips through the committed store (r18 " +
+      "verdict #4): the artifact is coarse-agnostic — kmeansQuantized " +
+      "centroids commit and serve identically to the inline path, with " +
+      "planted-cluster isolation intact through the store") {
+    import spark.implicits._
+    val coarse = Linalg.kmeansQuantized(ivfCorpus, "cand", "embedding",
+        k = 2, iterations = 2)
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), z -> z.c)")
+        .as("c"))
+      .select(col("cid").cast("int").as("cid"), col("c"))
+      .localCheckpoint(true) // save + inline twin both consume it
+    val probes = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (101L, Array(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("probe", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_trained").toString + "/store"
+    Pq.saveIvfAdcStore(ivfCorpus, "cand", "embedding", coarse, path,
+      m = 2, dsub = 2, k = 2)
+    val inline = Pq.ivfAdcSearch(ivfCorpus, "cand", probes, "probe",
+        "embedding", coarse, m = 2, dsub = 2, k = 2, nprobe = 1)
+      .collect().map(_.toSeq).toSet
+    val served = Pq.searchIvfAdcStore(spark, path, probes, "probe",
+      "embedding", nprobe = 1).collect()
+    assert(served.map(_.toSeq).toSet == inline,
+      "trained-coarse store serve must equal the trained-coarse inline")
+    // planted isolation survives the store path: each probe only ever
+    // sees its own k-means cluster's candidates
+    served.filter(_.getLong(0) == 100L).foreach(r =>
+      assert(r.getLong(2) % 2 == 0,
+        s"probe 100 must only see even-id candidates: $r"))
+    served.filter(_.getLong(0) == 101L).foreach(r =>
+      assert(r.getLong(2) % 2 == 1,
+        s"probe 101 must only see odd-id candidates: $r"))
+  }
+
+  test("IVFADC+R store face (r18 verdict #2): withVectors commits the " +
+      "refine vectors alongside the codes; searchIvfAdcStoreRerank " +
+      "equals the inline ivfAdcRerank; a store without vectors refuses " +
+      "rerank serving") {
+    import spark.implicits._
+    val coarse = Seq(
+      (0, Seq(500L, 500L, 500L, 500L)),
+      (1, Seq(-500L, -500L, -500L, -500L))).toDF("cid", "c")
+    val probes = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (101L, Array(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("probe", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfadcr").toString
+    Pq.saveIvfAdcStore(ivfCorpus, "cand", "embedding", coarse,
+      s"$base/withvecs", m = 2, dsub = 2, k = 2, withVectors = true)
+    val inline = Pq.ivfAdcRerank(ivfCorpus, "cand", probes, "probe",
+        "embedding", coarse, m = 2, dsub = 2, k = 2, nprobe = 1,
+        shortlist = 5, topK = 3)
+      .collect().map(_.toSeq).toSet
+    val served = Pq.searchIvfAdcStoreRerank(spark, s"$base/withvecs",
+        probes, "probe", "embedding", nprobe = 1, shortlist = 5,
+        topK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline,
+      "store-served IVFADC+R must equal the inline rerank bit-for-bit")
+    // a codes-only store refuses rerank serving with an explicit message
+    Pq.saveIvfAdcStore(ivfCorpus, "cand", "embedding", coarse,
+      s"$base/novecs", m = 2, dsub = 2, k = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.searchIvfAdcStoreRerank(spark, s"$base/novecs", probes,
+        "probe", "embedding").collect()
+    }
+    assert(ex.getMessage.contains("withVectors"),
+      s"refusal must name the rebuild option: ${ex.getMessage}")
+  }
+
+  test("ivfAdcRerankCandidates sweep frame (q247): filtering srk <= R " +
+      "and re-ranking replays ivfAdcRerank at R — one refine frame " +
+      "serves the whole R sweep") {
+    import spark.implicits._
+    val coarse = Seq(
+      (0, Seq(500L, 500L, 500L, 500L)),
+      (1, Seq(-500L, -500L, -500L, -500L))).toDF("cid", "c")
+    val probes = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (101L, Array(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("probe", "embedding")
+    val rf = Pq.ivfAdcRerankCandidates(ivfCorpus, "cand", probes,
+        "probe", "embedding", coarse, m = 2, dsub = 2, k = 2,
+        nprobe = 1, maxShortlist = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rf.length == 2 * 10, s"2 probes x shortlist 10: ${rf.length}")
+    for (rCap <- Seq(3, 5, 10)) {
+      val direct = Pq.ivfAdcRerank(ivfCorpus, "cand", probes, "probe",
+          "embedding", coarse, m = 2, dsub = 2, k = 2, nprobe = 1,
+          shortlist = rCap, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val replayed = rf.toSeq.filter(_._3 <= rCap)
+        .groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+          cs.sortBy { case (_, c, _, d) => (d, c) }.take(3)
+            .zipWithIndex.map { case ((_, c, _, d), i) =>
+              (p, (i + 1).toLong, c, d) }
+        }.toSet
+      assert(replayed == direct,
+        s"srk-filtered frame must replay ivfAdcRerank at R = $rCap")
+    }
+  }
+
+  test("geometry travels WITH the artifact (r18 ADVICE #2): a store " +
+      "built at m = 2 serves correctly with NO caller geometry, and a " +
+      "pre-round-19 commit marker is refused with an explicit rebuild " +
+      "message (r18 ADVICE #1)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pq_geom").toString
+    val probes = Seq(
+      (100L, Array(0.3f, 0.3f, 0.3f, 0.3f))).toDF("probe", "embedding")
+    // the m = 2 store serves through the geometry file — no caller arg
+    // exists to get wrong anymore
+    Pq.saveStore(corpus.toDF("cand", "embedding"), "cand", "embedding",
+      s"$base/v2", m = 2, dsub = 2, k = 2)
+    assert(Pq.searchStore(spark, s"$base/v2", probes, "probe",
+      "embedding").collect().nonEmpty)
+    // a legacy-marker store (pre-round-19 layout: row-form codes,
+    // caller geometry) is refused loudly, never fed to the packed fold
+    val legacyDir = new java.io.File(s"$base/legacy")
+    legacyDir.mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$base/legacy/_graft_pqstore_committed"), "v1")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.searchStore(spark, s"$base/legacy", probes, "probe",
+        "embedding").collect()
+    }
+    assert(ex.getMessage.contains("pre-round-19"),
+      s"legacy refusal must say why: ${ex.getMessage}")
+    val exI = intercept[IllegalArgumentException] {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$base/legacy/_graft_ivfadcstore_committed"), "v1")
+      Pq.searchIvfAdcStore(spark, s"$base/legacy", probes, "probe",
+        "embedding").collect()
+    }
+    assert(exI.getMessage.contains("pre-round-19"))
+  }
+
+  test("empty-probed-dirs serve (r18 verdict #8): when every probed " +
+      "list is empty the serve returns zero rows from the committed " +
+      "schema — never a full-index listing") {
+    import spark.implicits._
+    // all 40 corpus vectors land in coarse cell 0; cell 1 stays empty
+    val oneSided = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        (0.5 + 0.02 * math.sin(i * 11 + j * 3)).toFloat))
+    }.toDF("cand", "embedding")
+    val coarse = Seq(
+      (0, Seq(500L, 500L, 500L, 500L)),
+      (1, Seq(-500L, -500L, -500L, -500L))).toDF("cid", "c")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_empty").toString + "/store"
+    Pq.saveIvfAdcStore(oneSided, "cand", "embedding", coarse, path,
+      m = 2, dsub = 2, k = 2)
+    // the probe's nearest (and only probed) list is the EMPTY cell 1
+    val probes = Seq(
+      (100L, Array(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("probe", "embedding")
+    val served = Pq.searchIvfAdcStore(spark, path, probes, "probe",
+      "embedding", nprobe = 1)
+    assert(served.collect().isEmpty,
+      "an empty probed list must serve zero rows, not throw")
+    assert(served.inputFiles.isEmpty,
+      "the empty-probed branch must never build a file index")
+  }
 }

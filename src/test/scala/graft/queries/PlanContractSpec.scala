@@ -1039,4 +1039,86 @@ class PlanContractSpec extends AnyFunSuite {
       s"the refine stage must add only shortlist-bounded exchange: " +
         s"q245 ${m("q245_ivfadc_rerank")} vs q240 $i240")
   }
+
+  test("q246–q248 round-19 batch: the rerank store serve never exceeds " +
+      "its inline twin, and the R sweep rides ONE refine frame") {
+    // first calls pay the ensure-builds; warm so the measured rows are
+    // steady-state serves (the q212 discipline)
+    shuffled("q246_ivfadcr_store"); shuffled("q248_substr_bucketed")
+    val m = Seq("q246_ivfadcr_store", "q247_rerank_sweep",
+      "q248_substr_bucketed")
+      .map(n => n -> shuffled(n)).toMap
+    info(s"measured $m")
+    // q246: serve-only — shortlist from the committed partition-pruned
+    // codes + a broadcast-shortlist refine against committed vectors;
+    // the build (train + encode + pack + vector write) is NOT in the
+    // measured row, so serve exchange must not exceed the inline q245
+    // (which pays train + encode + search every call)
+    val i245 = shuffled("q245_ivfadc_rerank")
+    assert(m("q246_ivfadcr_store") <= i245,
+      s"serve-only q246 (${m("q246_ivfadcr_store")}) must not exceed " +
+        s"inline q245 ($i245)")
+    // q247: ONE index build + ONE refine at maxShortlist — the sweep is
+    // a filter, so its mass stays within ~q245's build+refine plus the
+    // 4-way windowed sweep rows; what must NOT appear is 4x re-search
+    // or 4x re-refine mass
+    assert(m("q247_rerank_sweep") <= 4 * i245,
+      s"the R sweep must ride one refine frame, not |sweep| re-searches: " +
+        s"q247 ${m("q247_rerank_sweep")} vs inline q245 $i245")
+    // q248: the bucketed-gate serve must stay within the PATH-store
+    // serve's mass (same batch side; the gate side reads bucketed and
+    // never exchanges — the ZERO-gate-side pin below is the layout-
+    // discriminating version with broadcast disabled)
+    val i244 = shuffled("q244_substr_store")
+    assert(m("q248_substr_bucketed") <= i244,
+      s"bucketed-gate serve (${m("q248_substr_bucketed")}) must not " +
+        s"exceed the path-store serve ($i244)")
+  }
+
+  test("q248 gram-bucketed gate: ZERO gate-side exchange records on a " +
+      "serve batch — the gate join reuses the scan's bucket " +
+      "partitioning even when the gate is past broadcast range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a gate MUCH larger than the batch: 120 doc pairs each sharing a
+    // distinct 8-token run -> 4 duplicated 5-grams per pair, 480 gate
+    // rows; the serve batch is 2 tiny docs (~22 gram occurrences)
+    val docs = (0 until 120).flatMap { p =>
+      val run = (0 until 8).map(t => s"p${p}r$t").mkString(" ")
+      Seq((2L * p, s"a$p $run"), (2L * p + 1, s"b$p $run z$p"))
+    }.toDF("doc_id", "text")
+    val table = "graft_test_substr_gate_zerox"
+    graft.operators.Dedup.saveSubstrGateBucketed(
+      docs, "doc_id", "text", table)
+    val gateRows = spark.table(table).count()
+    assert(gateRows >= 400, s"planted gate must be corpus-scale: $gateRows")
+    val batch = Seq((9001L, "q1 p3r0 p3r1 p3r2 p3r3 p3r4 q2"),
+      (9002L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13")
+    ).toDF("doc_id", "text")
+    // disable broadcast entirely: an unbucketed gate would now shuffle
+    // ALL its rows every serve (the exact failure mode the layout
+    // deletes); the bucketed gate side must contribute ZERO exchange
+    // records, leaving only the batch's own gram/cover/marry exchanges
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val recs = Metrics.shuffleOf(spark) {
+        graft.operators.Dedup.substrServeBucketed(spark, table, batch,
+            "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }.recordsWritten
+      info(s"forced-SMJ bucketed serve shuffled $recs records " +
+        s"(gate $gateRows rows)")
+      assert(recs < gateRows / 2,
+        s"gate rows must NOT cross an exchange: $recs shuffled vs " +
+          s"$gateRows gate rows")
+      assert(recs <= 120,
+        s"serve exchange must be batch-bounded (~22 grams + cover + " +
+          s"marry), got $recs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
