@@ -387,7 +387,17 @@ object ScaleProbe {
       "subword" -> timed(TextPipeline.saveSubwordStore(
         docs, "text", s"$root/subword")),
       "substr" -> timed(Dedup.saveSubstrStore(
-        docs, "doc_id", "text", s"$root/substr")))
+        docs, "doc_id", "text", s"$root/substr")),
+      // round 19: the IVFADC+R withVectors store and the gram-bucketed
+      // substring gate
+      "ivfadcr" -> timed(Pq.saveIvfAdcStore(
+        embs.select(col("vec_id").as("cand"), col("embedding")),
+        "cand", "embedding",
+        cents.select(col("cid"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c")), s"$root/ivfadcr", withVectors = true)),
+      "substr_bkt" -> timed(Dedup.saveSubstrGateBucketed(
+        docs, "doc_id", "text", "graft_probe_substr_gate")))
 
     // ---- serves at two batch sizes -----------------------------------
     def dBatch(n: Int) = docs.filter(col("doc_id") < n)
@@ -418,7 +428,12 @@ object ScaleProbe {
           ("subword", n, () => TextPipeline.subwordServe(
             spark, s"$root/subword", dBatch(n), "text")),
           ("substr", n, () => Dedup.substrServe(
-            spark, s"$root/substr", dBatch(n), "doc_id", "text")))
+            spark, s"$root/substr", dBatch(n), "doc_id", "text")),
+          ("ivfadcr", n, () => Pq.searchIvfAdcStoreRerank(
+            spark, s"$root/ivfadcr", eBatch(n), "probe", "embedding")),
+          ("substr_bkt", n, () => Dedup.substrServeBucketed(
+            spark, "graft_probe_substr_gate", dBatch(n), "doc_id",
+            "text")))
       } :+ (("hll", 0, () => Sketches.hllServe(spark, s"$root/hll", "source")))
     serves.foreach { case (_, _, f) =>
       try noop(f()) catch { case _: Throwable => () } // warm

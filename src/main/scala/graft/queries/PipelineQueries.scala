@@ -2291,8 +2291,14 @@ object PipelineQueries {
     * probed list ids resolve driver-side (metadata, ≤ nprobe·|probes|)
     * and push down as PARTITION filters, so the codes scan reads the
     * probed directories only — `Ann.saveIndex`'s pruning discipline
-    * applied to PQ codes. Oracle = q240 VERBATIM (store-served ≡
-    * inline bit-for-bit). */
+    * applied to PQ codes. The committed artifact is COARSE-AGNOSTIC
+    * (round 19, r18 verdict #4): this face pins the 8 pivots only to
+    * share q240's oracle — a deployment commits
+    * `Linalg.kmeansQuantized`-trained centroids through the SAME
+    * save/serve pair (`PqSpec` round-trips exactly that), and the
+    * serve resolves assignments against whatever (cid, c) frame the
+    * store carries. Oracle = q240 VERBATIM (store-served ≡ inline
+    * bit-for-bit). */
   def q241(s: SparkSession, d: String): DataFrame = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = s"$wh/graft_ivfadc_store${d.replaceAll("[^A-Za-z0-9]", "_")}"

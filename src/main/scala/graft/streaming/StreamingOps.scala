@@ -765,6 +765,45 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
   }
 
+  /** Continuous IVFADC+R vector search — the STREAMING face of
+    * [[graft.operators.Pq.searchIvfAdcStoreRerank]] (round 19; batch
+    * contract q245/q246): each micro-batch of query vectors takes its
+    * ADC shortlist from the COMMITTED partition-pruned codes and
+    * refines it by exact quantized distance against the vectors
+    * committed ALONGSIDE (`saveIvfAdcStore(withVectors = true)`),
+    * landing (probe, rk, cand, dist) per batch. Results depend only on
+    * committed state + the batch's own vectors — deterministic across
+    * replays and restarts; exactly-once by the per-batch-directory
+    * overwrite discipline. Per-batch cost: probed directories + R
+    * point lookups against the id-clustered vectors table — the raw
+    * corpus is never read. */
+  def pqRerankServeStream(probes: DataFrame, probeIdCol: String,
+                          vecCol: String, storePath: String,
+                          sinkPath: String, checkpoint: String,
+                          trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = probes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        pqRerankServeBatch(batch.toDF(), bid, probeIdCol, vecCol,
+          storePath, sinkPath)
+      }
+    trigger.foreach(t => writer.trigger(t))
+    writer.start()
+  }
+
+  private[streaming] def pqRerankServeBatch(batch: DataFrame,
+                                            batchId: Long,
+                                            probeIdCol: String,
+                                            vecCol: String,
+                                            storePath: String,
+                                            sinkPath: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Pq.searchIvfAdcStoreRerank(batch.sparkSession,
+        storePath, batch, probeIdCol, vecCol)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+  }
+
   /** Continuous subword segmentation — the STREAMING face of
     * [[graft.operators.TextPipeline.subwordServe]] (round 18; batch
     * contract q237/q238/q243): each micro-batch's word universe is

@@ -68,7 +68,7 @@ class StoresTrustSpec extends AnyFunSuite {
     val (rcPub, outPub) = fork("pq_publish", store, corpus)
     assert(rcPub == 0, s"publish failed:\n${outPub.takeRight(3000)}")
     val (rcSt, outSt) = fork("store_status", store)
-    assert(rcSt == 0 && outSt.contains("_graft_pqstore_committed|v1"),
+    assert(rcSt == 0 && outSt.contains("_graft_pqstore2_committed|v1"),
       s"status must show the committed marker:\n$outSt")
 
     // the corpus is GONE: any code path that reads it now fails loudly

@@ -1104,6 +1104,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(key(spark.read.parquet(sink)) == rows)
   }
 
+  test("pqRerankServeStream: micro-batch vectors shortlist + refine " +
+      "against the COMMITTED withVectors store, equal the one-shot " +
+      "rerank serve, replay rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pqr_stream").toString
+    val (store, sink, ck) = (s"$base/store", s"$base/sink", s"$base/ck")
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+          .as("c"))
+    graft.operators.Pq.saveIvfAdcStore(
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand"), col("embedding")),
+      "cand", "embedding", coarse, store, withVectors = true)
+    val b1 = e.filter(col("vec_id").between(4, 9))
+      .collect().map(r => Pv(r.getLong(0),
+        r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[Pv]
+    val q = StreamingOps.pqRerankServeStream(mem.toDF(), "probe",
+      "embedding", store, sink, ck)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = key(spark.read.parquet(sink))
+    assert(rows.nonEmpty && rows.size == 6 * 3, s"6 probes × top-3: $rows")
+    val oneShot = key(graft.operators.Pq.searchIvfAdcStoreRerank(spark,
+      store, b1.toDF(), "probe", "embedding"))
+    assert(rows == oneShot,
+      "streamed rerank must equal the one-shot store serve")
+    // replay rewrites, never dups
+    StreamingOps.pqRerankServeBatch(b1.toDF(), 0L, "probe", "embedding",
+      store, sink)
+    assert(key(spark.read.parquet(sink)) == rows)
+  }
+
   test("subwordServeStream: micro-batch docs segment under the " +
       "COMMITTED vocabulary, equal the one-shot serve, replay rewrites") {
     import spark.implicits._
