@@ -451,7 +451,7 @@ object ScaleProbe {
       s""""build_s":$bjson,"serves":${rows.mkString("{", ",", "}")}}"""
     println(json)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("serving_probe_r18.json"), json + "\n")
+      java.nio.file.Paths.get("serving_probe_r19.json"), json + "\n")
     catch { case _: Throwable => () }
   }
 
