@@ -11,8 +11,77 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown is what keeps it proportional to the query, not the table.
   */
 object Tables {
+  /** Scan-parallelism floor (round 19, optimization guide §2.5's
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): the driver's test tables are SINGLE-ROW-GROUP
+    * parquet files, so every scan — and the whole narrow pipeline
+    * fused onto it (tokenize folds, quantize transforms, partial
+    * aggregates) — runs as ONE task regardless of core count; profiled
+    * at sf0.1 the single-task scan stage dominated most of the suite
+    * (e.g. q202: two ~1.1 s one-task tokenize jobs on a 32-core box).
+    * When a scan yields fewer splits than the session's default
+    * parallelism, a round-robin repartition spreads the rows first.
+    * Scale story: at real data volumes a table's split count exceeds
+    * any core count, so the floor NEVER fires — the repartition only
+    * engages on inputs smaller than cores × maxPartitionBytes (or
+    * unsplittable single-row-group files), exactly the regime where an
+    * extra exchange of the whole (tiny) input is cheap. Parameterised:
+    * `spark.graft.scan.parallelismFloor` overrides (0 disables);
+    * default = the session's defaultParallelism, so the driver's
+    * lower-core bench runs scale the floor down with the core count.
+    * Every declared query is engine-order-insensitive by construction
+    * (the DuckDB differential gate replays results from a different
+    * execution entirely), so the layout change is semantics-free —
+    * re-proven by the full 248-query oracle pass at both SFs after
+    * this change. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Scan-parallelism floor for the CPU-heavy corpora (round 19,
+    * optimization guide §2.5's "input skew: one huge unsplittable file
+    * … repartition immediately after the read"): the driver's test
+    * tables are SINGLE-ROW-GROUP parquet files, so a scan — and the
+    * whole narrow pipeline fused onto it (tokenize folds, quantize
+    * transforms, md5 digests, partial aggregates) — runs as ONE task
+    * regardless of core count; profiled at sf0.1 the single-task scan
+    * stage dominated the text/vector families (e.g. q202: two ~1.1 s
+    * one-task tokenize jobs on a 32-core box). When such a scan yields
+    * fewer splits than the session's default parallelism, a HASH
+    * repartition on the table's id spreads the rows first —
+    * deterministic row→partition placement (no round-robin
+    * sort-before-repartition pass, no SPARK-38388 retry hazard), and a
+    * partitioning downstream id-keyed aggregates can reuse outright
+    * (§2.4). Measured on the relational tables the same floor LOST
+    * (the extra exchange outweighs their light per-row work — q20
+    * 0.31→0.81 s in the A/B), so the floor is applied ONLY to the
+    * corpora whose per-row compute dominates: documents, embeddings.
+    * Scale story: at real volumes split counts exceed any core count,
+    * so the floor NEVER fires — it only engages on inputs smaller than
+    * cores × maxPartitionBytes or unsplittable single-row-group files,
+    * exactly the regime where one exchange of the (tiny) input is
+    * cheap. Parameterised: `spark.graft.scan.parallelismFloor`
+    * overrides (0 disables); default = defaultParallelism, so the
+    * driver's lower-core bench runs scale the floor with the core
+    * count. Declared queries are engine-order-insensitive by
+    * construction (the DuckDB gate replays results from an entirely
+    * different execution), re-proven post-change by the 248-query
+    * oracle pass at both SFs.
+    *
+    * Applied at the HEAVY-OPERATOR entry points, not blanket in the
+    * loaders: the round-19 A/B measured the loader-level floor losing
+    * on light-per-row queries (q50 ×1.43, q72 ×1.55 — the exchange is
+    * never paid back) while the tokenize/quantize-heavy families win
+    * ×2–3 (q203 ×0.35, q230 ×0.48, q209 ×0.52, q173 ×0.45); the floor
+    * belongs exactly where the per-row work is. */
+  def withParallelismFloor(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val floor = spark.conf.getOption("spark.graft.scan.parallelismFloor")
+      .map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (floor > 0 && df.rdd.getNumPartitions < floor)
+      df.repartition(floor, org.apache.spark.sql.functions.col(idCol))
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

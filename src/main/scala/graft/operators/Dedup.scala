@@ -993,7 +993,10 @@ object Dedup {
     * SAME rows from one definition. */
   private def winnowEntries(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame =
-    docs
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // md5-per-k-gram + winnow-select chain on an unsplittable tiny
+    // scan ran as ONE task; self-disabling at real volumes
+    graft.Tables.withParallelismFloor(docs, idCol)
       .select(col(idCol).as("__id"),
         expr(TextHashes.toks(textCol)).as("toks"))
       .withColumn("hs", expr(TextHashes.winnowKgramHashes("toks")))
@@ -1184,7 +1187,11 @@ object Dedup {
     * the run-gate build and the gate apply. */
   private def runToks(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // gram-explode chain fused onto an unsplittable tiny scan ran as
+    // ONE task; self-disabling at real volumes
+    graft.Tables.withParallelismFloor(docs, idCol)
+      .select(col(idCol).as("__id"),
       expr(TextHashes.toks(textCol)).as("toks"))
 
   /** minRun-gram occurrence frame `(__id, pos, gram)`. */

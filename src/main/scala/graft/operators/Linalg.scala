@@ -54,55 +54,172 @@ object Linalg {
     * over ⌈d/B⌉ passes); build it when a d≥512 fixture exists. */
   def topComponent(vecs: DataFrame, idCol: String, vecCol: String,
                    iterations: Int = 6): DataFrame = {
-    val q = vecs.select(expr(
-      s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
-      .as("e"))
-    val sums = q
-      .select(posexplode(col("e")).as(Seq("__p", "ev")))
-      .select((col("__p") + 1).as("j"), col("ev"))
-      .groupBy(col("j"))
-      .agg(sum(col("ev")).as("sj"), count(lit(1)).as("cnt"))
-    // per-row outer product: d² plain longs per vector (one flat
-    // array — struct-free, the 0-based position recovers (j, k)
-    // arithmetically after the generate), no join
-    val prods = q
-      .select(size(col("e")).as("__d"), posexplode(expr(
-        """flatten(transform(sequence(1, size(e)), j ->
-          |  transform(e, x -> element_at(e, j) * x)))"""
-          .stripMargin)).as(Seq("__p0", "prod")))
-      .select(expr("cast(__p0 div __d + 1 as int)").as("j"),
-        expr("cast(__p0 % __d + 1 as int)").as("k"), col("prod"))
-      .groupBy(col("j"), col("k"))
-      .agg(sum(col("prod")).as("p"))
-    // C = n·Σ e_j e_k − (Σ e_j)(Σ e_k), scaled by an exact floor —
-    // the covariance numerator as one integer identity; the C″ frame
-    // is d² rows, checkpoint-pinned (every iteration consumes it —
-    // q185's sibling-consumer rule)
-    val cMat = prods
-      .join(sums.select(col("j"), col("sj"), col("cnt")), "j")
-      .join(sums.select(col("j").as("k"), col("sj").as("sk")), "k")
-      .select(col("j"), col("k"),
-        floor((col("cnt") * col("p") - col("sj") * col("sk")) *
-          lit(1.0) / lit(1.0e7)).cast("long").as("c"))
-      .localCheckpoint(true)
-    // v₀ derives from the PINNED matrix (not from the corpus-scanning
-    // sums frame — that would re-run the tokenize-class scan inside
-    // the first iteration's join)
-    var v = cMat.select(col("j")).distinct()
-      .select(col("j").as("k"), lit(10000L).as("v"))
-    for (_ <- 1 to iterations) {
-      val w = cMat.join(v, "k")
-        .groupBy(col("j"))
-        .agg(sum(col("c") * col("v")).as("w"))
-      val wmax = w.agg(max(abs(col("w"))).as("wm"))
-      v = w.crossJoin(broadcast(wmax))
-        .select(col("j").as("k"),
-          floor(col("w") * lit(10000.0) /
-            when(col("wm") === 0, lit(null)).otherwise(col("wm")))
-            .cast("long").as("v"))
+    // Round-19 execution rewrite (optimization guide §1.2 "the
+    // distributed algorithm", §2.4 "remove shuffles outright"; values
+    // bit-identical — same quantization, same integer identities, same
+    // double idioms, re-proven by the oracle at both SFs):
+    //
+    //  * The Gram pass is ONE scan with a fixed-size per-partition
+    //    accumulator (n, Σe_j per dim, Σe_j·e_k per cell) merged by
+    //    exact integer addition — MLlib RowMatrix.computeGramianMatrix's
+    //    shape. The previous form exploded n·d² = 8.2 M (sf0.1) rows
+    //    through a Generate into a d²-key hash aggregate: profiled at
+    //    2.5 s in ONE task, plus 27 satellite jobs and 3.3 s of driver
+    //    re-planning gaps from the 6-iteration join tree (the captured
+    //    q223 before-plan is 0.5 MB of operators). Long addition is
+    //    commutative/associative, so any partitioning or merge order
+    //    yields the identical matrix.
+    //  * The power iterations run on the DRIVER over the d²-cell
+    //    matrix (32 KB at the contract d = 64 — metadata-bounded, the
+    //    TextPipeline K-row merge-table precedent; the corpus never
+    //    leaves the executors). Each step replays the engine
+    //    expressions exactly: w_j = Σ_k c_jk·v_k in wrapping Long
+    //    arithmetic with SQL null-skipping sums, v′ =
+    //    floor(w·10000.0 / wmax) in the same IEEE doubles, null when
+    //    wmax is 0/null — bit-for-bit what the joined-frame form
+    //    computed, without 6 rounds of tiny exchanges+broadcasts.
+    //
+    // Width boundary unchanged (d ≥ 512 wants a blocked accumulator);
+    // driver state is d² longs — fine through d ≈ 2048.
+    val spark = vecs.sparkSession
+    val q = graft.Tables.withParallelismFloor(
+      vecs.select(col(idCol).as("__id"), col(vecCol)), idCol)
+      .select(expr(
+        s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+        .as("e"))
+    // (d, cnt_j, s_j, p_jk flattened row-major) — grown on first use;
+    // ragged widths accumulate per-row like the exploded form did
+    // (cnt_j counts rows carrying dim j, null elements skip sums)
+    type Acc = (Int, Array[Long], Array[Long], Array[Long])
+    val zero: Acc = (0, Array.empty, Array.empty, Array.empty)
+    def grow(a: Acc, d: Int): Acc =
+      if (a._1 >= d) a
+      else {
+        val (d0, c0, s0, p0) = a
+        val c = java.util.Arrays.copyOf(c0, d)
+        val s = java.util.Arrays.copyOf(s0, d)
+        val p = new Array[Long](d * d)
+        var j = 0
+        while (j < d0) {
+          System.arraycopy(p0, j * d0, p, j * d, d0); j += 1
+        }
+        (d, c, s, p)
+      }
+    val seqOp = (acc0: Acc, row: org.apache.spark.sql.Row) => {
+      val e = row.getSeq[Any](0)
+      val dr = e.length
+      val acc = grow(acc0, dr)
+      val (d, cnt, s, p) = acc
+      val v = new Array[Long](dr)
+      val nn = new Array[Boolean](dr)
+      var j = 0
+      while (j < dr) {
+        val x = e(j)
+        if (x != null) { v(j) = x.asInstanceOf[Long]; nn(j) = true }
+        j += 1
+      }
+      j = 0
+      while (j < dr) {
+        cnt(j) += 1
+        if (nn(j)) {
+          val ej = v(j)
+          s(j) += ej
+          val base = j * d
+          var k = 0
+          while (k < dr) {
+            if (nn(k)) p(base + k) += ej * v(k)
+            k += 1
+          }
+        }
+        j += 1
+      }
+      acc
     }
-    v.select(col("k").as("dim"), col("v").as("v_fp"),
-      (round(col("v") / 10000.0, 4) + 0.0).as("loading"))
+    val combOp = (a0: Acc, b0: Acc) => {
+      if (a0._1 == 0) b0
+      else if (b0._1 == 0) a0
+      else {
+        val a = grow(a0, b0._1); val b = grow(b0, a0._1)
+        val (d, ca, sa, pa) = a
+        var j = 0
+        while (j < d) {
+          ca(j) += b._2(j); sa(j) += b._3(j); j += 1
+        }
+        var i = 0
+        while (i < d * d) { pa(i) += b._4(i); i += 1 }
+        a
+      }
+    }
+    val (d, cnt, s, p) =
+      q.rdd.treeAggregate(zero)(seqOp, combOp)
+    // c_jk = floor((cnt_j·p_jk − s_j·s_k) · 1.0 / 1e7) — the exact
+    // expression the frame form evaluated (wrapping Long products,
+    // double division, floor, cast)
+    val c = Array.tabulate(d * d) { i =>
+      val j = i / d; val k = i % d
+      math.floor((cnt(j) * p(i) - s(j) * s(k)) * 1.0 / 1.0e7).toLong
+    }
+    // v₀ = 10000 on every dim the matrix carries
+    var v: Array[java.lang.Long] =
+      Array.tabulate(d)(j => if (cnt(j) > 0) java.lang.Long.valueOf(10000L)
+                             else null)
+    val present = Array.tabulate(d)(j => cnt(j) > 0)
+    for (_ <- 1 to iterations) {
+      // w_j = SQL sum over k of c_jk·v_k: null terms are SKIPPED, the
+      // sum is null only when every term is null
+      val w: Array[java.lang.Long] = Array.tabulate(d) { j =>
+        if (!present(j)) null
+        else {
+          var any = false; var acc = 0L; var k = 0
+          while (k < d) {
+            if (present(k) && v(k) != null) {
+              acc += c(j * d + k) * v(k).longValue(); any = true
+            }
+            k += 1
+          }
+          if (any) java.lang.Long.valueOf(acc) else null
+        }
+      }
+      // wmax = max(abs(w)) skipping nulls; null when all null
+      var wm: java.lang.Long = null
+      var j = 0
+      while (j < d) {
+        if (w(j) != null) {
+          val a = math.abs(w(j).longValue())
+          if (wm == null || a > wm.longValue()) wm = java.lang.Long.valueOf(a)
+        }
+        j += 1
+      }
+      // v′ = floor(w·10000.0 / (wm = 0 ? null : wm)) — null divisor or
+      // null w propagates
+      v = Array.tabulate(d) { j =>
+        if (!present(j)) null
+        else if (w(j) == null || wm == null || wm.longValue() == 0L) null
+        else java.lang.Long.valueOf(math.floor(
+          w(j).longValue() * 10000.0 / wm.longValue().toDouble).toLong)
+      }
+    }
+    // loading = round(v/10000.0, 4) + 0.0 — Spark's HALF_UP
+    // BigDecimal.valueOf round on doubles, replicated verbatim
+    val rows = (0 until d).filter(present).map { j =>
+      val vf = v(j)
+      val loading: java.lang.Double =
+        if (vf == null) null
+        else java.lang.Double.valueOf(
+          java.math.BigDecimal.valueOf(vf.longValue() / 10000.0)
+            .setScale(4, java.math.RoundingMode.HALF_UP)
+            .doubleValue() + 0.0)
+      org.apache.spark.sql.Row(j + 1, vf, loading)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("v_fp",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Fixed-point Lloyd k-means (Lloyd 1957/1982) — the estimate stage
@@ -138,7 +255,11 @@ object Linalg {
     * round (q185's rule). */
   def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
                       k: Int = 8, iterations: Int = 2): DataFrame = {
-    val q = vecs.select(col(idCol).as("__id"),
+    // scan-parallelism floor (round 19, guide §2.5): spread an
+    // unsplittable tiny input before the quantize + per-row distance
+    // folds; self-disabling at real volumes
+    val q = graft.Tables.withParallelismFloor(vecs, idCol)
+      .select(col(idCol).as("__id"),
         expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
           .as("e"))
       .localCheckpoint(true)
@@ -209,7 +330,9 @@ object Linalg {
     * join-back are |K|-row frames; nothing n·K-sized exchanges. */
   def embeddingOutliers(vecs: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame = {
-    val q = vecs.select(col(idCol).as("__id"),
+    // scan-parallelism floor (round 19, guide §2.5) — as kmeansQuantized
+    val q = graft.Tables.withParallelismFloor(vecs, idCol)
+      .select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
         .as("e"))
     val dist = expr(

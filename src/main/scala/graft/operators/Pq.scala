@@ -48,10 +48,14 @@ import org.apache.spark.sql.functions._
   * never pays the pack either. */
 object Pq {
 
-  /** Float vectors → `(__id, q)` at the 1e3 fixed point. */
+  /** Float vectors → `(__id, q)` at the 1e3 fixed point. The scan-
+    * parallelism floor (round 19 — [[graft.Tables.withParallelismFloor]],
+    * guide §2.5) spreads an unsplittable tiny input before the
+    * quantize/assign/fold chain; self-disabling at real volumes. */
   private def quantize(vecs: DataFrame, idCol: String,
                        vecCol: String): DataFrame =
-    vecs.select(col(idCol).as("__id"),
+    graft.Tables.withParallelismFloor(vecs, idCol)
+      .select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
         .as("q"))
 

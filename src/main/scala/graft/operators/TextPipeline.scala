@@ -539,7 +539,10 @@ object TextPipeline {
     * non-overlapping spans. Narrow (tokenize + slice + posexplode). */
   private[graft] def spanFrame(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame =
-    docs
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // span-slice chain on an unsplittable tiny scan ran as ONE ~1.1 s
+    // task at sf0.1; self-disabling at real volumes
+    graft.Tables.withParallelismFloor(docs, idCol)
       .select(col(idCol), expr(TextHashes.toks(textCol)).as("toks"))
       .withColumn("ls", expr(
         """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)

@@ -871,7 +871,10 @@ object PipelineQueries {
     * data-parallel at any scale. */
   def q173(s: SparkSession, d: String): DataFrame = {
     val w = 25
-    documents(s, d)
+    // scan-parallelism floor (round 19, guide §2.5): the O(n_toks·25)
+    // per-row window fold on an unsplittable tiny scan ran as ONE
+    // task (×0.45 in the A/B); self-disabling at real volumes
+    graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .filter(size(col("toks")) >= w)
@@ -1354,7 +1357,10 @@ object PipelineQueries {
     * sharing a fingerprint) is exactly q151's inverted-index shape and
     * stays with that family. */
   def q203(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    // scan-parallelism floor (round 19, guide §2.5): the md5-per-k-gram
+    // narrow chain on an unsplittable tiny scan ran as ONE task (×0.35
+    // in the A/B); self-disabling at real volumes
+    graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .withColumn("hs",
