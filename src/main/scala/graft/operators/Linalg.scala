@@ -258,31 +258,57 @@ object Linalg {
     // scan-parallelism floor (round 19, guide §2.5): spread an
     // unsplittable tiny input before the quantize + per-row distance
     // folds; self-disabling at real volumes
+    // LAZY pin (round 19): first consumer is the seed TakeOrdered,
+    // which computes every partition (per-partition top-k heaps), so
+    // the frame is fully materialized by it — same single-evaluation
+    // guarantee as the eager pin, one fewer job
     val q = graft.Tables.withParallelismFloor(vecs, idCol)
       .select(col(idCol).as("__id"),
         expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
           .as("e"))
-      .localCheckpoint(true)
-    val dist = expr(
-      "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    def assign(cents: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cents))
-        .select(col("__id"), col("e"), col("cid"), dist.as("dist"))
-        .groupBy(col("__id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("e")).as("e"))
-        .select(col("__id"), col("e"), col("m.cid").as("cid"))
+      .localCheckpoint(false)
+    // Round-19 shuffle removal (guide §2.4): the previous assign
+    // crossJoined the broadcast K-row centroid frame into n·K rows and
+    // re-grouped BY the vector id — an n-keyed exchange per iteration
+    // (plus the final counts pass). The centroids are broadcast-sized
+    // by construction, so the argmin happens INSIDE the row: pack
+    // (cid, c) into one cid-sorted array and take array_min over the
+    // per-entry (dist, cid) structs — array_min's lexicographic struct
+    // order ≡ min(struct(dist, cid)), identical cid bit-for-bit, ZERO
+    // exchange.
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.groupBy()
+        .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+      q.crossJoin(broadcast(packed))
+        .select(col("__id"), col("e"), expr(
+          """array_min(transform(__cbs, s -> struct(
+            |  aggregate(zip_with(e, s.c, (a, b) -> (a - b) * (a - b)),
+            |    0L, (acc, x) -> acc + x) as d,
+            |  s.cid as cid))).cid"""
+            .stripMargin).as("cid"))
+    }
     // seeds = the k actually-smallest ids (TakeOrderedAndProject — k
     // rows off per-partition heaps, never a global sort); the window
     // ranks only the k-row seed frame. A `__id < k` filter would
     // silently under-seed sparse or offset id spaces.
-    val seeds = q.orderBy(col("__id")).limit(k)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
-    val nSeeds = seeds.count()
-    require(nSeeds == k,
-      s"kmeansQuantized: corpus has only $nSeeds rows, cannot seed k=$k")
-    var cents: DataFrame = seeds.select(col("cid"), col("e").as("c"))
+    // seeds resolve in ONE TakeOrdered job and land as a LOCAL relation
+    // (round 19): the previous form ran a count() job for the require
+    // AND re-evaluated the TakeOrdered under later consumers. k rows is
+    // metadata, not data. (TakeOrderedAndProject — k rows off
+    // per-partition heaps, never a global sort.) A `__id < k` filter
+    // would silently under-seed sparse or offset id spaces.
+    val seedRows = q.orderBy(col("__id")).limit(k).collect()
+    require(seedRows.length == k,
+      s"kmeansQuantized: corpus has only ${seedRows.length} rows, " +
+        s"cannot seed k=$k")
+    val spark = vecs.sparkSession
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      q.schema("e").copy(name = "c")))
+    var cents: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(1)) }: _*), centSchema)
     for (_ <- 1 to iterations) {
       val cells = assign(cents)
         .select(col("cid"), posexplode(col("e")).as(Seq("d", "ev")))
@@ -292,8 +318,16 @@ object Linalg {
       val newC = cells.groupBy(col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(d, cv))), z -> z.cv)")
           .as("cNew"))
+      // per-ITERATION pin (round 19, q185's sibling-consumer rule
+      // applied per step, LAZY — materialized by its first consumer
+      // job, no extra eager job): the K-row centroid frame feeds the
+      // next iteration's assign (under a broadcast) AND the update
+      // join — unpinned, each earlier iteration re-evaluates once per
+      // consumer; the pin buys single evaluation and keeps the plan
+      // O(1) deep
       cents = cents.join(newC, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cNew"), col("c")).as("c"))
+        .localCheckpoint(false)
     }
     val counts = assign(cents)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
@@ -335,14 +369,20 @@ object Linalg {
       .select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
         .as("e"))
-    val dist = expr(
-      "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    val assigned = q.crossJoin(broadcast(centroids))
-      .select(col("__id"), col("cid"), dist.as("dist"))
-      .groupBy(col("__id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+    // per-row argmin over the packed broadcast centroids (round 19,
+    // guide §2.4 — kmeansQuantized's rationale): array_min over
+    // (dist, cid) structs ≡ min(struct(dist, cid)), zero exchange
+    val packed = centroids.groupBy()
+      .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+    val assigned = q.crossJoin(broadcast(packed))
+      .select(col("__id"), expr(
+        """array_min(transform(__cbs, s -> struct(
+          |  aggregate(zip_with(e, s.c, (a, b) -> (a - b) * (a - b)),
+          |    0L, (acc, x) -> acc + x) as d,
+          |  s.cid as cid)))"""
+          .stripMargin).as("m"))
       .select(col("__id"), col("m.cid").as("cid"),
-        floor(col("m.dist") / lit(1000.0)).cast("long").as("dp"))
+        floor(col("m.d") / lit(1000.0)).cast("long").as("dp"))
     val stats = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("dp")).as("sd"),
         sum(col("dp") * col("dp")).as("sdd"))

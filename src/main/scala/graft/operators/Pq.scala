@@ -75,14 +75,28 @@ object Pq {
     "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
 
   /** One assignment pass: nearest codebook entry per (vector, sub)
-    * under the exact-integer distance + smallest-cid tie rule. */
-  private def assign(sv: DataFrame, cents: DataFrame): DataFrame =
-    sv.join(broadcast(cents), Seq("sub"))
-      .select(col("__id"), col("sub"), col("e"), col("cid"), dist.as("dist"))
-      .groupBy(col("__id"), col("sub"))
-      .agg(min(struct(col("dist"), col("cid"))).as("mn"),
-        first(col("e")).as("e"))
-      .select(col("__id"), col("sub"), col("e"), col("mn.cid").as("cid"))
+    * under the exact-integer distance + smallest-cid tie rule.
+    *
+    * Round-19 shuffle removal (guide §2.4): the previous form joined
+    * the broadcast codebooks into (vector, sub)·k rows and re-grouped
+    * them BY (vector, sub) — an n·m-keyed exchange per assignment pass
+    * (so per training iteration AND per encode). The codebooks are
+    * broadcast-sized by construction, so the argmin happens INSIDE the
+    * row: pack each sub's entries into one cid-sorted array and take
+    * `array_min` over the per-entry (dist, cid) structs — array_min's
+    * lexicographic struct order ≡ min(struct(dist, cid)), identical
+    * cid bit-for-bit, ZERO exchange. */
+  private def assign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.groupBy(col("sub"))
+      .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+    sv.join(broadcast(packed), Seq("sub"))
+      .select(col("__id"), col("sub"), col("e"), expr(
+        """array_min(transform(__cbs, s -> struct(
+          |  aggregate(zip_with(e, s.c, (a, b) -> (a - b) * (a - b)),
+          |    0L, (acc, x) -> acc + x) as d,
+          |  s.cid as cid))).cid"""
+          .stripMargin).as("cid"))
+  }
 
   /** Train all `m` codebooks in one Lloyd loop — `(sub, cid, c)` with
     * `c` the dsub-wide exact-integer centroid. */
@@ -107,14 +121,32 @@ object Pq {
   private[graft] def trainQuantized(qf: DataFrame,
                      m: Int = 8, dsub: Int = 8, k: Int = 16,
                      iterations: Int = 2): DataFrame = {
-    val sv = subvecsOf(qf, m, dsub).localCheckpoint(true)
-    val seedIds = qf.select(col("__id"))
-      .orderBy(col("__id")).limit(k)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
-    val nSeeds = seedIds.count()
-    require(nSeeds == k,
-      s"trainCodebooks: corpus has only $nSeeds rows, cannot seed k=$k")
+    // LAZY local checkpoint (round 19): pins the subvector frame for
+    // its sibling consumers (every iteration's assign + cells) without
+    // the separate eager materialization job the previous
+    // localCheckpoint(true) paid — the first consumer job materializes
+    // it, later jobs read the cached blocks. Every consumer is a
+    // full-partition scan, so the single-evaluation guarantee is the
+    // same.
+    val sv = subvecsOf(qf, m, dsub).localCheckpoint(false)
+    // Seeds resolve in ONE TakeOrdered job and land as a LOCAL
+    // relation (round 19): the previous form ran a count() job for the
+    // require AND re-evaluated the TakeOrdered under the broadcast
+    // join build. k rows of ids is metadata, not data (the
+    // TextPipeline K-row merge-table precedent).
+    val seedRows = qf.select(col("__id"))
+      .orderBy(col("__id")).limit(k).collect()
+    require(seedRows.length == k,
+      s"trainCodebooks: corpus has only ${seedRows.length} rows, " +
+        s"cannot seed k=$k")
+    val spark = qf.sparkSession
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      qf.schema("__id").copy(name = "__id"),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val seedIds = spark.createDataFrame(
+      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i) }: _*), seedSchema)
     var cents: DataFrame = sv.join(broadcast(seedIds), Seq("__id"))
       .select(col("sub"), col("cid"), col("e").as("c"))
     for (_ <- 1 to iterations) {
@@ -126,14 +158,24 @@ object Pq {
       val newC = cells.groupBy(col("sub"), col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(d, cv))), z -> z.cv)")
           .as("cNew"))
+      // per-ITERATION pin (round 19, lazy): the m·k-row centroid frame
+      // is consumed by the NEXT iteration's assign (under a broadcast)
+      // AND by the update join — unpinned, iteration i's whole
+      // assign+update chain re-evaluated once per consumer, and the
+      // final pin re-ran every earlier iteration (profiled at sf0.1 as
+      // the repeating ~0.6 s assign/cells/newC job trio in q242's
+      // 68-job trace). Lazy: single evaluation, no extra eager job,
+      // plan stays O(1) deep.
       cents = cents.join(newC, Seq("sub", "cid"), "left")
         .select(col("sub"), col("cid"),
           coalesce(col("cNew"), col("c")).as("c"))
+        .localCheckpoint(false)
     }
     // the codebook frame is m·k rows and almost always multi-consumed
-    // (encode + probe LUT both read it — q185's sibling-consumer rule:
-    // unpinned, the whole Lloyd chain would re-run per consumer)
-    cents.localCheckpoint(true)
+    // (encode + probe LUT both read it — q185's sibling-consumer rule);
+    // already pinned by the last iteration above (0-iteration callers
+    // still get the pin here)
+    if (iterations == 0) cents.localCheckpoint(false) else cents
   }
 
   /** Encode each vector as its `m` nearest-centroid codes —
@@ -368,15 +410,29 @@ object Pq {
     * `coarse` = (cid int, c array<bigint>). */
   private def coarseAssignRanked(qf: DataFrame, coarse: DataFrame,
                                  keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__cd").asc, col("cid").asc)
-    qf.crossJoin(broadcast(coarse))
-      .select(col("__id"), col("cid"), col("q"), col("c"),
-        coarseDist.as("__cd"))
-      .withColumn("lrk", row_number().over(w))
-      .filter(col("lrk") <= keep)
-      .select(col("__id"), col("cid"), col("lrk"),
-        expr("zip_with(q, c, (a, b) -> a - b)").as("q"))
+    // Round-19 shuffle removal (guide §2.4): the previous form
+    // crossJoined the broadcast centroid frame into n·nlist rows and
+    // ranked them through a row_number window PARTITIONED BY the
+    // vector id — an n-keyed exchange + sort on every coarse
+    // assignment (training, encoding, and every serve). The centroids
+    // are broadcast-sized by construction, so the top-keep lists can
+    // be picked INSIDE the row: pack (cid, c) into one array, compute
+    // every (dist, cid) in a transform, array_sort, slice `keep`,
+    // posexplode. array_sort's lexicographic struct order ≡ the
+    // window's (dist, cid) ordering (cid is unique, so the trailing
+    // fields never decide), hence identical rows — ZERO exchange.
+    val packed = coarse.groupBy()
+      .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+    qf.crossJoin(broadcast(packed))
+      .select(col("__id"), col("q"), posexplode(expr(
+        s"""slice(array_sort(transform(__cbs, s -> struct(
+           |  aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),
+           |    0L, (acc, x) -> acc + x) as cd,
+           |  s.cid as cid, s.c as c))), 1, $keep)"""
+          .stripMargin)).as(Seq("__r0", "__e")))
+      .select(col("__id"), col("__e.cid").as("cid"),
+        (col("__r0") + 1).cast("int").as("lrk"),
+        expr("zip_with(q, __e.c, (a, b) -> a - b)").as("q"))
   }
 
   private def coarseAssign(qf: DataFrame, coarse: DataFrame,
@@ -405,7 +461,9 @@ object Pq {
                    topK: Int = 3): DataFrame = {
     val assigned = coarseAssign(
         quantize(corpus, candIdCol, vecCol), coarse, 1)
-      .localCheckpoint(true) // residual frame: train + encode + list map
+      // LAZY pin (round 19): consumers (seed TakeOrdered, train,
+      // encode, list map) all materialize every partition
+      .localCheckpoint(false) // residual frame: train + encode + list map
     val cb = trainQuantized(assigned.select(col("__id"), col("q")),
       m, dsub, k, iterations)
     val codes = encodeQuantized(assigned.select(col("__id"), col("q")),
@@ -504,7 +562,9 @@ object Pq {
                        maxNprobe: Int = 8): DataFrame = {
     val assigned = coarseAssign(
         quantize(corpus, candIdCol, vecCol), coarse, 1)
-      .localCheckpoint(true) // residual frame: train + encode + list map
+      // LAZY pin (round 19): consumers (seed TakeOrdered, train,
+      // encode, list map) all materialize every partition
+      .localCheckpoint(false) // residual frame: train + encode + list map
     val cb = trainQuantized(assigned.select(col("__id"), col("q")),
       m, dsub, k, iterations)
     val codes = encodeQuantized(assigned.select(col("__id"), col("q")),

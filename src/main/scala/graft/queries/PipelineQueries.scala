@@ -2358,7 +2358,7 @@ object PipelineQueries {
     // rows by the bounded-probe-batch contract
     val cf = graft.operators.Pq.ivfAdcCandidates(cands, "cand",
         probes, "probe", "embedding", coarse, maxNprobe = 8)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy pin (round 19): all consumers full-scan
     val sw = cf.crossJoin(
         broadcast(s.range(1).select(explode(expr("array(1, 2, 4, 8)"))
           .as("nprobe"))))
@@ -2381,7 +2381,7 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(wx))
       .filter(col("rk") <= 3)
       .select(col("probe"), col("cand"))
-      .localCheckpoint(true) // n_true + the hit join (sibling consumers)
+      .localCheckpoint(false) // n_true + the hit join (sibling consumers; lazy pin r19)
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     val mass = sw.groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_cand"))
@@ -2666,7 +2666,7 @@ object PipelineQueries {
     // per-R ranking (q185's sibling-consumer rule)
     val rf = graft.operators.Pq.ivfAdcRerankCandidates(cands, "cand",
         probes, "probe", "embedding", pqCoarse(s, d), maxShortlist = 20)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy pin (round 19): all consumers full-scan
     val sw = rf.crossJoin(
         broadcast(s.range(1).select(explode(expr("array(3, 5, 10, 20)"))
           .as("r"))))
@@ -2689,7 +2689,7 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(wx))
       .filter(col("rk") <= 3)
       .select(col("probe"), col("cand"))
-      .localCheckpoint(true) // n_true + the hit join (sibling consumers)
+      .localCheckpoint(false) // n_true + the hit join (sibling consumers; lazy pin r19)
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     val mass = sw.groupBy(col("r"))
       .agg(count(lit(1)).as("n_refine"))
