@@ -145,7 +145,7 @@ object Ann {
     val sampled = vectors
       .select(col(idCol), Vectors.asDouble(col(vecCol)).as("__v"))
       .filter(pmod(hash(col(idCol)), lit(denom)) < keep)
-      .localCheckpoint(true) // iterated over: pin ONE materialization
+      .localCheckpoint(false) // iterated over: pin ONE materialization (lazy, r19)
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)

@@ -975,7 +975,7 @@ object Dedup {
     // sf0.1: 4.5 → 2.3 s warm). The pinned frame is |selected
     // fingerprints| rows — ~2/(w+1) of the k-grams, strictly smaller
     // than a second corpus pass at any scale.
-    val pinned = winnowEntries(docs, idCol, textCol).localCheckpoint(true)
+    val pinned = winnowEntries(docs, idCol, textCol).localCheckpoint(false) // lazy pin (r19): both join sides full-scan
     val idx = capDf(pinned, maxDf)
     idx.toDF("a", "n_fp_a", "fp", "gram")
       .join(idx.toDF("b", "n_fp_b", "fp", "gram"), Seq("fp", "gram"))
@@ -1178,7 +1178,7 @@ object Dedup {
                        minRun: Int = 5,
                        maxDf: Option[Long] = None): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val toksF = runToks(docs, idCol, textCol).localCheckpoint(true)
+    val toksF = runToks(docs, idCol, textCol).localCheckpoint(false) // lazy pin (r19): gate + cover + marry all full-scan
     applyRunGate(toksF, gateOf(runGrams(toksF, minRun), maxDf), minRun,
       idCol)
   }

@@ -73,7 +73,7 @@ object Graphs {
     * are out of the graph by definition). */
   def textRank(docs: DataFrame, textCol: String,
                iterations: Int = 5): DataFrame = {
-    val edges = cooccurrenceEdges(docs, textCol).localCheckpoint(true)
+    val edges = cooccurrenceEdges(docs, textCol).localCheckpoint(false) // lazy pin (r19): every iteration full-scans
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     // (src, dst, w, wdeg) — derived lazily from the PINNED edges each
     // iteration (two |E|-bounded ops per pass; the expensive tokenize

@@ -251,10 +251,24 @@ object TextPipeline {
       .select(explode(expr(TextHashes.toks(textCol))).as("w"))
       .filter(!col("w").contains("_"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // Round-19 job-count rewrite (guide §1.2/§5 — the winning pair is
+    // ONE ROW of driver metadata, not a distributed frame): each round
+    // previously ran an eager 1-row checkpoint job, an isEmpty action,
+    // a broadcast build of that row, and an eager vocab re-checkpoint
+    // — profiled at sf0.1 as q199's 57-job / 2.7 s-of-planning-gaps
+    // trace. Now each round is ONE TakeOrdered collect (the best
+    // pair), the merge applies as a LITERAL replace (bpeSegment's
+    // idiom — same expression, same escaping), the symbol frame is
+    // LAZILY pinned (materialized by the next round's collect, no
+    // separate job), and the merge table lands as a local relation.
+    // Values bit-identical: same aggregates, same (freq desc, lhs,
+    // rhs) tie rule, same replace semantics.
+    val spark = corpus.sparkSession
     var syms = words
       .select(col("w"), col("cnt"), expr(bpeDelimited("w")).as("s"))
-      .localCheckpoint(true)
-    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      .localCheckpoint(false)
+    val bests =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
@@ -267,28 +281,39 @@ object TextPipeline {
         .select(col("cnt"), expr("element_at(sy, i)").as("lhs"),
           expr("element_at(sy, i + 1)").as("rhs"))
         .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("freq"))
-      val best = pairs
+      val bestRows = pairs
         .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1)
-        .localCheckpoint(true) // 1 row; reused by the table AND the apply
-      if (best.isEmpty) exhausted = true // every word fully merged
+        .limit(1).collect()
+      if (bestRows.isEmpty) exhausted = true // every word fully merged
       else {
-        bests += best.withColumn("step", lit(r).cast("long"))
-        if (r < merges) syms = syms
-          .crossJoin(broadcast(
-            best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
-          .select(col("w"), col("cnt"),
-            expr("replace(s, '_' || __l || '__' || __r || '_', " +
-              "'_' || __l || __r || '_')").as("s"))
-          .localCheckpoint(true)
+        val b = bestRows(0)
+        bests += org.apache.spark.sql.Row(
+          r.toLong, b.getString(0), b.getString(1), b.getLong(2))
+        if (r < merges) {
+          def q(v: String) = v.replace("'", "''")
+          val l = q(b.getString(0)); val rr = q(b.getString(1))
+          syms = syms
+            .select(col("w"), col("cnt"),
+              expr(s"replace(s, '_${l}__${rr}_', '_$l${rr}_')").as("s"))
+            .localCheckpoint(false)
+        }
       }
       r += 1
     }
     require(bests.nonEmpty,
       "bpeTrain: corpus yields no adjacent symbol pairs (empty corpus " +
         "or single-char vocabulary)")
-    bests.reduce(_ union _)
-      .select(col("step"), col("lhs"), col("rhs"), col("freq"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lhs",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("rhs",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(bests.toSeq: _*), schema)
       .orderBy(col("step"))
   }
 
@@ -459,7 +484,10 @@ object TextPipeline {
     feats
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
+      // LAZY pin (round 19): both consumers (the marginals under the
+      // broadcast, the per-doc weight join) scan every partition, so
+      // the first consumer job materializes it — one fewer eager job
+      .localCheckpoint(false)
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
@@ -946,9 +974,13 @@ object TextPipeline {
                    maxPieceLen: Int = 4, maxWordLen: Int = 12,
                    minCount: Long = 5, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val words = wordFrame(docs, textCol, maxWordLen).localCheckpoint(true)
+    // LAZY pins (round 19): every consumer (the per-round stepFrame
+    // joins and usage aggregates) is a full-partition scan, so the
+    // first consumer job materializes each pin — same single-
+    // evaluation guarantee as the eager form, without its extra jobs
+    val words = wordFrame(docs, textCol, maxWordLen).localCheckpoint(false)
     var vocab = seedPieces(words, maxPieceLen, minCount)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var usage: DataFrame = null
     for (r <- 1 to rounds) {
       usage = greedySegment(words, vocab, maxPieceLen, maxWordLen)
@@ -958,7 +990,7 @@ object TextPipeline {
         vocab = usage
           .filter(length(col("piece")) >= 2 && col("usage") >= minCount)
           .select(col("piece"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
     }
     usage
   }

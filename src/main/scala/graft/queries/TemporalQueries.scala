@@ -674,7 +674,7 @@ object TemporalQueries {
     // without the pin each consumer re-aggregates the event scan
     val cells = ev.groupBy(col("value"), col("hh"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy pin (r19): all 5 consumers full-scan
     // wide |values|-row frame: one LONG column of per-value counts per
     // hour (absent cells are 0 so the prefix sums see the full grid)
     val hourCounts = (0 until 24).map(h =>
