@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,89 +255,139 @@ object Linalg {
     * round (q185's rule). */
   def kmeansQuantized(vecs: DataFrame, idCol: String, vecCol: String,
                       k: Int = 8, iterations: Int = 2): DataFrame = {
+    val (q, cents) = lloydQuantized(vecs, idCol, vecCol, k, iterations)
+    val spark = vecs.sparkSession
+    val counts = assignPackedQ(q, packedCentroidsDf(spark, cents))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    // centroid table as a LOCAL relation (cid, dim, c) — K·d rows of
+    // metadata; the membership-counts join is the only distributed
+    // consumer left
+    val centRows: Seq[org.apache.spark.sql.Row] =
+      for (i <- cents.indices; d <- cents(i).indices)
+        yield org.apache.spark.sql.Row(i, (d + 1).toLong, cents(i)(d))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), centSchema)
+      .join(counts, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
+  /** The trained centroids alone, as ONE LOCAL `(cid, c array<bigint>)`
+    * relation — identical values to [[kmeansQuantized]]'s centroid
+    * table (the membership-counts pass is the contract face's output,
+    * not the quantizer's), in the coarse-quantizer shape IVF-ADC
+    * consumers broadcast (q242's sweep, trained-coarse stores). Skips
+    * the counts assignment pass those consumers never read — Catalyst
+    * cannot prune it through the contract face's left join. */
+  private[graft] def kmeansCoarseLocal(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int = 8, iterations: Int = 2): DataFrame = {
+    val (_, cents) = lloydQuantized(vecs, idCol, vecCol, k, iterations)
+    val spark = vecs.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(LongType, containsNull = true),
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      cents.indices.map(i =>
+        org.apache.spark.sql.Row(i, cents(i).toSeq)): _*), schema)
+  }
+
+  /** The Lloyd loop itself — returns the pinned quantized frame and
+    * the trained centroid matrix (driver METADATA: K·d longs).
+    *
+    * Round-19 driver-iteration (guide §1.2 "the distributed
+    * algorithm"; the q223 PCA / BPE merge-loop / Ann.trainCentroids
+    * precedent): ONE job per Lloyd round — the broadcast-argmin
+    * assignment (array_min over (dist, cid) structs ≡
+    * min(struct(dist, cid)), zero exchange) fuses into the (cid, d)
+    * cell aggregate, whose result is the FIXED K·d cell space (512
+    * rows at the contract geometry). The centroid update — the
+    * engine's floor(Σe·1.0/n) double idiom, empty clusters keep their
+    * previous centroid — replays on the driver bit-for-bit:
+    * (double)Σ × 1.0 / (double)n under IEEE-754 IS the engine
+    * expression. The previous form paid a second groupBy + a join + a
+    * checkpoint per round, and consumers re-planned a distributed
+    * centroid subtree under every broadcast. */
+  private def lloydQuantized(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, iterations: Int)
+      : (DataFrame, Array[Array[Long]]) = {
     // scan-parallelism floor (round 19, guide §2.5): spread an
     // unsplittable tiny input before the quantize + per-row distance
-    // folds; self-disabling at real volumes
-    // LAZY pin (round 19): first consumer is the seed TakeOrdered,
-    // which computes every partition (per-partition top-k heaps), so
-    // the frame is fully materialized by it — same single-evaluation
-    // guarantee as the eager pin, one fewer job
+    // folds; self-disabling at real volumes. LAZY pin: the seed
+    // TakeOrdered computes every partition (per-partition top-k
+    // heaps), so the first job fully materializes the frame.
     val q = graft.Tables.withParallelismFloor(vecs, idCol)
       .select(col(idCol).as("__id"),
         expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
           .as("e"))
       .localCheckpoint(false)
-    // Round-19 shuffle removal (guide §2.4): the previous assign
-    // crossJoined the broadcast K-row centroid frame into n·K rows and
-    // re-grouped BY the vector id — an n-keyed exchange per iteration
-    // (plus the final counts pass). The centroids are broadcast-sized
-    // by construction, so the argmin happens INSIDE the row: pack
-    // (cid, c) into one cid-sorted array and take array_min over the
-    // per-entry (dist, cid) structs — array_min's lexicographic struct
-    // order ≡ min(struct(dist, cid)), identical cid bit-for-bit, ZERO
-    // exchange.
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents.groupBy()
-        .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
-      q.crossJoin(broadcast(packed))
-        .select(col("__id"), col("e"), expr(
-          """array_min(transform(__cbs, s -> struct(
-            |  aggregate(zip_with(e, s.c, (a, b) -> (a - b) * (a - b)),
-            |    0L, (acc, x) -> acc + x) as d,
-            |  s.cid as cid))).cid"""
-            .stripMargin).as("cid"))
-    }
-    // seeds = the k actually-smallest ids (TakeOrderedAndProject — k
-    // rows off per-partition heaps, never a global sort); the window
-    // ranks only the k-row seed frame. A `__id < k` filter would
-    // silently under-seed sparse or offset id spaces.
-    // seeds resolve in ONE TakeOrdered job and land as a LOCAL relation
-    // (round 19): the previous form ran a count() job for the require
-    // AND re-evaluated the TakeOrdered under later consumers. k rows is
-    // metadata, not data. (TakeOrderedAndProject — k rows off
-    // per-partition heaps, never a global sort.) A `__id < k` filter
-    // would silently under-seed sparse or offset id spaces.
+    val spark = vecs.sparkSession
+    // seeds = the k actually-smallest ids, resolved in ONE TakeOrdered
+    // collect of the seed VECTORS — k·d longs of metadata
+    // (TakeOrderedAndProject — k rows off per-partition heaps, never a
+    // global sort). A `__id < k` filter would silently under-seed
+    // sparse or offset id spaces.
     val seedRows = q.orderBy(col("__id")).limit(k).collect()
     require(seedRows.length == k,
       s"kmeansQuantized: corpus has only ${seedRows.length} rows, " +
         s"cannot seed k=$k")
-    val spark = vecs.sparkSession
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      q.schema("e").copy(name = "c")))
-    var cents: DataFrame = spark.createDataFrame(
-      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.get(1)) }: _*), centSchema)
+    var cents: Array[Array[Long]] =
+      seedRows.map(_.getSeq[Long](1).toArray)
     for (_ <- 1 to iterations) {
-      val cells = assign(cents)
+      val cells = assignPackedQ(q, packedCentroidsDf(spark, cents))
         .select(col("cid"), posexplode(col("e")).as(Seq("d", "ev")))
         .groupBy(col("cid"), col("d"))
-        .agg(floor(sum(col("ev")) * lit(1.0) / count(lit(1)))
-          .cast("long").as("cv"))
-      val newC = cells.groupBy(col("cid"))
-        .agg(expr("transform(sort_array(collect_list(struct(d, cv))), z -> z.cv)")
-          .as("cNew"))
-      // per-ITERATION pin (round 19, q185's sibling-consumer rule
-      // applied per step, LAZY — materialized by its first consumer
-      // job, no extra eager job): the K-row centroid frame feeds the
-      // next iteration's assign (under a broadcast) AND the update
-      // join — unpinned, each earlier iteration re-evaluates once per
-      // consumer; the pin buys single evaluation and keeps the plan
-      // O(1) deep
-      cents = cents.join(newC, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cNew"), col("c")).as("c"))
-        .localCheckpoint(false)
+        .agg(sum(col("ev")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.foreach { r =>
+        require(!r.isNullAt(2),
+          "kmeansQuantized: null component sum — quantized vectors " +
+            "must not contain null elements")
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble * 1.0 / r.getLong(3)).toLong
+      }
+      cents = next
     }
-    val counts = assign(cents)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-    cents
-      .select(col("cid"), posexplode(col("c")).as(Seq("d", "cv")))
-      .select(col("cid"), (col("d") + 1).cast("long").as("dim"),
-        col("cv").as("c"))
-      .join(counts, Seq("cid"), "left")
-      .select(col("cid"), col("dim"), col("c"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"))
+    (q, cents)
+  }
+
+  /** Per-row argmin against a packed centroid-array frame — zero
+    * exchange (round 19, guide §2.4). */
+  private def assignPackedQ(q: DataFrame, packed: DataFrame): DataFrame =
+    q.crossJoin(broadcast(packed))
+      .select(col("__id"), col("e"), expr(
+        """array_min(transform(__cbs, s -> struct(
+          |  aggregate(zip_with(e, s.c, (a, b) -> (a - b) * (a - b)),
+          |    0L, (acc, x) -> acc + x) as d,
+          |  s.cid as cid))).cid"""
+          .stripMargin).as("cid"))
+
+  /** The packed build side as a LOCAL relation: one row, `__cbs` the
+    * cid-ascending (cid, c) struct array — exactly `sort_array(
+    * collect_list(struct(cid, c)))` over the same centroids (cid is
+    * unique, so the lexicographic sort is the cid sort). */
+  private def packedCentroidsDf(spark: SparkSession,
+                                cents: Array[Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val entry = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(LongType, containsNull = true),
+        nullable = false)))
+    val schema = StructType(Seq(
+      StructField("__cbs", ArrayType(entry, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(cents.indices.map(i =>
+        org.apache.spark.sql.Row(i, cents(i).toSeq)))), schema)
   }
 
   /** Per-cluster embedding outlier census — the hygiene pass run

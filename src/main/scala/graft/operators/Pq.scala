@@ -86,9 +86,15 @@ object Pq {
     * `array_min` over the per-entry (dist, cid) structs — array_min's
     * lexicographic struct order ≡ min(struct(dist, cid)), identical
     * cid bit-for-bit, ZERO exchange. */
-  private def assign(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = cents.groupBy(col("sub"))
-      .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+  private def assign(sv: DataFrame, cents: DataFrame): DataFrame =
+    assignPacked(sv, cents.groupBy(col("sub"))
+      .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs")))
+
+  /** [[assign]] against an already-packed per-sub codebook array
+    * frame `(sub, __cbs)` — the driver-iteration loop builds `__cbs`
+    * as a LOCAL relation, so the broadcast ships metadata without
+    * re-planning a distributed centroid subtree per consumer. */
+  private def assignPacked(sv: DataFrame, packed: DataFrame): DataFrame =
     sv.join(broadcast(packed), Seq("sub"))
       .select(col("__id"), col("sub"), col("e"), expr(
         """array_min(transform(__cbs, s -> struct(
@@ -96,6 +102,43 @@ object Pq {
           |    0L, (acc, x) -> acc + x) as d,
           |  s.cid as cid))).cid"""
           .stripMargin).as("cid"))
+
+  /** The m·k-row codebook `(sub, cid, c)` as a LOCAL relation —
+    * [[trainQuantized]]'s driver-iteration output shape. */
+  private def centsDf(spark: SparkSession,
+                      cents: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(LongType, containsNull = true),
+        nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      for (s <- cents.indices; c <- cents(s).indices)
+        yield org.apache.spark.sql.Row(s, c, cents(s)(c).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Driver-side build of [[assignPacked]]'s per-sub `(sub, __cbs)`
+    * frame — cid-ascending struct arrays, exactly `sort_array(
+    * collect_list(struct(cid, c)))` over the same codebook (cid is
+    * unique, so the lexicographic sort is the cid sort). */
+  private def packedCentsDf(spark: SparkSession,
+                            cents: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val entry = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(LongType, containsNull = true),
+        nullable = false)))
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("__cbs", ArrayType(entry, containsNull = false),
+        nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] = cents.indices.map { s =>
+      org.apache.spark.sql.Row(s, cents(s).indices.map(c =>
+        org.apache.spark.sql.Row(c, cents(s)(c).toSeq)))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Train all `m` codebooks in one Lloyd loop — `(sub, cid, c)` with
@@ -121,61 +164,64 @@ object Pq {
   private[graft] def trainQuantized(qf: DataFrame,
                      m: Int = 8, dsub: Int = 8, k: Int = 16,
                      iterations: Int = 2): DataFrame = {
-    // LAZY local checkpoint (round 19): pins the subvector frame for
-    // its sibling consumers (every iteration's assign + cells) without
-    // the separate eager materialization job the previous
-    // localCheckpoint(true) paid — the first consumer job materializes
-    // it, later jobs read the cached blocks. Every consumer is a
-    // full-partition scan, so the single-evaluation guarantee is the
-    // same.
-    val sv = subvecsOf(qf, m, dsub).localCheckpoint(false)
-    // Seeds resolve in ONE TakeOrdered job and land as a LOCAL
-    // relation (round 19): the previous form ran a count() job for the
-    // require AND re-evaluated the TakeOrdered under the broadcast
-    // join build. k rows of ids is metadata, not data (the
-    // TextPipeline K-row merge-table precedent).
-    val seedRows = qf.select(col("__id"))
+    val spark = qf.sparkSession
+    // Seeds resolve in ONE TakeOrdered collect of the k smallest-id
+    // VECTORS — k·d ≤ 1,024 BIGINTs of metadata at the contract
+    // geometry (the Ann.trainCentroids / TextPipeline merge-table
+    // precedent); each seed vector is sliced into its m subspace
+    // seeds on the driver exactly as subvecsOf slices it in-engine.
+    val seedRows = qf.select(col("__id"), col("q"))
       .orderBy(col("__id")).limit(k).collect()
     require(seedRows.length == k,
       s"trainCodebooks: corpus has only ${seedRows.length} rows, " +
         s"cannot seed k=$k")
-    val spark = qf.sparkSession
-    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
-      qf.schema("__id").copy(name = "__id"),
-      org.apache.spark.sql.types.StructField("cid",
-        org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val seedIds = spark.createDataFrame(
-      java.util.Arrays.asList(seedRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i) }: _*), seedSchema)
-    var cents: DataFrame = sv.join(broadcast(seedIds), Seq("__id"))
-      .select(col("sub"), col("cid"), col("e").as("c"))
-    for (_ <- 1 to iterations) {
-      val cells = assign(sv, cents)
-        .select(col("sub"), col("cid"), posexplode(col("e")).as(Seq("d", "ev")))
-        .groupBy(col("sub"), col("cid"), col("d"))
-        .agg(floor(sum(col("ev")) * lit(1.0) / count(lit(1)))
-          .cast("long").as("cv"))
-      val newC = cells.groupBy(col("sub"), col("cid"))
-        .agg(expr("transform(sort_array(collect_list(struct(d, cv))), z -> z.cv)")
-          .as("cNew"))
-      // per-ITERATION pin (round 19, lazy): the m·k-row centroid frame
-      // is consumed by the NEXT iteration's assign (under a broadcast)
-      // AND by the update join — unpinned, iteration i's whole
-      // assign+update chain re-evaluated once per consumer, and the
-      // final pin re-ran every earlier iteration (profiled at sf0.1 as
-      // the repeating ~0.6 s assign/cells/newC job trio in q242's
-      // 68-job trace). Lazy: single evaluation, no extra eager job,
-      // plan stays O(1) deep.
-      cents = cents.join(newC, Seq("sub", "cid"), "left")
-        .select(col("sub"), col("cid"),
-          coalesce(col("cNew"), col("c")).as("c"))
-        .localCheckpoint(false)
+    // cents(sub)(cid) = the dsub-wide exact-integer centroid
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m, k) { (s, c) =>
+      val q = seedRows(c).getSeq[Long](1)
+      Array.tabulate(dsub)(j => q(s * dsub + j))
     }
-    // the codebook frame is m·k rows and almost always multi-consumed
-    // (encode + probe LUT both read it — q185's sibling-consumer rule);
-    // already pinned by the last iteration above (0-iteration callers
-    // still get the pin here)
-    if (iterations == 0) cents.localCheckpoint(false) else cents
+    if (iterations > 0) {
+      // subvector frame pinned for the per-iteration cell jobs (lazy —
+      // the first iteration's aggregate materializes it)
+      val sv = subvecsOf(qf, m, dsub).localCheckpoint(false)
+      for (_ <- 1 to iterations) {
+        // Round-19 driver-iteration (guide §1.2 "the distributed
+        // algorithm"; the q223 PCA / BPE merge-loop / Ann.trainCentroids
+        // precedent): ONE job per Lloyd round — the broadcast-argmin
+        // assignment fuses into the (sub, cid, d) cell aggregate, whose
+        // result is the FIXED m·k·dsub cell space (≤ 1,024 rows of
+        // metadata, never data). The centroid update — the engine's
+        // floor(Σe·1.0/n) double idiom, empty cells keep their previous
+        // centroid — replays on the driver bit-for-bit: (double)Σ × 1.0
+        // / (double)n under IEEE-754 IS the engine expression. The
+        // previous form paid a second groupBy + a join + a checkpoint
+        // per round, and every consumer broadcast re-planned a
+        // distributed centroid subtree.
+        val cells = assignPacked(sv, packedCentsDf(spark, cents))
+          .select(col("sub"), col("cid"),
+            posexplode(col("e")).as(Seq("d", "ev")))
+          .groupBy(col("sub"), col("cid"), col("d"))
+          .agg(sum(col("ev")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.map(_.clone()))
+        cells.foreach { r =>
+          // a NULL Σ would mean null vector components upstream — the
+          // quantize transform never emits them for non-null inputs;
+          // fail loudly rather than silently diverge from the engine's
+          // null-skipping sum fold
+          require(!r.isNullAt(3),
+            "trainCodebooks: null component sum — quantized vectors " +
+              "must not contain null elements")
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            math.floor(r.getLong(3).toDouble * 1.0 / r.getLong(4)).toLong
+        }
+        cents = next
+      }
+    }
+    // the m·k-row codebook lands as ONE LOCAL relation — every
+    // consumer (encode assign, probe LUTs, store writes) broadcasts
+    // metadata instead of re-planning a distributed training subtree
+    centsDf(spark, cents)
   }
 
   /** Encode each vector as its `m` nearest-centroid codes —

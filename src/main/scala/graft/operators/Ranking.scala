@@ -119,10 +119,14 @@ object Ranking {
     val nPart = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = orderCols.map(c => col(c).asc)
+    // LAZY pin (round 19): the counts collect below computes every
+    // partition (a global groupBy), so the first job materializes the
+    // checkpoint — same same-boundaries/same-ids guarantee as the
+    // eager pin, one fewer job per ranking call
     val parted = df.repartitionByRange(nPart, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     val lrn = col("__mid").bitwiseAND(lit((1L << MidBits) - 1)) + 1
     val counts = parted.groupBy(pid.as("__pid")).agg(count(lit(1)).as("c"))
@@ -251,7 +255,9 @@ object Ranking {
     val parted = df
       .repartitionByRange(nPart, col(groupCol).asc, col(orderCol).asc)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      // LAZY pin (round 19): the metadata collect below computes every
+      // partition, materializing the checkpoint in its own job
+      .localCheckpoint(false)
     // one metadata job: per-(partition, group) counts; the string form
     // of the group key comes from Spark's own cast (q97's rule), with a
     // sentinel for a NULL group so it survives the string-keyed lookup
@@ -312,7 +318,9 @@ object Ranking {
       .repartitionByRange(nPart, col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      // LAZY pin (round 19): the metadata collect below computes every
+      // partition, materializing the checkpoint in its own job
+      .localCheckpoint(false)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
     val sentinel = "\u0000null"
@@ -416,7 +424,9 @@ object Ranking {
       .repartitionByRange(nPart, col("__ci").asc, col("__g").asc, col("__v").asc)
       .sortWithinPartitions(col("__ci").asc, col("__g").asc, col("__v").asc)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      // LAZY pin (round 19): the metadata collect below computes every
+      // partition, materializing the checkpoint in its own job
+      .localCheckpoint(false)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     val local = col("__mid").bitwiseAND(lit((1L << MidBits) - 1))
     // metadata: per (partition, column, group) row count + first local
@@ -825,7 +835,10 @@ object Ranking {
       .repartitionByRange(nPart, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      // LAZY pin (round 19): the perPart collect computes every
+      // partition, materializing the checkpoint in its own job — same
+      // boundaries/ids guarantee, one fewer job per call
+      .localCheckpoint(false)
     val pid = shiftrightunsigned(col("__mid"), MidBits)
     // coalesce to the identity: an all-null partition aggregates to NULL
     // and would NPE getLong; its identity value is neutral under the

@@ -608,9 +608,18 @@ object TextPipeline {
     * — q202's data-relative rule), with the df and corpus size that
     * justified each admission. |boilerplate spans|-row — tiny. */
   def boilerplateGate(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+                      textCol: String): DataFrame =
+    gateOfSpans(spanFrame(docs, idCol, textCol), docs, idCol)
+
+  /** [[boilerplateGate]] over an ALREADY-BUILT span frame — factored
+    * (round 19) so q202's inline face derives gate AND fold from ONE
+    * pinned span frame instead of tokenizing the corpus twice. The
+    * `n_docs` total stays a column-pruned second scan of `docs`
+    * (q183's rescan-narrow trade). */
+  private[graft] def gateOfSpans(spans: DataFrame, docs: DataFrame,
+                                 idCol: String): DataFrame = {
     val nd = docs.agg(count(lit(1)).as("n_docs"))
-    spanFrame(docs, idCol, textCol)
+    spans
       .select(col(idCol), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))

@@ -1323,11 +1323,18 @@ object PipelineQueries {
   def q202(s: SparkSession, d: String): DataFrame = {
     // span frame / gate / fold all ride TextPipeline's shared helpers
     // (round 16 — factored for the q211 store-backed face, which must
-    // be the SAME fold over a committed gate; bodies unchanged)
+    // be the SAME fold over a committed gate; bodies unchanged).
+    // ONE span frame feeds gate AND fold (round 19, guide §1.2): the
+    // tokenize+span chain used to run twice — once for the tagged
+    // fold, once inside boilerplateGate; the lazy pin shares it (the
+    // gate's distinct is the materializing first consumer). Gate rule,
+    // fold, and the column-pruned n_docs scan are unchanged — oracle
+    // q202-verbatim.
+    val docs = documents(s, d)
     val spans = graft.operators.TextPipeline.spanFrame(
-      documents(s, d), "doc_id", "text")
-    val bp = graft.operators.TextPipeline.boilerplateGate(
-        documents(s, d), "doc_id", "text")
+      docs, "doc_id", "text").localCheckpoint(false)
+    val bp = graft.operators.TextPipeline.gateOfSpans(
+        spans, docs, "doc_id")
       .select(col("span"), lit(1L).as("isbp"))
     graft.operators.TextPipeline.boilerplateFold(
         spans.join(bp, Seq("span"), "left_outer")
@@ -2346,12 +2353,14 @@ object PipelineQueries {
       .select(col("vec_id").as("cand"), col("embedding"))
     val probes = e.filter(col("vec_id").between(4, 9))
       .select(col("vec_id").as("probe"), col("embedding"))
-    val coarse = graft.operators.Linalg.kmeansQuantized(
-        cands, "cand", "embedding", k = 8, iterations = 2)
-      .groupBy(col("cid"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), z -> z.c)")
-        .as("c"))
-      .select(col("cid").cast("int").as("cid"), col("c"))
+    // trained coarse as kmeansQuantized's LOCAL centroid relation
+    // (round 19): identical centroid values, without the contract
+    // face's membership-counts pass — Catalyst cannot prune that
+    // left-joined pass through the (cid, dim)→array regroup this
+    // consumer used to do, so the sweep paid a whole extra corpus
+    // assignment it never read
+    val coarse = graft.operators.Linalg.kmeansCoarseLocal(
+      cands, "cand", "embedding", k = 8, iterations = 2)
     // the sweep frame feeds BOTH the candidate-mass census and the
     // top-3 ranking (q185's sibling-consumer rule: unpinned, the whole
     // train+encode chain would re-run per consumer); ≤ |probes|·|corpus|
