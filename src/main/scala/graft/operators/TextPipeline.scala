@@ -466,7 +466,11 @@ object TextPipeline {
                                 isTarget: Column): DataFrame = {
     def nib(i: Int) =
       s"(instr('0123456789abcdef', substr(md5(__f), $i, 1)) - 1)"
-    val feats = corpus
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // bigram + md5-per-feature chain on an unsplittable tiny scan ran
+    // as ONE ~0.9 s task at sf0.1 (q187/q200/q210/q213 profiles);
+    // self-disabling at real volumes
+    val feats = graft.Tables.withParallelismFloor(corpus, idCol)
       .select(col(idCol), isTarget.as("__tgt"),
         expr(TextHashes.toks(textCol)).as("__toks"))
       // unigrams ++ adjacent bigrams; the zip_with over two shifted

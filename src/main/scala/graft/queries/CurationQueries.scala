@@ -535,7 +535,11 @@ object CurationQueries {
     * split points (30 tokens / 0.4 ttr / 0.08 top-bigram / 0.03
     * stopword) so the gate actually partitions the data. */
   def q119(s: SparkSession, d: String): DataFrame = {
-    val t = documents(s, d).select(col("doc_id"), expr(toks).as("toks"))
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // bigram chain ran as ONE ~0.46 s task at sf0.1; self-disabling at
+    // real volumes
+    val t = graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
+      .select(col("doc_id"), expr(toks).as("toks"))
     val base = t.filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
@@ -831,7 +835,10 @@ object CurationQueries {
     * to a shuffle join instead of a driver OOM). The per-doc rollup is
     * doc-sized. round(4) on the mean: an irrational sum, q126's rule. */
   def q152(s: SparkSession, d: String): DataFrame = {
-    val bg = documents(s, d)
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // bigram maps ran as single ~0.3 s tasks at sf0.1; self-disabling
+    // at real volumes
+    val bg = graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
       .select(col("doc_id"), expr(toks).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(bigrams("toks"))).as("bg"))

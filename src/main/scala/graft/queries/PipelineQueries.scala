@@ -53,7 +53,11 @@ object PipelineQueries {
     * filters push through the distinct on the grouping key into the
     * scan. */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // shingle chain ran as ONE ~0.5 s task at sf0.1 (q215/q218
+    // profiles); self-disabling at real volumes
+    graft.Tables.withParallelismFloor(docs, "doc_id")
+      .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -970,7 +974,11 @@ object PipelineQueries {
     * empty span list so both faces agree (latent on this corpus, which
     * has no empty-text docs, but the guard keeps the faces aligned). */
   def q184(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // span-dedup chain ran as TWO ~0.45 s single tasks at sf0.1 (the
+    // contract sort's range sampling re-evaluates the narrow chain);
+    // self-disabling at real volumes
+    graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
       .select(col("doc_id"),
         expr(graft.operators.TextHashes.toks("text")).as("toks"))
       .withColumn("ls", expr(
@@ -1636,7 +1644,10 @@ object PipelineQueries {
     * broadcast estimate join alone. All arithmetic is exact integers —
     * no float anywhere. */
   def q214(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // explode map ran as ONE ~0.6 s task at sf0.1; self-disabling at
+    // real volumes
+    val toks = graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
       .select(explode(expr(graft.operators.TextHashes.toks("text")))
         .as("tok"))
     val counters = graft.operators.Sketches.cmsCounters(toks, "tok")
@@ -1698,7 +1709,11 @@ object PipelineQueries {
     * compounds summation-order ulps across iterations. Ordering rides
     * the exact `r_fp`, never the display double. */
   def q216(s: SparkSession, d: String): DataFrame =
-    graft.operators.Graphs.textRank(documents(s, d), "text")
+    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
+    // edge-explode map ran as ONE ~0.48 s task at sf0.1;
+    // self-disabling at real volumes
+    graft.operators.Graphs.textRank(
+      graft.Tables.withParallelismFloor(documents(s, d), "doc_id"), "text")
       .orderBy(col("r_fp").desc, col("token"))
       .limit(30)
 
@@ -2025,11 +2040,21 @@ object PipelineQueries {
     * stream explode is narrow; the only data-sized exchange is the
     * per-doc rollup. */
   def q226(s: SparkSession, d: String): DataFrame = {
+    // scan-parallelism floor (round 19, guide §2.5) on the SCORED
+    // batch only, applied AFTER its doc_id filter so the predicate
+    // still pushes into the parquet scan. Measured and rejected on the
+    // train side: its three count maps run CONCURRENTLY under the
+    // lmScore broadcast builds, so the single-task maps already
+    // overlap — flooring them added an exchange + 32-task scheduling
+    // per job for no critical-path win (×1.15); and flooring ABOVE the
+    // filter shuffles the whole corpus to keep 5%. Self-disabling at
+    // real volumes.
     val docs = documents(s, d)
     val (uni, bi, tri, nv) = graft.operators.TextPipeline.lmCounts(
       docs.filter(col("doc_id") < 250), "text")
     graft.operators.TextPipeline.lmScore(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        graft.Tables.withParallelismFloor(
+          docs.filter(col("doc_id") >= 250), "doc_id"), "doc_id", "text",
         uni, bi, tri, nv)
       .orderBy("doc_id")
   }
@@ -2101,11 +2126,16 @@ object PipelineQueries {
   def q228(s: SparkSession, d: String): DataFrame = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = s"$wh/graft_lm_store${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // scan-parallelism floor (round 19, guide §2.5): the serve-side
+    // trigram stream map ran single-task at sf0.1; applied AFTER the
+    // doc_id filters so the predicates still push into the scan
+    // (q226's lesson); self-disabling at real volumes
     val docs = documents(s, d)
     graft.operators.TextPipeline.ensureLmStore(
       docs.filter(col("doc_id") < 250), "text", path)
     graft.operators.TextPipeline.lmServe(s, path,
-        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        graft.Tables.withParallelismFloor(
+          docs.filter(col("doc_id") >= 250), "doc_id"), "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -2519,6 +2549,10 @@ object PipelineQueries {
       .join(e.toDF("b", "vb"), col("a") < col("b"))
       .filter(graft.functions.Vectors.cosine(col("va"), col("vb")) >= 0.4)
       .select(col("a"), col("b"))
+      // lazy pin (round 19): the hit join and the n_true census both
+      // full-scan the truth pairs — unpinned, the bounded-universe
+      // cosine NLJ re-ran once per consumer
+      .localCheckpoint(false)
     val bandCols: Seq[Column] = for {
       (bb, rr) <- cfgs
       j <- 0 until bb
@@ -2539,6 +2573,10 @@ object PipelineQueries {
           col("a") < col("b"))
       .select(col("bands"), col("bits"), col("a"), col("b"))
       .distinct()
+      // lazy pin (round 19): n_cand census + truth hit join both
+      // full-scan the candidate set — unpinned, the band self-join
+      // re-ran once per consumer
+      .localCheckpoint(false)
     val nc = cand.groupBy(col("bands"), col("bits"))
       .agg(count(lit(1)).as("n_cand"))
     val hit = cand.join(truth, Seq("a", "b"))

@@ -27,7 +27,12 @@ object PrivacyQueries {
     * oracle CTE): email on doc_id%3=0, dotted-quad on %5=0, dashed
     * phone on %7=0. */
   private def synthDocs(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), col("source"),
+    // scan-parallelism floor (round 19, guide §2.5): the three
+    // regex-count/replace maps ran as single ~0.33 s tasks at sf0.1
+    // (twice under the contract sort's range sampling); self-disabling
+    // at real volumes
+    graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
+      .select(col("doc_id"), col("source"),
       concat(
         col("text"),
         when(col("doc_id") % 3 === 0,
