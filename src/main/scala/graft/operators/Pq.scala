@@ -54,8 +54,17 @@ object Pq {
     * quantize/assign/fold chain; self-disabling at real volumes. */
   private def quantize(vecs: DataFrame, idCol: String,
                        vecCol: String): DataFrame =
-    graft.Tables.withParallelismFloor(vecs, idCol)
-      .select(col(idCol).as("__id"),
+    quantizeNoFloor(graft.Tables.withParallelismFloor(vecs, idCol),
+      idCol, vecCol)
+
+  /** [[quantize]] without the scan-parallelism floor — for PROBE
+    * batches (bounded by contract, q115's discipline): flooring a
+    * handful of probe rows adds an exchange and a core-count-wide
+    * stage to every search/serve for zero win (round 19 — the q241
+    * serve profile carried two 32-task zero-shuffle probe jobs). */
+  private def quantizeNoFloor(vecs: DataFrame, idCol: String,
+                              vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("__id"),
       expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
         .as("q"))
 
@@ -67,9 +76,10 @@ object Pq {
         .as(Seq("__s0", "e")))
       .select(col("__id"), col("__s0").cast("int").as("sub"), col("e"))
 
+  /** Probe-side subvector split — probe batches never floor. */
   private def subvecs(vecs: DataFrame, idCol: String, vecCol: String,
                       m: Int, dsub: Int): DataFrame =
-    subvecsOf(quantize(vecs, idCol, vecCol), m, dsub)
+    subvecsOf(quantizeNoFloor(vecs, idCol, vecCol), m, dsub)
 
   private val dist = expr(
     "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
@@ -438,10 +448,40 @@ object Pq {
     val dir = resolveV2(spark, path, PqStoreMarker, PqStoreLegacyMarker,
       "PQ", "saveStore")
     val (m, dsub) = readGeometry(fsOf(spark, dir), dir)
-    val cb = spark.read.parquet(s"$dir/codebooks")
+    // codebooks are m·k rows of store metadata and probe batches are
+    // bounded by contract — ONE driver read each, the ADC LUT computed
+    // driver-side ([[sqDistL]] replays the engine's exact fold), so
+    // the serve plan is: codes scan → broadcast LOCAL LUT → narrow
+    // fold → pruned rank (round 19; the searchIvfAdcStore rationale).
+    // Array order matches probeLut exactly: (sub, code) is unique, so
+    // its sort_array order IS (sub asc, code asc).
+    val bySub = cbBySub(spark.read.parquet(s"$dir/codebooks").collect())
+    val pFrame = quantizeNoFloor(probes, probeIdCol, vecCol)
+    val pRows = pFrame.collect()
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      pFrame.schema("__id").copy(name = "probe"),
+      org.apache.spark.sql.types.StructField("lt",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val lutRows: Seq[org.apache.spark.sql.Row] = pRows.toSeq.map { r =>
+      val q = r.getSeq[Long](1)
+      val lt: Seq[Long] = (0 until m).flatMap { s =>
+        val e = q.slice(s * dsub, s * dsub + dsub)
+        bySub(s).toSeq.map { case (_, c) => sqDistL(e, c) }
+      }
+      org.apache.spark.sql.Row(r.get(0), lt)
+    }
+    val lut = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*), lutSchema)
     val packed = spark.read.parquet(s"$dir/codes")
-    searchPacked(packed, "cand", probes, probeIdCol, vecCol, cb, m,
-      dsub, topK)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("adc").asc, col("cand").asc)
+    packed.crossJoin(broadcast(lut))
+      .select(col("probe"), col("cand"), adcFold(m).as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("probe"), col("rk"), col("cand"), col("adc"))
   }
 
   // ---- IVF-ADC (Jégou 2011 §IV — the composed serving index) --------
@@ -467,8 +507,71 @@ object Pq {
     // posexplode. array_sort's lexicographic struct order ≡ the
     // window's (dist, cid) ordering (cid is unique, so the trailing
     // fields never decide), hence identical rows — ZERO exchange.
-    val packed = coarse.groupBy()
+    coarseAssignRankedPacked(qf, packCoarse(coarse), keep)
+  }
+
+  /** The coarse build side packed into one `(__cbs)` row — the shape
+    * [[coarseAssignRankedPacked]] broadcasts. */
+  private def packCoarse(coarse: DataFrame): DataFrame =
+    coarse.groupBy()
       .agg(expr("sort_array(collect_list(struct(cid, c)))").as("__cbs"))
+
+  /** Driver replay of the engine's exact subspace distance — the
+    * `aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L,
+    * acc + x)` fold in wrapping Long arithmetic (Scala Long wraps
+    * identically); lengths must match (the contract geometry — the
+    * engine's zip_with would null-pad a mismatch, which no committed
+    * store can produce). */
+  private def sqDistL(e: Seq[Long], c: Seq[Long]): Long = {
+    require(e.length == c.length,
+      s"geometry mismatch: subvector ${e.length} vs codebook ${c.length}")
+    var acc = 0L
+    var j = 0
+    while (j < e.length) {
+      val d = e(j) - c(j); acc += d * d; j += 1
+    }
+    acc
+  }
+
+  /** Codebooks grouped per sub, code-ascending — the driver-LUT build
+    * side ([[sqDistL]]'s consumer). */
+  private def cbBySub(cbRows: Array[org.apache.spark.sql.Row])
+      : Map[Int, Array[(Int, Seq[Long])]] =
+    cbRows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.sortBy(_._2).map(t => (t._2, t._3))
+      }
+
+  /** The serve-side twin of [[packCoarse]] (round 19): a committed
+    * store's coarse table is METADATA (≤ nlist rows, already read
+    * driver-side for partition pruning), so the packed build side
+    * lands as ONE LOCAL relation — cid-ascending, exactly
+    * `sort_array(collect_list(struct(cid, c)))` over the same rows
+    * (cid unique ⇒ the lexicographic sort is the cid sort) — and every
+    * consumer broadcast ships it without re-planning a parquet-scan +
+    * aggregate subtree per evaluation (the q241 serve profile: 17
+    * jobs, 0.83 s of planning gaps, the coarse subtree evaluated once
+    * per consumer). */
+  private def packCoarseLocal(spark: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val entry = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(LongType, containsNull = true),
+        nullable = false)))
+    val schema = StructType(Seq(
+      StructField("__cbs", ArrayType(entry, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(rows.sortBy(_.getInt(0)).toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getInt(0), r.getSeq[Long](1))))),
+      schema)
+  }
+
+  private def coarseAssignRankedPacked(qf: DataFrame,
+                                       packed: DataFrame,
+                                       keep: Int): DataFrame = {
     qf.crossJoin(broadcast(packed))
       .select(col("__id"), col("q"), posexplode(expr(
         s"""slice(array_sort(transform(__cbs, s -> struct(
@@ -542,11 +645,12 @@ object Pq {
     * never a re-search (q242's whole trick). */
   private def ivfCandidateFrame(packed: DataFrame,
                                 probes: DataFrame, probeIdCol: String,
-                                vecCol: String, coarse: DataFrame,
+                                vecCol: String, packedCoarse: DataFrame,
                                 codebooks: DataFrame, m: Int, dsub: Int,
                                 maxNprobe: Int): DataFrame = {
-    val probed = coarseAssignRanked(
-      quantize(probes, probeIdCol, vecCol), coarse, maxNprobe)
+    val probed = coarseAssignRankedPacked(
+      quantizeNoFloor(probes, probeIdCol, vecCol), packedCoarse,
+      maxNprobe)
     val plut = probed
       .select(col("__id").as("probe"), col("cid"), col("lrk"),
         posexplode(expr(
@@ -576,18 +680,18 @@ object Pq {
                              codebooks: DataFrame, m: Int, dsub: Int,
                              nprobe: Int, topK: Int): DataFrame =
     searchIvfPacked(packIvfCodes(codes), probes, probeIdCol, vecCol,
-      coarse, codebooks, m, dsub, nprobe, topK)
+      packCoarse(coarse), codebooks, m, dsub, nprobe, topK)
 
   /** Probed-list ADC over PACKED IVF codes — `(probe, rk, cand, adc)`;
     * the rank filter prunes map-side (WindowGroupLimit). */
   private def searchIvfPacked(packed: DataFrame,
                               probes: DataFrame, probeIdCol: String,
-                              vecCol: String, coarse: DataFrame,
+                              vecCol: String, packedCoarse: DataFrame,
                               codebooks: DataFrame, m: Int, dsub: Int,
                               nprobe: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("probe"))
       .orderBy(col("adc").asc, col("cand").asc)
-    ivfCandidateFrame(packed, probes, probeIdCol, vecCol, coarse,
+    ivfCandidateFrame(packed, probes, probeIdCol, vecCol, packedCoarse,
         codebooks, m, dsub, nprobe)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
@@ -619,7 +723,7 @@ object Pq {
       .select(col("__id").as("cand"), col("cid"), col("sub"),
         col("code"))
     ivfCandidateFrame(packIvfCodes(codes), probes, probeIdCol, vecCol,
-        coarse, cb, m, dsub, maxNprobe)
+        packCoarse(coarse), cb, m, dsub, maxNprobe)
       .withColumnRenamed("cand", candIdCol)
   }
 
@@ -693,7 +797,7 @@ object Pq {
   private def refineJoin(sl: DataFrame, candVecs: DataFrame,
                          probes: DataFrame, probeIdCol: String,
                          vecCol: String, candIdCol: String): DataFrame = {
-    val pq = quantize(probes, probeIdCol, vecCol)
+    val pq = quantizeNoFloor(probes, probeIdCol, vecCol)
       .select(col("__id").as("probe"), col("q").as("qp"))
     sl.join(candVecs, Seq(candIdCol))
       .join(broadcast(pq), Seq("probe"))
@@ -800,12 +904,32 @@ object Pq {
       IvfAdcStoreLegacyMarker, "IVF-ADC", "saveIvfAdcStore")
     val fs = fsOf(spark, dir)
     val (m, dsub) = readGeometry(fs, dir)
-    val coarse = spark.read.parquet(s"$dir/coarse")
-    val cb = spark.read.parquet(s"$dir/codebooks")
-    val probedLists = coarseAssign(
-        quantize(probes, probeIdCol, vecCol), coarse, nprobe)
-      .select(col("cid")).distinct()
-      .collect().map(_.getInt(0)) // metadata: ≤ |coarse| values
+    // Store metadata lands DRIVER-SIDE once (round 19): the coarse
+    // table (≤ nlist rows) and codebooks (m·k rows) are the same class
+    // of metadata as the probed list ids collected below — as LOCAL
+    // relations, the probe-side subtrees broadcast them without
+    // re-planning a parquet-scan + pack-aggregate subtree per consumer
+    // (the q241 serve profile: 17 jobs, 0.83 s of planning gaps, the
+    // coarse subtree evaluated once for the probed-ids collect and
+    // again under the candidate frame).
+    val packedCoarse = packCoarseLocal(spark,
+      spark.read.parquet(s"$dir/coarse")
+        .select(col("cid"), col("c")).collect())
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+    // ONE probe-side collect (round 19): the probed (probe, cid, lrk,
+    // residual) rows — ≤ nprobe·|probes| rows of bounded-probe-batch
+    // METADATA, the same contract that already put the probed list ids
+    // on the driver — feed BOTH the partition pruning below AND a
+    // DRIVER-computed ADC LUT ([[sqDistL]] replays the engine's exact
+    // fold), so the serve plan collapses to: probed codes scan →
+    // broadcast LOCAL LUT join → narrow fold → pruned rank. Previously
+    // the probe subtree re-planned under the LUT broadcast and every
+    // AQE stage of the plut aggregate ran as its own ~45 ms-planning
+    // job (q241 serve profile: 16 jobs, 0.7 s of gaps).
+    val probedFrame = coarseAssignRankedPacked(
+      quantizeNoFloor(probes, probeIdCol, vecCol), packedCoarse, nprobe)
+    val probedRows = probedFrame.collect()
+    val probedLists = probedRows.map(_.getInt(1)).distinct
     // Serve-time listing must be O(probed lists), not O(nlist) — the
     // round-11 Ann.searchIndex lesson (r17 verdict #1 applied it here):
     // `spark.read.parquet(s"$dir/codes")` builds a file index over
@@ -853,8 +977,40 @@ object Pq {
         spark.read.option("basePath", s"$dir/codes").schema(codeSchema)
           .parquet(probedPaths: _*)
           .where(col("cid").isin(probedLists.toSeq: _*))
-    searchIvfPacked(packed, probes, probeIdCol, vecCol, coarse, cb,
-      m, dsub, nprobe, topK)
+    // driver LUT: per probed (probe, list), the sub-major exact
+    // subspace distances to every codebook entry — identical values
+    // and array order to the plut aggregate (sub, code unique ⇒ the
+    // sort_array order IS (sub asc, code asc))
+    val bySub = cbBySub(cbRows)
+    val plutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      probedFrame.schema("__id").copy(name = "probe"),
+      org.apache.spark.sql.types.StructField("lrk",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lt",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val plutRows: Seq[org.apache.spark.sql.Row] =
+      probedRows.toSeq.map { r =>
+        val q = r.getSeq[Long](3)
+        val lt: Seq[Long] = (0 until m).flatMap { s =>
+          val e = q.slice(s * dsub, s * dsub + dsub)
+          bySub(s).toSeq.map { case (_, c) => sqDistL(e, c) }
+        }
+        org.apache.spark.sql.Row(r.getInt(1), r.get(0), r.getInt(2), lt)
+      }
+    val plut = spark.createDataFrame(
+      java.util.Arrays.asList(plutRows: _*), plutSchema)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("adc").asc, col("cand").asc)
+    packed.join(broadcast(plut), Seq("cid"))
+      .select(col("probe"), col("cand"), adcFold(m).as("adc"),
+        col("lrk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("probe"), col("rk"), col("cand"), col("adc"))
   }
 
   /** IVFADC+R served ENTIRELY from a COMMITTED
