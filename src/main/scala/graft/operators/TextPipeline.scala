@@ -571,17 +571,29 @@ object TextPipeline {
     * non-overlapping spans. Narrow (tokenize + slice + posexplode). */
   private[graft] def spanFrame(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame =
-    // scan-parallelism floor (round 19, guide §2.5): the tokenize +
-    // span-slice chain on an unsplittable tiny scan ran as ONE ~1.1 s
-    // task at sf0.1; self-disabling at real volumes
+    // scan-parallelism floor (round 19, guide §2.5): the span chain on
+    // an unsplittable tiny scan ran as ONE ~1.1 s task at sf0.1;
+    // self-disabling at real volumes.
+    //
+    // Span build as ONE greedy regex pass (round 19, guide §1.2 "per-
+    // task work"): the previous form materialized the token array and
+    // ran an interpreted slice + array_join per span (~60 allocations
+    // per doc — 1.30 s single-job at sf0.1 vs 0.15 s for this form,
+    // ×8.8). `[^ ]+( [^ ]+){0,3}` over the space-collapsed trimmed
+    // text consumes exactly 4 single-space-split tokens per
+    // non-overlapping match (the final match takes the remainder),
+    // which IS `array_join(slice(toks, (g-1)*4+1, 4), ' ')` for toks =
+    // filter(split(trim(text), ' '), x -> x != '') — byte-identical
+    // output proven by a full-corpus exceptAll in both directions
+    // (0 rows) plus the standing oracle gate. Null/empty/all-space
+    // texts yield a null/empty array and drop at the posexplode in
+    // both forms.
     graft.Tables.withParallelismFloor(docs, idCol)
-      .select(col(idCol), expr(TextHashes.toks(textCol)).as("toks"))
-      .withColumn("ls", expr(
-        """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
-          |ELSE transform(sequence(1, cast(ceil(size(toks) / 4.0) as bigint)),
-          |  g -> array_join(slice(toks, cast((g-1)*4+1 as int), 4), ' '))
-          |END""".stripMargin))
-      .select(col(idCol), posexplode(col("ls")).as(Seq("pos0", "span")))
+      .select(col(idCol), posexplode(expr(
+        s"""regexp_extract_all(
+           |  regexp_replace(trim($textCol), ' +', ' '),
+           |  '[^ ]+( [^ ]+){0,3}', 0)""".stripMargin))
+        .as(Seq("pos0", "span")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
         col("span"))
 

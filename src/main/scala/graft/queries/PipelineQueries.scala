@@ -979,13 +979,15 @@ object PipelineQueries {
     // contract sort's range sampling re-evaluates the narrow chain);
     // self-disabling at real volumes
     graft.Tables.withParallelismFloor(documents(s, d), "doc_id")
-      .select(col("doc_id"),
-        expr(graft.operators.TextHashes.toks("text")).as("toks"))
-      .withColumn("ls", expr(
-        """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
-          |ELSE transform(sequence(1, cast(ceil(size(toks) / 2.0) as bigint)),
-          |  g -> array_join(slice(toks, cast((g-1)*2+1 as int), 2), ' '))
-          |END""".stripMargin))
+      // span build as ONE greedy regex pass (round 19 — spanFrame's
+      // ×8.8 rewrite at span width 2): `[^ ]+( [^ ]+){0,1}` over the
+      // space-collapsed trimmed text consumes exactly 2 single-space
+      // tokens per non-overlapping match (final match = remainder) —
+      // byte-identical to array_join(slice(toks, (g-1)*2+1, 2), ' ')
+      .select(col("doc_id"), expr(
+        """regexp_extract_all(
+          |  regexp_replace(trim(text), ' +', ' '),
+          |  '[^ ]+( [^ ]+){0,1}', 0)""".stripMargin).as("ls"))
       .withColumn("kls",
         graft.operators.TextPipeline.dedupSpanList(col("ls")))
       .select(col("doc_id"),
