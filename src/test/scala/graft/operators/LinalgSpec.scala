@@ -62,6 +62,25 @@ class LinalgSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCoarseLocal == kmeansQuantized centroids (round-19 " +
+      "driver-iteration twin: same seeds, rounds, floor means, ties)") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        (math.sin(i * 13 + j * 7) * 2.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val full = Linalg.kmeansQuantized(vecs, "vec_id", "embedding",
+        k = 4, iterations = 2)
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), z -> z.c)")
+        .as("c"))
+      .select(col("cid").cast("int").as("cid"), col("c"))
+    val coarse = Linalg.kmeansCoarseLocal(vecs, "vec_id", "embedding",
+      k = 4, iterations = 2)
+    assert(coarse.exceptAll(full).count() == 0 &&
+      full.exceptAll(coarse).count() == 0,
+      "the local coarse face must carry exactly the contract centroids")
+  }
+
   test("embeddingOutliers flags a planted far vector, one-sided: " +
       "seed near-clones are NOT outliers") {
     val d = 8

@@ -10,6 +10,38 @@ class TextPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("regex span build == slice+array_join span build on edge texts " +
+      "(round-19 rewrite equivalence: empty/single/multi-space/tab/" +
+      "non-multiple-of-4 token counts)") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"),
+      (4L, "a b c"), (5L, "a b c d"), (6L, "a b c d e"),
+      (7L, "a  b   c d  e f g h i"), // multi-space runs collapse
+      (8L, "ta\tb c d e"),            // tab stays INSIDE a token
+      (9L, " lead and trail pad  "),
+      (10L, (1 to 23).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rx = TextPipeline.spanFrame(docs, "doc_id", "text")
+    // the pre-round-19 reference form, verbatim
+    val ref = docs
+      .select(col("doc_id"),
+        expr(TextHashes.toks("text")).as("toks"))
+      .withColumn("ls", expr(
+        """CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(1, cast(ceil(size(toks) / 4.0) as bigint)),
+          |  g -> array_join(slice(toks, cast((g-1)*4+1 as int), 4), ' '))
+          |END""".stripMargin))
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos0", "span")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("span"))
+    assert(rx.exceptAll(ref).count() == 0 && ref.exceptAll(rx).count() == 0,
+      "regex span frame must be row-identical to the slice+join form")
+    // spot shape: 23 tokens -> 6 spans, last span 3 tokens
+    val d10 = rx.filter(col("doc_id") === 10).orderBy("pos").collect()
+    assert(d10.length == 6)
+    assert(d10.last.getString(2) == "w21 w22 w23")
+  }
+
   test("chunks cover every token; consecutive chunks share the overlap") {
     val text = (1 to 47).map(i => s"t$i").mkString(" ")
     val corpus = Seq((1L, text)).toDF("doc_id", "text")
